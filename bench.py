@@ -1,0 +1,84 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect cost). One warmup pass of a trivial action amortizes JVM
+/ codegen startup out of the measured numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# queries representative of each capability family; extended as plans land
+HEADLINE = [
+    "scan_project_filter",
+    "pricing_summary",
+    "join_inner_multi",
+    "join_left_outer_agg",
+    "window_rank_topk",
+    "window_analytic",
+    "grouping_rollup",
+    "distinct_exact",
+    "set_ops",
+    "sort_limit",
+    "scalar_funcs",
+    "json_extract",
+]
+
+
+def _force(df) -> None:
+    """Materialize the full result without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from bytewax_iceberg_connector_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # warmup pass (untimed): JVM JIT, Janino whole-stage-codegen compile,
+    # parquet footer caches. We report steady-state per-query time — cold
+    # compile is a per-process constant, not a property of the plan.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    for name in names:
+        _force(qs[name](spark, sf_dir))
+
+    # best-of-2 steady-state timing per query (local single-JVM runs have
+    # multi-second GC/scheduler noise; min is the stable estimator)
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Deterministic numeric aggregation helpers.
+
+Double-precision SUM is order-dependent; on a 1000-executor cluster the
+reduction order is nondeterministic, so two runs (or Spark vs the DuckDB
+oracle) can differ in the last ulps. For every money/measure aggregate we
+therefore sum EXACTLY in decimal (inputs in this corpus have <= 2 decimal
+digits; products of two 2-dp values have <= 4) and cast the final result to
+double. Exact sum -> deterministic double, independent of partitioning,
+AQE re-plans, and engine.
+
+This costs a little over native double sum but keeps whole-stage codegen
+(decimal arithmetic is JVM-side, no UDFs) and buys run-to-run reproducibility
+at any scale. The same expressions are mirrored in the oracle SQL strings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: decimal(18, s) holds +/-9.99e(17-s) — cents-exact up to ~1e13 rows of
+#: 1e4-magnitude values, enough for 100 TB fact tables; Spark widens the
+#: accumulator to decimal(28+, s) during SUM so overflow is not a concern.
+_PREC = 18
+
+
+def dec(col: Column | str, scale: int = 2) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({_PREC},{scale})")
+
+
+def dsum(col: Column | str, scale: int = 2) -> Column:
+    """Exact decimal sum, surfaced as double."""
+    return F.sum(dec(col, scale)).cast("double")
+
+
+def davg(col: Column | str, scale: int = 2) -> Column:
+    """Deterministic average: exact decimal sum / exact count, in double.
+
+    IEEE-754 double division of identical operands is deterministic across
+    engines, unlike AVG() whose internal accumulation order varies.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(dec(c, scale)).cast("double") / F.count(c)
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB-side mirror of dsum()."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
+        f" / COUNT({expr})"
+    )

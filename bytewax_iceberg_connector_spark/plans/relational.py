@@ -1,0 +1,599 @@
+"""Relational query battery (SURVEY.md §2 Part B, B1–B12).
+
+The reference engine has no query capability (it is a sink connector —
+see /root/reference/src/bytewax_iceberg_connector/connector.py); the north
+star mandates full relational coverage over the test corpus. Everything here
+is declarative DataFrame code: Catalyst handles pushdown/pruning/join
+selection, AQE handles runtime skew and partition coalescing.
+
+Cross-engine parity rules (DuckDB oracle):
+- every computed column aliased IDENTICALLY on both sides;
+- money/measure aggregates via exact decimal (functions/numeric.py) so the
+  result double is independent of partitioning / reduction order;
+- computed integer columns cast to ``long`` (Spark INT != DuckDB BIGINT in
+  the schema check);
+- window orderings made total with a unique tiebreaker column.
+
+Scale notes inline per query: what shuffles, what broadcasts, what prunes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dec, dsum, sql_davg, sql_dsum
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared expressions (Spark + SQL mirrors)
+# ---------------------------------------------------------------------------
+
+def _disc_price():
+    """l_extendedprice * (1 - l_discount), exact in decimal (scale 4)."""
+    return dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+
+
+_SQL_DISC_PRICE = (
+    "(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(18,2))))"
+)
+
+# ---------------------------------------------------------------------------
+# B1 scan → project → filter
+# ---------------------------------------------------------------------------
+
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate on the fact table.
+
+    Scale: Catalyst pushes both the filter and the 4-column projection into
+    the parquet scan (PushedFilters + ReadSchema); at 100 TB this is the
+    difference between reading 4 columns of a few partitions and the whole
+    table. No shuffle at all.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+        )
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    )
+
+
+_SQL_SCAN = """
+SELECT l_orderkey, l_partkey, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount >= 0.05
+"""
+
+# ---------------------------------------------------------------------------
+# B2 pricing_summary — flagship (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aggregate over lineitem with computed measures (TPC-H Q1 shape).
+
+    Scale: single hash-aggregate — partial (map-side) agg then one shuffle of
+    only |groups| rows per partition (4 groups here), so shuffle volume is
+    O(partitions), not O(rows). The filter prunes at the scan. Decimal sums
+    keep the result deterministic under any reduction order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = _disc_price().cast("decimal(18,4)") * (
+        F.lit(1).cast("decimal(18,2)") + dec("l_tax")
+    )
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_SQL_PRICING = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST({_SQL_DISC_PRICE} AS DECIMAL(18,4))
+           * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+  {sql_davg('l_quantity')} AS avg_qty,
+  {sql_davg('l_extendedprice')} AS avg_price,
+  {sql_davg('l_discount')} AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+# ---------------------------------------------------------------------------
+# B3 multi-way join (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+def join_inner_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem ⋈ supplier ⋈ nation ⋈ region revenue.
+
+    Scale: the two big tables (orders, lineitem) meet in ONE shuffle join on
+    orderkey; every dimension (supplier/nation/region, and customer relative
+    to lineitem) is broadcast, so no additional shuffles. Catalyst reorders
+    the dimension joins; AQE demotes to broadcast automatically when a side
+    is small, but we mark the always-small dims explicitly.
+    """
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"].where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]).where(F.col("r_name") == "AMERICA"),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"),
+             F.count("*").alias("n_items"))
+        .orderBy("n_name")
+    )
+
+
+_SQL_JOIN_MULTI = f"""
+SELECT n_name,
+       CAST(SUM({_SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'AMERICA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+# ---------------------------------------------------------------------------
+# B4 outer / semi / anti joins
+# ---------------------------------------------------------------------------
+
+def join_left_outer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order stats keeping order-less customers (left outer).
+
+    Scale: aggregate orders BEFORE the join (pre-aggregation pushdown) so the
+    join input is |customers-with-orders| rows, not |orders|; then a single
+    equi-join, broadcastable when the aggregated side is small.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("total_spent")
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.coalesce(F.col("total_spent"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+_SQL_LEFT_OUTER = f"""
+SELECT c_custkey, c_mktsegment,
+       COALESCE(n_orders, 0) AS n_orders,
+       COALESCE(total_spent, 0.0) AS total_spent
+FROM customer
+LEFT JOIN (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         {sql_dsum('o_totalprice')} AS total_spent
+  FROM orders GROUP BY o_custkey
+) po ON c_custkey = po.o_custkey
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having at least one URGENT order (left-semi join).
+
+    Scale: semi-join never duplicates rows and only ships the join key of the
+    right side; with AQE it becomes a broadcast-semi when the filtered orders
+    side is small.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+_SQL_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no high-value (>400k) order (left-anti join).
+
+    Scale: anti-join ships only the filtered right side's key; the totalprice
+    predicate prunes at the orders scan before the join.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400_000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+"""
+
+# ---------------------------------------------------------------------------
+# B5 window: top-k per group
+# ---------------------------------------------------------------------------
+
+def window_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice (row_number window).
+
+    Scale: one shuffle on o_custkey; within-partition sort only. A total
+    ordering (price DESC, orderkey ASC) makes ranks deterministic. At scale,
+    skewed customers are handled by AQE; for pathological skew use a
+    two-phase top-k (partial top-k per partition, then final).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+_SQL_TOPK = """
+SELECT o_custkey, o_orderkey, o_totalprice, rk
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC, o_orderkey ASC)
+              AS BIGINT) AS rk
+  FROM orders
+) t WHERE rk <= 3
+"""
+
+# ---------------------------------------------------------------------------
+# B6 window: lag / lead / running sum
+# ---------------------------------------------------------------------------
+
+def window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event timeline: previous value, next event type, running sum.
+
+    Scale: one shuffle on user_id. Running sum in exact decimal so the
+    left-to-right accumulation is engine- and partitioning-independent.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("event_type", 1).over(w).alias("next_type"),
+        F.sum(dec("value")).over(run).cast("double").alias("running_value"),
+        F.row_number().over(w).cast("long").alias("seq"),
+    )
+
+
+_SQL_WINDOW_ANALYTIC = """
+SELECT user_id, event_id, ts, value,
+       LAG(value, 1) OVER w AS prev_value,
+       LEAD(event_type, 1) OVER w AS next_type,
+       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS running_value,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+# ---------------------------------------------------------------------------
+# B7 rollup subtotals
+# ---------------------------------------------------------------------------
+
+def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue rollup region → nation → grand total.
+
+    Scale: Spark expands rollup into a single expand+aggregate — one shuffle;
+    dims broadcast into the fact before aggregation.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+_SQL_ROLLUP = f"""
+SELECT r_name, n_name,
+       {sql_dsum('o_totalprice')} AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+# ---------------------------------------------------------------------------
+# B8 distinct: exact + approximate
+# ---------------------------------------------------------------------------
+
+def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users + event count per event_type.
+
+    Scale: count-distinct expands to a two-phase aggregate (partial distinct
+    on (type,user) then count) — two shuffles max, both on low-cardinality
+    keys. For 100 TB interactive use prefer distinct_approx (one pass, no
+    per-key state explosion).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_DISTINCT_EXACT = f"""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_users,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event_type (rows-only check — sketch
+    estimates are engine-specific by design).
+
+    Scale: THE scalable form — fixed-size sketch per group, single shuffle of
+    sketches, mergeable across 1000 executors. rsd=1% keeps estimates tight.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"))
+        .orderBy("event_type")
+    )
+
+# ---------------------------------------------------------------------------
+# B9 set operations
+# ---------------------------------------------------------------------------
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION over two customer cohorts, tagged.
+
+    Cohort A: BUILDING-segment customers. Cohort B: customers with an URGENT
+    order. Scale: set ops hash-shuffle on the full row; keep the projected
+    key narrow (single bigint) so the shuffle is cheap.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    a = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = (
+        o.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        a.intersect(b).withColumn("tag", F.lit("in_both"))
+        .unionAll(a.exceptAll(b.distinct()).withColumn("tag", F.lit("building_only")))
+        .unionAll(b.distinct().exceptAll(a).withColumn("tag", F.lit("urgent_only")))
+    )
+
+
+_SQL_SET_OPS = """
+WITH a AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     b AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+           WHERE o_orderpriority = '1-URGENT')
+SELECT c_custkey, 'in_both' AS tag FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+UNION ALL
+SELECT c_custkey, 'building_only' AS tag FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+UNION ALL
+SELECT c_custkey, 'urgent_only' AS tag FROM (SELECT * FROM b EXCEPT SELECT * FROM a)
+"""
+
+# ---------------------------------------------------------------------------
+# B10 global sort + limit
+# ---------------------------------------------------------------------------
+
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 orders by totalprice, globally.
+
+    Scale: Spark compiles orderBy().limit(k) to TakeOrderedAndProject —
+    per-partition top-k then a single-driver merge of k*partitions rows;
+    no global sort materialization. Unique tiebreaker makes it deterministic.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+_SQL_SORT_LIMIT = """
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+# ---------------------------------------------------------------------------
+# B11 scalar function battery
+# ---------------------------------------------------------------------------
+
+def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math scalar battery over orders.
+
+    All pure row-wise JVM expressions — whole-stage-codegen'd, zero shuffle.
+    Integer-producing funcs cast to long for cross-engine schema parity.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.upper(F.col("o_orderstatus")).alias("status_upper"),
+        F.substring(F.col("o_orderpriority"), 1, 1).alias("prio_code"),
+        F.regexp_extract(F.col("o_orderpriority"), r"(\d+)", 1).alias("prio_digit"),
+        F.length(F.col("o_orderpriority")).cast("long").alias("prio_len"),
+        F.concat(F.col("o_orderstatus"), F.lit("/"), F.col("o_orderpriority")).alias("status_prio"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("order_month"),
+        F.year(F.col("o_orderdate")).cast("long").alias("order_year"),
+        F.datediff(F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_1999"),
+        F.round(F.col("o_totalprice"), 1).alias("price_round1"),
+        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        F.abs(F.col("o_totalprice") - 1000.0).alias("price_dist_1k"),
+        F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
+    )
+
+
+_SQL_SCALAR = r"""
+SELECT
+  o_orderkey,
+  UPPER(o_orderstatus) AS status_upper,
+  SUBSTRING(o_orderpriority, 1, 1) AS prio_code,
+  REGEXP_EXTRACT(o_orderpriority, '(\d+)', 1) AS prio_digit,
+  CAST(LENGTH(o_orderpriority) AS BIGINT) AS prio_len,
+  o_orderstatus || '/' || o_orderpriority AS status_prio,
+  CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS order_month,
+  CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
+  CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
+  ROUND(o_totalprice, 1) AS price_round1,
+  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  ABS(o_totalprice - 1000.0) AS price_dist_1k,
+  SQRT(o_totalprice) AS price_sqrt
+FROM orders
+"""
+
+# ---------------------------------------------------------------------------
+# B12 JSON extraction (reference's JSON-in-VARCHAR convention,
+# operators.py:197-199: nested values are JSON-stringified)
+# ---------------------------------------------------------------------------
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse events.props JSON → typed field, aggregate by it.
+
+    Mirrors the reference's convention of demoting nested data to JSON
+    strings (/root/reference/src/bytewax_iceberg_connector/operators.py:197-199);
+    the engine upgrade is that parsing happens ONCE in the plan, JVM-side
+    (get_json_object), not per-consumer in Python.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("long"))
+        .groupBy((F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .orderBy("k_bucket")
+    )
+
+
+_SQL_JSON = f"""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+       COUNT(*) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY k_bucket
+ORDER BY k_bucket
+"""
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "scan_project_filter": scan_project_filter,
+    "pricing_summary": pricing_summary,
+    "join_inner_multi": join_inner_multi,
+    "join_left_outer_agg": join_left_outer_agg,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "window_rank_topk": window_rank_topk,
+    "window_analytic": window_analytic,
+    "grouping_rollup": grouping_rollup,
+    "distinct_exact": distinct_exact,
+    "distinct_approx": distinct_approx,
+    "set_ops": set_ops,
+    "sort_limit": sort_limit,
+    "scalar_funcs": scalar_funcs,
+    "json_extract": json_extract,
+}
+
+ORACLE = {
+    "scan_project_filter": _SQL_SCAN,
+    "pricing_summary": _SQL_PRICING,
+    "join_inner_multi": _SQL_JOIN_MULTI,
+    "join_left_outer_agg": _SQL_LEFT_OUTER,
+    "join_semi": _SQL_SEMI,
+    "join_anti": _SQL_ANTI,
+    "window_rank_topk": _SQL_TOPK,
+    "window_analytic": _SQL_WINDOW_ANALYTIC,
+    "grouping_rollup": _SQL_ROLLUP,
+    "distinct_exact": _SQL_DISTINCT_EXACT,
+    # distinct_approx: deliberately no oracle (sketch estimate) → rows-only
+    "set_ops": _SQL_SET_OPS,
+    "sort_limit": _SQL_SORT_LIMIT,
+    "scalar_funcs": _SQL_SCALAR,
+    "json_extract": _SQL_JSON,
+}

@@ -1,0 +1,75 @@
+"""SparkSession factory + defensive runtime configuration.
+
+The reference engine (KingMohan45/bytewax-iceberg-connector) has no session
+concept — a Bytewax dataflow is built imperatively. Here the session IS the
+engine: Catalyst plans, Tungsten executes, AQE re-plans at runtime.
+
+Scale notes (100 TB / 1000 executors):
+- AQE on: runtime coalescing of small shuffle partitions, skew-join splitting,
+  and dynamic join-strategy demotion are what keep a static plan honest at
+  scale. We enable it unconditionally.
+- ``spark.sql.shuffle.partitions`` is a *local* default (32 = test box cores);
+  on a real cluster AQE's coalescing makes the initial number mostly a ceiling
+  — set it to 2-3x total cores there.
+- Arrow transfer on: every pandas_udf / toPandas boundary is Arrow-batched,
+  the Spark-native analogue of the reference's row-buffer→Arrow flush
+  (reference connector.py:232-237).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# SQL confs that are runtime-settable and that the engine depends on.
+# Applied defensively in ensure_engine_conf() because the driver may hand us
+# a session we did not build.
+_RUNTIME_CONF = {
+    # testdata events.parquet stores timestamp[ns]; Spark has no ns timestamp
+    # type, so read as long and convert with timestamp_micros(ns div 1000)
+    # (see sources/tables.py). Truncation matches DuckDB's ns→us cast.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # deterministic timestamp rendering for the duckdb-oracle comparison
+    "spark.sql.session.timeZone": "UTC",
+    # Arrow for all pandas_udf boundaries
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+_BUILD_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # local[32] box: one shuffle partition per core; AQE coalesces below this
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+}
+
+
+def ensure_engine_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs the engine needs on ANY session.
+
+    Idempotent; safe on driver-provided sessions.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - conf locked by a strict session
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "bytewax-iceberg-spark",
+    master: str | None = None,
+    **extra_conf: str,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in {**_BUILD_CONF, **_RUNTIME_CONF, **extra_conf}.items():
+        builder = builder.config(k, str(v))
+    spark = builder.getOrCreate()
+    return ensure_engine_conf(spark)
