@@ -18,21 +18,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# queries representative of each capability family; extended as plans land
-HEADLINE = [
-    "scan_project_filter",
-    "pricing_summary",
-    "join_inner_multi",
-    "join_left_outer_agg",
-    "window_rank_topk",
-    "window_analytic",
-    "grouping_rollup",
-    "distinct_exact",
-    "set_ops",
-    "sort_limit",
-    "scalar_funcs",
-    "json_extract",
-]
+# every declared query except the lake round-trip (it writes a temp
+# warehouse — correctness-gated, not a throughput metric)
+EXCLUDE = {"iceberg_roundtrip"}
 
 
 def _force(df) -> None:
@@ -49,7 +37,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = entrymod.queries()
-    names = [n for n in HEADLINE if n in qs]
+    names = [n for n in sorted(qs) if n not in EXCLUDE]
     # warmup pass (untimed): JVM JIT, Janino whole-stage-codegen compile,
     # parquet footer caches. We report steady-state per-query time — cold
     # compile is a per-process constant, not a property of the plan.

@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Engine convention for images/audio/video at 100 TB: the payload is a
+``binary`` column (never decoded in SQL), metadata travels in typed columns,
+and decode/feature-extraction runs as Arrow-batched ``mapInPandas`` stages —
+the Spark-native analogue of the reference's Arrow flush boundary
+(connector.py:232-237), but on the read/transform path the reference never
+had.
+
+This container ships no codec libraries (PIL/cv2/librosa), so the decoders
+STUB the actual pixel/sample decode behind an import-try with a
+deterministic fake (documented below); the Spark-side plumbing — schemas,
+batch iteration, partition sizing — is real and tested. Swap ``_fake_*``
+for the library call in production.
+
+Scale notes:
+- decode is CPU-heavy: repartition so batches are ~10-100 MB of payload
+  (``spark.sql.files.maxPartitionBytes`` on read; explicit repartition
+  after filters), and select ONLY the payload + key columns into the
+  mapInPandas stage — every extra column rides the Arrow channel twice.
+- never collect payloads; metadata-only projections must prune the binary
+  column (columnar formats make that free).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+try:  # pragma: no cover - not present in this container
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except Exception:
+    _HAS_PIL = False
+
+#: schema of decode_image_meta output
+IMAGE_META_SCHEMA = (
+    "key BIGINT, byte_len BIGINT, width BIGINT, height BIGINT, "
+    "channels BIGINT, sha256 STRING"
+)
+
+#: schema of sample_frames output (one row per sampled frame)
+FRAME_SCHEMA = "key BIGINT, frame_idx BIGINT, offset BIGINT, frame_sha256 STRING"
+
+
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in for image header parsing: dimensions derived
+    from the content digest — stable across runs/engines/partitionings."""
+    d = hashlib.sha256(payload).digest()
+    return 16 + d[0] % 1024, 16 + d[1] % 1024, (1, 3, 4)[d[2] % 3]
+
+
+def decode_image_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFrame:
+    """binary payload → (dims, channels, digest) metadata rows.
+
+    Real decode (PIL) when available; deterministic fake otherwise. One
+    Arrow batch in, one out — constant memory per task regardless of table
+    size.
+    """
+
+    def _decode(batches):
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if _HAS_PIL:  # pragma: no cover
+                    import io
+
+                    with Image.open(io.BytesIO(data)) as im:
+                        w, h = im.size
+                        c = len(im.getbands())
+                else:
+                    w, h, c = _fake_dims(data)
+                rows.append(
+                    {
+                        "key": int(key),
+                        "byte_len": len(data),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "sha256": hashlib.sha256(data).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["key", "byte_len", "width", "height", "channels", "sha256"])
+
+    return df.select(key_col, payload_col).mapInPandas(_decode, schema=IMAGE_META_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, payload_col: str, key_col: str, n_frames: int = 4
+) -> DataFrame:
+    """\"Video\" frame sampling stub: emit ``n_frames`` evenly-spaced byte
+    slices per payload (1→N row expansion — the shape a real ffmpeg-backed
+    sampler produces). Demonstrates fan-out inside mapInPandas with bounded
+    batch memory."""
+
+    def _sample(batches):
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                step = max(len(data) // max(n_frames, 1), 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(data) - 1, 0))
+                    chunk = data[off:off + step]
+                    rows.append(
+                        {
+                            "key": int(key),
+                            "frame_idx": i,
+                            "offset": off,
+                            "frame_sha256": hashlib.sha256(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["key", "frame_idx", "offset", "frame_sha256"])
+
+    return df.select(key_col, payload_col).mapInPandas(_sample, schema=FRAME_SCHEMA)

@@ -1,0 +1,125 @@
+"""Text-analysis primitives for training-data pipelines (north-star surface).
+
+All JVM-side Column expressions (split/transform/aggregate — codegen, no
+Python), designed so each has a DuckDB-expressible mirror for the oracle.
+
+Scale: everything here is embarrassingly parallel row-wise work; the only
+shuffles appear downstream (groupBy / self-join in the dedup plans). Shingle
+explosion multiplies rows by ~tokens-per-doc — at 100 TB keep shingles as
+hashes (bigint), never strings, to keep the shuffle narrow (see
+``shingle_hashes``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the language-ID heuristic. Deliberately
+#: minimal: real lang-id (fastText etc.) is a model dependency; the heuristic
+#: IS the operator — swap the word lists for production.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"],
+    "es": ["el", "la", "de", "y", "en", "es", "un", "una", "por", "con"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "auf"],
+}
+
+
+def tokens(col: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization → array<string> (empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("long")
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token estimate: word-piece regex split (letters / digits
+    / punctuation runs), the cheap proxy for a BPE tokenizer count."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.filter(
+        F.split(F.lower(c), r"([^a-z0-9]+)|(?<=[a-z]{4})(?=[a-z])"), lambda t: t != ""
+    )
+    return F.size(pieces).cast("long")
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang``."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(sw, t))).cast("long")
+
+
+def stopword_ratio(col: Column | str, lang: str = "en") -> Column:
+    n = token_count(col)
+    return F.when(n > 0, stopword_hits(col, lang) / n).otherwise(F.lit(0.0))
+
+
+def lang_id(col: Column | str, min_ratio: float = 0.05) -> Column:
+    """Heuristic language ID: argmax stopword ratio across embedded lists,
+    'und' (undetermined) when no language clears ``min_ratio``.
+
+    Deterministic tie-break: language list order en > es > de (strictly-
+    greater comparison keeps the earlier winner on ties).
+    """
+    n = token_count(col)
+    best_lang = F.lit("und")
+    best_hits = F.lit(int(0)).cast("long")
+    for code in STOPWORDS:  # insertion order: en, es, de
+        h = stopword_hits(col, code)
+        is_better = (h > best_hits) & (h >= F.lit(min_ratio) * n)
+        best_lang = F.when(is_better, F.lit(code)).otherwise(best_lang)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + mean-token-length
+    band + stopword presence. Mirrors the shape of production quality
+    filters (C4/Gopher-style rules) with exactly reproducible arithmetic."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(col)
+    n_chars = F.length(c).cast("long")
+    mean_tok = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    len_ok = (n_chars >= 100) & (n_chars <= 20_000)
+    tok_ok = (mean_tok >= 3.0) & (mean_tok <= 12.0)
+    sw_ok = stopword_ratio(col) >= 0.05
+    return (
+        len_ok.cast("int") + tok_ok.cast("int") + sw_ok.cast("int")
+    ).cast("double") / 3.0
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint of normalized text (md5
+    hex). Cross-engine stable (DuckDB md5() matches), unlike murmur3 whose
+    seeds differ between engines."""
+    return F.md5(normalize_text(col).cast("binary"))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles → array<string>."""
+    t = tokens(col)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+        )
+    )
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram shingles as 64-bit hashes (array<bigint>).
+
+    The scale form: downstream minhash/LSH only needs hash identity, and a
+    bigint shuffles ~5-10x narrower than the shingle string.
+    """
+    return F.transform(shingles(col, n), lambda s: F.xxhash64(s))

@@ -55,6 +55,8 @@ def validate_with_callable(
     cross the JVM↔Python boundary as Arrow, ~10-100x better than row-at-a-time
     UDFs, but still orders slower than expression rules — keep off hot paths.
     """
+    from pyspark.sql import types as T
+
     cols = df.columns
 
     def _check(it):
@@ -64,5 +66,5 @@ def validate_with_callable(
             out[ERROR_COL] = [None if o else error_message for o in ok]
             yield out
 
-    schema = df.schema.add(ERROR_COL, "string")
+    schema = T.StructType(list(df.schema.fields) + [T.StructField(ERROR_COL, T.StringType())])
     return error_split(df.mapInPandas(_check, schema=schema).select(*cols, ERROR_COL))

@@ -1,3 +1,611 @@
-"""Placeholder — populated in a later milestone."""
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""LLM training-data pipeline operators (SURVEY.md §2 B16–B20 + north-star
+extensions): deduplication (exact / n-gram Jaccard / MinHash-LSH / SimHash /
+embedding-cosine), similarity search (brute-force + LSH ANN), text analysis
+(lang-ID, quality, token stats, fingerprints), multimodal columns.
+
+Design split per operator family:
+- an ORACLE-CHECKED exact form — the correctness baseline DuckDB can
+  replicate (sparse self-joins, explicit cosine algebra);
+- a SCALE form (MinHash-LSH banding, SimHash bands, sign-LSH buckets) whose
+  candidate generation is subquadratic — the one you run at 100 TB. Where
+  the scale form is exact-verified after candidate generation (minhash →
+  exact Jaccard verify) it shares the exact form's oracle; recall of the
+  banding scheme is pinned by seeds, so the comparison is deterministic.
+
+Shuffle economics at 100 TB (why these shapes):
+- n-gram exact pairs: |shingle instances| shuffle + pair aggregation — the
+  quadratic blow-up lives in the pair space; fine at test scale, replaced by
+  LSH at cluster scale.
+- minhash: signature = 1 projection (no shuffle); bands shuffle |docs|·b
+  tiny rows; only VERIFIED candidates pay the full-array compare.
+- embedding ANN: sign-LSH buckets turn the |Q|×|N| cross join into
+  per-bucket joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..functions import text as X
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# B16: exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint: rank copies, keep rank 1.
+
+    Scale: one hash-shuffle on the 128-bit fingerprint (never the full
+    text), skew-free by construction.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        docs.withColumn("fp", X.fingerprint("text"))
+        .withColumn("copy_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "fp", "copy_rank", (F.col("copy_rank") == 1).alias("is_kept"))
+    )
+
+
+_SQL_DEDUP_EXACT = r"""
+SELECT doc_id, fp, copy_rank, copy_rank = 1 AS is_kept
+FROM (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           ORDER BY doc_id) AS BIGINT) AS copy_rank
+  FROM documents
+) t
+"""
+
+# ---------------------------------------------------------------------------
+# B17a: near-dup, exact n-gram Jaccard (oracle baseline)
+# ---------------------------------------------------------------------------
+
+_JACCARD_THRESHOLD = 0.8
+_SHINGLE_N = 3
+
+
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-shingle Jaccard over all candidate pairs that share at
+    least one shingle (sparse self-join — identical algorithm to the
+    oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(X.shingles("text", _SHINGLE_N)).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
+    )
+
+
+def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: trigram-shingle Jaccard ≥ 0.8, exactly.
+
+    The correctness baseline for the dedup family; the candidate space is
+    quadratic in the worst case, so at cluster scale dedup_minhash_lsh
+    replaces it (same output contract).
+    """
+    return (
+        _shingle_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_SQL_NEAR_NGRAM = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+"""
+
+# ---------------------------------------------------------------------------
+# B17b: near-dup, MinHash + LSH banding (the scale path)
+# ---------------------------------------------------------------------------
+
+_NUM_PERM = 64
+_ROWS_PER_BAND = 4  # 16 bands → P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2e-4
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) signatures → 16-band LSH → candidate pairs → EXACT
+    Jaccard verify ≥ 0.8.
+
+    Scale path: signatures are one projection (no shuffle); banding shuffles
+    16 small rows/doc; only bucket-mates pay the exact array verify. Output
+    contract and oracle match dedup_near_ngram — the banding seeds are fixed,
+    so recall (≈1 at these params) is deterministic and the oracle comparison
+    is stable, not probabilistic.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.shingles("text", _SHINGLE_N).alias("sh_set"),
+        X.shingle_hashes("text", _SHINGLE_N).alias("sh"),
+    ).where(F.size("sh") > 0)
+
+    sig = base.select("doc_id", "sh_set", *S.minhash_signature(F.col("sh"), _NUM_PERM))
+    sig_cols = [f"mh_{i}" for i in range(_NUM_PERM)]
+    banded = sig.select(
+        "doc_id", "sh_set", F.explode(S.lsh_bands(sig_cols, _ROWS_PER_BAND)).alias("bk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh_set").alias("sa"),
+            F.col("b.sh_set").alias("sb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17c: near-dup, SimHash bands (rows-only: xxhash64 has no DuckDB twin)
+# ---------------------------------------------------------------------------
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64) fingerprints → 4 bit-bands → candidates → hamming ≤ 12.
+
+    One bigint per doc; a hamming-d near-dup shares ≥1 of 4 exact 16-bit
+    bands when d < 4 — with d up to 12 the bands are a recall-y prefilter,
+    verified by exact popcount. rows-only check (engine-specific hashes).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", S.simhash64(X.shingle_hashes("text", _SHINGLE_N)).alias("sim")
+    )
+    banded = fp.select("doc_id", "sim", F.explode(S.simhash_bands(F.col("sim"), 4)).alias("bk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            S.hamming64(F.col("a.sim"), F.col("b.sim")).alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= 12)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B17d: near-dup on embeddings (cosine threshold, oracle)
+# ---------------------------------------------------------------------------
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (exact).
+
+    Quadratic baseline (oracle-checkable); similarity_ann_lsh is the bucketed
+    scale path. Cosine uses the explicit sequential-fold formula mirrored in
+    the oracle for bit-identical doubles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        # norm² once per vector, not per pair: 3x less fold work in the
+        # quadratic stage, bit-identical result (same operands to sqrt)
+        S.dot(F.col("embedding").cast("array<double>"),
+              F.col("embedding").cast("array<double>")).alias("n2"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = S.dot(F.col("a.e"), F.col("b.e")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= 0.4)
+    )
+
+
+_SQL_DEDUP_EMB = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) AS n2
+           FROM embeddings)
+SELECT vec_a, vec_b, cos_sim FROM (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6) AS cos_sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+) t WHERE cos_sim >= 0.4
+"""
+
+# ---------------------------------------------------------------------------
+# B18: similarity search — brute-force cosine top-k (oracle)
+# ---------------------------------------------------------------------------
+
+_TOPK = 5
+
+
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for every 50th vector.
+
+    Scale: the query side (|Q| rows) broadcasts; candidates stream through
+    one whole-stage-codegen'd projection — no shuffle until the per-query
+    top-k (window over q_id). At 100 TB swap in similarity_ann_lsh's
+    bucketed candidates; this exact form is the recall oracle.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        S.dot(F.col("embedding").cast("array<double>"),
+              F.col("embedding").cast("array<double>")).alias("n2"),
+    )
+    q = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    )
+    cos = S.dot(F.col("qe"), F.col("e")) / F.sqrt(F.col("qn2") * F.col("n2"))
+    scored = (
+        F.broadcast(q).crossJoin(emb)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOPK)
+        .select("q_id", "neighbor_id", "score", "rank")
+    )
+
+
+_SQL_SIM_TOPK = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) AS n2
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 50 = 0),
+scored AS (
+  SELECT q_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(qv, e.v) / SQRT(qn2 * e.n2), 6) AS score
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, neighbor_id, score, rank FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY score DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored
+) t WHERE rank <= {_TOPK}
+"""
+
+# ---------------------------------------------------------------------------
+# B18b: ANN via sign-LSH buckets (rows-only scale path)
+# ---------------------------------------------------------------------------
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: multi-table sign-LSH (8 tables × 4 bits) → candidate
+    union → exact cosine within candidates → top-5 per query.
+
+    Scale: the cross join shrinks from |Q|·|N| to Σ per-bucket products;
+    8×4 favors recall on this corpus's weakly-similar vectors (max cos
+    ≈ 0.44) — in a near-dup regime invert the dial (more bits, fewer
+    tables) for far smaller buckets. rows-only: plane generation is
+    engine-local. Probed against similarity_topk in tests for recall.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    bucketed = emb.select(
+        "vec_id", "e", F.explode(S.sign_lsh_tables(F.col("e"), 64, 8, 4)).alias("bucket")
+    )
+    q = bucketed.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+    )
+    cand = (
+        q.join(bucketed, "bucket")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    cos = S.cosine(F.col("qe"), F.col("e"))
+    scored = cand.select("q_id", "neighbor_id", F.round(cos, 6).alias("score"))
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B19: text analysis (oracle)
+# ---------------------------------------------------------------------------
+
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per (lang, source): docs, token counts, char/token
+    ratio, stopword ratio, n_chars integrity check."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "lang",
+        "source",
+        X.token_count("text").alias("n_tok"),
+        F.length("text").cast("long").alias("n_len"),
+        X.stopword_hits("text", "en").alias("sw"),
+        (F.col("n_chars") == F.length("text")).cast("long").alias("chars_ok"),
+    )
+    return (
+        stats.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_len") / F.sum("n_tok")).alias("chars_per_token"),
+            (F.sum("sw") / F.sum("n_tok")).alias("stopword_ratio"),
+            F.sum("chars_ok").alias("n_chars_consistent"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_TEXT_ANALYSIS = r"""
+WITH t AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         LENGTH(text) AS n_len,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw,
+         CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END AS chars_ok
+  FROM documents
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       SUM(n_len) * 1.0 / SUM(n_tok) AS chars_per_token,
+       SUM(sw) * 1.0 / SUM(n_tok) AS stopword_ratio,
+       CAST(SUM(chars_ok) AS BIGINT) AS n_chars_consistent
+FROM t
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+# ---------------------------------------------------------------------------
+# B19b: language-ID heuristic (oracle)
+# ---------------------------------------------------------------------------
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the stopword-ratio language-ID vs the labeled
+    ``lang`` column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted", X.lang_id("text"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _sql_hits(lang: str) -> str:
+    words = ",".join(f"'{w}'" for w in X.STOPWORDS[lang])
+    return (
+        r"len(list_filter(string_split_regex(lower(text), '\s+'),"
+        f" x -> x IN ({words})))"
+    )
+
+
+_SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n,
+         {_sql_hits('en')} AS he, {_sql_hits('es')} AS hs, {_sql_hits('de')} AS hd
+  FROM documents
+), e AS (
+  SELECT lang,
+         CASE WHEN he > 0 AND he >= 0.05 * n THEN he ELSE 0 END AS ee,
+         CASE WHEN hs > 0 AND hs >= 0.05 * n THEN hs ELSE 0 END AS se,
+         CASE WHEN hd > 0 AND hd >= 0.05 * n THEN hd ELSE 0 END AS de
+  FROM t
+)
+SELECT lang,
+       CASE WHEN ee = 0 AND se = 0 AND de = 0 THEN 'und'
+            WHEN ee >= se AND ee >= de THEN 'en'
+            WHEN se >= de THEN 'es'
+            ELSE 'de' END AS predicted,
+       COUNT(*) AS n
+FROM e
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+# ---------------------------------------------------------------------------
+# B19c: content fingerprints (oracle)
+# ---------------------------------------------------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5 content fingerprint + token count + quality score."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        X.fingerprint("text").alias("fp"),
+        X.token_count("text").alias("n_tokens"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+_SQL_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         LENGTH(text) AS n_len,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
+  FROM documents
+)
+SELECT doc_id, fp,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       (CAST(n_len >= 100 AND n_len <= 20000 AS INT)
+        + CAST((CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) >= 3.0
+               AND (CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) <= 12.0 AS INT)
+        + CAST((CASE WHEN n_tok > 0 THEN sw * 1.0 / n_tok ELSE 0.0 END) >= 0.05 AS INT)
+       ) / 3.0 AS quality
+FROM t
+"""
+
+# ---------------------------------------------------------------------------
+# B20: multimodal columns
+# ---------------------------------------------------------------------------
+
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary handling: payload bytes + typed metadata per source.
+
+    The engine convention for images/audio/video: a ``binary`` column plus
+    typed metadata columns; here text bytes stand in for media payloads
+    (container has no codec libs — see functions/multimodal.py stubs).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.withColumn("payload", F.col("text").cast("binary"))
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum(F.length("payload")).cast("long").alias("total_bytes"),
+            F.countDistinct(F.md5("payload")).alias("n_distinct_payloads"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MM_BINARY = """
+SELECT source,
+       COUNT(*) AS n_assets,
+       CAST(SUM(OCTET_LENGTH(ENCODE(text))) AS BIGINT) AS total_bytes,
+       COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+def multimodal_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native nested types — the deliberate upgrade over the reference's
+    JSON-string demotion (operators.py:197-199): per-dimension statistics
+    over the embedding array, no flattening to strings anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        exploded.where(F.col("pos") < 8)
+        .groupBy((F.col("pos") + 1).cast("long").alias("dim"))
+        .agg(
+            F.count("*").alias("n"),
+            # float → double FIRST: Spark's direct float→decimal cast goes
+            # through Float.toString (7-9 sig digits) and loses precision
+            # vs DuckDB's exact float→decimal conversion
+            F.sum(F.col("val").cast("double").cast("decimal(28,12)")).cast("double").alias("dim_sum"),
+            F.max(F.col("val").cast("double")).alias("dim_max"),
+            F.min(F.col("val").cast("double")).alias("dim_min"),
+        )
+        .orderBy("dim")
+    )
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode stage over binary payloads (mapInPandas
+    plumbing; deterministic fake decoder — see functions/multimodal.py).
+    rows-only check: the decode itself is engine-local by design."""
+    from ..functions.multimodal import decode_image_meta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = decode_image_meta(docs, "payload", "doc_id")
+    return (
+        meta.groupBy("channels")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.countDistinct("sha256").alias("n_distinct"),
+        )
+        .orderBy("channels")
+    )
+
+
+_SQL_MM_NESTED = """
+SELECT CAST(pos AS BIGINT) AS dim,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dim_sum,
+       CAST(MAX(val) AS DOUBLE) AS dim_max,
+       CAST(MIN(val) AS DOUBLE) AS dim_min
+FROM (
+  SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings
+) t
+WHERE pos <= 8
+GROUP BY pos
+ORDER BY dim
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_near_ngram": dedup_near_ngram,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_embedding_cosine": dedup_embedding_cosine,
+    "similarity_topk": similarity_topk,
+    "similarity_ann_lsh": similarity_ann_lsh,
+    "text_analysis": text_analysis,
+    "lang_id_heuristic": lang_id_heuristic,
+    "doc_fingerprint": doc_fingerprint,
+    "multimodal_binary_meta": multimodal_binary_meta,
+    "multimodal_nested": multimodal_nested,
+    "multimodal_decode": multimodal_decode,
+}
+
+ORACLE = {
+    "dedup_exact": _SQL_DEDUP_EXACT,
+    "dedup_near_ngram": _SQL_NEAR_NGRAM,
+    # same contract & oracle as the exact form (deterministic recall ≈ 1):
+    "dedup_minhash_lsh": _SQL_NEAR_NGRAM,
+    # dedup_simhash: rows-only (engine-specific hash functions)
+    "dedup_embedding_cosine": _SQL_DEDUP_EMB,
+    "similarity_topk": _SQL_SIM_TOPK,
+    # similarity_ann_lsh: rows-only (engine-local hyperplanes)
+    "text_analysis": _SQL_TEXT_ANALYSIS,
+    "lang_id_heuristic": _SQL_LANG_ID,
+    "doc_fingerprint": _SQL_FINGERPRINT,
+    "multimodal_binary_meta": _SQL_MM_BINARY,
+    "multimodal_nested": _SQL_MM_NESTED,
+}

@@ -1,3 +1,153 @@
-"""Placeholder — populated in a later milestone."""
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""Operator-layer capabilities exercised as oracle-checkable queries
+(SURVEY.md §2: B13 validate_split, B14 enrich_metadata, B15
+partition_key_extract).
+
+These run the REAL operator implementations (operators/validate.py,
+operators/enrich.py, operators/partitioning.py) and reduce their output to
+deterministic relations the DuckDB oracle can replicate — proving the
+operator semantics, not a parallel reimplementation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..operators.enrich import enrich_with_metadata
+from ..operators.errors import ERROR_COL, with_error_col
+from ..operators.partitioning import partition_key
+from ..operators.validate import validate_schema
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# B13: rule-based validation → ok/err accounting (A11 as a query)
+# ---------------------------------------------------------------------------
+
+def validate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run validate_schema over events, then account rows per status.
+
+    Rules (first declared failing rule wins, like the reference's sequential
+    validator): non-negative value; known event_type; JSON props must carry
+    ``k``. The oks/errs split is re-unioned with a status tag so one
+    deterministic relation captures both streams.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # 'error'-typed events and high values are deliberately rejected so both
+    # streams of the split are non-empty on the test corpus
+    known = ["click", "view", "purchase", "signup"]
+    out = validate_schema(
+        ev,
+        {
+            "value_cap": F.col("value") < 180,
+            "known_type": F.col("event_type").isin(known),
+            "k_in_props": F.get_json_object(F.col("props"), "$.k").isNotNull(),
+        },
+    )
+    tagged = with_error_col(out.oks).unionByName(out.errs)
+    return (
+        tagged.groupBy(F.coalesce(F.col(ERROR_COL), F.lit("ok")).alias("status"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("total_value"))
+        .orderBy("status")
+    )
+
+
+_SQL_VALIDATE = f"""
+SELECT
+  CASE
+    WHEN NOT COALESCE(value < 180, FALSE) THEN 'validation failed: value_cap'
+    WHEN NOT COALESCE(event_type IN ('click','view','purchase','signup'), FALSE)
+      THEN 'validation failed: known_type'
+    WHEN NOT COALESCE(json_extract_string(props, '$.k') IS NOT NULL, FALSE)
+      THEN 'validation failed: k_in_props'
+    ELSE 'ok'
+  END AS status,
+  COUNT(*) AS n,
+  {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY status
+ORDER BY status
+"""
+
+# ---------------------------------------------------------------------------
+# B14: metadata enrichment (A13 as a query)
+# ---------------------------------------------------------------------------
+
+def enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived/metadata columns via the enrich operator (deterministic set).
+
+    The reference's canonical enricher adds processing metadata per record in
+    Python (operators.py:509-513); here four derived columns are a single
+    codegen'd projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = enrich_with_metadata(
+        ev,
+        {
+            "value_bucket": F.floor(F.col("value") / 50).cast("long"),
+            "is_purchase": F.col("event_type") == "purchase",
+            "event_day": F.date_trunc("day", F.col("ts")).cast("date"),
+            "k": F.get_json_object(F.col("props"), "$.k").cast("long"),
+        },
+    )
+    return out.oks.select("event_id", "value_bucket", "is_purchase", "event_day", "k")
+
+
+_SQL_ENRICH = """
+SELECT event_id,
+       CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+       event_type = 'purchase' AS is_purchase,
+       CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+# ---------------------------------------------------------------------------
+# B15: Iceberg partition-key extraction (A6 as a query)
+# ---------------------------------------------------------------------------
+
+def partition_key_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compute each record's hidden-partition tuple (day(ts), identity
+    bucket) and count records per partition — the distributed analogue of
+    _partition_records' group-by-key buffers (connector.py:261-335).
+
+    The bucket uses an oracle-expressible mod (user_id % 8) rather than
+    murmur3 bucket[N] so DuckDB can verify the *grouping semantics*; the
+    murmur3 path is covered by unit tests (tests/test_partitioning.py).
+    """
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "uid_bucket", (F.col("user_id") % 8).cast("long")
+    )
+    keyed = partition_key(ev, [("ts", "day"), ("uid_bucket", "identity")])
+    return (
+        keyed.groupBy(
+            F.col("_p_ts_day").cast("date").alias("p_day"),
+            F.col("_p_uid_bucket").alias("p_bucket"),
+        )
+        .agg(F.count("*").alias("n_records"))
+        .orderBy("p_day", "p_bucket")
+    )
+
+
+_SQL_PARTITION_KEY = """
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS p_day,
+       CAST(user_id % 8 AS BIGINT) AS p_bucket,
+       COUNT(*) AS n_records
+FROM events
+GROUP BY p_day, p_bucket
+ORDER BY p_day, p_bucket
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "validate_split": validate_split,
+    "enrich_metadata": enrich_metadata,
+    "partition_key_extract": partition_key_extract,
+}
+
+ORACLE = {
+    "validate_split": _SQL_VALIDATE,
+    "enrich_metadata": _SQL_ENRICH,
+    "partition_key_extract": _SQL_PARTITION_KEY,
+}

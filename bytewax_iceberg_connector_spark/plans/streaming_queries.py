@@ -1,3 +1,93 @@
-"""Placeholder — populated in a later milestone."""
-QUERIES: dict = {}
-ORACLE: dict = {}
+"""Streaming-semantics queries in batch-replayable form (B21–B22).
+
+Each runs the REAL streaming builders (streaming/windows.py) on the batch
+frame — the expressions are mode-agnostic, so the oracle checks exactly the
+computation the streaming query performs per micro-batch. The
+streaming-mode execution path itself (readStream → trigger → sink) is
+exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import sql_dsum
+from ..sources.tables import load_table
+from ..streaming.windows import session_windows_batch, tumbling_agg
+
+# ---------------------------------------------------------------------------
+# B21: tumbling event-time windows
+# ---------------------------------------------------------------------------
+
+def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling counts/sums per event_type (epoch-aligned windows ≡
+    date_trunc('hour') in the batch oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_agg(ev, "ts", "1 hour", ("event_type",)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+_SQL_TUMBLING = f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# B22: session windows (lag+cumsum island form — oracle-able)
+# ---------------------------------------------------------------------------
+
+def streaming_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap sessions: span + volume per session."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = session_windows_batch(ev, "ts", "user_id", gap_minutes=30)
+    return (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+_SQL_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), assigned AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+  FROM marked
+)
+SELECT user_id, session_idx,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM assigned
+GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx
+"""
+
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "streaming_tumbling": streaming_tumbling,
+    "streaming_session": streaming_session,
+}
+
+ORACLE = {
+    "streaming_tumbling": _SQL_TUMBLING,
+    "streaming_session": _SQL_SESSION,
+}

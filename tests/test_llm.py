@@ -1,0 +1,117 @@
+"""LLM-pipeline operator tests: dedup recall, ANN recall floor, text
+heuristics, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.functions import similarity as S
+from bytewax_iceberg_connector_spark.functions import text as X
+
+
+def test_minhash_lsh_full_recall_on_corpus(spark, sf_dir):
+    """The scale path (minhash banding) must find every exact-Jaccard pair
+    on the test corpus — the property that lets it share the exact oracle."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        dedup_minhash_lsh,
+        dedup_near_ngram,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    assert exact, "corpus should contain planted near-duplicates"
+    assert lsh == exact
+
+
+def test_simhash_catches_planted_dups(spark, sf_dir):
+    """SimHash banding must recover a large share of the high-Jaccard pairs
+    (different similarity geometry → exact equality is not expected)."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        dedup_near_ngram,
+        dedup_simhash,
+    )
+
+    exact = {(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    assert len(sim & exact) >= len(exact) * 0.7
+
+
+def test_ann_recall_floor(spark, sf_dir):
+    """Sign-LSH ANN top-5 must overlap the exact top-5 (recall ≥ 0.2 on
+    random-ish embeddings; buckets trade recall for the pruned cross join)."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        similarity_ann_lsh,
+        similarity_topk,
+    )
+
+    exact = {(r.q_id, r.neighbor_id) for r in similarity_topk(spark, sf_dir).collect()}
+    ann = {(r.q_id, r.neighbor_id) for r in similarity_ann_lsh(spark, sf_dir).collect()}
+    assert ann  # buckets must produce candidates
+    assert len(ann & exact) / len(exact) >= 0.2
+
+
+def test_simhash64_determinism_and_similarity(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog again and again"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog again and again today"),
+            Row(doc_id=3, text="completely different words entirely unrelated content here now"),
+        ]
+    )
+    fp = df.select(
+        "doc_id", S.simhash64(X.shingle_hashes("text", 3)).alias("s")
+    ).collect()
+    by_id = {r.doc_id: r.s for r in fp}
+    d12 = bin((by_id[1] ^ by_id[2]) & (2**64 - 1)).count("1")
+    d13 = bin((by_id[1] ^ by_id[3]) & (2**64 - 1)).count("1")
+    assert d12 < d13  # near-dup closer than unrelated
+    # determinism across evaluations
+    fp2 = {r.doc_id: r.s for r in df.select(
+        "doc_id", S.simhash64(X.shingle_hashes("text", 3)).alias("s")
+    ).collect()}
+    assert by_id == fp2
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([Row(v=[1.0, 2.0, 3.0])])
+    got = df.select(S.cosine(F.col("v"), F.col("v")).alias("c")).first().c
+    assert got == pytest.approx(1.0, abs=1e-12)
+
+
+def test_lang_id_und_on_no_stopwords(spark):
+    df = spark.createDataFrame([Row(text="xyzzy plugh quux")])
+    assert df.select(X.lang_id("text").alias("p")).first().p == "und"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(X.quality_score("text").alias("q")).agg(
+        F.min("q").alias("lo"), F.max("q").alias("hi")
+    ).first()
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_multimodal_decode_deterministic(spark):
+    from bytewax_iceberg_connector_spark.functions.multimodal import decode_image_meta
+
+    df = spark.createDataFrame([Row(k=1, b=b"payload-bytes"), Row(k=2, b=b"")])
+    got = {r.key: r for r in decode_image_meta(df, "b", "k").collect()}
+    assert got[1].byte_len == 13 and got[2].byte_len == 0
+    assert got[1].channels in (1, 3, 4)
+    # re-run: identical (content-derived, not random)
+    again = {r.key: r for r in decode_image_meta(df, "b", "k").collect()}
+    assert {k: (v.width, v.height) for k, v in got.items()} == {
+        k: (v.width, v.height) for k, v in again.items()
+    }
+
+
+def test_frame_sampling_fanout(spark):
+    from bytewax_iceberg_connector_spark.functions.multimodal import sample_frames
+
+    df = spark.createDataFrame([Row(k=1, b=bytes(range(100)))])
+    frames = sample_frames(df, "b", "k", n_frames=4).collect()
+    assert len(frames) == 4
+    assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
+    assert len({f.frame_sha256 for f in frames}) == 4  # distinct slices

@@ -1,0 +1,98 @@
+"""Streaming-mode execution tests: the same builders that back the batch
+oracle queries, run as real Structured Streaming jobs (readStream → trigger
+→ memory/file sink → checkpoint)."""
+
+import pytest
+
+from bytewax_iceberg_connector_spark.sources.tables import load_table
+from bytewax_iceberg_connector_spark.streaming.windows import (
+    read_events_stream,
+    session_agg_streaming,
+    session_windows_batch,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _run_stream(df, name, tmpdir):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmpdir))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    _run_stream(tumbling_agg(stream), "tumbling_t", tmp_path / "cp1")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("tumbling_t").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in tumbling_agg(batch_events).collect()
+    }
+    assert got == want
+
+
+def test_session_stream_matches_island_form(spark, sf_dir, batch_events, tmp_path):
+    """F.session_window merging must agree with the lag+cumsum island
+    assignment on session count and per-user event totals."""
+    stream = read_events_stream(spark, sf_dir)
+    _run_stream(
+        session_agg_streaming(stream, gap_minutes=30), "sessions_t", tmp_path / "cp2"
+    )
+    got = spark.table("sessions_t")
+    islands = session_windows_batch(batch_events, gap_minutes=30)
+    from pyspark.sql import functions as F
+
+    got_per_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in got.groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"), F.sum("n_events").alias("n_events"))
+        .collect()
+    }
+    want_per_user = {
+        r.user_id: (r.n_sessions, r.n_events)
+        for r in islands.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_idx").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .collect()
+    }
+    assert got_per_user == want_per_user
+
+
+def test_stream_sink_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """LakeSink streaming path: partitioned file sink + checkpoint manifest,
+    drained with availableNow (bounded test stand-in for the config's
+    processing-time trigger)."""
+    from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    stream = read_events_stream(spark, sf_dir)
+    cfg = IcebergSinkConfig(
+        table_name="db.stream_events",
+        warehouse_path=str(tmp_path / "wh"),
+        batch_interval_seconds=1,
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    q = sink.write_stream(stream, str(tmp_path / "cp3"), trigger_override={"availableNow": True})
+    q.awaitTermination(120)
+    back = sink.read()
+    assert back.count() == load_table(spark, sf_dir, "events").count()
+    # the partition transform must appear as directory columns on disk
+    assert "_p_ts_day" in back.columns
