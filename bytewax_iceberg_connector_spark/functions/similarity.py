@@ -18,6 +18,9 @@ Scale notes:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -87,6 +90,99 @@ def lsh_bands(sig_cols: list[str], rows_per_band: int = 4) -> Column:
         key = F.xxhash64(*[F.col(c) for c in sig_cols[b0:b0 + rows_per_band]])
         bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
     return F.array(*bands)
+
+
+def lsh_bands_from_array(sig: Column, num_perm: int, rows_per_band: int = 4) -> Column:
+    """lsh_bands over an array<bigint> signature column (the pandas-UDF
+    signature form): band key = hash of the band's slice."""
+    assert num_perm % rows_per_band == 0
+    bands = []
+    for band_id in range(num_perm // rows_per_band):
+        key = F.xxhash64(F.lit(band_id), F.slice(sig, band_id * rows_per_band + 1, rows_per_band))
+        bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
+    return F.array(*bands)
+
+
+def cosine_np():
+    """Arrow-vectorized pairwise cosine: two array<double> columns → double.
+
+    numpy float64 dot differs from the sequential-fold oracle formula only
+    in summation order (ulps over 64 terms); callers round to 6 decimals on
+    both sides, which absorbs it.
+    """
+
+    @F.pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = np.full(len(a), np.nan)
+        ok = a.notna().to_numpy() & b.notna().to_numpy()
+        if ok.any():
+            # uniform-dim batch → stack once, one einsum for the whole batch
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in a[ok]])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in b[ok]])
+            dots = np.einsum("ij,ij->i", A, B)
+            out[ok] = dots / np.sqrt(
+                np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B)
+            )
+        return pd.Series(out)
+
+    return _cos
+
+
+def minhash_signature_np(num_perm: int = 32, seed: int = 7):
+    """Arrow-vectorized MinHash kernel: array<bigint> shingle hashes →
+    array<bigint> signature. Bit-identical to minhash_signature() (same
+    integer arithmetic mod the same Mersenne prime), ~50-100x faster —
+    Spark's higher-order array expressions evaluate interpreted, while this
+    runs one numpy broadcast per Arrow batch. The sanctioned pandas-UDF
+    escape hatch for custom sketch kernels (north star: Arrow batch
+    transfer, never per-row Python).
+    """
+    import random
+
+    rnd = random.Random(seed)
+    coeffs = [(rnd.randrange(1, _MERSENNE), rnd.randrange(0, _MERSENNE))
+              for _ in range(num_perm)]
+    A = np.array([a for a, _ in coeffs], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in coeffs], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _sig(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(None)
+                continue
+            x = np.asarray(h, dtype=np.int64) % _MERSENNE  # python-mod semantics
+            x = np.where(x < 0, x + _MERSENNE, x)
+            # (a·x' + b) mod p: products < 2^62, no int64 overflow
+            sig = ((A * x[None, :] + B) % _MERSENNE).min(axis=1)
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sig
+
+
+def simhash64_np(bits: int = 64):
+    """Arrow-vectorized SimHash kernel (bit-identical to simhash64())."""
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _fp(hashes: pd.Series) -> pd.Series:
+        out = []
+        for h in hashes:
+            if h is None or len(h) == 0:
+                out.append(0)
+                continue
+            x = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bitmat = (x[:, None] >> shifts[None, :]) & np.uint64(1)
+            votes = (2 * bitmat.astype(np.int64) - 1).sum(axis=0)
+            packed = np.uint64(0)
+            for i in np.nonzero(votes > 0)[0]:
+                packed |= np.uint64(1) << np.uint64(i)
+            out.append(int(packed.astype(np.int64)))
+        return pd.Series(out)
+
+    return _fp
 
 
 def simhash64(hashes: Column, bits: int = 64) -> Column:
@@ -166,6 +262,29 @@ def sign_lsh_key(vec: Column, planes: list[list[float]]) -> Column:
             F.when(d > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
         )
     return key
+
+
+def sign_lsh_keys_np(dim: int, n_tables: int = 8, bits: int = 4, seed: int = 11):
+    """Arrow-vectorized multi-table sign-LSH: embedding → array<long> of
+    ``n_tables`` bucket keys (one matmul against all hyperplanes per Arrow
+    batch). posexplode the result to get (table, key) memberships; same
+    plane family as sign_lsh_tables."""
+    planes = np.array(random_hyperplanes(dim, n_tables * bits, seed))  # (T*b, dim)
+    weights = (1 << np.arange(bits, dtype=np.int64))
+
+    @F.pandas_udf("array<long>")
+    def _keys(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            if v is None:
+                out.append(None)
+                continue
+            signs = (planes @ np.asarray(v, dtype=np.float64)) > 0  # (T*b,)
+            keys = (signs.reshape(n_tables, bits).astype(np.int64) * weights).sum(axis=1)
+            out.append(keys)
+        return pd.Series(out)
+
+    return _keys
 
 
 def sign_lsh_tables(

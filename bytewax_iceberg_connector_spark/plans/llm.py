@@ -75,9 +75,17 @@ _SHINGLE_N = 3
 def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-shingle Jaccard over all candidate pairs that share at
     least one shingle (sparse self-join — identical algorithm to the
-    oracle)."""
+    oracle).
+
+    The self-join runs on 64-bit shingle HASHES, not strings: the shuffle
+    ships 8-byte keys instead of ~20-byte text (the 100 TB-relevant choice);
+    |distinct hashes| = |distinct shingles| up to a ~1e-9 xxhash collision
+    probability at this cardinality, so Jaccard values are unchanged.
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(X.shingles("text", _SHINGLE_N)).alias("s"))
+    sh = docs.select(
+        "doc_id", F.explode(X.shingle_hashes_np(_SHINGLE_N)(F.col("text"))).alias("s")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -148,14 +156,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(
         "doc_id",
-        X.shingles("text", _SHINGLE_N).alias("sh_set"),
-        X.shingle_hashes("text", _SHINGLE_N).alias("sh"),
+        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
     ).where(F.size("sh") > 0)
 
-    sig = base.select("doc_id", "sh_set", *S.minhash_signature(F.col("sh"), _NUM_PERM))
-    sig_cols = [f"mh_{i}" for i in range(_NUM_PERM)]
+    # Arrow-vectorized signature kernel (same integer math as the
+    # expression form — see functions/similarity.py); sh doubles as the
+    # exact-verify set, as 64-bit hashes
+    sig = base.select(
+        "doc_id",
+        F.col("sh").alias("sh_set"),
+        S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig"),
+    )
     banded = sig.select(
-        "doc_id", "sh_set", F.explode(S.lsh_bands(sig_cols, _ROWS_PER_BAND)).alias("bk")
+        "doc_id", "sh_set",
+        F.explode(S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)).alias("bk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -190,7 +204,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
-        "doc_id", S.simhash64(X.shingle_hashes("text", _SHINGLE_N)).alias("sim")
+        "doc_id",
+        S.simhash64_np()(X.shingle_hashes_np(_SHINGLE_N)(F.col("text"))).alias("sim"),
     )
     banded = fp.select("doc_id", "sim", F.explode(S.simhash_bands(F.col("sim"), 4)).alias("bk"))
     a, b = banded.alias("a"), banded.alias("b")
@@ -211,32 +226,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # B17d: near-dup on embeddings (cosine threshold, oracle)
 # ---------------------------------------------------------------------------
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (exact).
+_COS_THRESHOLD = 0.4
+_BLOCK = 512
 
-    Quadratic baseline (oracle-checkable); similarity_ann_lsh is the bucketed
-    scale path. Cosine uses the explicit sequential-fold formula mirrored in
-    the oracle for bit-identical doubles.
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: cosine ≥ 0.4 over all pairs (exact),
+    computed block-matrix style.
+
+    The all-pairs similarity join is a GEMM in disguise: vectors group into
+    blocks of 512, block pairs fan out as rows, and each task computes one
+    512×512 cosine tile with a single numpy matmul — ~100x less overhead
+    than per-pair array folds, and exactly the distributed-GEMM shape this
+    uses on a cluster (Arrow ships each tile's two matrices once).
+
+    float64 tile matmul differs from the oracle's sequential fold only in
+    summation order (≤ a few ulps over 64 terms); scores round to 6 decimals
+    on both sides, so the comparison is stable.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        # norm² once per vector, not per pair: 3x less fold work in the
-        # quadratic stage, bit-identical result (same operands to sqrt)
-        S.dot(F.col("embedding").cast("array<double>"),
-              F.col("embedding").cast("array<double>")).alias("n2"),
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    cos = S.dot(F.col("a.e"), F.col("b.e")) / F.sqrt(F.col("a.n2") * F.col("b.n2"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 6).alias("cos_sim"),
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
         )
-        .where(F.col("cos_sim") >= 0.4)
     )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    tiles = a.join(b, F.col("a.blk") <= F.col("b.blk")).select(
+        F.col("a.blk").alias("blk_a"),
+        F.col("a.ids").alias("ids_a"),
+        F.col("a.vecs").alias("vecs_a"),
+        F.col("b.blk").alias("blk_b"),
+        F.col("b.ids").alias("ids_b"),
+        F.col("b.vecs").alias("vecs_b"),
+    )
+
+    def _tile(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                A = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs_a])
+                B = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs_b])
+                na = np.sqrt((A * A).sum(axis=1))
+                nb = np.sqrt((B * B).sum(axis=1))
+                cos = np.round((A @ B.T) / np.outer(na, nb), 6)
+                ia, ib = np.nonzero(cos >= _COS_THRESHOLD)
+                if r.blk_a == r.blk_b:
+                    keep = ids_a[ia] < ids_b[ib]
+                    ia, ib = ia[keep], ib[keep]
+                out_a.extend(ids_a[ia])
+                out_b.extend(ids_b[ib])
+                out_c.extend(cos[ia, ib])
+            yield pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cos_sim": out_c})
+
+    return tiles.mapInPandas(_tile, schema="vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE")
 
 
 _SQL_DEDUP_EMB = """
@@ -259,29 +309,69 @@ _TOPK = 5
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-5 neighbors for every 50th vector.
+    """Exact cosine top-5 neighbors for every 50th vector, block-GEMM style.
 
-    Scale: the query side (|Q| rows) broadcasts; candidates stream through
-    one whole-stage-codegen'd projection — no shuffle until the per-query
-    top-k (window over q_id). At 100 TB swap in similarity_ann_lsh's
-    bucketed candidates; this exact form is the recall oracle.
+    The query matrix (|Q|×64, small by construction) broadcasts as ONE
+    aggregated row; candidate vectors group into 512-row tiles; each task
+    scores a whole |Q|×512 tile with a single numpy matmul and emits only
+    its per-tile top-k per query — the global top-k over q_id then sees
+    |tiles|·|Q|·k rows, not |Q|·|N|. Per-tile top-k under the same
+    (score DESC, neighbor_id ASC) comparator is lossless for global top-k.
+    At 100 TB swap in similarity_ann_lsh's bucketed candidates; this exact
+    form is the recall oracle.
     """
+    import numpy as np
+    import pandas as pd
+
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        S.dot(F.col("embedding").cast("array<double>"),
-              F.col("embedding").cast("array<double>")).alias("n2"),
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qblock = (
+        emb.where(F.col("vec_id") % 50 == 0)
+        .groupBy(F.lit(1).alias("g"))
+        .agg(
+            F.collect_list("vec_id").alias("q_ids"),
+            F.collect_list("embedding").alias("q_vecs"),
+        )
+        .drop("g")
     )
-    q = emb.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("n2").alias("qn2")
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
     )
-    cos = S.dot(F.col("qe"), F.col("e")) / F.sqrt(F.col("qn2") * F.col("n2"))
-    scored = (
-        F.broadcast(q).crossJoin(emb)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", F.col("vec_id").alias("neighbor_id"), F.round(cos, 6).alias("score"))
+    tiles = blocks.crossJoin(F.broadcast(qblock))
+
+    def _topk_tiles(batches):
+        for pdf in batches:
+            out_q, out_n, out_s = [], [], []
+            for r in pdf.itertuples(index=False):
+                q_ids = np.asarray(r.q_ids, dtype=np.int64)
+                ids = np.asarray(r.ids, dtype=np.int64)
+                Q = np.asarray([np.asarray(v, dtype=np.float64) for v in r.q_vecs])
+                E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
+                nq = np.sqrt((Q * Q).sum(axis=1))
+                ne = np.sqrt((E * E).sum(axis=1))
+                cos = np.round((Q @ E.T) / np.outer(nq, ne), 6)
+                cos[q_ids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
+                k = min(_TOPK, cos.shape[1])
+                for qi in range(len(q_ids)):
+                    # comparator = (score DESC, neighbor_id ASC); lexsort's
+                    # last key is primary
+                    order = np.lexsort((ids, -cos[qi]))[:k]
+                    for j in order:
+                        if cos[qi, j] == -np.inf:
+                            continue
+                        out_q.append(q_ids[qi])
+                        out_n.append(ids[j])
+                        out_s.append(cos[qi, j])
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "score": out_s})
+
+    scored = tiles.mapInPandas(
+        _topk_tiles, schema="q_id BIGINT, neighbor_id BIGINT, score DOUBLE"
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
@@ -329,8 +419,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     bucketed = emb.select(
-        "vec_id", "e", F.explode(S.sign_lsh_tables(F.col("e"), 64, 8, 4)).alias("bucket")
-    )
+        "vec_id", "e",
+        F.posexplode(S.sign_lsh_keys_np(64, 8, 4)(F.col("e"))).alias("table", "key"),
+    ).select("vec_id", "e", F.struct("table", "key").alias("bucket"))
     q = bucketed.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
     )
@@ -340,8 +431,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
         .dropDuplicates(["q_id", "neighbor_id"])
     )
-    cos = S.cosine(F.col("qe"), F.col("e"))
-    scored = cand.select("q_id", "neighbor_id", F.round(cos, 6).alias("score"))
+    scored = cand.select(
+        "q_id", "neighbor_id",
+        F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
+    )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -43,6 +43,23 @@ _BUILD_CONF = {
     # local[32] box: one shuffle partition per core; AQE coalesces below this
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    # local mode runs everything in the driver JVM; the 1g default heap
+    # thrashes GC under 32 concurrent tasks + Arrow batches (observed 5x
+    # run-to-run variance). On a real cluster executors size this instead.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+    # long many-query sessions degrade ~6x from listener/UI state (tens of
+    # thousands of retained task rows → growing GC live-set). Headless
+    # driver: no UI, minimal retained history.
+    "spark.ui.enabled": "false",
+    "spark.ui.retainedJobs": "50",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "1000",
+    "spark.sql.ui.retainedExecutions": "20",
+    # ContextCleaner only reclaims shuffle files / broadcasts after a driver
+    # GC notices the weak refs; a 16g heap almost never GCs on its own, so
+    # hundred-query sessions stall multi-seconds when cleanup finally lands.
+    # Force the cleaner's periodic GC every minute (default 30min).
+    "spark.cleaner.periodicGC.interval": "1min",
 }
 
 
