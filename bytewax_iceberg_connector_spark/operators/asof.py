@@ -1,0 +1,89 @@
+"""As-of (time-travel) join — a temporal operator the reference lacks and
+Spark has no built-in for (SURVEY.md §2 Part B scope; custom operators are
+"a composition of existing DataFrame ops" first, per the north star).
+
+Semantics (backward, inclusive): for each left row, attach the single right
+row with the same key and the greatest ``ts`` ≤ left.ts — DuckDB's
+``ASOF LEFT JOIN ... ON l.key = r.key AND l.ts >= r.ts``.
+
+Implementation: NOT a range join. Both sides are tagged and unioned, then a
+single running ``last(col, ignorenulls=True)`` window ordered by
+``(ts, side)`` per key carries the most recent right-side values onto every
+left row:
+
+- one hash shuffle on the key (the same shuffle a plain equi-join would
+  pay), zero candidate blow-up — a range-condition join would expand to
+  |left|×|right-per-key| pairs before filtering;
+- window state is O(1) per row (a running "last seen"), so it streams
+  through Spark's window operator without spilling;
+- at 100 TB this is shuffle-bound, exactly like the equivalent sort-merge
+  equi-join; skewed keys behave like any skewed groupBy (salt upstream).
+
+Right-side rows with duplicate (key, ts) are deduplicated deterministically
+(greatest tiebreak column wins) so engine-vs-oracle comparison is stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    value_cols: tuple[str, ...] = (),
+    suffix: str = "_right",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: left enriched with the most recent
+    right row per ``on`` key with right.ts ≤ left.ts.
+
+    Output: all left columns, plus ``{ts_col}{suffix}`` (matched right
+    timestamp, null if none) and ``{c}{suffix}`` for each of value_cols.
+    """
+    if tiebreak is not None:
+        w_dedup = Window.partitionBy(on, ts_col).orderBy(F.col(tiebreak).desc())
+        right = (
+            right.withColumn("_rn", F.row_number().over(w_dedup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    carried = [ts_col, *value_cols]
+    left_cols = left.columns
+
+    # side=0 sorts right-side rows BEFORE left rows at equal ts → inclusive
+    l_tagged = left.select(
+        F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
+        *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+    )
+    r_tagged = right.select(
+        F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}")
+          for c in left_cols if c not in (on, ts_col)],
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    enriched = l_tagged.unionByName(r_tagged).select(
+        F.col(on), F.col(ts_col), F.col("_side"),
+        *[F.col(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
+        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
+          for c in carried],
+    )
+    return enriched.where(F.col("_side") == 1).select(
+        *[
+            F.col(c) if c in (on, ts_col) else F.col(f"_l_{c}").alias(c)
+            for c in left_cols
+        ],
+        F.col(f"_r_{ts_col}").alias(f"{ts_col}{suffix}"),
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _PLAN_MODULES = (
     "relational",
+    "temporal",
     "operator_queries",
     "llm",
     "streaming_queries",

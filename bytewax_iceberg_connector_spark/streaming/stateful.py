@@ -1,0 +1,151 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's only state is its flush buffer (connector.py:337-350) —
+replayed wholesale from checkpoint. Structured Streaming instead gives
+KEYED state with watermark-driven expiry; this module implements the
+custom stateful operators a training-data ingest pipeline needs that
+aren't expressible as windowed aggregations.
+
+Scale notes:
+- State lives per key-group partition in the state store (RocksDB/HDFS
+  backend on a cluster); a 100 TB/day stream MUST bound it — every
+  operator here takes an event-time timeout so expired keys are dropped
+  at the watermark instead of accreting forever.
+- ``applyInPandasWithState`` ships each key group to Python as Arrow
+  batches — the same Arrow-vectorized boundary as the rest of the engine's
+  Python kernels (north star: never per-row Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def dedup_first_seen(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: emit each key's FIRST event (by event time),
+    suppress every later occurrence; state = one seen-marker per live key,
+    expired at the watermark via EventTimeTimeout.
+
+    Batch-mode equivalent (the oracle shape): groupBy(key).min(ts) — the
+    operator emits exactly that row per key when each micro-batch arrives
+    sorted or not (the kernel sorts its Arrow batch by event time).
+
+    Contrast with ``dropDuplicates([key])`` on a stream: that built-in
+    keeps arbitrary-first by arrival; this keeps min-event-time and
+    surfaces the state-TTL contract explicitly.
+    """
+    out_schema = StructType(
+        [
+            StructField(key_col, LongType()),
+            StructField("first_ts", TimestampType()),
+            StructField("n_suppressed", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("first_ts_us", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def _dedup(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        first_us, n_seen = state.get if state.exists else (None, 0)
+        for pdf in pdf_iter:
+            # normalize to ns first: pandas may hand datetime64[ns] or [us]
+            ts_us = (
+                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+            ).astype("int64")
+            batch_min = int(ts_us.min())
+            n_seen += len(pdf)
+            if first_us is None or batch_min < first_us:
+                first_us = batch_min
+        state.update((first_us, n_seen))
+        # expire the key once the watermark passes its TTL horizon
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "n_suppressed": [n_seen - 1],
+            }
+        )
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(key_col)
+        .applyInPandasWithState(
+            _dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def running_counter(
+    events: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-key running totals across micro-batches (count + exact-decimal
+    sum carried as integer cents in state) — the streaming analogue of a
+    groupBy().agg() whose state the caller wants to inspect/checkpoint
+    explicitly. Mirrors the reference's enrich/metadata counters
+    (operators.py:494-552) as keyed state instead of per-record maps."""
+    out_schema = StructType(
+        [
+            StructField(key_col, events.schema[key_col].dataType),
+            StructField("n_events", LongType()),
+            StructField("total_cents", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("cents", LongType())]
+    )
+
+    def _acc(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            state.remove()
+            return
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            # decimal-exact in integer cents: float sum order never leaks
+            cents += int((pdf[value_col] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_cents": [cents]})
+
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.groupBy(key_col).applyInPandasWithState(
+        _acc,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
