@@ -39,14 +39,39 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
+_BPE_RUNS = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
 def bpe_ish_token_count(col: Column | str) -> Column:
-    """Sub-word-ish token estimate: word-piece regex split (letters / digits
-    / punctuation runs), the cheap proxy for a BPE tokenizer count."""
+    """Sub-word token estimate, the cheap proxy for a real BPE tokenizer:
+    GPT-2-style pre-tokenizer runs (letter runs / digit runs / single
+    punctuation chars), then letter runs split into ≤4-char pieces and
+    digit runs into ≤3-digit pieces — ceil arithmetic, no lookbehind, so
+    the formula replays identically on RE2 engines (DuckDB oracle).
+
+    Stays JVM-side: regexp_extract_all + higher-order aggregate, no UDF.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    pieces = F.filter(
-        F.split(F.lower(c), r"([^a-z0-9]+)|(?<=[a-z]{4})(?=[a-z])"), lambda t: t != ""
+    runs = F.regexp_extract_all(F.lower(c), F.lit(_BPE_RUNS), 0)
+    return F.aggregate(
+        runs,
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x.rlike("^[0-9]"), F.ceil(F.length(x) / 3))
+        .when(x.rlike("^[a-z]"), F.ceil(F.length(x) / 4))
+        .otherwise(F.lit(1))
+        .cast("long"),
     )
-    return F.size(pieces).cast("long")
+
+
+#: DuckDB mirror of bpe_ish_token_count (same runs pattern, same ceil math)
+SQL_BPE_COUNT = (
+    "list_sum(list_transform("
+    "  regexp_extract_all(lower({col}), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),"
+    "  x -> CASE WHEN regexp_matches(x, '^[0-9]') THEN CAST(CEIL(LENGTH(x)/3.0) AS BIGINT)"
+    "            WHEN regexp_matches(x, '^[a-z]') THEN CAST(CEIL(LENGTH(x)/4.0) AS BIGINT)"
+    "            ELSE 1 END))"
+)
 
 
 def stopword_hits(col: Column | str, lang: str = "en") -> Column:

@@ -43,26 +43,26 @@ def asof_join(
 
     Output: all left columns, plus ``{ts_col}{suffix}`` (matched right
     timestamp, null if none) and ``{c}{suffix}`` for each of value_cols.
-    """
-    if tiebreak is not None:
-        w_dedup = Window.partitionBy(on, ts_col).orderBy(F.col(tiebreak).desc())
-        right = (
-            right.withColumn("_rn", F.row_number().over(w_dedup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
 
+    ``tiebreak`` costs NO extra shuffle: right rows sharing (key, ts) are
+    ordered tiebreak-ASC inside the one window sort, so the running
+    ``last`` naturally carries the greatest-tiebreak row — a separate
+    dedup window would hash-partition a second time.
+    """
     carried = [ts_col, *value_cols]
     left_cols = left.columns
+    tb_type = dict(right.dtypes)[tiebreak] if tiebreak is not None else "int"
 
     # side=0 sorts right-side rows BEFORE left rows at equal ts → inclusive
     l_tagged = left.select(
         F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
+        F.lit(None).cast(tb_type).alias("_tb"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
         *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
     )
     r_tagged = right.select(
         F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
+        (F.col(tiebreak) if tiebreak is not None else F.lit(0)).cast(tb_type).alias("_tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}")
           for c in left_cols if c not in (on, ts_col)],
         *[F.col(c).alias(f"_r_{c}") for c in carried],
@@ -70,7 +70,7 @@ def asof_join(
 
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     enriched = l_tagged.unionByName(r_tagged).select(

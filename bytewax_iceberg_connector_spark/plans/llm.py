@@ -444,6 +444,106 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B18c: ANN via IVF (inverted-file) cells — the second scale path
+# ---------------------------------------------------------------------------
+
+_IVF_STRIDE = 61   # centroid seeds = vec_id % 61 == 0 → K ≈ N/61 cells
+_IVF_PROBES = 3    # cells probed per query
+
+
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-flat: deterministic centroid seeds → every vector
+    assigned to its nearest centroid (one GEMM per 512-row tile against the
+    broadcast centroid matrix) → queries probe their 3 nearest cells → exact
+    cosine within probed cells → top-5.
+
+    IVF vs sign-LSH (similarity_ann_lsh): LSH is data-independent (fixed
+    hyperplanes — zero training, predictable buckets); IVF adapts cells to
+    the data distribution, giving better candidate quality on clustered
+    corpora at the cost of a centroid pass. At 100 TB the centroid set stays
+    O(√N)·dim ≪ memory, assignment is a linear scan (GEMM-bound), and the
+    candidate join shuffles on cell id — skewed cells are the risk, so cap
+    cell size / split hot cells (the IVF analogue of key salting).
+
+    rows-only check (centroid seeds are engine-local); recall vs the exact
+    similarity_topk is pinned in tests/test_llm.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cblock = (
+        emb.where(F.col("vec_id") % _IVF_STRIDE == 0)
+        .groupBy(F.lit(1).alias("g"))
+        .agg(
+            F.collect_list("vec_id").alias("c_ids"),
+            F.collect_list("embedding").alias("c_vecs"),
+        )
+        .drop("g")
+    )
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+    )
+    tiles = blocks.crossJoin(F.broadcast(cblock))
+
+    def _assign(n_cells: int):
+        """Tile kernel: nearest `n_cells` centroid ids per vector (cosine)."""
+
+        def _k(batches):
+            for pdf in batches:
+                out_v, out_c, out_e = [], [], []
+                for r in pdf.itertuples(index=False):
+                    ids = np.asarray(r.ids, dtype=np.int64)
+                    c_ids = np.asarray(r.c_ids, dtype=np.int64)
+                    E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
+                    C = np.asarray([np.asarray(v, dtype=np.float64) for v in r.c_vecs])
+                    ne = np.sqrt((E * E).sum(axis=1))
+                    nc = np.sqrt((C * C).sum(axis=1))
+                    cos = (E @ C.T) / np.outer(ne, nc)
+                    k = min(n_cells, cos.shape[1])
+                    near = np.argsort(-cos, axis=1)[:, :k]
+                    for i in range(len(ids)):
+                        for j in near[i]:
+                            out_v.append(ids[i])
+                            out_c.append(c_ids[j])
+                            out_e.append(r.vecs[i])
+                yield pd.DataFrame({"vec_id": out_v, "cell": out_c, "e": out_e})
+
+        return _k
+
+    assign_schema = "vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>"
+    assigned = tiles.mapInPandas(_assign(1), schema=assign_schema)
+    probes = (
+        tiles.mapInPandas(_assign(_IVF_PROBES), schema=assign_schema)
+        .where(F.col("vec_id") % 50 == 0)
+        .select(F.col("vec_id").alias("q_id"), "cell", F.col("e").alias("qe"))
+    )
+    cand = (
+        probes.join(assigned, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+    )
+    scored = cand.select(
+        "q_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # B19: text analysis (oracle)
 # ---------------------------------------------------------------------------
 
@@ -491,6 +591,50 @@ SELECT lang, source,
 FROM t
 GROUP BY lang, source
 ORDER BY lang, source
+"""
+
+# ---------------------------------------------------------------------------
+# B19a2: token-count statistics — whitespace vs BPE-ish subword (oracle)
+# ---------------------------------------------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token accounting: whitespace tokens vs the BPE-ish
+    subword estimate (functions/text.py) — the pair every training-data
+    budget planner needs (docs → est. model tokens). Pure JVM expressions;
+    one hash aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source",
+        X.token_count("text").alias("ws"),
+        X.bpe_ish_token_count("text").alias("bpe"),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_word"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_TOKEN_STATS = rf"""
+WITH t AS (
+  SELECT source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ws,
+         {X.SQL_BPE_COUNT.format(col='text')} AS bpe
+  FROM documents
+)
+SELECT source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws) AS BIGINT) AS ws_tokens,
+       CAST(SUM(bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(SUM(bpe) * 1.0 / SUM(ws), 6) AS bpe_per_word
+FROM t
+GROUP BY source
+ORDER BY source
 """
 
 # ---------------------------------------------------------------------------
@@ -679,7 +823,9 @@ QUERIES = {
     "dedup_embedding_cosine": dedup_embedding_cosine,
     "similarity_topk": similarity_topk,
     "similarity_ann_lsh": similarity_ann_lsh,
+    "similarity_ivf": similarity_ivf,
     "text_analysis": text_analysis,
+    "token_stats": token_stats,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -697,6 +843,7 @@ ORACLE = {
     "similarity_topk": _SQL_SIM_TOPK,
     # similarity_ann_lsh: rows-only (engine-local hyperplanes)
     "text_analysis": _SQL_TEXT_ANALYSIS,
+    "token_stats": _SQL_TOKEN_STATS,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,

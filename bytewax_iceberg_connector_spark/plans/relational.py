@@ -559,6 +559,78 @@ ORDER BY k_bucket
 """
 
 # ---------------------------------------------------------------------------
+# B24: subqueries through the SQL surface (EXISTS + correlated scalar)
+# ---------------------------------------------------------------------------
+
+def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-flavored EXISTS: orders per priority having ≥1 returned
+    line item — exercised through ``spark.sql`` on registered views.
+
+    Catalyst decorrelates EXISTS into a left-semi join (check .explain: a
+    single SortMergeJoin LeftSemi on l_orderkey, NOT a per-row subquery) —
+    declaring the subquery and letting the optimizer pick the join is
+    exactly the engine's Spark-first contract.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bic_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bic_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM bic_orders o
+        WHERE EXISTS (SELECT 1 FROM bic_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_SQL_EXISTS = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries: orders priced >1.5× their customer's
+    average order value, counted per priority.
+
+    The comparison is cross-multiplied into exact decimal (price·count >
+    1.5·sum) so no engine ever divides — boundary rows can't flip on FP
+    rounding. Catalyst decorrelates both scalar subqueries into one
+    aggregate-then-join of orders with per-customer (count, sum).
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bic_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_above
+        FROM bic_orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+              (SELECT COUNT(*) FROM bic_orders o2 WHERE o2.o_custkey = o.o_custkey)
+            > 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                     FROM bic_orders o2 WHERE o2.o_custkey = o.o_custkey)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+_SQL_CORRELATED = """
+SELECT o_orderpriority, COUNT(*) AS n_above
+FROM orders o
+WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+      (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    > 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -578,6 +650,8 @@ QUERIES = {
     "sort_limit": sort_limit,
     "scalar_funcs": scalar_funcs,
     "json_extract": json_extract,
+    "exists_subquery": exists_subquery,
+    "correlated_subquery": correlated_subquery,
 }
 
 ORACLE = {
@@ -596,4 +670,6 @@ ORACLE = {
     "sort_limit": _SQL_SORT_LIMIT,
     "scalar_funcs": _SQL_SCALAR,
     "json_extract": _SQL_JSON,
+    "exists_subquery": _SQL_EXISTS,
+    "correlated_subquery": _SQL_CORRELATED,
 }

@@ -50,6 +50,23 @@ def test_ann_recall_floor(spark, sf_dir):
     assert len(ann & exact) / len(exact) >= 0.2
 
 
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF top-5 with 3 probes: every query answered, recall above the
+    random floor (3 probes of ~N/61-sized cells on weakly-clustered
+    vectors)."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        similarity_ivf,
+        similarity_topk,
+    )
+
+    exact_rows = similarity_topk(spark, sf_dir).collect()
+    exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
+    ivf_rows = similarity_ivf(spark, sf_dir).collect()
+    ivf = {(r.q_id, r.neighbor_id) for r in ivf_rows}
+    assert {r.q_id for r in ivf_rows} == {r.q_id for r in exact_rows}
+    assert len(ivf & exact) / len(exact) >= 0.2
+
+
 def test_simhash64_determinism_and_similarity(spark):
     df = spark.createDataFrame(
         [

@@ -1,0 +1,120 @@
+"""Physical-plan quality gates — the 100 TB contract, enforced.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the
+one you'd want on a 1000-executor cluster: filters reach the parquet scan,
+scans read only referenced columns, small dimensions broadcast, and
+operators don't shuffle more than their algorithm requires. A regression
+here is a performance bug even when every value still matches the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _full_metadata_strings(spark):
+    """Plan strings truncate scan metadata at 100 chars by default, which
+    would hide the very PushedFilters/ReadSchema these tests assert on."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    yield
+    spark.conf.set("spark.sql.maxMetadataStringLength", old)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scan_pushes_filter_and_prunes_columns(spark, sf_dir):
+    from bytewax_iceberg_connector_spark.plans.relational import scan_project_filter
+
+    plan = _plan(scan_project_filter(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    # the predicate must reach the scan, not sit in a post-filter only
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+    # projection pruning: full lineitem has 11 columns; the ReadSchema
+    # struct must only carry what the query references
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 6
+
+
+def test_multi_join_broadcasts_small_dims(spark, sf_dir):
+    """With size-based auto-broadcast OFF (the 100 TB regime, where no
+    fact table fits the threshold), the EXPLICIT broadcast hints on
+    nation/region must still broadcast, and the fact-fact joins must fall
+    back to shuffle joins — broadcasting lineitem would OOM an executor."""
+    from bytewax_iceberg_connector_spark.plans.relational import join_inner_multi
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(join_inner_multi(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_range_join_is_broadcast_nested_loop(spark, sf_dir):
+    from bytewax_iceberg_connector_spark.plans.temporal import range_join_bands
+
+    plan = _plan(range_join_bands(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """The as-of join must cost ONE hash exchange on the key (the window),
+    not a range-join candidate explosion or repeated repartitions."""
+    from bytewax_iceberg_connector_spark.plans.temporal import asof_join_events
+
+    plan = _plan(asof_join_events(spark, sf_dir))
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(hash_exchanges) == 1
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pricing_summary_partial_aggregation(spark, sf_dir):
+    """Map-side partial aggregation before the exchange: the group-by must
+    combine locally (6 groups → tiny shuffle) instead of shuffling raw rows."""
+    from bytewax_iceberg_connector_spark.plans.relational import pricing_summary
+
+    plan = _plan(pricing_summary(spark, sf_dir))
+    first_agg = plan.find("HashAggregate")
+    first_exchange = plan.find("Exchange")
+    assert first_agg != -1 and first_exchange != -1
+    # plan strings print top-down: final agg, exchange, partial agg, scan —
+    # a partial agg must appear BELOW (after) the exchange line
+    assert "partial_" in plan[first_exchange:]
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    from bytewax_iceberg_connector_spark.plans.relational import exists_subquery
+
+    plan = _plan(exists_subquery(spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_topk_window_not_global_sort(spark, sf_dir):
+    """Per-group top-k must sort within partitions of the group key; a
+    global sort of the fact table would serialize on one reducer at scale."""
+    from bytewax_iceberg_connector_spark.plans.relational import window_rank_topk
+
+    plan = _plan(window_rank_topk(spark, sf_dir))
+    assert "WindowGroupLimit" in plan or "RunningWindowFunction" in plan or (
+        "Window" in plan
+    )
+    # the sort feeding the window is partition-local
+    assert re.search(r"Sort \[[^\]]*\], false", plan)
+
+
+def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):
+    """Exact dedup must hash-partition on the 128-bit fingerprint, never
+    the full document text (narrow shuffle is the point of the design)."""
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_exact
+
+    plan = _plan(dedup_exact(spark, sf_dir))
+    assert re.search(r"Exchange hashpartitioning\(fp", plan)
+    assert not re.search(r"Exchange hashpartitioning\(text", plan)
