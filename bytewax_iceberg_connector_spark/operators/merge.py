@@ -1,0 +1,56 @@
+"""Row-level MERGE (upsert) — the lakehouse mutation the reference's
+append-only sink cannot express (connector.py has only ``table.append``,
+:245; README.md:68 "Static schemas only" / append-only design).
+
+``merge_upsert`` implements MERGE semantics as a DataFrame composition:
+
+    MERGE INTO target USING updates ON <keys>
+    WHEN MATCHED THEN UPDATE SET *        (update wins)
+    WHEN NOT MATCHED THEN INSERT *
+
+With iceberg-spark-runtime on the classpath you'd hand the same statement
+to ``spark.sql("MERGE INTO ...")`` and Iceberg executes it copy-on-write /
+merge-on-read; this composition IS the copy-on-write plan Iceberg builds
+internally (anti-join survivors ∪ updates), so the parquet-warehouse
+backend gets identical semantics.
+
+Scale notes:
+- one shuffle each side on the merge keys (the join); the anti-join and
+  the union reuse the same partitioning — Catalyst plans one exchange per
+  side, no extra pass;
+- at 100 TB the win is Iceberg's file-level pruning: only files whose
+  key-range stats overlap the update batch are rewritten; the DataFrame
+  fallback rewrites the whole table (documented trade-off);
+- updates must be UNIQUE per key (standard MERGE precondition —
+  duplicate-key update batches make MERGE nondeterministic; we enforce
+  deterministically instead of silently picking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def merge_upsert(
+    target: DataFrame,
+    updates: DataFrame,
+    keys: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Upsert ``updates`` into ``target`` on ``keys``; update rows replace
+    matched target rows, unmatched insert. Columns must align.
+
+    ``tiebreak``: when the update batch can carry duplicate keys, keep the
+    greatest-tiebreak row per key (deterministic); None asserts uniqueness
+    is the caller's contract.
+    """
+    if tiebreak is not None:
+        w = Window.partitionBy(*keys).orderBy(F.col(tiebreak).desc())
+        updates = (
+            updates.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
+    return survivors.unionByName(updates.select(*target.columns))

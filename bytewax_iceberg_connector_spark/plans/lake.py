@@ -70,5 +70,78 @@ ORDER BY p_day
 """
 
 
-QUERIES = {"iceberg_roundtrip": iceberg_roundtrip}
-ORACLE = {"iceberg_roundtrip": _SQL_ROUNDTRIP}
+# ---------------------------------------------------------------------------
+# B23b: MERGE (upsert) semantics — the lakehouse mutation path
+# ---------------------------------------------------------------------------
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE on orders: a derived update batch (10% of keys get
+    status 'U' and a repriced total) plus an insert batch (new keys), then
+    per-status accounting of the merged table.
+
+    Shows the upsert path the reference cannot express (append-only sink);
+    with iceberg-spark-runtime this exact statement runs as MERGE INTO with
+    file-level pruning — operators/merge.py documents the equivalence.
+    """
+    from ..functions.numeric import dsum
+    from ..operators.merge import merge_upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    inserts = o.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(42.0).alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    )
+    merged = merge_upsert(o, updates.unionByName(inserts), keys=["o_orderkey"])
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice", 4).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_SQL_MERGE = f"""
+WITH upd AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice * 1.1 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_custkey, 'N', 42.0, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 1000 = 0
+), merged AS (
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM upd u WHERE u.o_orderkey = o.o_orderkey)
+  UNION ALL
+  SELECT * FROM upd
+)
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 4)} AS total_price
+FROM merged
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+QUERIES = {
+    "iceberg_roundtrip": iceberg_roundtrip,
+    "merge_upsert_orders": merge_upsert_orders,
+}
+ORACLE = {
+    "iceberg_roundtrip": _SQL_ROUNDTRIP,
+    "merge_upsert_orders": _SQL_MERGE,
+}

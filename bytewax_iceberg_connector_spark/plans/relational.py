@@ -559,6 +559,130 @@ ORDER BY k_bucket
 """
 
 # ---------------------------------------------------------------------------
+# B7b: time-hierarchy rollup (hypertable-style continuous aggregate)
+# ---------------------------------------------------------------------------
+
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: event volumes at hour,
+    day, and grand-total resolutions from ONE pass over the fact table
+    (rollup → a single expand + aggregate, one shuffle) — the batch form
+    of a continuous aggregate that maintains hour/day materializations.
+
+    grouping_id disambiguates levels (a real NULL hour vs the day
+    subtotal); at 100 TB you'd persist each level partitioned by its own
+    time column and serve dashboards from the day level.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+        )
+    )
+
+
+_SQL_TIME_ROLLUP = f"""
+WITH b AS (
+  SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+         CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS hour,
+         value
+  FROM events
+)
+SELECT day, hour,
+       CAST(GROUPING(day) * 2 + GROUPING(hour) AS BIGINT) AS lvl,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM b
+GROUP BY ROLLUP (day, hour)
+"""
+
+# ---------------------------------------------------------------------------
+# B25: pivot (conditional aggregation)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event counts per user-bucket pivoted into one column per type.
+
+    The pivot values are DECLARED, not discovered — at 100 TB an
+    auto-pivot first runs a distinct job over the fact table; pinning the
+    columns keeps this a single expand+aggregate pass (and a stable
+    schema, which an auto-pivot can't guarantee).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy((F.col("user_id") % 10).cast("long").alias("user_bucket"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_bucket")
+    )
+    return out.select(
+        "user_bucket", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_SQL_PIVOT = """
+SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+FROM events
+GROUP BY user_bucket
+ORDER BY user_bucket
+"""
+
+# ---------------------------------------------------------------------------
+# B26: percentiles — exact interpolated + approximate sketch
+# ---------------------------------------------------------------------------
+
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of value per event_type (linear interpolation on
+    the sorted multiset — deterministic: interpolation touches exactly two
+    order statistics, no accumulation order to vary).
+
+    Scale: exact percentile materializes each group's values — fine for
+    bounded groups; for 100 TB-wide groups switch to approx_percentile
+    (t-digest sketch, mergeable, bounded memory), the same trade as
+    distinct_exact → distinct_approx.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99,
+       MIN(value) AS v_min,
+       MAX(value) AS v_max
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 # B24: subqueries through the SQL surface (EXISTS + correlated scalar)
 # ---------------------------------------------------------------------------
 
@@ -652,6 +776,9 @@ QUERIES = {
     "json_extract": json_extract,
     "exists_subquery": exists_subquery,
     "correlated_subquery": correlated_subquery,
+    "time_rollup": time_rollup,
+    "pivot_event_types": pivot_event_types,
+    "percentiles": percentiles,
 }
 
 ORACLE = {
@@ -672,4 +799,7 @@ ORACLE = {
     "json_extract": _SQL_JSON,
     "exists_subquery": _SQL_EXISTS,
     "correlated_subquery": _SQL_CORRELATED,
+    "time_rollup": _SQL_TIME_ROLLUP,
+    "pivot_event_types": _SQL_PIVOT,
+    "percentiles": _SQL_PERCENTILES,
 }
