@@ -89,6 +89,83 @@ def decode_image_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFram
     return df.select(key_col, payload_col).mapInPandas(_decode, schema=IMAGE_META_SCHEMA)
 
 
+#: schema of resize_images output
+RESIZED_SCHEMA = "key BIGINT, resized BINARY, out_width BIGINT, out_height BIGINT"
+
+
+def resize_images(
+    df: DataFrame, payload_col: str, key_col: str, width: int = 224, height: int = 224
+) -> DataFrame:
+    """binary payload → resized binary payload (binary-in/binary-out stage).
+
+    Real path: PIL ``Image.resize`` when available; stub emits a
+    deterministic content-derived surrogate of the right conceptual shape
+    (``width·height·channels`` bytes, seeded by the source digest) so
+    downstream stages exercise realistic payload sizes. Binary columns ride
+    the Arrow channel both ways — size batches accordingly (~10-100 MB).
+    """
+
+    def _resize(batches):
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if _HAS_PIL:  # pragma: no cover
+                    import io
+
+                    with Image.open(io.BytesIO(data)) as im:
+                        out = io.BytesIO()
+                        im.resize((width, height)).save(out, format="PNG")
+                        resized = out.getvalue()
+                else:
+                    _, _, c = _fake_dims(data)
+                    seed = hashlib.sha256(data).digest()
+                    n = width * height * c
+                    resized = (seed * (n // len(seed) + 1))[:n]
+                rows.append(
+                    {"key": int(key), "resized": resized,
+                     "out_width": width, "out_height": height}
+                )
+            yield pd.DataFrame(rows, columns=["key", "resized", "out_width", "out_height"])
+
+    return df.select(key_col, payload_col).mapInPandas(_resize, schema=RESIZED_SCHEMA)
+
+
+def extract_features(
+    df: DataFrame, payload_col: str, key_col: str, dim: int = 64
+) -> DataFrame:
+    """binary payload → unit-norm float feature vector (array<float>) — the
+    embed stage that feeds the similarity/ANN operators (plans/llm.py).
+
+    Stub featurizer: ``dim`` floats derived from the content digest,
+    L2-normalized (deterministic; swap for a real vision/audio model's
+    forward pass). The output column shape matches the ``embeddings`` test
+    table exactly, so the whole multimodal → embed → dedup/ANN pipeline
+    composes.
+    """
+
+    def _embed(batches):
+        import numpy as np
+
+        for pdf in batches:
+            keys, vecs = [], []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                raw = hashlib.sha512(data).digest()
+                while len(raw) < dim:
+                    raw += hashlib.sha512(raw).digest()
+                v = np.frombuffer(raw[:dim], dtype=np.uint8).astype(np.float64)
+                v = v - v.mean()
+                norm = np.sqrt((v * v).sum()) or 1.0
+                keys.append(int(key))
+                vecs.append((v / norm).astype(np.float32))
+            yield pd.DataFrame({"key": keys, "embedding": vecs})
+
+    return df.select(key_col, payload_col).mapInPandas(
+        _embed, schema="key BIGINT, embedding ARRAY<FLOAT>"
+    )
+
+
 def sample_frames(
     df: DataFrame, payload_col: str, key_col: str, n_frames: int = 4
 ) -> DataFrame:

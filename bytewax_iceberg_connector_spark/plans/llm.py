@@ -798,6 +798,41 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: payload → decode meta → resize → feature
+    extraction → per-channel accounting (rows-only: every stage is an
+    engine-local stub by design — see functions/multimodal.py).
+
+    The shape to note for 100 TB: three Arrow-batched mapInPandas stages
+    pipeline WITHOUT shuffles between them (narrow dependencies — one task
+    chain per partition); the only exchange is the final 3-group aggregate.
+    """
+    from ..functions.multimodal import decode_image_meta, extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = decode_image_meta(docs, "payload", "doc_id")
+    feats = extract_features(docs, "payload", "doc_id")
+    joined = meta.select(F.col("key"), "channels").join(feats, "key")
+    return (
+        joined.groupBy("channels")
+        .agg(
+            F.count("*").alias("n_assets"),
+            F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim1"),
+            F.round(
+                F.avg(F.aggregate(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit(0.0),
+                    lambda a, x: a + x * x,
+                )),
+                6,
+            ).alias("avg_sq_norm"),
+        )
+        .orderBy("channels")
+    )
+
+
 _SQL_MM_NESTED = """
 SELECT CAST(pos AS BIGINT) AS dim,
        COUNT(*) AS n,
@@ -831,6 +866,7 @@ QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_nested": multimodal_nested,
     "multimodal_decode": multimodal_decode,
+    "multimodal_pipeline": multimodal_pipeline,
 }
 
 ORACLE = {

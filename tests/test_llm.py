@@ -67,6 +67,35 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(ivf & exact) / len(exact) >= 0.2
 
 
+def test_resize_and_features_shapes(spark, sf_dir):
+    """Resize emits width·height·channels bytes; features are unit-norm
+    vectors of the requested dim; both deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.functions.multimodal import (
+        extract_features,
+        resize_images,
+    )
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.col("text").cast("binary").alias("payload"))
+        .limit(20)
+    )
+    resized = resize_images(docs, "payload", "doc_id", width=8, height=8).collect()
+    assert all(len(r.resized) % (8 * 8) == 0 and r.out_width == 8 for r in resized)
+
+    feats = extract_features(docs, "payload", "doc_id", dim=16)
+    rows = feats.collect()
+    assert all(len(r.embedding) == 16 for r in rows)
+    norms = [sum(x * x for x in r.embedding) for r in rows]
+    assert all(abs(n - 1.0) < 1e-3 for n in norms)
+    # deterministic: a second run returns identical vectors
+    again = {r.key: list(r.embedding) for r in feats.collect()}
+    assert all(again[r.key] == list(r.embedding) for r in rows)
+
+
 def test_simhash64_determinism_and_similarity(spark):
     df = spark.createDataFrame(
         [
