@@ -12,10 +12,20 @@ SF_DIR = "/root/testdata/sf0.001"
 def spark():
     from bytewax_iceberg_connector_spark.session import get_spark
 
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="bic_test_")
     spark = get_spark(
         app_name="tests",
         master="local[4]",
-        **{"spark.sql.shuffle.partitions": "4", "spark.ui.enabled": "false"},
+        **{
+            "spark.sql.shuffle.partitions": "4",
+            "spark.ui.enabled": "false",
+            # managed-table surface (bucketing tests): keep the warehouse
+            # and the Derby metastore out of the repo tree
+            "spark.sql.warehouse.dir": f"{scratch}/warehouse",
+            "spark.driver.extraJavaOptions": f"-Dderby.system.home={scratch}",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     yield spark
