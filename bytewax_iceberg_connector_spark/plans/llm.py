@@ -721,6 +721,110 @@ FROM t
 """
 
 # ---------------------------------------------------------------------------
+# B19d: corpus curation — quality filter + deterministic stratified sample
+# ---------------------------------------------------------------------------
+
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality gate: drop documents scoring < 2/3 on the
+    composite heuristic; report survival per (lang, source).
+
+    The filter is a pure codegen'd projection — at 100 TB this runs at
+    scan speed and is the cheapest 30-50% volume reduction in the whole
+    pipeline, which is why it goes FIRST (before any dedup shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "lang", "source", X.quality_score("text").alias("q")
+    )
+    return (
+        scored.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("q") >= 2 / 3).cast("long")).alias("n_kept"),
+            F.round(F.avg("q"), 6).alias("avg_quality"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_QUALITY = r"""
+WITH t AS (
+  SELECT lang, source,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         LENGTH(text) AS n_len,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
+  FROM documents
+), q AS (
+  SELECT lang, source,
+         (CAST(n_len >= 100 AND n_len <= 20000 AS INT)
+          + CAST((CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) >= 3.0
+                 AND (CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) <= 12.0 AS INT)
+          + CAST((CASE WHEN n_tok > 0 THEN sw * 1.0 / n_tok ELSE 0.0 END) >= 0.05 AS INT)
+         ) / 3.0 AS q
+  FROM t
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN q >= 2.0/3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(AVG(q), 6) AS avg_quality
+FROM q
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+
+_SAMPLE_CAP = 30
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep ≤30 docs per (lang,
+    source), chosen by md5-hash order of doc_id — a hash-ordered
+    reservoir that is reproducible across runs, engines, partitionings
+    and scale (rand()-based sampling is none of those under task retry).
+
+    Scale: one window per stratum key; the hash ordering makes the kept
+    set independent of physical row order, so incremental re-runs over a
+    grown corpus keep a stable prefix (caps the churn in downstream
+    training sets)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    kept = (
+        docs.withColumn("pick", F.row_number().over(w))
+        .where(F.col("pick") <= _SAMPLE_CAP)
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_SAMPLE = f"""
+WITH ranked AS (
+  SELECT lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS pick
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_sampled,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM ranked
+WHERE pick <= {_SAMPLE_CAP}
+GROUP BY lang
+ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
 # B20: multimodal columns
 # ---------------------------------------------------------------------------
 
@@ -861,6 +965,8 @@ QUERIES = {
     "similarity_ivf": similarity_ivf,
     "text_analysis": text_analysis,
     "token_stats": token_stats,
+    "quality_filter": quality_filter,
+    "sample_stratified": sample_stratified,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -880,6 +986,8 @@ ORACLE = {
     # similarity_ann_lsh: rows-only (engine-local hyperplanes)
     "text_analysis": _SQL_TEXT_ANALYSIS,
     "token_stats": _SQL_TOKEN_STATS,
+    "quality_filter": _SQL_QUALITY,
+    "sample_stratified": _SQL_SAMPLE,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,
