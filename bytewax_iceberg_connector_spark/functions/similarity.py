@@ -94,13 +94,19 @@ def lsh_bands(sig_cols: list[str], rows_per_band: int = 4) -> Column:
 
 def lsh_bands_from_array(sig: Column, num_perm: int, rows_per_band: int = 4) -> Column:
     """lsh_bands over an array<bigint> signature column (the pandas-UDF
-    signature form): band key = hash of the band's slice."""
+    signature form) → array<bigint> of band keys.
+
+    The band id is hashed INTO the key (xxhash64 seeded by band_id), so a
+    bare long suffices — no (band, key) struct. A cross-band key collision
+    merely adds a candidate pair that exact-verify discards; meanwhile the
+    LSH shuffle ships 8-byte keys, which is what the band join's cost is
+    made of at 100 TB.
+    """
     assert num_perm % rows_per_band == 0
-    bands = []
-    for band_id in range(num_perm // rows_per_band):
-        key = F.xxhash64(F.lit(band_id), F.slice(sig, band_id * rows_per_band + 1, rows_per_band))
-        bands.append(F.struct(F.lit(band_id).alias("band"), key.alias("key")))
-    return F.array(*bands)
+    return F.array(*[
+        F.xxhash64(F.lit(band_id), F.slice(sig, band_id * rows_per_band + 1, rows_per_band))
+        for band_id in range(num_perm // rows_per_band)
+    ])
 
 
 def cosine_np():

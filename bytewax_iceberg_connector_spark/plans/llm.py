@@ -160,28 +160,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.size("sh") > 0)
 
     # Arrow-vectorized signature kernel (same integer math as the
-    # expression form — see functions/similarity.py); sh doubles as the
-    # exact-verify set, as 64-bit hashes
+    # expression form — see functions/similarity.py)
     sig = base.select(
-        "doc_id",
-        F.col("sh").alias("sh_set"),
-        S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig"),
+        "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
     )
+    # the band self-join ships ONLY (doc_id, band_key) — 16 bytes/row; the
+    # shingle arrays are fetched AFTER candidate dedup via two small joins
+    # (candidate count ≪ corpus). Shipping arrays through the band shuffle
+    # measured ~20% slower at sf0.1 and is catastrophically wider at 100 TB.
     banded = sig.select(
-        "doc_id", "sh_set",
+        "doc_id",
         F.explode(S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)).alias("bk"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh_set").alias("sa"),
-            F.col("b.sh_set").alias("sb"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
     )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sa"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sb"))
+    cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
     return (
