@@ -185,7 +185,17 @@ class LakeSink:
 
     # -- read-back ---------------------------------------------------------
 
-    def read(self) -> DataFrame:
+    def read(self, merge_schema: bool = False) -> DataFrame:
+        """Read the table back; ``merge_schema=True`` unions schemas across
+        files so batches appended with ADDED columns surface (nulls for
+        older rows) — the additive schema evolution the reference forbids
+        ("Static schemas only", reference README.md:68). Iceberg handles
+        this through table metadata; the parquet backend pays a footer
+        merge pass, so keep it off for fixed-schema hot paths.
+        """
         if self.backend == "iceberg":
             return self.spark.table(self._qualified)
-        return self.spark.read.parquet(self._path)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self._path)

@@ -332,6 +332,41 @@ FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour moving aggregate per user: a RANGE frame over event
+    time (every event sees the count/sum of the preceding hour of its own
+    user's activity).
+
+    RANGE frames need a numeric order key in Spark — epoch seconds; the
+    frame state is a sliding deque per partition, O(events-in-frame)
+    memory, so a hot user with dense traffic bounds the cost, not table
+    size. One shuffle on user_id, same exchange as window_analytic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_micros(F.col("ts")) / F.lit(1_000_000)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(dec("value")).over(w).cast("double").alias("sum_trailing_1h"),
+    )
+
+
+_SQL_WINDOW_RANGE = """
+SELECT user_id, event_id, ts,
+       COUNT(*) OVER w AS n_trailing_1h,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_trailing_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts) / 1000000.0
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
 # ---------------------------------------------------------------------------
 # B7 rollup subtotals
 # ---------------------------------------------------------------------------
@@ -767,6 +802,7 @@ QUERIES = {
     "join_anti": join_anti,
     "window_rank_topk": window_rank_topk,
     "window_analytic": window_analytic,
+    "window_range_trailing": window_range_trailing,
     "grouping_rollup": grouping_rollup,
     "distinct_exact": distinct_exact,
     "distinct_approx": distinct_approx,
@@ -790,6 +826,7 @@ ORACLE = {
     "join_anti": _SQL_ANTI,
     "window_rank_topk": _SQL_TOPK,
     "window_analytic": _SQL_WINDOW_ANALYTIC,
+    "window_range_trailing": _SQL_WINDOW_RANGE,
     "grouping_rollup": _SQL_ROLLUP,
     "distinct_exact": _SQL_DISTINCT_EXACT,
     # distinct_approx: deliberately no oracle (sketch estimate) → rows-only

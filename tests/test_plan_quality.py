@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 import pytest
+from pyspark.sql import functions as F
 
 
 @pytest.fixture(scope="module", autouse=True)
@@ -108,6 +109,36 @@ def test_topk_window_not_global_sort(spark, sf_dir):
     )
     # the sort feeding the window is partition-local
     assert re.search(r"Sort \[[^\]]*\], false", plan)
+
+
+def test_lake_partition_pruning(spark, sf_dir, tmp_path):
+    """The hidden-partition layout must prune at the source: a one-day
+    predicate on the partition column shows up as a PartitionFilter and
+    the scan touches one partition directory, not the whole table —
+    THE property that makes the day-partitioned 100 TB table queryable."""
+    from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cfg = IcebergSinkConfig(
+        table_name="db.prune_events",
+        warehouse_path=str(tmp_path / "wh"),
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(ev)
+    one_day = sink.read().where(F.col("_p_ts_day") == "2024-01-03")
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = _plan(one_day)
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert re.search(r"PartitionFilters: \[[^\]]*_p_ts_day", plan)
+    assert one_day.count() == ev.where(
+        F.date_trunc("day", "ts") == "2024-01-03 00:00:00"
+    ).count()
 
 
 def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):

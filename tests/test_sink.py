@@ -70,3 +70,23 @@ def test_roundtrip_values_survive(spark, tmp_path, events_df):
     got = sorted((r.event_id, r.v) for r in sink.read().collect())
     want = sorted((r.event_id, r.v) for r in events_df.collect())
     assert got == want
+
+
+def test_schema_evolution_additive(spark, tmp_path, events_df):
+    """Additive schema evolution — the upgrade over the reference's
+    'Static schemas only' constraint (reference README.md:68): a later
+    batch with a NEW column appends cleanly and merge-schema reads
+    surface it (nulls for pre-evolution rows)."""
+    from pyspark.sql import functions as F
+
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    evolved = events_df.withColumn("quality", F.col("v") / 10.0)
+    sink.append(evolved)
+
+    back = sink.read(merge_schema=True)
+    assert "quality" in back.columns
+    assert back.count() == 60
+    assert back.where(F.col("quality").isNull()).count() == 30
+    # default read keeps working (schema from latest footer subset)
+    assert sink.read().count() == 60
