@@ -417,19 +417,25 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
+    # bucket membership ships (vec_id, table, key) ONLY — 24 bytes/row; the
+    # 512-byte vectors are fetched after candidate dedup (candidates ≪
+    # |vectors|·tables), the same narrow-shuffle shape as dedup_minhash_lsh
     bucketed = emb.select(
-        "vec_id", "e",
+        "vec_id",
         F.posexplode(S.sign_lsh_keys_np(64, 8, 4)(F.col("e"))).alias("table", "key"),
-    ).select("vec_id", "e", F.struct("table", "key").alias("bucket"))
+    ).select("vec_id", F.struct("table", "key").alias("bucket"))
     q = bucketed.where(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), "bucket"
+        F.col("vec_id").alias("q_id"), "bucket"
     )
-    cand = (
+    pairs = (
         q.join(bucketed, "bucket")
         .where(F.col("vec_id") != F.col("q_id"))
-        .select("q_id", "qe", F.col("vec_id").alias("neighbor_id"), "e")
-        .dropDuplicates(["q_id", "neighbor_id"])
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates()
     )
+    qe = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
+    ne = emb.select(F.col("vec_id").alias("neighbor_id"), "e")
+    cand = pairs.join(F.broadcast(qe.where(F.col("q_id") % 50 == 0)), "q_id").join(ne, "neighbor_id")
     scored = cand.select(
         "q_id", "neighbor_id",
         F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
