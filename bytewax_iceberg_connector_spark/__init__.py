@@ -22,7 +22,53 @@ Layout:
 - streaming/            event-time windows, watermarks, micro-batch sinks
 """
 
+from .config import CatalogType, FileFormat, IcebergSinkConfig
+from .operators import (
+    DEFAULT_JSON_SERDE,
+    DEFAULT_PARQUET_SERDE,
+    DEFAULT_PICKLE_SERDE,
+    IcebergSerDe,
+    JsonSerDe,
+    LakeSink,
+    OpOut,
+    ParquetSerDe,
+    PickleSerDe,
+    enrich_with_metadata,
+    error_split,
+    serialize_records,
+    validate_schema,
+)
 from .session import ensure_engine_conf, get_spark
 
-__all__ = ["get_spark", "ensure_engine_conf"]
+#: reference __init__.py parity (src/bytewax_iceberg_connector/__init__.py:
+#: exports IcebergSink, IcebergSinkConfig, IcebergOpOut envelope, default
+#: SerDes). `IcebergSink` → LakeSink, `IcebergOpOut` → OpOut; the
+#: message/state/error envelopes dissolve into DataFrame columns (SURVEY.md
+#: §1.1), so there is nothing to export for them.
+IcebergSink = LakeSink
+IcebergOpOut = OpOut
+
+__all__ = [
+    "get_spark",
+    "ensure_engine_conf",
+    # reference public API (renamed + aliased)
+    "IcebergSink",
+    "LakeSink",
+    "IcebergSinkConfig",
+    "FileFormat",
+    "CatalogType",
+    "IcebergOpOut",
+    "OpOut",
+    "error_split",
+    "validate_schema",
+    "serialize_records",
+    "enrich_with_metadata",
+    "IcebergSerDe",
+    "JsonSerDe",
+    "ParquetSerDe",
+    "PickleSerDe",
+    "DEFAULT_JSON_SERDE",
+    "DEFAULT_PARQUET_SERDE",
+    "DEFAULT_PICKLE_SERDE",
+]
 __version__ = "0.1.0"
