@@ -726,6 +726,51 @@ FROM t
 """
 
 # ---------------------------------------------------------------------------
+# B19c2: top-k n-grams by document frequency per language
+# ---------------------------------------------------------------------------
+
+def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five most document-frequent trigrams per language (ties broken
+    lexicographically) — the corpus-inspection query behind boilerplate
+    detection (n-grams appearing in many documents flag templates).
+
+    Scale: explode → (lang, shingle) count is the classic word-count
+    shape — map-side partial aggregation shrinks the shuffle to distinct
+    (lang, shingle) pairs; the top-k window then only sees aggregated
+    counts. Shingles stay STRINGS here (they're the output), unlike the
+    dedup path which ships hashes.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("lang", F.explode(X.shingles("text", _SHINGLE_N)).alias("s"))
+    counts = sh.groupBy("lang", "s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("s").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("lang", "s", "df", "rank")
+    )
+
+
+_SQL_NGRAM_TOPK = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), counts AS (
+  SELECT lang, s, COUNT(*) AS df FROM sh GROUP BY lang, s
+)
+SELECT lang, s, df, rank FROM (
+  SELECT lang, s, df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY df DESC, s ASC) AS BIGINT) AS rank
+  FROM counts
+) t WHERE rank <= 5
+"""
+
+# ---------------------------------------------------------------------------
 # B19d: corpus curation — quality filter + deterministic stratified sample
 # ---------------------------------------------------------------------------
 
@@ -972,6 +1017,7 @@ QUERIES = {
     "token_stats": token_stats,
     "quality_filter": quality_filter,
     "sample_stratified": sample_stratified,
+    "ngram_topk": ngram_topk,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -993,6 +1039,7 @@ ORACLE = {
     "token_stats": _SQL_TOKEN_STATS,
     "quality_filter": _SQL_QUALITY,
     "sample_stratified": _SQL_SAMPLE,
+    "ngram_topk": _SQL_NGRAM_TOPK,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,
