@@ -133,13 +133,24 @@ def fingerprint(col: Column | str) -> Column:
 
 
 def shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles → array<string>."""
+    """Distinct word n-gram shingles → array<string>.
+
+    Documents with fewer than ``n`` tokens yield an EMPTY array — the
+    guard matters: an unguarded ``F.sequence(0, size-n)`` steps backwards
+    when ``size < n`` (Spark sequence uses step -1 when stop < start),
+    producing index -1 and crashing ``F.slice`` with
+    INVALID_PARAMETER_VALUE.START. Matches the DuckDB oracle's
+    ``GREATEST(len-2, 0)`` range and ``shingle_hashes_np``.
+    """
     t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
+    )
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(-1))),
-            lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-        )
+        F.when(F.size(t) >= n, grams)
+        .when(t.isNotNull(), F.array().cast("array<string>"))
+        # null text → null (no otherwise), matching shingle_hashes_np
     )
 
 

@@ -48,24 +48,34 @@ def asof_join(
     ordered tiebreak-ASC inside the one window sort, so the running
     ``last`` naturally carries the greatest-tiebreak row — a separate
     dedup window would hash-partition a second time.
+
+    All carried fields travel in ONE struct column under a single
+    ``last(ignorenulls=True)`` — per-column ``last`` calls would stitch a
+    frankenrow when the matched right row holds a NULL value column (the
+    window would skip back to an older row's non-null value while ts_right
+    came from the newer row). The struct is non-null iff the row is a
+    right row, so every carried field comes from the same matched row —
+    including its genuine NULLs — matching ASOF JOIN / DuckDB semantics.
     """
     carried = [ts_col, *value_cols]
     left_cols = left.columns
-    tb_type = dict(right.dtypes)[tiebreak] if tiebreak is not None else "int"
+    rtypes = dict(right.dtypes)
+    tb_type = rtypes[tiebreak] if tiebreak is not None else "int"
+    r_struct_t = "struct<" + ",".join(f"{c}:{rtypes[c]}" for c in carried) + ">"
 
     # side=0 sorts right-side rows BEFORE left rows at equal ts → inclusive
     l_tagged = left.select(
         F.col(on), F.col(ts_col), F.lit(1).alias("_side"),
         F.lit(None).cast(tb_type).alias("_tb"),
         *[F.col(c).alias(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in carried],
+        F.lit(None).cast(r_struct_t).alias("_r"),
     )
     r_tagged = right.select(
         F.col(on), F.col(ts_col), F.lit(0).alias("_side"),
         (F.col(tiebreak) if tiebreak is not None else F.lit(0)).cast(tb_type).alias("_tb"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"_l_{c}")
           for c in left_cols if c not in (on, ts_col)],
-        *[F.col(c).alias(f"_r_{c}") for c in carried],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r"),
     )
 
     w = (
@@ -76,14 +86,13 @@ def asof_join(
     enriched = l_tagged.unionByName(r_tagged).select(
         F.col(on), F.col(ts_col), F.col("_side"),
         *[F.col(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
-        *[F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"_r_{c}")
-          for c in carried],
+        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
     )
     return enriched.where(F.col("_side") == 1).select(
         *[
             F.col(c) if c in (on, ts_col) else F.col(f"_l_{c}").alias(c)
             for c in left_cols
         ],
-        F.col(f"_r_{ts_col}").alias(f"{ts_col}{suffix}"),
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in value_cols],
+        F.col("_r").getField(ts_col).alias(f"{ts_col}{suffix}"),
+        *[F.col("_r").getField(c).alias(f"{c}{suffix}") for c in value_cols],
     )

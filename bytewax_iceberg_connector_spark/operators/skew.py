@@ -34,7 +34,23 @@ def salted_join(
     partitioning changes. The salt is derived from the fact row's content
     hash (deterministic, no rand() → replays identically on retries, which
     a nondeterministic salt does not under Spark's task-retry semantics).
+
+    ``how`` is restricted to fact-preserving joins (inner / left outer /
+    left semi / left anti): the dim side is replicated once per salt, so a
+    right or full outer join would emit each UNMATCHED dim row n_salts
+    times. Raises ValueError for the unsupported join types rather than
+    silently duplicating rows.
     """
+    allowed = {
+        "inner", "left", "leftouter", "left_outer",
+        "semi", "leftsemi", "left_semi", "anti", "leftanti", "left_anti",
+    }
+    if how.lower().replace(" ", "") not in allowed:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the salted dim side "
+            "is replicated per salt, so right/full outer joins would emit "
+            f"unmatched dim rows {n_salts}x. Use one of {sorted(allowed)}."
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in facts.columns]), F.lit(n_salts))
     salted_facts = facts.withColumn("_salt", salt)
     salted_dims = dims.withColumn(

@@ -660,8 +660,14 @@ def pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
         .orderBy("user_bucket")
     )
+    # pivot emits NULL for an empty (bucket, type) cell; the oracle's
+    # COUNT(*) FILTER emits 0 — coalesce so sparser corpora still hash-match
     return out.select(
-        "user_bucket", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+        "user_bucket",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in _EVENT_TYPES
+        ],
     )
 
 

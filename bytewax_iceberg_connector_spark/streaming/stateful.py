@@ -18,6 +18,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -27,6 +29,27 @@ from pyspark.sql.types import (
     StructType,
     TimestampType,
 )
+
+#: interval-unit → milliseconds, for parsing Spark duration strings
+_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1_000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def duration_ms(spec: str) -> int:
+    """Parse a Spark interval string ('2 hours', '30 minutes', '1 day')
+    into milliseconds. The state-TTL horizon must track the caller's
+    watermark — a hardcoded TTL would retain state longer (or shorter)
+    than the declared lateness bound."""
+    m = re.fullmatch(r"\s*(\d+)\s+([a-z]+?)s?\s*", spec.lower())
+    if not m or m.group(2) not in _UNIT_MS:
+        raise ValueError(f"unparseable duration: {spec!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2)]
 
 
 def dedup_first_seen(
@@ -47,9 +70,11 @@ def dedup_first_seen(
     keeps arbitrary-first by arrival; this keeps min-event-time and
     surfaces the state-TTL contract explicitly.
     """
+    # key dtype comes from the input schema (a hardcoded LongType would
+    # break string/other key columns); TTL tracks the watermark parameter
     out_schema = StructType(
         [
-            StructField(key_col, LongType()),
+            StructField(key_col, events.schema[key_col].dataType),
             StructField("first_ts", TimestampType()),
             StructField("n_suppressed", LongType()),
         ]
@@ -60,6 +85,7 @@ def dedup_first_seen(
             StructField("n_seen", LongType()),
         ]
     )
+    ttl_ms = duration_ms(watermark)
 
     def _dedup(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -80,7 +106,7 @@ def dedup_first_seen(
                 first_us = batch_min
         state.update((first_us, n_seen))
         # expire the key once the watermark passes its TTL horizon
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
@@ -124,6 +150,7 @@ def running_counter(
     state_schema = StructType(
         [StructField("n", LongType()), StructField("cents", LongType())]
     )
+    ttl_ms = duration_ms(watermark)
 
     def _acc(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -138,7 +165,7 @@ def running_counter(
             # decimal-exact in integer cents: float sum order never leaks
             cents += int((pdf[value_col] * 100).round().astype("int64").sum())
         state.update((n, cents))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 2 * 3600 * 1000)
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_cents": [cents]})
 
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events

@@ -1,0 +1,163 @@
+"""Regression tests for the round-1 ADVICE findings: short-doc shingles,
+as-of NULL-carry (frankenrow), pivot NULL-vs-0, salted outer joins, and
+stateful TTL/key-type derivation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.functions import text as X
+from bytewax_iceberg_connector_spark.operators.asof import asof_join
+from bytewax_iceberg_connector_spark.operators.skew import salted_join
+from bytewax_iceberg_connector_spark.streaming.stateful import (
+    dedup_first_seen,
+    duration_ms,
+)
+
+
+def _ts(s: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+
+# ---------------------------------------------------------------------------
+# shingles: documents shorter than n tokens must yield [], not crash
+# ---------------------------------------------------------------------------
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame(
+        [("one",), ("one two",), ("one two three",), ("", ), (None,)],
+        "body STRING",
+    )
+    rows = df.select(
+        X.shingles("body", 3).alias("s"),
+        X.shingle_hashes("body", 3).alias("h"),
+    ).collect()
+    assert rows[0]["s"] == [] and rows[0]["h"] == []
+    assert rows[1]["s"] == [] and rows[1]["h"] == []
+    assert rows[2]["s"] == ["one two three"] and len(rows[2]["h"]) == 1
+    assert rows[3]["s"] == []
+    assert rows[4]["s"] is None  # null text stays null
+
+
+def test_shingles_matches_np_kernel_on_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a b"), (3, "a b c d")], "doc_id INT, body STRING"
+    )
+    expr_n = df.select(F.size(X.shingles("body", 3)).alias("n")).collect()
+    np_n = df.select(F.size(X.shingle_hashes_np(3)("body")).alias("n")).collect()
+    assert [r["n"] for r in expr_n] == [r["n"] for r in np_n] == [0, 0, 2]
+
+
+# ---------------------------------------------------------------------------
+# asof_join: a NULL value column in the MATCHED right row must be carried
+# as NULL, not patched with an older row's non-null value (frankenrow)
+# ---------------------------------------------------------------------------
+
+def test_asof_null_value_in_matched_row_stays_null(spark):
+    left = spark.createDataFrame([(1, _ts(30), "x")], "k INT, ts TIMESTAMP, tag STRING")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 100.0), (1, _ts(20), None)],
+        "k INT, ts TIMESTAMP, v DOUBLE",
+    )
+    row = asof_join(left, right, on="k", value_cols=("v",)).collect()[0]
+    # the matched row is ts=20 (latest <= 30); its v is genuinely NULL
+    assert row["ts_right"] == _ts(20)
+    assert row["v_right"] is None
+
+
+def test_asof_multi_value_cols_from_same_row(spark):
+    left = spark.createDataFrame([(1, _ts(30), "x")], "k INT, ts TIMESTAMP, tag STRING")
+    right = spark.createDataFrame(
+        [(1, _ts(10), 1.0, "old"), (1, _ts(20), None, "new")],
+        "k INT, ts TIMESTAMP, v DOUBLE, label STRING",
+    )
+    row = asof_join(left, right, on="k", value_cols=("v", "label")).collect()[0]
+    assert (row["v_right"], row["label_right"]) == (None, "new")
+
+
+# ---------------------------------------------------------------------------
+# pivot_event_types: empty (bucket, type) cells are 0, not NULL
+# ---------------------------------------------------------------------------
+
+def test_pivot_sparse_cells_are_zero(spark, tmp_path):
+    from bytewax_iceberg_connector_spark.plans.relational import pivot_event_types
+
+    # bucket 1 has only clicks; every other declared type must read 0
+    spark.createDataFrame(
+        [(1, "click"), (1, "click"), (2, "view")],
+        "user_id BIGINT, event_type STRING",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    rows = {r["user_bucket"]: r for r in pivot_event_types(spark, str(tmp_path)).collect()}
+    assert rows[1]["n_click"] == 2
+    assert rows[1]["n_purchase"] == 0 and rows[1]["n_view"] == 0
+    assert rows[2]["n_view"] == 1 and rows[2]["n_click"] == 0
+
+
+# ---------------------------------------------------------------------------
+# salted_join: fact-preserving joins only
+# ---------------------------------------------------------------------------
+
+def test_salted_join_rejects_outer_dims(spark):
+    facts = spark.createDataFrame([(1, "a")], "k INT, x STRING")
+    dims = spark.createDataFrame([(1, "d")], "k INT, d STRING")
+    for how in ("right", "rightouter", "full", "outer", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(facts, dims, on="k", how=how)
+
+
+def test_salted_join_left_outer_matches_plain(spark):
+    facts = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k INT, x STRING"
+    )
+    dims = spark.createDataFrame([(1, "d1"), (2, "d2")], "k INT, d STRING")
+    got = sorted(
+        (r["k"], r["x"], r["d"])
+        for r in salted_join(facts, dims, on="k", n_salts=4, how="left").collect()
+    )
+    want = sorted(
+        (r["k"], r["x"], r["d"]) for r in facts.join(dims, "k", "left").collect()
+    )
+    assert got == want  # unmatched fact k=3 appears exactly once, with null
+
+
+# ---------------------------------------------------------------------------
+# stateful: TTL derives from the watermark param; key dtype from the schema
+# ---------------------------------------------------------------------------
+
+def test_duration_ms_parses_spark_intervals():
+    assert duration_ms("2 hours") == 2 * 3600 * 1000
+    assert duration_ms("30 minutes") == 30 * 60 * 1000
+    assert duration_ms("1 day") == 86_400_000
+    assert duration_ms("45 seconds") == 45_000
+    with pytest.raises(ValueError):
+        duration_ms("fortnight")
+
+
+def test_dedup_first_seen_string_key_schema(spark, tmp_path):
+    """Key dtype derives from the input schema — a string key column used
+    to break against the hardcoded LongType output field."""
+    src = tmp_path / "ev"
+    spark.createDataFrame(
+        [("click", _ts(5)), ("click", _ts(1)), ("view", _ts(2))],
+        "event_type STRING, ts TIMESTAMP",
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("event_type STRING, ts TIMESTAMP").parquet(
+        str(src)
+    )
+    out = dedup_first_seen(stream, key_col="event_type", ts_col="ts",
+                           watermark="30 minutes")
+    assert dict(out.dtypes)["event_type"] == "string"
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_strkey")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["event_type"]: r["first_ts"] for r in spark.table("dedup_strkey").collect()}
+    assert got == {"click": _ts(1), "view": _ts(2)}
