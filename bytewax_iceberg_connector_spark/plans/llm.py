@@ -305,19 +305,25 @@ SELECT vec_a, vec_b, cos_sim FROM (
 # ---------------------------------------------------------------------------
 
 _TOPK = 5
+#: max queries per broadcast chunk row — bounds collect_list row size to
+#: _QCHUNK·dim·8 B regardless of how large the query set grows
+_QCHUNK = 256
 
 
 def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for every 50th vector, block-GEMM style.
 
-    The query matrix (|Q|×64, small by construction) broadcasts as ONE
-    aggregated row; candidate vectors group into 512-row tiles; each task
-    scores a whole |Q|×512 tile with a single numpy matmul and emits only
-    its per-tile top-k per query — the global top-k over q_id then sees
-    |tiles|·|Q|·k rows, not |Q|·|N|. Per-tile top-k under the same
-    (score DESC, neighbor_id ASC) comparator is lossless for global top-k.
-    At 100 TB swap in similarity_ann_lsh's bucketed candidates; this exact
-    form is the recall oracle.
+    The query matrix broadcasts in BOUNDED chunks of ``_QCHUNK`` queries
+    (not one aggregated row): each chunk row stays ≤ _QCHUNK·dim·8 B
+    (~128 KiB at dim 64), so a growing query set widens the broadcast by
+    adding rows instead of marching one row toward the 2 GiB row limit.
+    Candidate vectors group into 512-row tiles; each task scores a whole
+    chunk×512 tile with a single numpy matmul and emits only its per-tile
+    top-k per query — the global top-k over q_id then sees |tiles|·k rows
+    per query, not |N|. Per-tile top-k under the same (score DESC,
+    neighbor_id ASC) comparator is lossless for global top-k. At 100 TB
+    swap in similarity_ann_lsh's bucketed candidates; this exact form is
+    the recall oracle.
     """
     import numpy as np
     import pandas as pd
@@ -327,12 +333,12 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qblock = (
         emb.where(F.col("vec_id") % 50 == 0)
-        .groupBy(F.lit(1).alias("g"))
+        .groupBy((F.col("vec_id") / (50 * _QCHUNK)).cast("int").alias("qg"))
         .agg(
             F.collect_list("vec_id").alias("q_ids"),
             F.collect_list("embedding").alias("q_vecs"),
         )
-        .drop("g")
+        .drop("qg")
     )
     blocks = (
         emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
@@ -457,16 +463,26 @@ _IVF_PROBES = 3    # cells probed per query
 
 
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN, IVF-flat: deterministic centroid seeds → every vector
-    assigned to its nearest centroid (one GEMM per 512-row tile against the
-    broadcast centroid matrix) → queries probe their 3 nearest cells → exact
-    cosine within probed cells → top-5.
+    """Approximate NN, IVF-flat: deterministic centroid seeds → ONE
+    assignment GEMM per 512-row tile against the broadcast centroid matrix,
+    emitting each vector's ``_IVF_PROBES`` nearest cells as NARROW
+    (vec_id, cell, rnk) rows → members = rank-0 rows, query probes = all
+    ranks of every 50th vector → candidate join on cell id ships ids only
+    → exact cosine within probed cells (vectors joined in AFTER candidate
+    dedup, broadcast on the small query side) → top-5.
+
+    One corpus-wide GEMM pass total: the 1-probe member assignment is the
+    first column of the 3-probe result, so there is no second scan, and the
+    full-corpus probe pass never happens — non-query vectors contribute
+    only their rank-0 row to the join. Embeddings NEVER enter the cell
+    shuffle (the ann_lsh narrow-shuffle discipline).
 
     IVF vs sign-LSH (similarity_ann_lsh): LSH is data-independent (fixed
     hyperplanes — zero training, predictable buckets); IVF adapts cells to
     the data distribution, giving better candidate quality on clustered
-    corpora at the cost of a centroid pass. At 100 TB the centroid set stays
-    O(√N)·dim ≪ memory, assignment is a linear scan (GEMM-bound), and the
+    corpora at the cost of a centroid pass. At 100 TB the centroid count is
+    a capped tunable (K ≤ ~2^18 in practice, K·dim·8 B ≤ 128 MiB broadcast
+    — NOT O(N)), assignment is a linear scan (GEMM-bound), and the
     candidate join shuffles on cell id — skewed cells are the risk, so cap
     cell size / split hot cells (the IVF analogue of key salting).
 
@@ -498,46 +514,57 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = blocks.crossJoin(F.broadcast(cblock))
 
-    def _assign(n_cells: int):
-        """Tile kernel: nearest `n_cells` centroid ids per vector (cosine)."""
+    def _assign(batches):
+        """Tile kernel: the `_IVF_PROBES` nearest centroid ids per vector,
+        ranked — rank 0 is the member cell, ranks 0..P-1 are the probe set.
+        Output is ids-only; the vectors stay behind in the scan."""
+        for pdf in batches:
+            out_v, out_c, out_r = [], [], []
+            for r in pdf.itertuples(index=False):
+                ids = np.asarray(r.ids, dtype=np.int64)
+                c_ids = np.asarray(r.c_ids, dtype=np.int64)
+                E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
+                C = np.asarray([np.asarray(v, dtype=np.float64) for v in r.c_vecs])
+                ne = np.sqrt((E * E).sum(axis=1))
+                nc = np.sqrt((C * C).sum(axis=1))
+                cos = (E @ C.T) / np.outer(ne, nc)
+                k = min(_IVF_PROBES, cos.shape[1])
+                near = np.argsort(-cos, axis=1)[:, :k]
+                for i in range(len(ids)):
+                    for rnk, j in enumerate(near[i]):
+                        out_v.append(ids[i])
+                        out_c.append(c_ids[j])
+                        out_r.append(rnk)
+            yield pd.DataFrame({"vec_id": out_v, "cell": out_c, "rnk": out_r})
 
-        def _k(batches):
-            for pdf in batches:
-                out_v, out_c, out_e = [], [], []
-                for r in pdf.itertuples(index=False):
-                    ids = np.asarray(r.ids, dtype=np.int64)
-                    c_ids = np.asarray(r.c_ids, dtype=np.int64)
-                    E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
-                    C = np.asarray([np.asarray(v, dtype=np.float64) for v in r.c_vecs])
-                    ne = np.sqrt((E * E).sum(axis=1))
-                    nc = np.sqrt((C * C).sum(axis=1))
-                    cos = (E @ C.T) / np.outer(ne, nc)
-                    k = min(n_cells, cos.shape[1])
-                    near = np.argsort(-cos, axis=1)[:, :k]
-                    for i in range(len(ids)):
-                        for j in near[i]:
-                            out_v.append(ids[i])
-                            out_c.append(c_ids[j])
-                            out_e.append(r.vecs[i])
-                yield pd.DataFrame({"vec_id": out_v, "cell": out_c, "e": out_e})
-
-        return _k
-
-    assign_schema = "vec_id BIGINT, cell BIGINT, e ARRAY<DOUBLE>"
-    assigned = tiles.mapInPandas(_assign(1), schema=assign_schema)
-    probes = (
-        tiles.mapInPandas(_assign(_IVF_PROBES), schema=assign_schema)
-        .where(F.col("vec_id") % 50 == 0)
-        .select(F.col("vec_id").alias("q_id"), "cell", F.col("e").alias("qe"))
+    # the assignment table IS the IVF index: persist the narrow (id, cell,
+    # rnk) rows — ~20 B/vector·probe — so the member and probe branches of
+    # the join read ONE materialization of the GEMM instead of re-running
+    # the corpus scan per branch (at 100 TB this table is what you'd write
+    # to the lake as the index, amortizing it across every query batch)
+    assigned = tiles.mapInPandas(
+        _assign, schema="vec_id BIGINT, cell BIGINT, rnk INT"
+    ).persist()
+    members = assigned.where(F.col("rnk") == 0).select("vec_id", "cell")
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "cell"
     )
-    cand = (
-        probes.join(assigned, "cell")
+    pairs = (
+        probes.join(members, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
-        .dropDuplicates(["q_id", "vec_id"])
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        .dropDuplicates()
+    )
+    e_wide = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    qe = e_wide.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    cand = pairs.join(F.broadcast(qe), "q_id").join(
+        e_wide.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     )
     scored = cand.select(
         "q_id",
-        F.col("vec_id").alias("neighbor_id"),
+        "neighbor_id",
         F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())

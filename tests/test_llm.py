@@ -67,6 +67,25 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(ivf & exact) / len(exact) >= 0.2
 
 
+def test_topk_query_chunking_is_lossless(spark, sf_dir, monkeypatch):
+    """The bounded query-block broadcast (``_QCHUNK``) must not change
+    results: forcing many tiny chunks — the oversized-query-set regime,
+    where one collect_list row would blow past its size budget — yields
+    exactly the default answer, row for row."""
+    from bytewax_iceberg_connector_spark.plans import llm
+
+    want = sorted(
+        (r.q_id, r.rank, r.neighbor_id, r.score)
+        for r in llm.similarity_topk(spark, sf_dir).collect()
+    )
+    monkeypatch.setattr(llm, "_QCHUNK", 2)  # ≥ ceil(|Q|/2) chunk rows
+    got = sorted(
+        (r.q_id, r.rank, r.neighbor_id, r.score)
+        for r in llm.similarity_topk(spark, sf_dir).collect()
+    )
+    assert got == want
+
+
 def test_resize_and_features_shapes(spark, sf_dir):
     """Resize emits width·height·channels bytes; features are unit-norm
     vectors of the requested dim; both deterministic across runs."""
