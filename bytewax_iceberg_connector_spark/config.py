@@ -130,12 +130,40 @@ class IcebergSinkConfig(BaseModel):
         if self.warehouse_path:
             conf[f"{base}.warehouse"] = self.warehouse_path
         for k, v in self.extra_options.items():
+            if k == "rows_per_file_hint":  # sink-local knob, not catalog conf
+                continue
             conf[f"{base}.{k}"] = str(v)
         return conf
 
     def trigger(self) -> dict[str, str]:
         """Streaming trigger kwargs (A4's time-based flush condition)."""
         return {"processingTime": f"{self.batch_interval_seconds} seconds"}
+
+    def source_admission_options(self, source_format: str) -> dict[str, str]:
+        """Compile ``batch_size`` (A4's count-based flush condition,
+        connector.py:187-191) into the per-trigger source admission cap —
+        Spark has no sink-side count trigger, so the cap is applied where
+        Spark meters records: at the source.
+
+        - record-metered sources (kafka): ``maxOffsetsPerTrigger`` =
+          batch_size, an exact record cap;
+        - file sources (parquet/json/csv/orc/avro/text): ``maxFilesPerTrigger``
+          ≈ batch_size / rows-per-file; files are the admission unit, so the
+          cap is approximate — tune ``extra_options['rows_per_file_hint']``
+          (default 10_000) to the table's file sizing;
+        - unknown sources: no cap (empty dict).
+
+        Apply to the ``readStream`` that feeds the sink; write_stream then
+        flushes every micro-batch, completing the "N records OR T seconds"
+        envelope.
+        """
+        fmt = source_format.lower()
+        if fmt == "kafka":
+            return {"maxOffsetsPerTrigger": str(self.batch_size)}
+        if fmt in {"parquet", "json", "csv", "orc", "avro", "text"}:
+            hint = int(self.extra_options.get("rows_per_file_hint", 10_000))
+            return {"maxFilesPerTrigger": str(max(1, self.batch_size // hint))}
+        return {}
 
     def table_properties(self) -> dict[str, str]:
         return {

@@ -6,35 +6,49 @@ buffer/flush machinery (147-259), partition-key grouping (261-335),
 checkpoint state (337-350), table load/create (358-393).
 
 What is deliberately NOT ported (SURVEY.md §7): the buffer/retry/snapshot
-machinery. Spark's micro-batch planner + file-sink manifest (or Iceberg's
-snapshot commit) + checkpointLocation subsume A4/A5/A7/A8 with a *stronger*
-guarantee — replayable source offsets + atomic commits give exactly-once
-without serializing an in-flight buffer (the reference's
+machinery. Spark's micro-batch planner + snapshot commits + checkpointLocation
+subsume A4/A5/A7/A8 with a *stronger* guarantee — replayable source offsets +
+atomic commits + committed-batch-id dedup give exactly-once (the reference's
 ``last_committed_batch`` dedup is declared but never updated,
-connector.py:137, so its exactly-once is aspirational).
+connector.py:137, so its exactly-once is aspirational; ours executes —
+operators/snapshots.py).
 
 Two backends behind one API:
 - **iceberg** (when iceberg-spark-runtime is on the classpath): real hidden
   partitioning, snapshot commits, `commit.retry.num-retries` for the
-  reference's optimistic-commit loop (connector.py:242-257).
+  reference's optimistic-commit loop (connector.py:242-257), MERGE INTO,
+  `VERSION AS OF` time travel. Exercised by tests/test_iceberg_backend.py
+  whenever the runtime is present (no network/jar in the CI container —
+  the suite is capability-gated, not skipped by choice).
 - **parquet warehouse** (always available; the test default): hive-style
-  layout under ``warehouse/table`` with partition transforms from
-  operators/partitioning.py materialized as ``_p_*`` directory columns —
-  same co-location and pruning properties, minus snapshot isolation.
+  layout under ``warehouse/table/data/_c=<commit>/`` with partition
+  transforms from operators/partitioning.py materialized as ``_p_*``
+  directory columns, PLUS a real snapshot log (operators/snapshots.py)
+  giving the same co-location/pruning properties AND atomic commits,
+  snapshot isolation, time travel, rollback and streaming exactly-once —
+  so the Iceberg *contract* is proven under test even where the runtime
+  cannot load.
 
 Scale: the append path repartitions by partition key before writing
 (`write.distribution-mode=hash` equivalent) so 1000 executors produce
 |partitions| files per commit, not |executors|×|partitions| small files.
+Snapshot JSONs carry the cumulative commit list — O(commits); real Iceberg's
+manifest lists make this O(1), the documented small-scale trade-off.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 from ..config import IcebergSinkConfig
+from .merge import merge_upsert
 from .partitioning import PartitionField, partition_columns, partition_key
+from .snapshots import SnapshotLog
 
 
 def iceberg_runtime_available(spark: SparkSession) -> bool:
@@ -46,14 +60,27 @@ def iceberg_runtime_available(spark: SparkSession) -> bool:
         return False
 
 
+def _sort_exprs(sort_order: list[str]):
+    """Compile config.sort_order entries ('col' | 'col desc') to Columns."""
+    out = []
+    for s in sort_order:
+        parts = s.split()
+        c = F.col(parts[0])
+        if len(parts) > 1 and parts[1].lower() in ("desc", "descending"):
+            c = c.desc()
+        out.append(c)
+    return out
+
+
 class LakeSink:
     """A1 ``IcebergSink`` equivalent: batch append + streaming micro-batch.
 
     The reference's ``num_partitions`` fixed writer fan-out (A2 list_parts,
     connector.py:456-468) maps to ``repartition(num_partitions, keys)``; its
     dual size/time flush trigger (A4, connector.py:187-191) maps to the
-    streaming trigger interval (time) — Spark has no per-record count
-    trigger, the documented semantic gap.
+    streaming trigger interval (time) + the source admission cap compiled
+    from ``batch_size`` (config.source_admission_options) — together the
+    same "flush at N records or T seconds" envelope.
     """
 
     def __init__(self, spark: SparkSession, config: IcebergSinkConfig) -> None:
@@ -81,27 +108,53 @@ class LakeSink:
 
     @property
     def _path(self) -> str:
+        # config.location wins when declared (reference connector.py:380-386
+        # creates at an explicit location); else warehouse/db/table
+        if self.config.location:
+            return self.config.location
         wh = self.config.warehouse_path or "/tmp/bic_spark_warehouse"
         return os.path.join(wh, *self.config.table_name.split("."))
+
+    @property
+    def _log(self) -> SnapshotLog:
+        return SnapshotLog(self._path)
 
     def table_exists(self) -> bool:
         if self.backend == "iceberg":
             return self.spark.catalog.tableExists(self._qualified)
-        return os.path.isdir(self._path) and bool(os.listdir(self._path))
+        return self._log.exists()
 
     # -- A9: load-or-create ------------------------------------------------
 
-    def ensure_table(self, like: DataFrame) -> None:
-        """Create the table if missing (A9, connector.py:358-393): schema
-        from ``like``, hidden partition spec from config. No-op when present.
+    def _declared_schema(self) -> StructType | None:
+        """Schema from config.table_schema DDL (A9: the reference creates
+        from the declared schema when the table is missing,
+        connector.py:380-392)."""
+        if not self.config.table_schema:
+            return None
+        return StructType.fromDDL(self.config.table_schema)
 
-        Parity note: the reference raises when the table is missing AND no
-        schema was declared (connector.py:389-392); here the DataFrame being
-        written always carries its schema, strictly removing that failure
-        mode.
+    def ensure_table(self, like: DataFrame | None = None) -> None:
+        """Create the table if missing (A9, connector.py:358-393): schema
+        from ``like`` when given, else from ``config.table_schema``; hidden
+        partition spec + sort order from config. No-op when present.
+
+        Parity note: like the reference (connector.py:389-392) this raises
+        when the table is missing AND no schema is derivable; unlike the
+        reference the write path always has a DataFrame, so that failure
+        mode only exists for explicit schema-less ensure_table() calls.
         """
         if self.table_exists():
             return
+        if like is None:
+            declared = self._declared_schema()
+            if declared is None:
+                raise ValueError(
+                    "table is missing and no schema is available: pass a "
+                    "DataFrame or set config.table_schema (reference "
+                    "connector.py:389-392 parity)"
+                )
+            like = self.spark.createDataFrame([], declared)
         if self.backend == "iceberg":
             from pyspark.sql.functions import col, days, hours, months, years
 
@@ -116,36 +169,141 @@ class LakeSink:
             if parts:
                 writer = writer.partitionedBy(*parts)
             writer.create()
-        else:
-            os.makedirs(self._path, exist_ok=True)
-            keyed = partition_key(like.limit(0), self._spec)
-            pcols = partition_columns(self._spec)
-            w = keyed.write.mode("append")
-            if pcols:
-                w = w.partitionBy(*pcols)
-            w.parquet(self._path)
+            if self.config.sort_order:
+                # reference applies sort_order at creation (connector.py:
+                # 382-392); Iceberg's writer then sorts every future append
+                order = ", ".join(self.config.sort_order)
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified} WRITE ORDERED BY ({order})"
+                )
+            return
+        keyed = partition_key(like.limit(0), self._spec)
+        self._log.init_table(
+            {
+                "table_name": self.config.table_name,
+                "schema_json": keyed.schema.jsonValue(),
+                "partition_spec": [
+                    [f.source, f.transform, f.field_name] for f in self._spec
+                ],
+                "sort_order": self.config.sort_order or [],
+                "properties": self.config.table_properties(),
+            }
+        )
 
     # -- A1/A4/A5: batch append -------------------------------------------
 
-    def append(self, df: DataFrame) -> None:
+    def append(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Atomic-append a batch (the reference's _flush, collapsed).
 
         Partition-key grouping (A6) + per-group Arrow write + commit (A5)
         become: compute transform columns → hash-repartition on them →
-        columnar write. Iceberg backend commits one snapshot; parquet
-        backend relies on Spark's output-committer (task-temp + rename).
+        (sort within partitions per config.sort_order) → columnar write →
+        ONE snapshot commit (operators/snapshots.py), optimistic-retried
+        exactly like the reference's commit loop (connector.py:242-257).
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
             df.writeTo(self._qualified).append()
             return
+        self._write_commit(df, operation="append", batch_id=batch_id)
+
+    def overwrite(self, df: DataFrame) -> None:
+        """Replace the table contents in one snapshot (the copy-on-write
+        commit MERGE compiles to on the parquet backend)."""
+        self.ensure_table(df)
+        if self.backend == "iceberg":
+            df.writeTo(self._qualified).createOrReplace()
+            return
+        self._write_commit(df, operation="overwrite")
+
+    def _write_commit(self, df: DataFrame, operation: str,
+                      batch_id: int | None = None) -> None:
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
+        keyed = keyed.repartition(self.config.num_partitions, *pcols) if pcols \
+            else keyed.repartition(self.config.num_partitions)
+        if self.config.sort_order:
+            # file-level ordering: Iceberg's WRITE ORDERED BY analogue —
+            # sorted row groups → tighter min/max stats → better file skips.
+            # Partition columns lead the sort: the partitioned-file writer
+            # requires its output ordered by them and would inject its OWN
+            # sort (clobbering ours) if the order didn't already satisfy it
+            keyed = keyed.sortWithinPartitions(
+                *pcols, *_sort_exprs(self.config.sort_order)
+            )
+        name, path = self._log.new_commit_dir()
+        w = keyed.write.mode("errorifexists")
         if pcols:
-            keyed = keyed.repartition(self.config.num_partitions, *pcols)
-            keyed.write.mode("append").partitionBy(*pcols).parquet(self._path)
-        else:
-            keyed.repartition(self.config.num_partitions).write.mode("append").parquet(self._path)
+            w = w.partitionBy(*pcols)
+        w.parquet(path)
+        self._log.commit(
+            operation, [name],
+            overwrite=(operation == "overwrite"), batch_id=batch_id,
+        )
+
+    # -- MERGE (row-level upsert) -----------------------------------------
+
+    def merge(self, updates: DataFrame, keys: list[str],
+              tiebreak: str | None = None) -> None:
+        """MERGE INTO this table: matched keys update, unmatched insert.
+
+        iceberg backend: the real ``MERGE INTO`` statement (copy-on-write /
+        merge-on-read per table properties, file-level pruning for free).
+        parquet backend: read head snapshot → operators/merge.merge_upsert
+        → one overwrite commit — the same copy-on-write plan Iceberg builds
+        internally, with time travel preserved (the pre-merge snapshot
+        remains readable via read(as_of=...)).
+        """
+        if self.backend == "iceberg":
+            updates.createOrReplaceTempView("_bic_merge_src")
+            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+            self.spark.sql(
+                f"MERGE INTO {self._qualified} t USING _bic_merge_src s "
+                f"ON {cond} "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *"
+            )
+            return
+        current = self.read()
+        data_cols = [c for c in current.columns if not c.startswith("_p_")]
+        merged = merge_upsert(
+            current.select(*data_cols), updates.select(*data_cols),
+            keys, tiebreak=tiebreak,
+        )
+        self.overwrite(merged)
+
+    # -- time travel / maintenance ----------------------------------------
+
+    def snapshots(self) -> DataFrame:
+        """The table's snapshot history (Iceberg's ``<table>.snapshots``
+        metadata table; the snapshot-log equivalent on parquet)."""
+        if self.backend == "iceberg":
+            return self.spark.sql(
+                f"SELECT snapshot_id, parent_id, committed_at, operation "
+                f"FROM {self._qualified}.snapshots"
+            )
+        rows = [
+            (s["snapshot_id"], s.get("parent_id"), s["timestamp_ms"],
+             s["operation"], s.get("batch_id"), len(s["live"]))
+            for s in self._log.snapshots()
+        ]
+        return self.spark.createDataFrame(
+            rows,
+            "snapshot_id BIGINT, parent_id BIGINT, timestamp_ms BIGINT, "
+            "operation STRING, batch_id BIGINT, n_live_commits INT",
+        )
+
+    def rollback(self, snapshot_id: int) -> None:
+        """Restore an earlier snapshot's live set as a NEW snapshot (history
+        is append-only — Iceberg's rollback_to_snapshot semantics)."""
+        if self.backend == "iceberg":
+            cat = self.config.catalog_name
+            self.spark.sql(
+                f"CALL {cat}.system.rollback_to_snapshot"
+                f"('{self.config.table_name}', {snapshot_id})"
+            )
+            return
+        self._log.commit("rollback", [], rollback_to=snapshot_id)
 
     # -- streaming path (A1 streaming + A7 checkpoint) ---------------------
 
@@ -154,9 +312,13 @@ class LakeSink:
         """Micro-batch streaming write with exactly-once checkpointing.
 
         The reference checkpoints its unflushed buffer (A7); Spark instead
-        replays from source offsets recorded in ``checkpointLocation`` and
-        the file-sink manifest / Iceberg snapshot makes re-commits
-        idempotent — the strictly stronger guarantee (SURVEY.md §3.3).
+        replays from source offsets recorded in ``checkpointLocation``, and
+        the snapshot commit records each micro-batch's id — a replayed
+        batch (restart after commit, before checkpoint ack) is detected in
+        the log and skipped, closing the duplicate window the reference's
+        never-updated ``last_committed_batch`` leaves open
+        (connector.py:137). Iceberg's native streaming sink carries the
+        same batch-id dedup in its snapshot summaries.
 
         ``trigger_override`` replaces the config's processing-time trigger
         (e.g. ``{"availableNow": True}`` to drain a bounded source).
@@ -170,32 +332,44 @@ class LakeSink:
                 .option("checkpointLocation", checkpoint)
                 .toTable(self._qualified)
             )
-        keyed = partition_key(df, self._spec)
-        pcols = partition_columns(self._spec)
-        writer = (
-            keyed.writeStream.format("parquet")
-            .outputMode("append")
+
+        def _commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if self.table_exists() and epoch_id in self._log.committed_batch_ids():
+                return  # replayed micro-batch — already committed
+            self.append(batch_df, batch_id=epoch_id)
+
+        return (
+            df.writeStream.foreachBatch(_commit_batch)
             .trigger(**trigger)
-            .option("path", self._path)
             .option("checkpointLocation", checkpoint)
+            .start()
         )
-        if pcols:
-            writer = writer.partitionBy(*pcols)
-        return writer.start()
 
     # -- read-back ---------------------------------------------------------
 
-    def read(self, merge_schema: bool = False) -> DataFrame:
-        """Read the table back; ``merge_schema=True`` unions schemas across
-        files so batches appended with ADDED columns surface (nulls for
-        older rows) — the additive schema evolution the reference forbids
-        ("Static schemas only", reference README.md:68). Iceberg handles
-        this through table metadata; the parquet backend pays a footer
-        merge pass, so keep it off for fixed-schema hot paths.
+    def read(self, merge_schema: bool = False,
+             as_of: int | None = None) -> DataFrame:
+        """Read the table; ``as_of`` pins a snapshot id (time travel —
+        Iceberg ``VERSION AS OF``); ``merge_schema=True`` unions schemas
+        across files so batches appended with ADDED columns surface (nulls
+        for older rows) — the additive schema evolution the reference
+        forbids ("Static schemas only", reference README.md:68). Iceberg
+        handles this through table metadata; the parquet backend pays a
+        footer merge pass, so keep it off for fixed-schema hot paths.
         """
         if self.backend == "iceberg":
+            if as_of is not None:
+                return self.spark.sql(
+                    f"SELECT * FROM {self._qualified} VERSION AS OF {as_of}"
+                )
             return self.spark.table(self._qualified)
-        reader = self.spark.read
+        dirs = self._log.commit_paths(as_of)
+        if not dirs:
+            schema = StructType.fromJson(self._log.table_meta()["schema_json"])
+            return self.spark.createDataFrame([], schema)
+        reader = self.spark.read.option("basePath", self._log.data_dir)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(self._path)
+        # `_c` is the commit-dir partition component — implementation
+        # detail, dropped from the user-visible schema
+        return reader.parquet(*dirs).drop("_c")

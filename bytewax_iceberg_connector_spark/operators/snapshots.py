@@ -1,0 +1,180 @@
+"""Snapshot/metadata log for the parquet-warehouse backend — a miniature
+Iceberg table format, so the fallback proves the SAME contract the real
+runtime provides: atomic commits, optimistic retry, snapshot isolation,
+time travel, rollback, and streaming batch-id dedup (exactly-once).
+
+Reference parity: the reference's optimistic commit loop retries
+``table.append`` on ``CommitFailedException`` (connector.py:242-257) and
+*declares* a ``last_committed_batch`` exactly-once dedup it never updates
+(connector.py:137). Here both are real: commits race on an atomic
+version-file create and retry against the refreshed head; committed batch
+ids are recorded in snapshot metadata and replayed batches are skipped.
+
+Design (Iceberg's HadoopTableOperations in miniature):
+- data files live under ``data/_c=<commit>/...`` — the commit id is a
+  partition-style directory so Spark's file index parses it uniformly
+  (``basePath=data`` → `_c` surfaces as a droppable partition column);
+- each snapshot is ``metadata/v<N>.json`` holding the FULL live commit
+  list (real Iceberg uses manifest lists for O(1) snapshot metadata; the
+  cumulative list is the honest small-scale stand-in, noted here so the
+  trade-off is explicit);
+- the head is ``max(N)``; committing is "write tmp, hard-link to
+  v<head+1>.json" — ``os.link`` is atomic-exclusive, so two writers
+  racing produce one winner and one ``FileExistsError`` → the loser
+  recomputes its live set against the new head and retries (snapshot
+  isolation: readers holding an older N never see half a commit).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+
+class CommitConflict(RuntimeError):
+    """Raised when the optimistic commit loop exhausts its retries."""
+
+
+class SnapshotLog:
+    """Version-file snapshot log rooted at ``<table>/metadata``."""
+
+    def __init__(self, table_path: str) -> None:
+        self.table_path = table_path
+        self.meta_dir = os.path.join(table_path, "metadata")
+        self.data_dir = os.path.join(table_path, "data")
+
+    # -- identity ----------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isfile(os.path.join(self.meta_dir, "table.json"))
+
+    def init_table(self, table_meta: dict) -> None:
+        """Create the table skeleton (idempotent): data/ + metadata/ and the
+        static table descriptor (schema, partition spec, sort order)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.meta_dir, exist_ok=True)
+        path = os.path.join(self.meta_dir, "table.json")
+        if not os.path.exists(path):
+            self._atomic_write(path, table_meta)
+
+    def table_meta(self) -> dict:
+        with open(os.path.join(self.meta_dir, "table.json")) as f:
+            return json.load(f)
+
+    # -- snapshot access ---------------------------------------------------
+
+    def current_id(self) -> int:
+        """Highest committed snapshot id; 0 = empty table."""
+        try:
+            names = os.listdir(self.meta_dir)
+        except FileNotFoundError:
+            return 0
+        ids = [
+            int(n[1:-5]) for n in names
+            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
+        ]
+        return max(ids, default=0)
+
+    def snapshot(self, snapshot_id: int) -> dict:
+        with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        """All snapshots, ascending — the ``<table>.snapshots`` metadata
+        table of the iceberg backend."""
+        return [self.snapshot(i) for i in range(1, self.current_id() + 1)]
+
+    def live_commits(self, snapshot_id: int | None = None) -> list[str]:
+        """Commit dir names visible at ``snapshot_id`` (default: head)."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        if sid == 0:
+            return []
+        return self.snapshot(sid)["live"]
+
+    def commit_paths(self, snapshot_id: int | None = None) -> list[str]:
+        return [os.path.join(self.data_dir, c)
+                for c in self.live_commits(snapshot_id)]
+
+    def committed_batch_ids(self) -> set[int]:
+        """Batch ids recorded by streaming commits — the replay-dedup set."""
+        return {
+            s["batch_id"] for s in self.snapshots() if s.get("batch_id") is not None
+        }
+
+    # -- commit protocol ---------------------------------------------------
+
+    def new_commit_dir(self) -> tuple[str, str]:
+        """Reserve a fresh commit directory (name, absolute path). The
+        ``_c=`` prefix makes it a partition-style path component."""
+        name = f"_c={uuid.uuid4().hex[:16]}"
+        return name, os.path.join(self.data_dir, name)
+
+    def commit(
+        self,
+        operation: str,
+        added: list[str],
+        *,
+        overwrite: bool = False,
+        rollback_to: int | None = None,
+        batch_id: int | None = None,
+        retries: int = 3,
+    ) -> int:
+        """Commit a snapshot; returns its id.
+
+        ``operation``: append | overwrite | rollback (audit field).
+        ``overwrite=True`` replaces the live set with ``added``;
+        ``rollback_to`` restores the live set of an earlier snapshot.
+        The loop re-reads the head each attempt, so a concurrent winner's
+        appends are preserved (append-over-append composes; overwrite is
+        latest-wins, the documented simplification of Iceberg's
+        serializable validation).
+        """
+        for _ in range(retries + 1):
+            head = self.current_id()
+            if rollback_to is not None:
+                live = list(self.live_commits(rollback_to))
+            elif overwrite:
+                live = list(added)
+            else:
+                live = self.live_commits(head) + list(added)
+            snap = {
+                "snapshot_id": head + 1,
+                "parent_id": head or None,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": operation,
+                "added": list(added),
+                "live": live,
+                "batch_id": batch_id,
+            }
+            try:
+                self._atomic_create(
+                    os.path.join(self.meta_dir, f"v{head + 1}.json"), snap
+                )
+                return head + 1
+            except FileExistsError:
+                continue  # lost the race — recompute against the new head
+        raise CommitConflict(
+            f"commit of {operation} lost the version race {retries + 1} times"
+        )
+
+    # -- file primitives ---------------------------------------------------
+
+    def _atomic_write(self, path: str, obj: dict) -> None:
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        os.replace(tmp, path)
+
+    def _atomic_create(self, path: str, obj: dict) -> None:
+        """Create ``path`` exclusively: hard-link a fully-written temp file
+        into place, so a reader never observes a partial snapshot and a
+        racing writer gets FileExistsError (the commit conflict signal)."""
+        tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(obj, f, indent=1)
+        try:
+            os.link(tmp, path)
+        finally:
+            os.unlink(tmp)

@@ -137,11 +137,66 @@ ORDER BY o_orderstatus
 """
 
 
+# ---------------------------------------------------------------------------
+# B23c: snapshot time travel — VERSION AS OF through the snapshot log
+# ---------------------------------------------------------------------------
+
+_TT_CUTOFF = "2024-01-15"
+
+
+def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two appends (events before/after a day cutoff), then read the table
+    PINNED at snapshot 1 and aggregate — proving the time-travel read sees
+    exactly the first commit, untouched by the second.
+
+    Runs the snapshot-log parquet backend here (operators/snapshots.py);
+    the iceberg backend takes the same call as ``VERSION AS OF``. The
+    oracle is the first batch's aggregate on the ORIGINAL table, so any
+    leakage from commit 2 (or loss from commit 1) hash-mismatches.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    warehouse = tempfile.mkdtemp(prefix="bic_tt_")
+    cfg = IcebergSinkConfig(
+        table_name="analytics.events_tt",
+        warehouse_path=warehouse,
+        num_partitions=4,
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(ev.where(F.col("ts") < _TT_CUTOFF))
+    sink.append(ev.where(F.col("ts") >= _TT_CUTOFF))
+    pinned = sink.read(as_of=1)
+    out = (
+        pinned.groupBy(F.col("_p_ts_day").cast("date").alias("p_day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+        )
+        .orderBy("p_day")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_TIME_TRAVEL = f"""
+SELECT CAST(DATE_TRUNC('day', ts) AS DATE) AS p_day,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct_ids
+FROM events
+WHERE ts < TIMESTAMP '{_TT_CUTOFF} 00:00:00'
+GROUP BY p_day
+ORDER BY p_day
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
     "merge_upsert_orders": merge_upsert_orders,
+    "snapshot_time_travel": snapshot_time_travel,
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
     "merge_upsert_orders": _SQL_MERGE,
+    "snapshot_time_travel": _SQL_TIME_TRAVEL,
 }

@@ -1,0 +1,241 @@
+"""Snapshot-log contract tests: atomic commits, time travel, rollback,
+MERGE copy-on-write, sort order, commit-conflict retry, streaming
+exactly-once batch dedup, and the batch_size source-admission cap.
+
+These run against the parquet-warehouse backend and prove the SAME
+contract the iceberg backend provides natively (tests/test_iceberg_backend.py
+exercises that branch whenever iceberg-spark-runtime is on the classpath)."""
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+from bytewax_iceberg_connector_spark.operators.snapshots import SnapshotLog
+
+
+@pytest.fixture()
+def batches(spark):
+    def mk(lo, hi):
+        return spark.createDataFrame(
+            [
+                Row(event_id=i, ts=dt.datetime(2024, 1, 1 + i % 3, 10), v=float(i))
+                for i in range(lo, hi)
+            ]
+        )
+
+    return mk(0, 10), mk(10, 30)
+
+
+def _sink(spark, tmp_path, **kw):
+    cfg = IcebergSinkConfig(
+        table_name="db.snap_events",
+        warehouse_path=str(tmp_path),
+        num_partitions=2,
+        partition_spec=[("ts", "day")],
+        **kw,
+    )
+    return LakeSink(spark, cfg)
+
+
+def test_time_travel_reads_pinned_snapshot(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    assert sink.read().count() == 30
+    assert sink.read(as_of=1).count() == 10
+    assert sink.read(as_of=2).count() == 30
+    # the pinned snapshot returns the exact first batch, not a prefix
+    assert sorted(r.event_id for r in sink.read(as_of=1).collect()) == list(range(10))
+
+
+def test_snapshot_history_is_append_only(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    snaps = sink.snapshots().orderBy("snapshot_id").collect()
+    assert [s.snapshot_id for s in snaps] == [1, 2]
+    assert [s.operation for s in snaps] == ["append", "append"]
+    assert snaps[0].parent_id is None and snaps[1].parent_id == 1
+    assert snaps[1].n_live_commits == 2
+
+
+def test_rollback_restores_old_live_set(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    sink.rollback(1)
+    assert sink.read().count() == 10
+    # history keeps growing — the rolled-back snapshot is still readable
+    assert sink.read(as_of=2).count() == 30
+    snaps = sink.snapshots().orderBy("snapshot_id").collect()
+    assert snaps[-1].operation == "rollback" and snaps[-1].snapshot_id == 3
+    # appends after rollback build on the restored set
+    sink.append(b2)
+    assert sink.read().count() == 30
+
+
+def test_overwrite_replaces_but_history_survives(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.overwrite(b2)
+    assert sink.read().count() == 20
+    assert sink.read(as_of=1).count() == 10
+
+
+def test_merge_is_copy_on_write_with_time_travel(spark, tmp_path, batches):
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    updates = spark.createDataFrame(
+        [
+            Row(event_id=3, ts=dt.datetime(2024, 1, 1, 10), v=999.0),   # matched
+            Row(event_id=77, ts=dt.datetime(2024, 1, 2, 10), v=-1.0),   # new
+        ]
+    )
+    sink.merge(updates, keys=["event_id"])
+    got = {r.event_id: r.v for r in sink.read().collect()}
+    assert len(got) == 11
+    assert got[3] == 999.0 and got[77] == -1.0 and got[4] == 4.0
+    # pre-merge state still readable (snapshot isolation across the merge)
+    pre = {r.event_id: r.v for r in sink.read(as_of=1).collect()}
+    assert pre[3] == 3.0 and 77 not in pre
+
+
+def test_sort_order_applies_at_file_level(spark, tmp_path, batches):
+    """config.sort_order must order rows INSIDE every data file (WRITE
+    ORDERED BY analogue): sorted row groups → usable min/max stats."""
+    import pyarrow.parquet as pq
+
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path, sort_order=["v desc"])
+    sink.append(b1.unionByName(b2))
+    data_dir = os.path.join(str(tmp_path), "db", "snap_events", "data")
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(data_dir) for f in fs if f.endswith(".parquet")
+    ]
+    assert files
+    for f in files:
+        vs = pq.read_table(f, columns=["v"]).column("v").to_pylist()
+        assert vs == sorted(vs, reverse=True)
+    # config round-trip: the declared order lands in table metadata
+    assert sink._log.table_meta()["sort_order"] == ["v desc"]
+
+
+def test_commit_conflict_retries_against_new_head(spark, tmp_path, batches):
+    """A concurrent winner taking the next version id must not abort or
+    clobber: the loser recomputes its live set against the new head —
+    the reference's optimistic commit loop (connector.py:242-257)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    log: SnapshotLog = sink._log
+    # simulate a concurrent writer claiming v2 (same live set, no-op commit)
+    log._atomic_create(
+        os.path.join(log.meta_dir, "v2.json"),
+        {"snapshot_id": 2, "parent_id": 1, "timestamp_ms": 0,
+         "operation": "append", "added": [], "live": log.live_commits(1),
+         "batch_id": None},
+    )
+    sink.append(b2)  # must land as v3, preserving v2's live set
+    assert log.current_id() == 3
+    assert sink.read().count() == 30
+    assert len(log.live_commits(3)) == 2
+
+
+def test_empty_table_from_declared_schema(spark, tmp_path):
+    """A9 parity: create-from-declared-schema when no DataFrame is at hand
+    (reference connector.py:380-392), and the missing-schema error path."""
+    cfg = IcebergSinkConfig(
+        table_name="db.declared",
+        warehouse_path=str(tmp_path),
+        table_schema="id BIGINT, ts TIMESTAMP",
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.ensure_table()
+    empty = sink.read()
+    assert empty.count() == 0
+    assert {"id", "ts", "_p_ts_day"} <= set(empty.columns)
+
+    bare = LakeSink(
+        spark, IcebergSinkConfig(table_name="db.noschema", warehouse_path=str(tmp_path))
+    )
+    with pytest.raises(ValueError, match="no schema"):
+        bare.ensure_table()
+
+
+def test_location_overrides_warehouse_layout(spark, tmp_path, batches):
+    b1, _ = batches
+    loc = str(tmp_path / "explicit_loc")
+    cfg = IcebergSinkConfig(
+        table_name="db.located", warehouse_path=str(tmp_path / "wh"), location=loc
+    )
+    LakeSink(spark, cfg).append(b1)
+    assert os.path.isdir(os.path.join(loc, "metadata"))
+
+
+def test_source_admission_options_compile():
+    cfg = IcebergSinkConfig(table_name="db.t", batch_size=5000)
+    assert cfg.source_admission_options("kafka") == {"maxOffsetsPerTrigger": "5000"}
+    assert cfg.source_admission_options("parquet") == {"maxFilesPerTrigger": "1"}
+    hinted = IcebergSinkConfig(
+        table_name="db.t", batch_size=5000,
+        extra_options={"rows_per_file_hint": 100},
+    )
+    assert hinted.source_admission_options("parquet") == {"maxFilesPerTrigger": "50"}
+    assert hinted.source_admission_options("socket") == {}
+    # the sink-local hint must not leak into catalog conf
+    assert not any("rows_per_file_hint" in k for k in hinted.spark_catalog_conf())
+
+
+def test_streaming_batch_cap_and_exactly_once(spark, tmp_path, batches):
+    """End-to-end A4+A7: the batch_size admission cap slices a 3-file
+    source into 3 micro-batches (3 snapshot commits, batch_ids 0..2), and
+    a full replay of the same epochs — restart-after-commit — is deduped
+    by the snapshot log's committed-batch-id set, not re-appended."""
+    b1, b2 = batches
+    src_dir = str(tmp_path / "src")
+    b1.unionByName(b2).repartition(3).write.parquet(src_dir)
+    n_files = len([f for f in os.listdir(src_dir) if f.endswith(".parquet")])
+    assert n_files == 3
+
+    cfg = IcebergSinkConfig(
+        table_name="db.stream_capped",
+        warehouse_path=str(tmp_path / "wh"),
+        batch_size=1,  # → maxFilesPerTrigger=1: one file per micro-batch
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    schema = b1.schema
+
+    def read_src():
+        reader = spark.readStream.schema(schema)
+        for k, v in cfg.source_admission_options("parquet").items():
+            reader = reader.option(k, v)
+        return reader.parquet(src_dir)
+
+    q = sink.write_stream(read_src(), str(tmp_path / "cp1"),
+                          trigger_override={"availableNow": True})
+    q.awaitTermination(120)
+    assert sink.read().count() == 30
+    snaps = sink.snapshots().orderBy("snapshot_id").collect()
+    assert len(snaps) == 3
+    assert sorted(s.batch_id for s in snaps) == [0, 1, 2]
+
+    # fresh checkpoint → Spark replays epochs 0..2 from scratch; every one
+    # must be skipped by the committed-batch-id dedup
+    q2 = sink.write_stream(read_src(), str(tmp_path / "cp2"),
+                           trigger_override={"availableNow": True})
+    q2.awaitTermination(120)
+    assert sink.read().count() == 30
+    assert sink.snapshots().count() == 3

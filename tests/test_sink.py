@@ -44,9 +44,14 @@ def test_append_and_readback(spark, tmp_path, events_df):
     assert sink.table_exists()
     back = sink.read()
     assert back.count() == 30
-    # hidden-partition layout on disk: one dir per day
-    table_dir = os.path.join(str(tmp_path), "db", "events")
-    dirs = [d for d in os.listdir(table_dir) if d.startswith("_p_ts_day=")]
+    # hidden-partition layout on disk: one commit dir, one dir per day in it
+    data_dir = os.path.join(str(tmp_path), "db", "events", "data")
+    commits = [d for d in os.listdir(data_dir) if d.startswith("_c=")]
+    assert len(commits) == 1
+    dirs = [
+        d for d in os.listdir(os.path.join(data_dir, commits[0]))
+        if d.startswith("_p_ts_day=")
+    ]
     assert len(dirs) == 3
 
 
