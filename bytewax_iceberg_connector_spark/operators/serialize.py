@@ -87,19 +87,36 @@ class ParquetSerDe(IcebergSerDe):
     this demotion exists for *parity and interop* — natively the engine keeps
     nested types first-class (see plans/llm.py multimodal queries), which is
     the deliberate upgrade over the reference.
+
+    ``target_schema`` ({column: Spark type DDL}) coerces named columns to
+    the table's declared types via ``try_cast`` — the reference's
+    per-record type coercion toward the table schema (operators.py:
+    190-201), null-on-failure so serialize_records can route the exact
+    failing column to the error stream instead of crashing the batch.
     """
 
-    def serialize(self, df: DataFrame) -> DataFrame:
-        out: list[Column] = []
+    def __init__(self, target_schema: dict[str, str] | None = None) -> None:
+        self.target_schema = target_schema or {}
+
+    def column_exprs(self, df: DataFrame) -> list[tuple[str, Column]]:
+        """(name, encoder expression) per column — the per-column contract
+        serialize_records' error capture compares against."""
+        out: list[tuple[str, Column]] = []
         for f in df.schema.fields:
-            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
-                out.append(F.to_json(F.col(f.name)).alias(f.name))
+            tgt = self.target_schema.get(f.name)
+            if tgt is not None:
+                out.append((f.name, F.col(f.name).try_cast(tgt)))
+            elif isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                out.append((f.name, F.to_json(F.col(f.name))))
             elif isinstance(f.dataType, (T.NumericType, T.StringType, T.BooleanType,
                                          T.TimestampType, T.DateType, T.BinaryType)):
-                out.append(F.col(f.name))
+                out.append((f.name, F.col(f.name)))
             else:
-                out.append(F.col(f.name).cast("string").alias(f.name))
-        return df.select(*out)
+                out.append((f.name, F.col(f.name).try_cast("string")))
+        return out
+
+    def serialize(self, df: DataFrame) -> DataFrame:
+        return df.select(*[e.alias(n) for n, e in self.column_exprs(df)])
 
     def deserialize(self, df: DataFrame) -> DataFrame:
         return df
@@ -121,8 +138,16 @@ class PickleSerDe(IcebergSerDe):
         meta = [c for c in df.columns if c not in payload]
 
         @F.udf(returnType=T.StringType())
-        def _enc(row) -> str:
-            return base64.b64encode(pickle.dumps(row.asDict(recursive=True))).decode("ascii")
+        def _enc(row) -> str | None:
+            # null-on-failure (reference's per-record try/except,
+            # operators.py:290-351): the all-null probe downstream routes
+            # the row to errs instead of the exception killing the batch
+            try:
+                return base64.b64encode(
+                    pickle.dumps(row.asDict(recursive=True))
+                ).decode("ascii")
+            except Exception:
+                return None
 
         return df.select(
             _enc(F.struct(*payload)).alias(self.pickle_field),
@@ -161,12 +186,40 @@ def serialize_records(
     envelope field (models.py:64) — off by default because wall-clock stamps
     break deterministic replay/oracle comparison.
 
-    Error capture: JVM-side encoders (to_json/cast) yield NULL instead of
-    raising; a NULL-out on a non-NULL-in row becomes an ``_error`` record —
-    same dead-letter contract as the reference, without per-record
-    try/except.
+    Error capture — the reference's per-record try/except (operators.py:
+    290-351) as declarative column probes, JVM-side:
+    - **ParquetSerDe** (per-column codecs): each column's encoder is a
+      ``try_*`` expression that yields NULL on failure; a NULL-out on a
+      NULL-in source is legitimate, so the probe flags exactly the columns
+      where (source non-NULL ∧ encoded NULL), first-fail-wins, naming the
+      column in ``_error`` — one poisoned column routes the ROW to errs
+      while clean rows keep flowing.
+    - **envelope serdes** (Json/Pickle: payload collapses into one field):
+      the weaker whole-payload probe — encoded field NULL while the row
+      had payload. PickleSerDe's UDF is null-on-failure so this net
+      actually catches.
     """
     serde = serde or DEFAULT_PARQUET_SERDE
+    if isinstance(serde, ParquetSerDe):
+        exprs = serde.column_exprs(df)
+        cases = [
+            F.when(
+                F.col(n).isNotNull() & e.isNull(),
+                F.lit(f"column {n} failed to encode"),
+            )
+            for n, e in exprs if n not in META_COLS
+        ]
+        err = F.coalesce(*cases) if cases else F.lit(None)
+        encoded = df.select(
+            *[e.alias(n) for n, e in exprs if n != ERROR_COL],
+            err.cast("string").alias(ERROR_COL),
+        )
+        if stamp_event_time:
+            encoded = encoded.withColumn(
+                "event_timestamp",
+                (F.unix_micros(F.current_timestamp()) / 1000).cast("long"),
+            )
+        return error_split(encoded)
     encoded = serde.serialize(df)
     if stamp_event_time:
         encoded = encoded.withColumn(

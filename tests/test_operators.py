@@ -137,3 +137,55 @@ def test_serialize_records_default_parquet(spark):
     out = serialize_records(_events(spark))
     assert out.errs.count() == 0
     assert out.oks.count() == 3
+
+
+def test_serialize_poisoned_column_routes_to_errs(spark):
+    """Per-column error capture: one bad value in ONE column sends exactly
+    that row to errs with the column named; clean rows keep their coerced
+    types (the reference's per-record try/except, now declarative)."""
+    from bytewax_iceberg_connector_spark.operators.serialize import (
+        ParquetSerDe,
+        serialize_records,
+    )
+
+    df = spark.createDataFrame(
+        [("1", "a"), ("not-a-number", "b"), ("3", "c")], "n STRING, s STRING"
+    )
+    out = serialize_records(df, ParquetSerDe(target_schema={"n": "int"}))
+    errs = out.errs.collect()
+    assert len(errs) == 1
+    assert errs[0].s == "b" and "column n" in errs[0]._error
+    oks = out.oks.collect()
+    assert sorted(r.n for r in oks) == [1, 3]  # coerced to int, not string
+    assert dict(out.oks.dtypes)["n"] == "int"
+
+
+def test_pickle_serde_failure_is_null_not_crash(spark):
+    """A NULL payload row pickles fine; the all-null probe only fires when
+    the encoder itself nulls out — regression net for the try/except."""
+    from bytewax_iceberg_connector_spark.operators.serialize import (
+        PickleSerDe,
+        serialize_records,
+    )
+
+    df = spark.createDataFrame([(1, "x"), (2, None)], "a INT, b STRING")
+    out = serialize_records(df, PickleSerDe())
+    assert out.oks.count() == 2 and out.errs.count() == 0
+
+
+def test_observe_errors_single_action(spark):
+    """A26 op.inspect analogue: error metrics come out of the SAME action
+    that consumed the frame — no second job."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.operators.inspect import observe_errors
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "boom"), (3, None), (4, "bad")], "id INT, _error STRING"
+    )
+    observed, obs = observe_errors(df)
+    n_ok = observed.where(F.col("_error").isNull()).count()  # the one action
+    assert n_ok == 2
+    got = obs.get
+    assert got["n_rows"] == 4 and got["n_errors"] == 2
+    assert got["first_error"] in ("boom", "bad")
