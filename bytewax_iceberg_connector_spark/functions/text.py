@@ -119,6 +119,32 @@ def quality_score(col: Column | str) -> Column:
     ).cast("double") / 3.0
 
 
+#: PII patterns — RE2-safe (no lookbehind, DuckDB-compatible) so the same
+#: pattern string runs verbatim on both engines. Email per the common
+#: mailbox@domain.tld shape; phone per NANP-ish +CC NNN-NNNN.
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_PHONE_RE = "\\+[0-9]{1,2} [0-9]{3}-[0-9]{4}"
+
+
+def pii_counts(col: Column | str) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — the audit side of the scrub."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.size(F.regexp_extract_all(c, F.lit(PII_EMAIL_RE), F.lit(0))).cast("long"),
+        F.size(F.regexp_extract_all(c, F.lit(PII_PHONE_RE), F.lit(0))).cast("long"),
+    )
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Replace emails/phones with typed placeholder tags. Pure codegen'd
+    regexp_replace — at 100 TB this is a scan-speed projection, the same
+    cost class as quality_score, so it belongs in the first pass over raw
+    text (before any shuffle ships unscrubbed bytes)."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+
+
 def normalize_text(col: Column | str) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     c = F.col(col) if isinstance(col, str) else col

@@ -1,0 +1,307 @@
+"""Training-data curation queries — the pipeline stages between raw crawl
+and tokenizer that the north star adds beyond the reference's surface:
+PII scrubbing, repetition-based quality gating (Gopher/MassiveText rule),
+benchmark-contamination detection, and deterministic dataset splitting.
+
+All four are oracle-checked. Aggregations are integer-exact wherever a
+ratio is reported (ratio of integer sums, single IEEE division) so the
+DuckDB comparison never depends on float summation order — the repo's
+standard parity discipline (functions/numeric.py).
+
+Scale notes per query are inline; the common thread: every stage is a
+scan-speed projection or a narrow-key shuffle, and the quadratic-looking
+contamination join is bounded by the benchmark side being tiny (broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones; per-lang audit of scrubbed volume.
+
+    The synthetic corpus carries no natural PII, so the query plants one
+    deterministic email + phone per document (pure string construction,
+    mirrored verbatim in the oracle) — the scrubber then has real work
+    whose counts the oracle can predict. ``n_residual`` re-scans the
+    SCRUBBED text with the same patterns and must be 0: the query proves
+    removal, not just match counting.
+
+    Scale: regexp_replace/extract_all are codegen'd JVM expressions — the
+    whole stage runs at scan speed with zero shuffle before the tiny
+    per-lang aggregate; scrub FIRST, before any shuffle ships unscrubbed
+    bytes (functions/text.py::redact_pii).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.withColumn(
+        "ptext",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-"),
+            F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+        ),
+    )
+    n_em, n_ph = X.pii_counts("ptext")
+    scrubbed = planted.select(
+        "lang",
+        n_em.alias("n_em"),
+        n_ph.alias("n_ph"),
+        X.redact_pii("ptext").alias("stext"),
+    )
+    r_em, r_ph = X.pii_counts("stext")
+    return (
+        scrubbed.withColumn("resid", r_em + r_ph)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_em").alias("n_emails"),
+            F.sum("n_ph").alias("n_phones"),
+            F.sum("resid").alias("n_residual"),
+            F.sum(F.length("stext").cast("long")).alias("scrubbed_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_PII = f"""
+WITH planted AS (
+  SELECT lang,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or +1 555-' ||
+         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS ptext
+  FROM documents
+), scrubbed AS (
+  SELECT lang,
+         len(regexp_extract_all(ptext, '{X.PII_EMAIL_RE}')) AS n_em,
+         len(regexp_extract_all(ptext, '{X.PII_PHONE_RE}')) AS n_ph,
+         regexp_replace(regexp_replace(ptext, '{X.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{X.PII_PHONE_RE}', '<PHONE>', 'g') AS stext
+  FROM planted
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_em) AS BIGINT) AS n_emails,
+       CAST(SUM(n_ph) AS BIGINT) AS n_phones,
+       CAST(SUM(len(regexp_extract_all(stext, '{X.PII_EMAIL_RE}')) +
+                len(regexp_extract_all(stext, '{X.PII_PHONE_RE}'))) AS BIGINT)
+         AS n_residual,
+       CAST(SUM(len(stext)) AS BIGINT) AS scrubbed_chars
+FROM scrubbed
+GROUP BY lang
+ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Repetition ratio (Gopher/MassiveText duplicate-n-gram rule)
+# ---------------------------------------------------------------------------
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang repeated-trigram accounting: a doc whose trigrams are
+    mostly repeats of themselves (distinct < half of total) is boilerplate
+    and gets flagged — the Gopher "duplicate n-gram fraction" gate.
+
+    Integer-exact: per-doc totals/distincts are ints, the per-lang ratio is
+    ONE division of two integer sums, and the >½ flag is the integer test
+    ``2·distinct < total`` — no float accumulation anywhere.
+
+    Scale: trigram totals come from a length expression and distinct counts
+    from size(array_distinct(...)) — per-row projections, no explode, no
+    shuffle except the final per-lang aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens("text")
+    per_doc = docs.select(
+        "lang",
+        F.greatest(F.size(t) - 2, F.lit(0)).cast("long").alias("total"),
+        F.size(X.shingles("text", 3)).cast("long").alias("dist"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("total").alias("n_trigrams"),
+            F.sum("dist").alias("n_distinct"),
+            F.round(F.lit(1.0) - F.sum("dist") / F.sum("total"), 6).alias("rep_ratio"),
+            F.sum((F.lit(2) * F.col("dist") < F.col("total")).cast("long")).alias(
+                "n_flagged"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tokens
+  FROM documents
+), g AS (
+  SELECT doc_id, lang, GREATEST(len(tokens) - 2, 0) AS total FROM toks
+), sh AS (
+  SELECT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), d AS (
+  SELECT doc_id, COUNT(DISTINCT s) AS dist FROM sh GROUP BY doc_id
+), per AS (
+  SELECT g.lang, g.total, COALESCE(d.dist, 0) AS dist
+  FROM g LEFT JOIN d USING (doc_id)
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(total) AS BIGINT) AS n_trigrams,
+       CAST(SUM(dist) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - SUM(dist) * 1.0 / SUM(total), 6) AS rep_ratio,
+       CAST(SUM(CASE WHEN 2 * dist < total THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_flagged
+FROM per
+GROUP BY lang
+ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination check
+# ---------------------------------------------------------------------------
+
+_BENCH_STRIDE = 97     # benchmark set = every 97th doc (stand-in eval set)
+_CONTAM_MIN_SHARED = 3  # shared distinct trigrams to count as contaminated
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs sharing ≥3 distinct trigram shingles with any *benchmark* doc
+    (every 97th doc stands in for an eval set) — the train/test
+    contamination scan every serious pretraining pipeline runs.
+
+    Scale: the join ships 8-byte shingle hashes (never text), and the
+    benchmark side is tiny by construction — broadcast it, so the corpus
+    side never shuffles at all: contamination checking at 100 TB is a
+    broadcast-hash scan, not a self-join.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s")
+    )
+    bench = sh.where(F.col("doc_id") % _BENCH_STRIDE == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    pairs = (
+        sh.join(F.broadcast(bench), "s")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= _CONTAM_MIN_SHARED)
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+            F.max("shared").alias("max_shared"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_CONTAMINATION = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), pairs AS (
+  SELECT a.doc_id, b.doc_id AS bench_id, COUNT(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE b.doc_id % {_BENCH_STRIDE} = 0 AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_CONTAM_MIN_SHARED}
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+       CAST(MAX(shared) AS BIGINT) AS max_shared
+FROM pairs
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# Deterministic dataset split
+# ---------------------------------------------------------------------------
+
+
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-stable train/val/test assignment (80/10/10) + per-split volume
+    accounting. The bucket is md5(doc_id)'s first 24 bits mod 100 — content
+    -independent, engine-portable, and STABLE under corpus growth: a doc's
+    split never changes when other docs are added/removed, the property
+    random() splits lack and the reason every production pipeline hashes.
+
+    Scale: one projection + 3-row aggregate; no shuffle except the final
+    tiny groupBy. The same bucket expression works as a partition filter
+    for materializing each split without reading the others twice.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    assigned = docs.select(
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+        .alias("split"),
+        F.length("text").cast("long").alias("n_chars"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_SPLIT = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 80
+             THEN 'train'
+           WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT % 100 < 90
+             THEN 'val'
+           ELSE 'test'
+         END AS split,
+         len(text) AS n_chars,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+  FROM documents
+)
+SELECT split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+QUERIES = {
+    "pii_scrub": pii_scrub,
+    "repetition_ratio": repetition_ratio,
+    "contamination_check": contamination_check,
+    "dataset_split": dataset_split,
+}
+ORACLE = {
+    "pii_scrub": _SQL_PII,
+    "repetition_ratio": _SQL_REPETITION,
+    "contamination_check": _SQL_CONTAMINATION,
+    "dataset_split": _SQL_SPLIT,
+}

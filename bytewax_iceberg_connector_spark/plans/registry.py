@@ -20,6 +20,7 @@ _PLAN_MODULES = (
     "llm",
     "streaming_queries",
     "lake",
+    "curation",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

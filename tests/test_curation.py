@@ -1,0 +1,111 @@
+"""Curation-stage tests: PII redaction semantics, repetition flagging,
+contamination detection, and split stability — properties the hash-based
+oracle comparison can't see (it proves equality, not intent)."""
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.functions import text as X
+
+
+def test_redact_pii_removes_and_tags(spark):
+    df = spark.createDataFrame(
+        [
+            Row(t="mail me at jane.doe+x@sub.example.co.uk today"),
+            Row(t="call +1 555-0199 or +44 555-0200 now"),
+            Row(t="no pii here"),
+        ]
+    )
+    out = df.select(
+        X.redact_pii("t").alias("s"),
+        *[c.alias(n) for n, c in zip(("em", "ph"), X.pii_counts("t"))],
+    ).collect()
+    assert out[0].s == "mail me at <EMAIL> today" and out[0].em == 1
+    assert out[1].s == "call <PHONE> or <PHONE> now" and out[1].ph == 2
+    assert out[2].s == "no pii here" and out[2].em == 0 and out[2].ph == 0
+    # residual scan on scrubbed text finds nothing
+    resid = df.select(X.redact_pii("t").alias("s"))
+    r_em, r_ph = X.pii_counts("s")
+    assert resid.select((r_em + r_ph).alias("r")).agg(F.sum("r")).collect()[0][0] == 0
+
+
+def test_repetition_flag_is_integer_exact(spark, sf_dir):
+    """A fully-repetitive doc is flagged; a unique-trigram doc is not; and
+    the flag threshold is the exact integer test 2·distinct < total."""
+    from bytewax_iceberg_connector_spark.plans.curation import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c " * 50, lang="xx", source="s", n_chars=0),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(50)), lang="yy",
+                source="s", n_chars=0),
+        ]
+    )
+    t = X.tokens("text")
+    per = df.select(
+        "lang",
+        F.greatest(F.size(t) - 2, F.lit(0)).alias("total"),
+        F.size(X.shingles("text", 3)).alias("dist"),
+    ).collect()
+    by_lang = {r.lang: r for r in per}
+    assert by_lang["xx"].dist == 3 and by_lang["xx"].total == 148   # flagged
+    assert by_lang["yy"].dist == by_lang["yy"].total == 48          # clean
+    # registered query runs end-to-end on the real corpus
+    rows = repetition_ratio(spark, sf_dir).collect()
+    assert rows and all(r.n_distinct <= r.n_trigrams for r in rows)
+
+
+def test_contamination_finds_planted_overlap(spark):
+    """A doc sharing a long passage with a benchmark doc is caught; an
+    unrelated doc is not."""
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=bench_text),                      # benchmark (0 % 97 == 0)
+            Row(doc_id=5, text="intro words " + bench_text),      # contaminated
+            Row(doc_id=6, text="totally unrelated content here model data"),
+        ]
+    )
+    sh = docs.select(
+        "doc_id", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s")
+    )
+    bench = sh.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    pairs = (
+        sh.join(bench, "s")
+        .where(F.col("doc_id") != F.col("bench_id"))
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("shared"))
+        .where(F.col("shared") >= 3)
+        .collect()
+    )
+    assert {(p.doc_id, p.bench_id) for p in pairs} == {(5, 0)}
+
+
+def test_dataset_split_is_stable_under_growth(spark, sf_dir):
+    """Hash-based assignment: each doc's split is a pure function of its
+    id — adding more docs never reassigns existing ones (the property a
+    random split lacks), and proportions land near 80/10/10."""
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    full = {r.doc_id: r.s for r in docs.select("doc_id", split.alias("s")).collect()}
+    half = {
+        r.doc_id: r.s
+        for r in docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", split.alias("s"))
+        .collect()
+    }
+    assert all(full[d] == s for d, s in half.items())
+    n = len(full)
+    n_train = sum(1 for s in full.values() if s == "train")
+    assert 0.7 * n <= n_train <= 0.9 * n

@@ -149,3 +149,19 @@ def test_dedup_exact_shuffles_fingerprint_not_text(spark, sf_dir):
     plan = _plan(dedup_exact(spark, sf_dir))
     assert re.search(r"Exchange hashpartitioning\(fp", plan)
     assert not re.search(r"Exchange hashpartitioning\(text", plan)
+
+
+def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
+    """The contamination scan must broadcast the (tiny) benchmark shingle
+    set — the corpus side then never shuffles for the join. A SortMergeJoin
+    here would shuffle the full 100 TB shingle stream."""
+    from bytewax_iceberg_connector_spark.plans.curation import contamination_check
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(contamination_check(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
