@@ -82,9 +82,16 @@ class SnapshotLog:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """All snapshots, ascending — the ``<table>.snapshots`` metadata
-        table of the iceberg backend."""
-        return [self.snapshot(i) for i in range(1, self.current_id() + 1)]
+        """All retained snapshots, ascending — the ``<table>.snapshots``
+        metadata table of the iceberg backend. Ids expired by ``expire``
+        are simply absent (numbering is never rewritten)."""
+        out = []
+        for i in range(1, self.current_id() + 1):
+            try:
+                out.append(self.snapshot(i))
+            except FileNotFoundError:
+                continue
+        return out
 
     def live_commits(self, snapshot_id: int | None = None) -> list[str]:
         """Commit dir names visible at ``snapshot_id`` (default: head)."""
@@ -158,6 +165,37 @@ class SnapshotLog:
         raise CommitConflict(
             f"commit of {operation} lost the version race {retries + 1} times"
         )
+
+    # -- maintenance -------------------------------------------------------
+
+    def expire(self, keep_last: int) -> tuple[list[int], list[str]]:
+        """Drop all but the newest ``keep_last`` snapshots and delete every
+        commit directory no retained snapshot references (Iceberg's
+        expire_snapshots + orphan-file cleanup in one step, which is safe
+        here because this log is the only writer of ``data/``).
+
+        Returns (expired snapshot ids, removed commit dir names). Never
+        touches a dir a retained snapshot can still read — time travel
+        within the retention window keeps working.
+        """
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        head = self.current_id()
+        cutoff = max(head - keep_last + 1, 1)
+        retained_live: set[str] = set()
+        for sid in range(cutoff, head + 1):
+            retained_live.update(self.snapshot(sid)["live"])
+        expired = list(range(1, cutoff))
+        for sid in expired:
+            os.unlink(os.path.join(self.meta_dir, f"v{sid}.json"))
+        removed = []
+        for d in os.listdir(self.data_dir):
+            if d.startswith("_c=") and d not in retained_live:
+                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+                removed.append(d)
+        return expired, removed
 
     # -- file primitives ---------------------------------------------------
 

@@ -239,3 +239,54 @@ def test_streaming_batch_cap_and_exactly_once(spark, tmp_path, batches):
     q2.awaitTermination(120)
     assert sink.read().count() == 30
     assert sink.snapshots().count() == 3
+
+
+def test_compact_collapses_commits_keeps_history(spark, tmp_path, batches):
+    """5 appends → 1 compacted commit with identical rows; pre-compaction
+    snapshots stay readable until expired (rewrite is just a snapshot)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    for frac in range(5):
+        sink.append(b1.where(F.col("event_id") % 5 == frac))
+    assert len(sink._log.live_commits()) == 5
+    sink.compact()
+    assert len(sink._log.live_commits()) == 1
+    assert sink.read().count() == 10
+    assert sorted(r.event_id for r in sink.read().collect()) == list(range(10))
+    # time travel to a pre-compaction snapshot still works
+    assert sink.read(as_of=3).count() == 6  # event_id % 5 in {0,1,2}
+    snaps = sink.snapshots().orderBy("snapshot_id").collect()
+    assert snaps[-1].operation == "replace"
+
+
+def test_expire_snapshots_reclaims_unreferenced_data(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    sink.compact()
+    data_dir = os.path.join(str(tmp_path), "db", "snap_events", "data")
+    assert len([d for d in os.listdir(data_dir) if d.startswith("_c=")]) == 3
+    n = sink.expire_snapshots(keep_last=1)
+    assert n == 2
+    # only the compacted commit survives on disk; reads stay intact
+    assert len([d for d in os.listdir(data_dir) if d.startswith("_c=")]) == 1
+    assert sink.read().count() == 30
+    # expired history is gone (like Iceberg: snapshot not found)
+    with pytest.raises(Exception):
+        sink.read(as_of=1).count()
+    # history numbering is preserved, not rewritten
+    assert [s.snapshot_id for s in sink.snapshots().collect()] == [3]
+
+
+def test_expire_keeps_commits_shared_with_retained(spark, tmp_path, batches):
+    """A commit referenced by BOTH an expired and a retained snapshot must
+    survive expiry (append-chains share commit dirs)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)   # v1: [c1]
+    sink.append(b2)   # v2: [c1, c2]
+    sink.expire_snapshots(keep_last=1)  # expires v1; c1 still in v2's live set
+    assert sink.read().count() == 30
+    data_dir = os.path.join(str(tmp_path), "db", "snap_events", "data")
+    assert len([d for d in os.listdir(data_dir) if d.startswith("_c=")]) == 2
