@@ -81,13 +81,61 @@ ORDER BY user_id, session_idx
 """
 
 # ---------------------------------------------------------------------------
+# B21b: stream-stream interval join (click → purchase attribution)
+# ---------------------------------------------------------------------------
+
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks joined to same-user purchases within 30 minutes — the
+    attribution-style stream-stream join; per click-hour pair counts and
+    integer-exact total delay."""
+    from ..streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = interval_join(clicks, purchases, key="user_id", max_delay_minutes=30)
+    delay_s = F.floor(
+        (F.unix_micros(F.col("r_ts")) - F.unix_micros(F.col("l_ts"))) / 1_000_000
+    ).cast("long")
+    return (
+        joined.groupBy(F.date_trunc("hour", "l_ts").alias("click_hour"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(delay_s).alias("total_delay_s"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.user_id, c.ts AS cts, p.ts AS pts
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+)
+SELECT CAST(DATE_TRUNC('hour', cts) AS TIMESTAMP) AS click_hour,
+       COUNT(*) AS n_pairs,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM((EPOCH_US(pts) - EPOCH_US(cts)) // 1000000) AS BIGINT)
+         AS total_delay_s
+FROM j
+GROUP BY click_hour
+ORDER BY click_hour
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_session": streaming_session,
+    "streaming_interval_join": streaming_interval_join,
 }
 
 ORACLE = {
     "streaming_tumbling": _SQL_TUMBLING,
     "streaming_session": _SQL_SESSION,
+    "streaming_interval_join": _SQL_INTERVAL_JOIN,
 }

@@ -127,3 +127,44 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> Da
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return stream
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_delay_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time interval (stream-stream) join: each left row pairs with
+    right rows of the same key whose timestamp falls in
+    ``[l_ts, l_ts + max_delay_minutes]``.
+
+    Mode-agnostic like the other builders: on streaming inputs both sides
+    get watermarks and the time-bound condition is exactly what Structured
+    Streaming requires to bound join state (each side's buffer is evicted
+    once the other side's watermark passes the interval); on batch frames
+    the same condition is a plain range join, which is what the oracle
+    replays.
+
+    Returns left's columns (ts renamed ``l_ts``) + right's ts as ``r_ts``
+    + right's remaining non-key columns. Callers pre-select to avoid name
+    collisions.
+
+    Scale: equi-key + time-band → ONE hash shuffle per side on the key;
+    state per key is bounded by (watermark + interval) of rows. Skewed
+    keys are the hazard, same mitigation as salted_join.
+    """
+    l = left.withColumnRenamed(ts_col, "l_ts")
+    r = right.withColumnRenamed(ts_col, "r_ts")
+    l = with_watermark_if_streaming(l, "l_ts", watermark)
+    r = with_watermark_if_streaming(r, "r_ts", watermark)
+    r_extra = [c for c in r.columns if c not in (key, "r_ts")]
+    r = r.select(F.col(key).alias("_rk"), "r_ts", *r_extra)
+    cond = (
+        (F.col(key) == F.col("_rk"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES"))
+    )
+    return l.join(r, on=cond, how="inner").drop("_rk")

@@ -96,3 +96,39 @@ def test_stream_sink_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     assert back.count() == load_table(spark, sf_dir, "events").count()
     # the partition transform must appear as directory columns on disk
     assert "_p_ts_day" in back.columns
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    """Stream-stream interval join run as a REAL streaming query (both
+    sides watermarked, append mode) must produce exactly the batch pairs."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.streaming.windows import interval_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click").select("user_id", "ts"),
+            df.where(F.col("event_type") == "purchase").select("user_id", "ts"),
+        )
+
+    sc, sp = split(read_events_stream(spark, sf_dir))
+    joined = interval_join(sc, sp, key="user_id", max_delay_minutes=30)
+    assert joined.isStreaming
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ij"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_ts, r.r_ts) for r in spark.table("ij_t").collect()
+    }
+    bc, bp = split(batch_events)
+    want = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in interval_join(bc, bp, key="user_id", max_delay_minutes=30).collect()
+    }
+    assert got == want and want
