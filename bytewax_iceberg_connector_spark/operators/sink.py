@@ -60,6 +60,10 @@ def iceberg_runtime_available(spark: SparkSession) -> bool:
         return False
 
 
+#: commit operations whose snapshot REPLACES the live set (vs appending)
+_REPLACING_OPS = frozenset({"overwrite", "replace", "delete"})
+
+
 def _sort_exprs(sort_order: list[str]):
     """Compile config.sort_order entries ('col' | 'col desc') to Columns."""
     out = []
@@ -238,7 +242,7 @@ class LakeSink:
         w.parquet(path)
         self._log.commit(
             operation, [name],
-            overwrite=operation in ("overwrite", "replace"), batch_id=batch_id,
+            overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
         )
 
     # -- MERGE (row-level upsert) -----------------------------------------
@@ -304,6 +308,24 @@ class LakeSink:
             )
             return
         self._log.commit("rollback", [], rollback_to=snapshot_id)
+
+    def delete(self, condition: str) -> None:
+        """Row-level DELETE (SQL predicate string) — the GDPR/right-to-be-
+        forgotten path. iceberg backend: real ``DELETE FROM`` (position/
+        equality deletes per table mode, file-pruned). parquet backend:
+        copy-on-write overwrite commit of the survivors; pre-delete
+        snapshots remain until expire_snapshots reclaims them — matching
+        Iceberg semantics, where hard erasure = DELETE + expire.
+        """
+        if self.backend == "iceberg":
+            self.spark.sql(
+                f"DELETE FROM {self._qualified} WHERE {condition}"
+            )
+            return
+        current = self.read()
+        data_cols = [c for c in current.columns if not c.startswith("_p_")]
+        survivors = current.select(*data_cols).where(f"NOT ({condition})")
+        self._write_commit(survivors, operation="delete")
 
     def compact(self) -> None:
         """Rewrite the table's live data as ONE fresh commit (Iceberg's

@@ -293,13 +293,149 @@ ORDER BY split
 """
 
 
+# ---------------------------------------------------------------------------
+# Per-source token budget cap (domain mixing)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 300  # per (lang, source) — sized so some groups cap, some don't
+
+
+def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-(lang, source) token budgeting: documents are admitted in
+    deterministic md5(doc_id) order until the group's running total reaches
+    the budget — the "domain mixing weights" stage of a pretraining corpus,
+    made reproducible (a re-run, or a run over a grown corpus, admits the
+    same early documents).
+
+    Admission rule: a doc is kept iff the running total BEFORE it is under
+    budget (so every group keeps ≥1 doc and never stalls on an oversized
+    head). Integer-exact throughout.
+
+    Scale: one hash-partition per (lang, source) + an in-partition sort by
+    the hash — the same shape as window_rank_topk; no global sort, no
+    second pass.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy(h, "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    toks = X.token_count("text")
+    cum = docs.select(
+        "lang", "source",
+        toks.alias("n_tok"),
+        (F.sum(toks).over(w) - toks).alias("before"),
+    )
+    return (
+        cum.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs_total"),
+            F.sum("n_tok").alias("tokens_total"),
+            F.sum((F.col("before") < _TOKEN_BUDGET).cast("long")).alias("n_docs_kept"),
+            F.sum(
+                F.when(F.col("before") < _TOKEN_BUDGET, F.col("n_tok")).otherwise(0)
+            ).alias("tokens_kept"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_TOKEN_BUDGET = f"""
+WITH d AS (
+  SELECT lang, source,
+         len(string_split_regex(lower(text), '\\s+')) AS n_tok,
+         md5(CAST(doc_id AS VARCHAR)) AS h, doc_id
+  FROM documents
+), c AS (
+  SELECT lang, source, n_tok,
+         SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tok AS before
+  FROM d
+)
+SELECT lang, source,
+       COUNT(*) AS n_docs_total,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN before < {_TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_kept,
+       CAST(SUM(CASE WHEN before < {_TOKEN_BUDGET} THEN n_tok ELSE 0 END) AS BIGINT)
+         AS tokens_kept
+FROM c
+GROUP BY lang, source
+ORDER BY lang, source
+"""
+
+# ---------------------------------------------------------------------------
+# Embedding norm audit (JVM higher-order functions, no UDF)
+# ---------------------------------------------------------------------------
+
+
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Squared-L2-norm audit of the embedding column per vec_id bucket —
+    the sanity pass before any similarity work (catches unnormalized /
+    degenerate vectors).
+
+    Entirely JVM-side: ``F.aggregate`` folds the array inside whole-stage
+    codegen — no Python worker, no Arrow transfer; at 100 TB this runs at
+    scan speed. The sum is integer-exact (per-vector norms quantized to
+    1e-6 before the BIGINT sum) so the oracle never sees float-order
+    drift; min/max are order-free.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm2 = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    per = emb.select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        norm2.alias("n2"),
+    )
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum(F.round(F.col("n2") * 1_000_000).cast("long")).alias("sum_n2_micros"),
+            F.round(F.min("n2"), 6).alias("min_n2"),
+            F.round(F.max("n2"), 6).alias("max_n2"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_NORM_STATS = """
+WITH per AS (
+  SELECT vec_id % 10 AS bucket,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+)
+SELECT bucket,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(ROUND(n2 * 1000000) AS BIGINT)) AS BIGINT) AS sum_n2_micros,
+       ROUND(MIN(n2), 6) AS min_n2,
+       ROUND(MAX(n2), 6) AS max_n2
+FROM per
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
+    "token_budget_cap": token_budget_cap,
+    "embedding_norm_stats": embedding_norm_stats,
     "pii_scrub": pii_scrub,
     "repetition_ratio": repetition_ratio,
     "contamination_check": contamination_check,
     "dataset_split": dataset_split,
 }
 ORACLE = {
+    "token_budget_cap": _SQL_TOKEN_BUDGET,
+    "embedding_norm_stats": _SQL_NORM_STATS,
     "pii_scrub": _SQL_PII,
     "repetition_ratio": _SQL_REPETITION,
     "contamination_check": _SQL_CONTAMINATION,

@@ -102,3 +102,18 @@ def test_iceberg_sort_order_declared(iceberg_sink, batch, spark):
     iceberg_sink.append(batch)
     ddl = spark.sql(f"SHOW CREATE TABLE {iceberg_sink._qualified}").collect()[0][0]
     assert "ORDERED BY" in ddl or "sort-order" in ddl.lower()
+
+
+def test_iceberg_row_level_delete(iceberg_sink, batch):
+    iceberg_sink.append(batch.where("event_id < 10"))
+    iceberg_sink.delete("event_id % 2 = 0")
+    got = sorted(r.event_id for r in iceberg_sink.read().collect())
+    assert got == [1, 3, 5, 7, 9]
+
+
+def test_iceberg_compact_and_expire(iceberg_sink, batch):
+    for i in range(3):
+        iceberg_sink.append(batch.where(f"event_id % 3 = {i}"))
+    iceberg_sink.compact()
+    iceberg_sink.expire_snapshots(keep_last=1)
+    assert iceberg_sink.read().count() == 30

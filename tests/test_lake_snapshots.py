@@ -290,3 +290,20 @@ def test_expire_keeps_commits_shared_with_retained(spark, tmp_path, batches):
     assert sink.read().count() == 30
     data_dir = os.path.join(str(tmp_path), "db", "snap_events", "data")
     assert len([d for d in os.listdir(data_dir) if d.startswith("_c=")]) == 2
+
+
+def test_delete_is_copy_on_write(spark, tmp_path, batches):
+    """Row-level DELETE removes matching rows in one snapshot; pre-delete
+    history stays until expiry (hard erasure = delete + expire, as in
+    Iceberg)."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.delete("event_id % 2 = 0")
+    assert sorted(r.event_id for r in sink.read().collect()) == [1, 3, 5, 7, 9]
+    assert sink.read(as_of=1).count() == 10            # history intact
+    sink.expire_snapshots(keep_last=1)
+    with pytest.raises(Exception):
+        sink.read(as_of=1).count()                     # now hard-erased
+    snaps = sink.snapshots().collect()
+    assert [s.operation for s in snaps] == ["delete"]
