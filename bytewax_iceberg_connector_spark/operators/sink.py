@@ -403,6 +403,45 @@ class LakeSink:
             .start()
         )
 
+    def read_incremental(self, from_snapshot: int,
+                         to_snapshot: int | None = None) -> DataFrame:
+        """Rows APPENDED after ``from_snapshot`` up to ``to_snapshot``
+        (default head) — Iceberg's incremental scan, the consumer-side
+        complement of the streaming sink: a downstream job processes only
+        each new commit's files instead of re-scanning the table.
+
+        Only append deltas are expressible this way (a replacing commit —
+        overwrite/delete/compaction — rewrites the live set); like
+        Iceberg's append-only incremental read, this raises if the range
+        crosses a replacing snapshot.
+        """
+        if self.backend == "iceberg":
+            reader = self.spark.read.format("iceberg").option(
+                "start-snapshot-id", str(from_snapshot)
+            )
+            if to_snapshot is not None:
+                reader = reader.option("end-snapshot-id", str(to_snapshot))
+            return reader.load(self._qualified)
+        head = self._log.current_id() if to_snapshot is None else to_snapshot
+        for sid in range(from_snapshot + 1, head + 1):
+            if self._log.snapshot(sid)["operation"] in _REPLACING_OPS | {"rollback"}:
+                raise ValueError(
+                    f"snapshot {sid} is a replacing commit "
+                    f"({self._log.snapshot(sid)['operation']}); incremental "
+                    "append-scan is undefined across it"
+                )
+        base = set(self._log.live_commits(from_snapshot))
+        new = [c for c in self._log.live_commits(head) if c not in base]
+        if not new:
+            schema = StructType.fromJson(self._log.table_meta()["schema_json"])
+            return self.spark.createDataFrame([], schema)
+        dirs = [os.path.join(self._log.data_dir, c) for c in new]
+        return (
+            self.spark.read.option("basePath", self._log.data_dir)
+            .parquet(*dirs)
+            .drop("_c")
+        )
+
     # -- read-back ---------------------------------------------------------
 
     def read(self, merge_schema: bool = False,

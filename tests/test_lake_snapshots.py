@@ -307,3 +307,22 @@ def test_delete_is_copy_on_write(spark, tmp_path, batches):
         sink.read(as_of=1).count()                     # now hard-erased
     snaps = sink.snapshots().collect()
     assert [s.operation for s in snaps] == ["delete"]
+
+
+def test_incremental_read_returns_only_new_commits(spark, tmp_path, batches):
+    """Consumer-side incremental scan: exactly the rows appended between
+    two snapshots, nothing rescanned; refuses ranges that cross a
+    replacing commit (where an append delta is undefined)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)                       # v1
+    sink.append(b2)                       # v2
+    delta = sink.read_incremental(from_snapshot=1)
+    assert sorted(r.event_id for r in delta.collect()) == list(range(10, 30))
+    assert sink.read_incremental(from_snapshot=2).count() == 0
+    sink.append(b1)                       # v3
+    assert sink.read_incremental(1, 2).count() == 20
+    assert sink.read_incremental(2).count() == 10
+    sink.compact()                        # v4: replacing
+    with pytest.raises(ValueError, match="replacing"):
+        sink.read_incremental(2)
