@@ -103,10 +103,11 @@ def lang_id(col: Column | str, min_ratio: float = 0.05) -> Column:
     return best_lang
 
 
-def quality_score(col: Column | str) -> Column:
-    """Composite [0,1] quality heuristic: length band + mean-token-length
-    band + stopword presence. Mirrors the shape of production quality
-    filters (C4/Gopher-style rules) with exactly reproducible arithmetic."""
+def quality_criteria_met(col: Column | str) -> Column:
+    """Integer count (0-3) of quality criteria met: length band +
+    mean-token-length band + stopword presence. The integer form is what
+    downstream thresholds should compare against (``crit >= 2`` is exact;
+    ``score >= 2/3.0`` drags float representation into a boundary test)."""
     c = F.col(col) if isinstance(col, str) else col
     n_tok = token_count(col)
     n_chars = F.length(c).cast("long")
@@ -114,9 +115,14 @@ def quality_score(col: Column | str) -> Column:
     len_ok = (n_chars >= 100) & (n_chars <= 20_000)
     tok_ok = (mean_tok >= 3.0) & (mean_tok <= 12.0)
     sw_ok = stopword_ratio(col) >= 0.05
-    return (
-        len_ok.cast("int") + tok_ok.cast("int") + sw_ok.cast("int")
-    ).cast("double") / 3.0
+    return len_ok.cast("int") + tok_ok.cast("int") + sw_ok.cast("int")
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic (criteria/3). Mirrors the shape of
+    production quality filters (C4/Gopher-style rules) with exactly
+    reproducible arithmetic."""
+    return quality_criteria_met(col).cast("double") / 3.0
 
 
 #: PII patterns — RE2-safe (no lookbehind, DuckDB-compatible) so the same

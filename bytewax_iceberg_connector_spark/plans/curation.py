@@ -425,7 +425,105 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# End-to-end pipeline composite
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation chain as ONE plan: quality gate (≥2/3 criteria,
+    integer test) → exact dedup (min doc_id per content fingerprint) →
+    embedding attach (doc_id ↔ vec_id) → per-lang volume + norm audit.
+
+    This is the query a pretraining data team actually runs; composing it
+    end-to-end proves the stages share one Catalyst plan — the quality
+    filter pushes below the dedup shuffle, the dedup window and the
+    embedding join both hash on doc-identity, and nothing materializes
+    between stages.
+
+    Scale: one shuffle for the fingerprint window, one for the embedding
+    join (both on ~uniform ids), one tiny per-lang aggregate. The filter
+    runs at scan speed FIRST, so every downstream stage sees only
+    survivors.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.where(X.quality_criteria_met("text") >= 2).select(
+        "doc_id", "lang",
+        X.token_count("text").alias("n_tok"),
+        X.fingerprint("text").alias("fp"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    unique = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    n2 = F.aggregate(
+        F.col("embedding").cast("array<double>"),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    joined = unique.join(
+        emb.select(F.col("vec_id").alias("doc_id"), n2.alias("n2")), "doc_id"
+    )
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum(F.round(F.col("n2") * 1_000_000).cast("long")).alias(
+                "sum_n2_micros"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_PIPELINE = r"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         LENGTH(text) AS n_len,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, text, n_tok
+  FROM t
+  WHERE (CAST(n_len >= 100 AND n_len <= 20000 AS INT)
+         + CAST((CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) >= 3.0
+                AND (CASE WHEN n_tok > 0 THEN n_len * 1.0 / n_tok ELSE 0.0 END) <= 12.0 AS INT)
+         + CAST((CASE WHEN n_tok > 0 THEN sw * 1.0 / n_tok ELSE 0.0 END) >= 0.05 AS INT)) >= 2
+), uniq AS (
+  SELECT doc_id, lang, n_tok
+  FROM (
+    SELECT doc_id, lang, n_tok,
+           ROW_NUMBER() OVER (
+             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ORDER BY doc_id) AS rn
+    FROM kept
+  ) WHERE rn = 1
+), j AS (
+  SELECT u.lang, u.n_tok,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                          CAST(e.embedding AS DOUBLE[])) AS n2
+  FROM uniq u JOIN embeddings e ON e.vec_id = u.doc_id
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(CAST(ROUND(n2 * 1000000) AS BIGINT)) AS BIGINT) AS sum_n2_micros
+FROM j
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 QUERIES = {
+    "curation_pipeline": curation_pipeline,
     "token_budget_cap": token_budget_cap,
     "embedding_norm_stats": embedding_norm_stats,
     "pii_scrub": pii_scrub,
@@ -434,6 +532,7 @@ QUERIES = {
     "dataset_split": dataset_split,
 }
 ORACLE = {
+    "curation_pipeline": _SQL_PIPELINE,
     "token_budget_cap": _SQL_TOKEN_BUDGET,
     "embedding_norm_stats": _SQL_NORM_STATS,
     "pii_scrub": _SQL_PII,
