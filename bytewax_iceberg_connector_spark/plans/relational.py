@@ -403,6 +403,40 @@ JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
 """
 
+def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event volume CUBE over (event_type, user bucket): all four grouping
+    combinations in one pass — the slice-and-dice companion to the rollup.
+
+    Scale: like rollup, CUBE compiles to one Expand + one aggregate — a
+    single shuffle regardless of how many grouping sets the cube implies;
+    grouping_id() disambiguates the NULL-as-total rows exactly as the
+    oracle's GROUPING() does.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.select(
+        "event_type", (F.col("user_id") % 4).alias("user_bucket"), "value"
+    )
+    return (
+        src.cube("event_type", "user_bucket")
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value").alias("total_value"),
+            F.grouping_id("event_type", "user_bucket").cast("long").alias("gid"),
+        )
+        .orderBy("gid", "event_type", "user_bucket")
+    )
+
+
+_SQL_CUBE = f"""
+SELECT event_type, user_id % 4 AS user_bucket,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
+FROM events
+GROUP BY CUBE (event_type, user_id % 4)
+ORDER BY gid, event_type, user_bucket
+"""
+
 # ---------------------------------------------------------------------------
 # B8 distinct: exact + approximate
 # ---------------------------------------------------------------------------
@@ -810,6 +844,7 @@ QUERIES = {
     "window_analytic": window_analytic,
     "window_range_trailing": window_range_trailing,
     "grouping_rollup": grouping_rollup,
+    "grouping_cube": grouping_cube,
     "distinct_exact": distinct_exact,
     "distinct_approx": distinct_approx,
     "set_ops": set_ops,
@@ -834,6 +869,7 @@ ORACLE = {
     "window_analytic": _SQL_WINDOW_ANALYTIC,
     "window_range_trailing": _SQL_WINDOW_RANGE,
     "grouping_rollup": _SQL_ROLLUP,
+    "grouping_cube": _SQL_CUBE,
     "distinct_exact": _SQL_DISTINCT_EXACT,
     # distinct_approx: deliberately no oracle (sketch estimate) → rows-only
     "set_ops": _SQL_SET_OPS,

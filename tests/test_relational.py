@@ -15,3 +15,30 @@ def test_distinct_approx_tracks_exact(spark, sf_dir):
     assert set(exact) == set(approx)
     for et, n in exact.items():
         assert abs(approx[et] - n) <= max(3, 0.03 * n), (et, n, approx[et])
+
+
+def test_approx_percentile_tracks_exact(spark, sf_dir):
+    """approx_percentile (sketch form — the 100 TB path) guarantees RANK
+    accuracy, not value accuracy: the returned value's empirical rank must
+    sit within ±2% of the requested quantile (value-space comparison would
+    spuriously fail wherever adjacent order statistics differ — the sketch
+    returns a real data point, the exact form interpolates). Same
+    self-check-net idea as distinct_approx."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    approx = {
+        r.event_type: r.ap
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("approx_percentile(value, array(0.5, 0.95), 10000)").alias("ap"))
+        .collect()
+    }
+    assert approx
+    for et, (p50, p95) in approx.items():
+        grp = ev.where(F.col("event_type") == et)
+        n = grp.count()
+        for q, v in ((0.5, p50), (0.95, p95)):
+            rank = grp.where(F.col("value") <= v).count() / n
+            assert abs(rank - q) <= 0.02, (et, q, v, rank)
