@@ -132,3 +132,61 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, batch_events, tmp_pat
         for r in interval_join(bc, bp, key="user_id", max_delay_minutes=30).collect()
     }
     assert got == want and want
+
+
+def test_observe_errors_streaming_listener(spark, sf_dir, tmp_path):
+    """A26 streaming path: observe() metrics surface per micro-batch via
+    StreamingQueryListener — error accounting with no extra action, in
+    stream mode."""
+    import threading
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    from bytewax_iceberg_connector_spark.operators.inspect import observe_errors
+
+    seen = {}
+    done = threading.Event()
+
+    class _L(StreamingQueryListener):
+        def onQueryStarted(self, e):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, e):  # noqa: N802
+            m = e.progress.observedMetrics.get("bic_errors")
+            if m is not None:
+                seen["n_rows"] = seen.get("n_rows", 0) + m.n_rows
+                seen["n_errors"] = seen.get("n_errors", 0) + m.n_errors
+                done.set()
+
+        def onQueryTerminated(self, e):  # noqa: N802
+            done.set()
+
+        def onQueryIdle(self, e):  # noqa: N802
+            pass
+
+    listener = _L()
+    spark.streams.addListener(listener)
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        flagged = stream.withColumn(
+            "_error",
+            F.when(F.col("value") < 0.1, F.lit("low value")),
+        )
+        observed, obs = observe_errors(flagged)
+        assert obs is None  # streaming: metrics come via the listener
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "cp_obs"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        done.wait(30)
+    finally:
+        spark.streams.removeListener(listener)
+    n_total = load_table(spark, sf_dir, "events").count()
+    n_err = (
+        load_table(spark, sf_dir, "events").where(F.col("value") < 0.1).count()
+    )
+    assert seen.get("n_rows") == n_total and seen.get("n_errors") == n_err
