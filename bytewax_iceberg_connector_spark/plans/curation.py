@@ -426,6 +426,76 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# Context-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_W = 64   # tokens per chunk (context window)
+_CHUNK_S = 48   # stride (W - S = 16 tokens of overlap)
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping ``_CHUNK_W``-token windows at
+    stride ``_CHUNK_S`` — the context-window prep every tokenizer feed
+    runs — and account chunks/tokens per lang (integer-exact).
+
+    A doc shorter than one window yields exactly one (short) chunk;
+    chunk count = ceil(max(tokens-W, 0)/S) + 1, and the overlap means
+    sum_chunk_tokens > corpus tokens by design (the duplicated stride
+    margins).
+
+    Scale: pure per-row projection (transform over a chunk-index sequence;
+    each chunk slices W tokens once — O(tokens·W/S), NOT the quadratic
+    slice-per-gram shape shingles() avoids) + one tiny aggregate. The
+    exploded per-chunk form feeds tokenizers directly; the aggregate keeps
+    the oracle small.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens("text")
+    n_chunks = (
+        F.ceil(F.greatest(F.size(t) - _CHUNK_W, F.lit(0)) / _CHUNK_S) + 1
+    ).cast("int")
+    chunk_sizes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.size(F.slice(t, i * _CHUNK_S + 1, _CHUNK_W)),
+    )
+    per_doc = docs.select(
+        "lang",
+        n_chunks.cast("long").alias("nc"),
+        F.aggregate(chunk_sizes, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("ct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nc").alias("n_chunks"),
+            F.sum("ct").alias("sum_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_CHUNKING = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+  FROM documents
+), ch AS (
+  SELECT doc_id, lang,
+         len(t[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})]) AS ct
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS INT))) AS i)
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(ct) AS BIGINT) AS sum_chunk_tokens
+FROM ch
+GROUP BY lang
+ORDER BY lang
+"""
+
+# ---------------------------------------------------------------------------
 # End-to-end pipeline composite
 # ---------------------------------------------------------------------------
 
@@ -523,6 +593,7 @@ ORDER BY lang
 
 
 QUERIES = {
+    "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
     "token_budget_cap": token_budget_cap,
     "embedding_norm_stats": embedding_norm_stats,
@@ -532,6 +603,7 @@ QUERIES = {
     "dataset_split": dataset_split,
 }
 ORACLE = {
+    "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,
     "token_budget_cap": _SQL_TOKEN_BUDGET,
     "embedding_norm_stats": _SQL_NORM_STATS,

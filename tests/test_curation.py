@@ -109,3 +109,36 @@ def test_dataset_split_is_stable_under_growth(spark, sf_dir):
     n = len(full)
     n_train = sum(1 for s in full.values() if s == "train")
     assert 0.7 * n <= n_train <= 0.9 * n
+
+
+def test_doc_chunking_window_arithmetic(spark):
+    """Chunk-count and overlap arithmetic on known docs: short doc → one
+    chunk; exact multiple of stride; overlap duplicates W-S tokens."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.functions import text as X
+
+    W, S = 64, 48
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),    # < W → 1 chunk
+            (2, " ".join(f"t{i}" for i in range(64))),    # == W → 1 chunk
+            (3, " ".join(f"t{i}" for i in range(112))),   # W + S → 2 chunks
+            (4, " ".join(f"t{i}" for i in range(113))),   # W + S + 1 → 3
+        ],
+        "doc_id INT, text STRING",
+    )
+    t = X.tokens("text")
+    n_chunks = (F.ceil(F.greatest(F.size(t) - W, F.lit(0)) / S) + 1).cast("int")
+    sizes = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.size(F.slice(t, i * S + 1, W)),
+    )
+    rows = {r.doc_id: r for r in docs.select(
+        "doc_id", n_chunks.alias("nc"),
+        F.aggregate(sizes, F.lit(0), lambda a, x: a + x).alias("ct"),
+    ).collect()}
+    assert rows[1].nc == 1 and rows[1].ct == 10
+    assert rows[2].nc == 1 and rows[2].ct == 64
+    assert rows[3].nc == 2 and rows[3].ct == 64 + 64      # 16-token overlap
+    assert rows[4].nc == 3 and rows[4].ct == 64 + 64 + 17
