@@ -438,10 +438,13 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket membership ships (vec_id, table, key) ONLY — 24 bytes/row; the
     # 512-byte vectors are fetched after candidate dedup (candidates ≪
     # |vectors|·tables), the same narrow-shuffle shape as dedup_minhash_lsh
+    # persisted: the query filter and the corpus side of the bucket join are
+    # both branches of this frame — one LSH-kernel pass, not two (the same
+    # materialize-the-index discipline as the dedup family)
     bucketed = emb.select(
         "vec_id",
         F.posexplode(S.sign_lsh_keys_np(64, 8, 4)(F.col("e"))).alias("table", "key"),
-    ).select("vec_id", F.struct("table", "key").alias("bucket"))
+    ).select("vec_id", F.struct("table", "key").alias("bucket")).persist()
     q = bucketed.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "bucket"
     )
