@@ -426,6 +426,72 @@ ORDER BY bucket
 
 
 # ---------------------------------------------------------------------------
+# Embedding int8 quantization audit
+# ---------------------------------------------------------------------------
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (scale =
+    127/max|x| per vector) + reconstruction-error audit per bucket — the
+    4× memory cut that makes a 100 TB vector corpus fit its serving tier.
+
+    Quantize/dequantize run as JVM higher-order functions (transform /
+    aggregate) — no UDF, scan speed. Rounding is ``FLOOR(x+0.5)`` spelled
+    identically on both engines (plain ROUND ties differ between Spark's
+    HALF_UP and DuckDB); the error sum is quantized to 1e-9 per vector
+    before the BIGINT aggregate, so the oracle comparison is float-order-
+    free.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    max_abs = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.greatest(max_abs, F.lit(1e-12)) / 127.0
+    # q_i = floor(x_i/scale + 0.5); reconstruction x̂_i = q_i * scale
+    sq_err = F.aggregate(
+        v,
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x - F.floor(x / scale + 0.5) * scale, F.lit(2.0)),
+    )
+    per = emb.select(
+        (F.col("vec_id") % 10).alias("bucket"),
+        F.round(sq_err * 1e9).cast("long").alias("err_nanos"),
+    )
+    return (
+        per.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("err_nanos").alias("sum_sq_err_nanos"),
+            F.max("err_nanos").alias("max_sq_err_nanos"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_QUANTIZE = """
+WITH per AS (
+  SELECT vec_id % 10 AS bucket,
+         CAST(ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           x -> POW(x - FLOOR(x / (GREATEST(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), y -> ABS(y))), 1e-12) / 127.0)
+                + 0.5)
+              * (GREATEST(list_max(list_transform(
+                  CAST(embedding AS DOUBLE[]), y -> ABS(y))), 1e-12) / 127.0),
+              2.0))) * 1e9) AS BIGINT) AS err_nanos
+  FROM embeddings
+)
+SELECT bucket,
+       COUNT(*) AS n_vecs,
+       CAST(SUM(err_nanos) AS BIGINT) AS sum_sq_err_nanos,
+       CAST(MAX(err_nanos) AS BIGINT) AS max_sq_err_nanos
+FROM per
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+# ---------------------------------------------------------------------------
 # Context-window chunking
 # ---------------------------------------------------------------------------
 
@@ -593,6 +659,7 @@ ORDER BY lang
 
 
 QUERIES = {
+    "embedding_quantize": embedding_quantize,
     "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
     "token_budget_cap": token_budget_cap,
@@ -603,6 +670,7 @@ QUERIES = {
     "dataset_split": dataset_split,
 }
 ORACLE = {
+    "embedding_quantize": _SQL_QUANTIZE,
     "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,
     "token_budget_cap": _SQL_TOKEN_BUDGET,
