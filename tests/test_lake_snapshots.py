@@ -326,3 +326,43 @@ def test_incremental_read_returns_only_new_commits(spark, tmp_path, batches):
     sink.compact()                        # v4: replacing
     with pytest.raises(ValueError, match="replacing"):
         sink.read_incremental(2)
+
+
+def test_split_materialization_prunes_per_split(spark, tmp_path, sf_dir):
+    """Integration: the dataset_split bucket expression written as a lake
+    partition column lets each split be read back with partition pruning —
+    materializing train/val/test costs one write, and reading one split
+    never scans the others."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    tagged = docs.withColumn("split", split)
+    cfg = IcebergSinkConfig(
+        table_name="db.split_docs",
+        warehouse_path=str(tmp_path),
+        num_partitions=2,
+        partition_spec=[("split", "identity")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(tagged)
+    back = sink.read()
+    counts = {r.split: r.n for r in tagged.groupBy("split").agg(
+        F.count("*").alias("n")).collect()}
+    one = back.where(F.col("_p_split") == "val")
+    assert one.count() == counts["val"]
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "100000")
+    try:
+        plan = one._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "_p_split" in plan and "PartitionFilters" in plan
