@@ -1,103 +1,127 @@
-"""Property-based tests (hypothesis): the custom operators vs brute-force
-Python references on arbitrary small inputs.
+"""Property-based tests (hypothesis): operator semantics pinned against
+independent reference implementations on randomized inputs — the corpus
+queries prove fixed answers; these prove the CONTRACT over the input space.
 
-Few examples, deliberately: each example pays Spark job overhead, and the
-operators' state space (ordering, ties, missing keys) is covered well by
-~15 random shapes plus the explicit edge-case unit tests.
+Example counts are kept small (Spark round-trip per example ~0.3 s); the
+generators bias toward the edges that burned us before: short docs, equal
+timestamps, duplicate keys.
 """
 
 from __future__ import annotations
 
 import datetime as dt
 
+import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.functions import text as X
 
 _SETTINGS = dict(
-    max_examples=15,
+    max_examples=12,
     deadline=None,
-    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
-_row = st.tuples(
-    st.integers(min_value=0, max_value=3),    # key
-    st.integers(min_value=0, max_value=30),   # ts (seconds)
-    st.integers(min_value=-100, max_value=100),  # value / tiebreak seed
+_WORDS = st.lists(
+    st.sampled_from(["a", "b", "c", "dd", "eee", "f0"]), min_size=0, max_size=12
 )
 
 
-def _ts(s: int) -> dt.datetime:
-    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
-
-
+@given(docs=st.lists(_WORDS, min_size=1, max_size=8))
 @settings(**_SETTINGS)
-@given(
-    left=st.lists(_row, min_size=1, max_size=12),
-    right=st.lists(_row, min_size=0, max_size=12),
-)
-def test_asof_join_matches_bruteforce(spark, left, right):
+def test_shingles_agree_with_reference(spark, docs):
+    """JVM shingles() == a trivial Python reference on arbitrary token
+    streams (incl. docs shorter than n — the round-1 crash class)."""
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    got = {
+        r.doc_id: sorted(r.s)
+        for r in df.select("doc_id", X.shingles("text", 3).alias("s")).collect()
+    }
+    for i, ws in enumerate(docs):
+        want = sorted({" ".join(ws[j:j + 3]) for j in range(max(len(ws) - 2, 0))})
+        assert got[i] == want, (i, ws)
+
+
+@st.composite
+def _asof_frames(draw):
+    """Left/right event frames; unique (key, ts) per side so the as-of
+    match is unambiguous (ties are covered by the deterministic tiebreak
+    tests in test_temporal)."""
+    keys = draw(st.lists(st.integers(0, 2), min_size=1, max_size=4))
+    base = dt.datetime(2024, 1, 1)
+    left, right = [], []
+    used_l, used_r = set(), set()
+    for k in keys:
+        for t in draw(st.lists(st.integers(0, 40), min_size=1, max_size=5)):
+            if (k, t) not in used_l:
+                used_l.add((k, t))
+                left.append((k, base + dt.timedelta(seconds=t)))
+        for t in draw(st.lists(st.integers(0, 40), min_size=1, max_size=5)):
+            if (k, t) not in used_r:
+                used_r.add((k, t))
+                right.append((k, base + dt.timedelta(seconds=t), float(t)))
+    return left, right
+
+
+@given(frames=_asof_frames())
+@settings(**_SETTINGS)
+def test_asof_join_agrees_with_pandas_merge_asof(spark, frames):
+    """asof_join == pandas.merge_asof (direction='backward', inclusive) on
+    random key/timestamp layouts."""
     from bytewax_iceberg_connector_spark.operators.asof import asof_join
 
-    ldf = spark.createDataFrame(
-        [(k, _ts(t), i) for i, (k, t, _) in enumerate(left)],
-        "k INT, ts TIMESTAMP, lid INT",
+    left_rows, right_rows = frames
+    left = spark.createDataFrame(
+        [Row(user_id=k, ts=t) for k, t in left_rows]
     )
-    rdf = spark.createDataFrame(
-        [(k, _ts(t), float(v), i) for i, (k, t, v) in enumerate(right)],
-        "k INT, ts TIMESTAMP, v DOUBLE, seq INT",
+    right = spark.createDataFrame(
+        [Row(user_id=k, ts=t, value=v) for k, t, v in right_rows]
     )
     got = {
-        r.lid: (r.ts_right, r.v_right)
-        for r in asof_join(ldf, rdf, on="k", value_cols=("v",), tiebreak="seq").collect()
-    }
-
-    # brute force: for each left row, the right row with max (ts, seq)
-    # among same-key rows with ts <= left.ts
-    want = {}
-    for i, (lk, lt, _) in enumerate(left):
-        best = None
-        for j, (rk, rt, rv) in enumerate(right):
-            if rk == lk and rt <= lt:
-                cand = (rt, j, rv)
-                if best is None or (cand[0], cand[1]) > (best[0], best[1]):
-                    best = cand
-        want[i] = (None, None) if best is None else (_ts(best[0]), float(best[2]))
-    assert got == want
-
-
-@settings(**_SETTINGS)
-@given(
-    target=st.lists(_row, min_size=0, max_size=10),
-    updates=st.lists(_row, min_size=0, max_size=10),
-)
-def test_merge_upsert_matches_dict_semantics(spark, target, updates):
-    from bytewax_iceberg_connector_spark.operators.merge import merge_upsert
-
-    # unique keys in target (a table's invariant); updates deduped by seq
-    tgt = {k: v for k, _, v in target}
-    tdf = spark.createDataFrame(
-        [(k, float(v)) for k, v in tgt.items()] or [(None, None)],
-        "k INT, v DOUBLE",
-    ).where("k IS NOT NULL")
-    udf = spark.createDataFrame(
-        [(k, float(v), i) for i, (k, _, v) in enumerate(updates)] or [(None, None, None)],
-        "k INT, v DOUBLE, seq INT",
-    ).where("k IS NOT NULL")
-
-    got = {
-        r.k: (r.v, r.seq is not None)
-        for r in merge_upsert(
-            tdf.withColumn("seq", tdf.k * 0 - 1), udf, ["k"], tiebreak="seq"
+        (r.user_id, r.ts): (r.ts_right, r.value_right)
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", value_cols=["value"]
         ).collect()
     }
+    lp = pd.DataFrame(left_rows, columns=["user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        right_rows, columns=["user_id", "ts", "value"]
+    ).sort_values("ts")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="backward",
+        suffixes=("", "_right"),
+    )
+    for rec in want_df.itertuples(index=False):
+        w_ts = None if pd.isna(rec.value) else rec.ts  # matched right ts
+        g_ts, g_v = got[(rec.user_id, rec.ts)]
+        if pd.isna(rec.value):
+            assert g_v is None, (rec, g_ts, g_v)
+        else:
+            assert g_v == rec.value, (rec, g_ts, g_v)
 
-    want_vals = dict(tgt)
-    upd_best: dict[int, tuple[int, int]] = {}
-    for i, (k, _, v) in enumerate(updates):
-        if k not in upd_best or i > upd_best[k][0]:
-            upd_best[k] = (i, v)
-    for k, (_, v) in upd_best.items():
-        want_vals[k] = v
-    assert {k: v for k, (v, _) in got.items()} == {
-        k: float(v) for k, v in want_vals.items()
-    }
+
+@given(
+    target=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100)),
+                    min_size=1, max_size=10),
+    updates=st.lists(st.tuples(st.integers(0, 5), st.integers(200, 300)),
+                     min_size=0, max_size=6, unique_by=lambda t: t[0]),
+)
+@settings(**_SETTINGS)
+def test_merge_upsert_reference_semantics(spark, target, updates):
+    """merge_upsert == dict-overlay semantics: update wins on matched keys,
+    unmatched keys insert, untouched target rows survive."""
+    from bytewax_iceberg_connector_spark.operators.merge import merge_upsert
+
+    tgt = {k: v for k, v in target}  # last occurrence wins for duplicates
+    t_df = spark.createDataFrame(list(tgt.items()), "k INT, v INT")
+    u_df = spark.createDataFrame(updates, "k INT, v INT") if updates else \
+        spark.createDataFrame([], "k INT, v INT")
+    got = {r.k: r.v for r in merge_upsert(t_df, u_df, keys=["k"]).collect()}
+    want = dict(tgt)
+    want.update(dict(updates))
+    assert got == want
