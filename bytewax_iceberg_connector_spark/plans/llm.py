@@ -198,6 +198,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the near-dup pair
+    graph, via iterative min-label propagation — pairs alone don't tell a
+    100 TB dedup which copies to drop; the canonical representative is the
+    component minimum (keep cluster_id, drop the rest).
+
+    Iterative driver loop (labels are min-monotone, so the total-sum
+    fingerprint detects the fixpoint); iteration count is the component
+    diameter — tiny for dup clusters, and each step is one narrow
+    (node, label) join. The oracle is a recursive CTE computing the same
+    min-reachable id, so the iterative Spark algorithm is checked against
+    closed-form SQL semantics.
+    """
+    pairs = (
+        _shingle_pairs(spark, sf_dir)
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("d")).distinct()
+        .select("d", F.col("d").alias("label"))
+        .persist()
+    )
+    prev_sum = None
+    while True:
+        flowed = (
+            sym.join(labels, sym.src == labels.d)
+            .select(F.col("dst").alias("d"), "label")
+        )
+        new_labels = (
+            labels.unionByName(flowed)
+            .groupBy("d").agg(F.min("label").alias("label"))
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (
+        labels.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").cast("long").alias("n_members"))
+        .orderBy("cluster_id")
+    )
+
+
+_SQL_CLUSTERS = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+p AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b FROM p
+  JOIN sizes sa ON doc_a = sa.doc_id
+  JOIN sizes sb ON doc_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+), sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), nodes AS (SELECT DISTINCT a AS d FROM sym),
+reach(src, dst) AS (
+  SELECT d, d FROM nodes
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.dst
+), lab AS (SELECT src, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+FROM lab
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # B17c: near-dup, SimHash bands (rows-only: xxhash64 has no DuckDB twin)
 # ---------------------------------------------------------------------------
@@ -1049,6 +1134,7 @@ ORDER BY dim
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_ngram": dedup_near_ngram,
+    "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
@@ -1071,6 +1157,7 @@ QUERIES = {
 ORACLE = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "dedup_near_ngram": _SQL_NEAR_NGRAM,
+    "dedup_clusters": _SQL_CLUSTERS,
     # same contract & oracle as the exact form (deterministic recall ≈ 1):
     "dedup_minhash_lsh": _SQL_NEAR_NGRAM,
     # dedup_simhash: rows-only (engine-specific hash functions)

@@ -180,3 +180,34 @@ def test_frame_sampling_fanout(spark):
     assert len(frames) == 4
     assert [f.frame_idx for f in sorted(frames, key=lambda r: r.frame_idx)] == [0, 1, 2, 3]
     assert len({f.frame_sha256 for f in frames}) == 4  # distinct slices
+
+
+def test_dedup_clusters_are_transitive(spark, sf_dir):
+    """Connected components: every near-dup pair lands in ONE cluster
+    (transitivity), members partition the node set, and the cluster id is
+    the component minimum."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        dedup_clusters,
+        dedup_near_ngram,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()]
+    clusters = {r.cluster_id: r.n_members for r in dedup_clusters(spark, sf_dir).collect()}
+    # reference union-find over the same pairs
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {}
+    for node in parent:
+        want.setdefault(find(node), set()).add(node)
+    assert clusters == {k: len(v) for k, v in want.items()}
