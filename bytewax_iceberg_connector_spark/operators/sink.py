@@ -123,6 +123,35 @@ class LakeSink:
     def _log(self) -> SnapshotLog:
         return SnapshotLog(self._path)
 
+    def _file_format(self) -> str:
+        """Data file format for the parquet-warehouse backend (A20
+        ``file_format``: the reference writes the configured format via
+        pyiceberg, models.py:16-24). parquet and orc are Spark built-ins;
+        avro needs the external spark-avro package — raise the same
+        explicit config error the reference's enum gives rather than
+        silently writing a different format.
+        """
+        fmt = self.config.file_format.value
+        if fmt in ("parquet", "orc"):
+            return fmt
+        if fmt == "avro":
+            # probe through Spark's own data-source registry — the avro
+            # CLASSES ship with the distribution, but the module is only
+            # usable when spark-avro is deployed, so Class.forName lies
+            jvm = self.spark._jvm
+            try:
+                jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+                    "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+                )
+                return "avro"
+            except Exception:
+                raise ValueError(
+                    "file_format=avro requires the spark-avro package on the "
+                    "classpath (org.apache.spark:spark-avro); parquet/orc are "
+                    "built in"
+                ) from None
+        raise ValueError(f"unsupported file_format: {fmt}")  # pragma: no cover
+
     def table_exists(self) -> bool:
         if self.backend == "iceberg":
             return self.spark.catalog.tableExists(self._qualified)
@@ -236,10 +265,10 @@ class LakeSink:
                 *pcols, *_sort_exprs(self.config.sort_order)
             )
         name, path = self._log.new_commit_dir()
-        w = keyed.write.mode("errorifexists")
+        w = keyed.write.mode("errorifexists").format(self._file_format())
         if pcols:
             w = w.partitionBy(*pcols)
-        w.parquet(path)
+        w.save(path)
         self._log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
@@ -438,7 +467,8 @@ class LakeSink:
         dirs = [os.path.join(self._log.data_dir, c) for c in new]
         return (
             self.spark.read.option("basePath", self._log.data_dir)
-            .parquet(*dirs)
+            .format(self._file_format())
+            .load(dirs)
             .drop("_c")
         )
 
@@ -469,4 +499,4 @@ class LakeSink:
             reader = reader.option("mergeSchema", "true")
         # `_c` is the commit-dir partition component — implementation
         # detail, dropped from the user-visible schema
-        return reader.parquet(*dirs).drop("_c")
+        return reader.format(self._file_format()).load(dirs).drop("_c")

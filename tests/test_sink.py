@@ -95,3 +95,40 @@ def test_schema_evolution_additive(spark, tmp_path, events_df):
     assert back.where(F.col("quality").isNull()).count() == 30
     # default read keeps working (schema from latest footer subset)
     assert sink.read().count() == 60
+
+
+def test_orc_file_format_roundtrip(spark, tmp_path, events_df):
+    """A20 file_format: the configured format actually lands on disk (orc
+    here — the round-1-style 'accepted but unapplied config' trap)."""
+    import glob
+
+    from bytewax_iceberg_connector_spark.config import FileFormat
+
+    sink = _sink(spark, tmp_path, file_format=FileFormat.ORC)
+    sink.append(events_df)
+    files = glob.glob(os.path.join(str(tmp_path), "db", "events", "data", "**", "*.orc"),
+                      recursive=True)
+    assert files, "orc data files must exist"
+    assert sink.read().count() == 30
+    assert sink.read(as_of=1).count() == 30
+
+
+def test_avro_without_package_raises_clearly(spark, tmp_path, events_df):
+    from bytewax_iceberg_connector_spark.config import FileFormat
+    from bytewax_iceberg_connector_spark.operators.sink import iceberg_runtime_available
+
+    sink = _sink(spark, tmp_path, file_format=FileFormat.AVRO)
+    jvm = spark._jvm
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        has_avro = True
+    except Exception:
+        has_avro = False
+    if has_avro:
+        sink.append(events_df)
+        assert sink.read().count() == 30
+    else:
+        with pytest.raises(ValueError, match="spark-avro"):
+            sink.append(events_df)
