@@ -63,6 +63,12 @@ class IcebergSinkConfig(BaseModel):
     num_partitions: int = Field(default=1, ge=1, le=100)
 
     file_format: FileFormat = FileFormat.PARQUET
+    #: accepted for reference parity (models.py:171-177: staging dir for
+    #: in-flight batch files). Spark's output committer owns staging —
+    #: tasks write attempt files under the destination and commit by
+    #: rename, and the snapshot log only publishes fully-written commits —
+    #: so a user-provided staging dir has nothing to configure. Kept so
+    #: reference configs deserialize unchanged; documented as subsumed.
     temp_dir: Optional[str] = None
 
     # optional table-creation spec (models.py:179-190): partition column spec
