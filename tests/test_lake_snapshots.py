@@ -366,3 +366,26 @@ def test_split_materialization_prunes_per_split(spark, tmp_path, sf_dir):
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", old)
     assert "_p_split" in plan and "PartitionFilters" in plan
+
+
+def test_concurrent_appends_all_land(spark, tmp_path, batches):
+    """4 writers committing simultaneously: the version-file race resolves
+    by retry, no append is lost and no snapshot id is skipped — the
+    optimistic-commit property the reference's retry loop aims for
+    (connector.py:242-257), proven under real thread concurrency."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.ensure_table(b1)
+    parts = [b1.where(F.col("event_id") % 4 == i) for i in range(4)]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        list(ex.map(lambda df: sink.append(df), parts))
+    log = sink._log
+    assert log.current_id() == 4
+    assert len(log.live_commits()) == 4
+    assert sink.read().count() == 10
+    assert sorted(r.event_id for r in sink.read().collect()) == list(range(10))
+    # every intermediate snapshot is a consistent prefix-union of commits
+    sizes = [sink.read(as_of=i).count() for i in range(1, 5)]
+    assert sizes == sorted(sizes) and sizes[-1] == 10
