@@ -474,16 +474,45 @@ class LakeSink:
 
     # -- read-back ---------------------------------------------------------
 
+    def snapshot_as_of_timestamp(self, ts_ms: int) -> int | None:
+        """Latest snapshot committed at or before ``ts_ms`` (epoch millis)
+        — the resolution step behind ``TIMESTAMP AS OF``. None if the
+        table had no commits yet at that time."""
+        if self.backend == "iceberg":
+            rows = (
+                self.snapshots()
+                .where(F.col("committed_at") <= F.timestamp_millis(F.lit(ts_ms)))
+                .agg(F.max("snapshot_id"))
+                .collect()
+            )
+            return rows[0][0]
+        ids = [
+            s["snapshot_id"] for s in self._log.snapshots()
+            if s["timestamp_ms"] <= ts_ms
+        ]
+        return max(ids, default=None)
+
     def read(self, merge_schema: bool = False,
-             as_of: int | None = None) -> DataFrame:
+             as_of: int | None = None,
+             as_of_timestamp_ms: int | None = None) -> DataFrame:
         """Read the table; ``as_of`` pins a snapshot id (time travel —
-        Iceberg ``VERSION AS OF``); ``merge_schema=True`` unions schemas
-        across files so batches appended with ADDED columns surface (nulls
-        for older rows) — the additive schema evolution the reference
-        forbids ("Static schemas only", reference README.md:68). Iceberg
-        handles this through table metadata; the parquet backend pays a
-        footer merge pass, so keep it off for fixed-schema hot paths.
+        Iceberg ``VERSION AS OF``) and ``as_of_timestamp_ms`` pins the
+        latest snapshot at or before a wall-clock instant (``TIMESTAMP AS
+        OF``); ``merge_schema=True`` unions schemas across files so batches
+        appended with ADDED columns surface (nulls for older rows) — the
+        additive schema evolution the reference forbids ("Static schemas
+        only", reference README.md:68). Iceberg handles this through table
+        metadata; the parquet backend pays a footer merge pass, so keep it
+        off for fixed-schema hot paths.
         """
+        if as_of_timestamp_ms is not None:
+            if as_of is not None:
+                raise ValueError("pass as_of OR as_of_timestamp_ms, not both")
+            as_of = self.snapshot_as_of_timestamp(as_of_timestamp_ms)
+            if as_of is None:
+                raise ValueError(
+                    f"no snapshot existed at timestamp {as_of_timestamp_ms}"
+                )
         if self.backend == "iceberg":
             if as_of is not None:
                 return self.spark.sql(

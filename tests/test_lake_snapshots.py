@@ -389,3 +389,23 @@ def test_concurrent_appends_all_land(spark, tmp_path, batches):
     # every intermediate snapshot is a consistent prefix-union of commits
     sizes = [sink.read(as_of=i).count() for i in range(1, 5)]
     assert sizes == sorted(sizes) and sizes[-1] == 10
+
+
+def test_timestamp_as_of_resolves_to_snapshot(spark, tmp_path, batches):
+    """TIMESTAMP AS OF: a wall-clock instant resolves to the latest
+    snapshot committed at or before it; pre-table instants error."""
+    import time
+
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    t_between = int(time.time() * 1000)
+    time.sleep(0.01)
+    sink.append(b2)
+    assert sink.snapshot_as_of_timestamp(t_between) == 1
+    assert sink.read(as_of_timestamp_ms=t_between).count() == 10
+    assert sink.read(as_of_timestamp_ms=int(time.time() * 1000)).count() == 30
+    with pytest.raises(ValueError, match="no snapshot"):
+        sink.read(as_of_timestamp_ms=1)
+    with pytest.raises(ValueError, match="not both"):
+        sink.read(as_of=1, as_of_timestamp_ms=t_between)
