@@ -37,9 +37,17 @@ def asof_join(
     value_cols: tuple[str, ...] = (),
     suffix: str = "_right",
     tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward-inclusive as-of join: left enriched with the most recent
-    right row per ``on`` key with right.ts ≤ left.ts.
+    """As-of join, inclusive: left enriched per ``on`` key with
+    - ``direction="backward"`` (default): the most recent right row with
+      right.ts ≤ left.ts — DuckDB ASOF JOIN / pandas merge_asof default;
+    - ``direction="forward"``: the nearest upcoming right row with
+      right.ts ≥ left.ts — pandas merge_asof(direction='forward').
+
+    Forward reuses the identical one-shuffle running-last machinery with
+    the window ordered ts-DESC: the last right row seen above a left row
+    in descending order is exactly the smallest right.ts ≥ left.ts.
 
     Output: all left columns, plus ``{ts_col}{suffix}`` (matched right
     timestamp, null if none) and ``{c}{suffix}`` for each of value_cols.
@@ -57,6 +65,8 @@ def asof_join(
     right row, so every carried field comes from the same matched row —
     including its genuine NULLs — matching ASOF JOIN / DuckDB semantics.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     carried = [ts_col, *value_cols]
     left_cols = left.columns
     rtypes = dict(right.dtypes)
@@ -78,9 +88,14 @@ def asof_join(
         F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r"),
     )
 
+    ts_order = (
+        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+    )
+    # at equal ts the right row must sort BEFORE the left row either way
+    # (_side 0 < 1) so the join stays inclusive in both directions
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .orderBy(ts_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     enriched = l_tagged.unionByName(r_tagged).select(
