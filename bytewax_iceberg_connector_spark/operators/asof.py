@@ -65,8 +65,10 @@ def asof_join(
     right row, so every carried field comes from the same matched row —
     including its genuine NULLs — matching ASOF JOIN / DuckDB semantics.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     carried = [ts_col, *value_cols]
     left_cols = left.columns
     rtypes = dict(right.dtypes)
@@ -89,7 +91,7 @@ def asof_join(
     )
 
     ts_order = (
-        F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc()
+        F.col(ts_col).desc() if direction == "forward" else F.col(ts_col).asc()
     )
     # at equal ts the right row must sort BEFORE the left row either way
     # (_side 0 < 1) so the join stays inclusive in both directions
@@ -98,10 +100,36 @@ def asof_join(
         .orderBy(ts_order, F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction == "nearest":
+        # single pass, two frames over ONE sort: running-last behind
+        # (backward candidate) + leading-first ahead (forward candidate),
+        # then pick the smaller |Δts| — backward wins ties, matching
+        # pandas merge_asof(direction='nearest'). Exact matches live in
+        # the backward frame (right sorts before left at equal ts), and
+        # Δ_backward = 0 always wins, so the exclusive forward frame is
+        # harmless. Same one shuffle; Spark reuses the sort for both
+        # frames.
+        wf = (
+            Window.partitionBy(on)
+            .orderBy(ts_order, F.col("_side").asc(), F.col("_tb").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        rb = F.last(F.col("_r"), ignorenulls=True).over(w)
+        rf = F.first(F.col("_r"), ignorenulls=True).over(wf)
+        d_back = F.unix_micros(F.col(ts_col)) - F.unix_micros(rb.getField(ts_col))
+        d_fwd = F.unix_micros(rf.getField(ts_col)) - F.unix_micros(F.col(ts_col))
+        chosen = (
+            F.when(rb.isNull(), rf)
+            .when(rf.isNull(), rb)
+            .when(d_back <= d_fwd, rb)
+            .otherwise(rf)
+        )
+    else:
+        chosen = F.last(F.col("_r"), ignorenulls=True).over(w)
     enriched = l_tagged.unionByName(r_tagged).select(
         F.col(on), F.col(ts_col), F.col("_side"),
         *[F.col(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],
-        F.last(F.col("_r"), ignorenulls=True).over(w).alias("_r"),
+        chosen.alias("_r"),
     )
     return enriched.where(F.col("_side") == 1).select(
         *[

@@ -160,3 +160,38 @@ def test_asof_forward_agrees_with_pandas(spark, frames):
             assert g_v is None, rec
         else:
             assert g_v == rec.value, (rec, g_v)
+
+
+@given(frames=_asof_frames())
+@settings(**_SETTINGS)
+def test_asof_nearest_agrees_with_pandas(spark, frames):
+    """asof_join(direction='nearest') == pandas merge_asof nearest
+    (backward wins distance ties; exact match always wins)."""
+    from bytewax_iceberg_connector_spark.operators.asof import asof_join
+
+    left_rows, right_rows = frames
+    left = spark.createDataFrame([Row(user_id=k, ts=t) for k, t in left_rows])
+    right = spark.createDataFrame(
+        [Row(user_id=k, ts=t, value=v) for k, t, v in right_rows]
+    )
+    got = {
+        (r.user_id, r.ts): r.value_right
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts",
+            value_cols=["value"], direction="nearest",
+        ).collect()
+    }
+    lp = pd.DataFrame(left_rows, columns=["user_id", "ts"]).sort_values("ts")
+    rp = pd.DataFrame(
+        right_rows, columns=["user_id", "ts", "value"]
+    ).sort_values("ts")
+    want_df = pd.merge_asof(
+        lp, rp, on="ts", by="user_id", direction="nearest",
+        suffixes=("", "_right"),
+    )
+    for rec in want_df.itertuples(index=False):
+        g_v = got[(rec.user_id, rec.ts)]
+        if pd.isna(rec.value):
+            assert g_v is None, rec
+        else:
+            assert g_v == rec.value, (rec, g_v)
