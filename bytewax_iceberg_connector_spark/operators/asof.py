@@ -38,6 +38,7 @@ def asof_join(
     suffix: str = "_right",
     tiebreak: str | None = None,
     direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join, inclusive: left enriched per ``on`` key with
     - ``direction="backward"`` (default): the most recent right row with
@@ -45,9 +46,16 @@ def asof_join(
     - ``direction="forward"``: the nearest upcoming right row with
       right.ts ≥ left.ts — pandas merge_asof(direction='forward').
 
+    - ``direction="nearest"``: whichever of the two is closer in time
+      (backward wins ties — pandas merge_asof(direction='nearest')).
+
     Forward reuses the identical one-shuffle running-last machinery with
     the window ordered ts-DESC: the last right row seen above a left row
     in descending order is exactly the smallest right.ts ≥ left.ts.
+
+    ``tolerance_seconds`` (pandas ``tolerance``): a match farther than
+    this from left.ts is dropped (null enrichment) — a post-window filter,
+    no extra shuffle.
 
     Output: all left columns, plus ``{ts_col}{suffix}`` (matched right
     timestamp, null if none) and ``{c}{suffix}`` for each of value_cols.
@@ -126,6 +134,11 @@ def asof_join(
         )
     else:
         chosen = F.last(F.col("_r"), ignorenulls=True).over(w)
+    if tolerance_seconds is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(chosen.getField(ts_col))
+        )
+        chosen = F.when(gap <= int(tolerance_seconds * 1_000_000), chosen)
     enriched = l_tagged.unionByName(r_tagged).select(
         F.col(on), F.col(ts_col), F.col("_side"),
         *[F.col(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],

@@ -72,6 +72,55 @@ SELECT p.event_id, p.user_id, p.ts,
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: for every purchase, the same user's NEXT click at or
+    after the purchase (conversion-lag analysis) — same one-shuffle window
+    plan as the backward form, ordered descending."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        value_cols=("value",),
+        suffix="_click",
+        tiebreak="event_id",
+        direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_click").alias("next_click_ts"),
+        F.col("value_click").alias("next_click_value"),
+        F.expr("(unix_micros(ts_click) - unix_micros(ts)) div 1000000")
+        .alias("wait_seconds"),
+    )
+
+
+_SQL_ASOF_FWD = """
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, value FROM (
+    SELECT user_id, ts, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT p.event_id, p.user_id, p.ts,
+       c.ts AS next_click_ts,
+       c.value AS next_click_value,
+       (EPOCH_US(c.ts) - EPOCH_US(p.ts)) // 1000000 AS wait_seconds
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+"""
+
 # ---------------------------------------------------------------------------
 # range join: lineitem quantities vs a banded dimension
 # ---------------------------------------------------------------------------
@@ -129,10 +178,12 @@ ORDER BY band
 
 QUERIES = {
     "asof_join_events": asof_join_events,
+    "asof_join_forward": asof_join_forward,
     "range_join_bands": range_join_bands,
 }
 
 ORACLE = {
     "asof_join_events": _SQL_ASOF,
+    "asof_join_forward": _SQL_ASOF_FWD,
     "range_join_bands": _SQL_RANGE,
 }

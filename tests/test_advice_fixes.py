@@ -161,3 +161,23 @@ def test_dedup_first_seen_string_key_schema(spark, tmp_path):
     q.awaitTermination(180)
     got = {r["event_type"]: r["first_ts"] for r in spark.table("dedup_strkey").collect()}
     assert got == {"click": _ts(1), "view": _ts(2)}
+
+
+def test_asof_tolerance_drops_far_matches(spark):
+    """pandas-style tolerance: a match farther than the bound nulls out;
+    a within-bound match survives — both directions."""
+    left = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(100)), Row(user_id=2, ts=_ts(100))]
+    )
+    right = spark.createDataFrame(
+        [Row(user_id=1, ts=_ts(95), value=1.0),    # 5 s before → within 10 s
+         Row(user_id=2, ts=_ts(30), value=2.0)]    # 70 s before → beyond
+    )
+    got = {
+        r.user_id: r.value_right
+        for r in asof_join(
+            left, right, on="user_id", ts_col="ts", value_cols=["value"],
+            tolerance_seconds=10,
+        ).collect()
+    }
+    assert got == {1: 1.0, 2: None}
