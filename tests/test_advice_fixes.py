@@ -167,11 +167,12 @@ def test_asof_tolerance_drops_far_matches(spark):
     """pandas-style tolerance: a match farther than the bound nulls out;
     a within-bound match survives — both directions."""
     left = spark.createDataFrame(
-        [Row(user_id=1, ts=_ts(100)), Row(user_id=2, ts=_ts(100))]
+        [(1, _ts(100)), (2, _ts(100))], "user_id INT, ts TIMESTAMP"
     )
     right = spark.createDataFrame(
-        [Row(user_id=1, ts=_ts(95), value=1.0),    # 5 s before → within 10 s
-         Row(user_id=2, ts=_ts(30), value=2.0)]    # 70 s before → beyond
+        [(1, _ts(95), 1.0),    # 5 s before -> within 10 s
+         (2, _ts(30), 2.0)],   # 70 s before -> beyond
+        "user_id INT, ts TIMESTAMP, value DOUBLE",
     )
     got = {
         r.user_id: r.value_right
