@@ -136,10 +136,16 @@ def interval_join(
     ts_col: str = "ts",
     max_delay_minutes: int = 30,
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Event-time interval (stream-stream) join: each left row pairs with
     right rows of the same key whose timestamp falls in
     ``[l_ts, l_ts + max_delay_minutes]``.
+
+    ``how="left_outer"`` keeps unmatched left rows (null right columns):
+    in streaming mode Spark emits them only once the watermark proves no
+    in-interval right row can still arrive — the time-bound condition is
+    what makes outer results FINAL rather than retractable.
 
     Mode-agnostic like the other builders: on streaming inputs both sides
     get watermarks and the time-bound condition is exactly what Structured
@@ -162,9 +168,11 @@ def interval_join(
     r = with_watermark_if_streaming(r, "r_ts", watermark)
     r_extra = [c for c in r.columns if c not in (key, "r_ts")]
     r = r.select(F.col(key).alias("_rk"), "r_ts", *r_extra)
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(f"interval_join supports inner/left_outer, got {how!r}")
     cond = (
         (F.col(key) == F.col("_rk"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {max_delay_minutes} MINUTES"))
     )
-    return l.join(r, on=cond, how="inner").drop("_rk")
+    return l.join(r, on=cond, how=how).drop("_rk")

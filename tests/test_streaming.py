@@ -190,3 +190,55 @@ def test_observe_errors_streaming_listener(spark, sf_dir, tmp_path):
         load_table(spark, sf_dir, "events").where(F.col("value") < 0.1).count()
     )
     assert seen.get("n_rows") == n_total and seen.get("n_errors") == n_err
+
+
+def test_interval_join_left_outer_stream_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    """Left-outer stream-stream interval join: unmatched clicks surface
+    with null purchase columns once the watermark closes their interval;
+    results equal the batch replay exactly."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.streaming.windows import interval_join
+
+    def split(df):
+        return (
+            df.where(F.col("event_type") == "click").select("user_id", "ts"),
+            df.where(F.col("event_type") == "purchase").select("user_id", "ts"),
+        )
+
+    sc, sp = split(read_events_stream(spark, sf_dir))
+    joined = interval_join(sc, sp, key="user_id", max_delay_minutes=30,
+                           how="left_outer")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ij_outer_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cp_ij_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.l_ts, r.r_ts) for r in spark.table("ij_outer_t").collect()
+    }
+    bc, bp = split(batch_events)
+    want = {
+        (r.user_id, r.l_ts, r.r_ts)
+        for r in interval_join(bc, bp, key="user_id", max_delay_minutes=30,
+                               how="left_outer").collect()
+    }
+    # Structured Streaming withholds outer results whose interval the FINAL
+    # watermark never passes (correctness, not loss: a matching right row
+    # could still arrive for them). Compare exactly below that horizon;
+    # above it the stream may only be missing null-matched rows.
+    import datetime as dt
+
+    max_ts = max(t for _, t, _ in want)
+    horizon = max_ts - dt.timedelta(hours=2, minutes=30)
+    got_closed = {x for x in got if x[1] < horizon}
+    want_closed = {x for x in want if x[1] < horizon}
+    assert got_closed == want_closed
+    assert any(r_ts is None for _, _, r_ts in want_closed)  # outer rows exist
+    assert not (got - want)  # stream never invents rows
+    missing = want - got
+    assert all(r_ts is None and l_ts >= horizon for _, l_ts, r_ts in missing)
