@@ -249,6 +249,39 @@ class LakeSink:
             return
         self._write_commit(df, operation="overwrite")
 
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        """Dynamic partition overwrite (backfill/restatement): replace ONLY
+        the partitions ``df``'s rows fall into, leaving every other
+        partition untouched — Iceberg's ``overwritePartitions`` / Spark's
+        dynamic-overwrite mode, the idiom for re-running one day of a
+        pipeline without touching the rest of the table.
+
+        Parquet backend: copy-on-write — survivors outside the affected
+        partitions union the new rows into one replacing commit (history
+        stays time-travelable). Iceberg does this with file-level surgery;
+        the fallback's whole-table rewrite is the documented small-scale
+        trade-off, same as merge().
+        """
+        self.ensure_table(df)
+        if self.backend == "iceberg":
+            df.writeTo(self._qualified).overwritePartitions()
+            return
+        pcols = partition_columns(self._spec)
+        if not pcols:
+            # unpartitioned table: replacing "its partitions" = everything
+            self.overwrite(df)
+            return
+        new_keyed = partition_key(df, self._spec)
+        affected = new_keyed.select(*pcols).distinct()
+        current = self.read()
+        data_cols = [c for c in current.columns if not c.startswith("_p_")]
+        survivors = current.join(
+            F.broadcast(affected), on=pcols, how="left_anti"
+        ).select(*data_cols)
+        self._write_commit(
+            survivors.unionByName(df.select(*data_cols)), operation="overwrite"
+        )
+
     def _write_commit(self, df: DataFrame, operation: str,
                       batch_id: int | None = None) -> None:
         keyed = partition_key(df, self._spec)

@@ -78,8 +78,14 @@ class SnapshotLog:
         return max(ids, default=0)
 
     def snapshot(self, snapshot_id: int) -> dict:
-        with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
-            return json.load(f)
+        try:
+            with open(os.path.join(self.meta_dir, f"v{snapshot_id}.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            raise LookupError(
+                f"snapshot {snapshot_id} not found in {self.meta_dir} "
+                "(expired or never committed)"
+            ) from None
 
     def snapshots(self) -> list[dict]:
         """All retained snapshots, ascending — the ``<table>.snapshots``
@@ -89,7 +95,7 @@ class SnapshotLog:
         for i in range(1, self.current_id() + 1):
             try:
                 out.append(self.snapshot(i))
-            except FileNotFoundError:
+            except LookupError:
                 continue
         return out
 

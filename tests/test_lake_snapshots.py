@@ -409,3 +409,32 @@ def test_timestamp_as_of_resolves_to_snapshot(spark, tmp_path, batches):
         sink.read(as_of_timestamp_ms=1)
     with pytest.raises(ValueError, match="not both"):
         sink.read(as_of=1, as_of_timestamp_ms=t_between)
+
+
+def test_overwrite_partitions_replaces_only_affected(spark, tmp_path, batches):
+    """Backfill idiom: restating one day replaces that day's partition and
+    leaves the others byte-identical; history survives for audit."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1.unionByName(b2))  # days 1-3, event_ids 0..29
+    restated = spark.createDataFrame(
+        [(100 + i, dt.datetime(2024, 1, 2, 10), -1.0) for i in range(4)],
+        "event_id BIGINT, ts TIMESTAMP, v DOUBLE",
+    )
+    sink.overwrite_partitions(restated)
+    back = sink.read()
+    by_day = {
+        r.d: r.n for r in back.groupBy(
+            F.col("_p_ts_day").cast("date").alias("d")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert by_day[dt.date(2024, 1, 2)] == 4          # restated day replaced
+    assert by_day[dt.date(2024, 1, 1)] == 10         # others untouched
+    assert by_day[dt.date(2024, 1, 3)] == 10
+    day2 = sorted(
+        r.event_id for r in back.where(F.col("_p_ts_day").cast("date")
+                                       == F.lit("2024-01-02").cast("date")).collect()
+    )
+    assert day2 == [100, 101, 102, 103]
+    # pre-restatement day 2 still time-travelable
+    assert sink.read(as_of=1).count() == 30
