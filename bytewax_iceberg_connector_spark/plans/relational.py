@@ -882,3 +882,37 @@ ORACLE = {
     "pivot_event_types": _SQL_PIVOT,
     "percentiles": _SQL_PERCENTILES,
 }
+
+
+def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-combination form rollup and
+    cube are sugar for: per (type, bucket), per type, and grand total,
+    skipping the per-bucket-only set a CUBE would also compute.
+
+    Scale: same single Expand + one aggregate as rollup/cube — grouping
+    sets never multiply shuffles, only Expand's row fan-out (here 3x).
+    """
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("bic_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 4 AS user_bucket,
+               COUNT(*) AS n_events,
+               CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
+        FROM bic_ev_gs
+        GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
+        ORDER BY gid, event_type, user_bucket
+        """
+    )
+
+
+_SQL_GROUPING_SETS = """
+SELECT event_type, user_id % 4 AS user_bucket,
+       COUNT(*) AS n_events,
+       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
+FROM events
+GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
+ORDER BY gid, event_type, user_bucket
+"""
+
+QUERIES["grouping_sets_mix"] = grouping_sets_mix
+ORACLE["grouping_sets_mix"] = _SQL_GROUPING_SETS

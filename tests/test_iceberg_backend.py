@@ -117,3 +117,19 @@ def test_iceberg_compact_and_expire(iceberg_sink, batch):
     iceberg_sink.compact()
     iceberg_sink.expire_snapshots(keep_last=1)
     assert iceberg_sink.read().count() == 30
+
+
+def test_iceberg_overwrite_partitions(iceberg_sink, batch, spark):
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    iceberg_sink.append(batch)
+    restated = spark.createDataFrame(
+        [Row(event_id=100 + i, ts=dt.datetime(2024, 1, 2, 10), v=-1.0)
+         for i in range(4)]
+    )
+    iceberg_sink.overwrite_partitions(restated)
+    back = iceberg_sink.read()
+    assert back.where("ts >= '2024-01-02' AND ts < '2024-01-03'").count() == 4
+    assert back.where("ts < '2024-01-02'").count() == 10
