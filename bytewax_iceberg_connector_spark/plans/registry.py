@@ -21,6 +21,7 @@ _PLAN_MODULES = (
     "streaming_queries",
     "lake",
     "curation",
+    "behavioral",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

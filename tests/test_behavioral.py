@@ -1,0 +1,76 @@
+"""Behavioral-analytics queries: funnel ordering semantics, retention
+cohort arithmetic, and the single-shuffle plan contract for the stacked
+per-user windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+
+from pyspark.sql import functions as F
+
+from bytewax_iceberg_connector_spark.plans.behavioral import (
+    event_funnel,
+    retention_cohorts,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_funnel_counts_monotone_and_bounded(spark, sf_dir):
+    row = event_funnel(spark, sf_dir).collect()[0]
+    assert row.n_signup >= row.n_view >= row.n_click >= row.n_purchase >= 0
+    assert row.n_signup > 0
+    assert abs(row.conversion - round(row.n_purchase / row.n_signup, 6)) < 1e-9
+
+
+def test_funnel_strict_ordering_semantics(spark):
+    # user 1: full ordered funnel; user 2: purchase BEFORE click -> stops
+    # at click; user 3: view only, no signup -> counted in no stage.
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        (1, ts(0), "signup"), (1, ts(1), "view"), (1, ts(2), "click"),
+        (1, ts(3), "purchase"),
+        (2, ts(0), "signup"), (2, ts(1), "view"), (2, ts(2), "purchase"),
+        (2, ts(3), "click"),
+        (3, ts(0), "view"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    import bytewax_iceberg_connector_spark.plans.behavioral as B
+
+    orig = B.load_table
+    B.load_table = lambda spark, sf_dir, name: ev
+    try:
+        row = event_funnel(spark, "ignored").collect()[0]
+    finally:
+        B.load_table = orig
+    assert (row.n_signup, row.n_view, row.n_click, row.n_purchase) == (2, 2, 2, 1)
+
+
+def test_funnel_single_hash_exchange(spark, sf_dir):
+    plan = _plan(event_funnel(spark, sf_dir))
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert plan.count("Window ") == 4
+
+
+def test_retention_day0_equals_cohort_size(spark, sf_dir):
+    out = retention_cohorts(spark, sf_dir)
+    rows = out.collect()
+    assert all(0 <= r.day_offset <= 7 for r in rows)
+    # day-0 count is the cohort size: every later offset count is <= it
+    day0 = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    for r in rows:
+        assert r.cohort_day in day0
+        assert r.n_active <= day0[r.cohort_day]
+    # cohort sizes sum to the distinct-user universe
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(day0.values()) == n_users
