@@ -1131,6 +1131,84 @@ ORDER BY dim
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# Semantic dedup: k-means cells → within-cell cosine near-dup pruning
+# ---------------------------------------------------------------------------
+
+_SEM_K = 16       # cells; cap rule at scale: K·dim·8 B ≤ broadcast budget
+_SEM_ITERS = 4
+_SEM_TAU = 0.4    # near-dup threshold — same τ as dedup_embedding_cosine,
+                  # so recall is measurable against the exact all-pairs form
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means partitions the
+    corpus into semantic cells (functions/clustering.py — one zero-shuffle
+    GEMM scan per Lloyd iteration, k×dim partials to the driver), then
+    each cell is pruned independently: members in ``vec_id`` order are
+    kept greedily, dropping any vector within cosine ``_SEM_TAU`` of an
+    already-kept member. Output: per-cell census (members/kept/dropped)
+    plus the cell's majority label as an interpretability probe.
+
+    Scale: the quadratic step is confined to a cell (the whole point —
+    all-pairs moves from O(N²) to O(N²/K) and each cell pairs only
+    locally); cells shuffle as narrow (vec_id, cluster) keys with vectors
+    joined in per cell, and a hot-cell cap (split or sub-sample cells over
+    a size bound, the IVF salting analogue) is the documented guard.
+
+    rows-only check (centroid seeds and float tie-breaks are
+    engine-local); recall vs the exact all-pairs dedup is pinned in
+    tests/test_clustering.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.clustering import kmeans_assign, kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "embedding").persist()
+    cents, _ = kmeans_fit(vecs, k=_SEM_K, iters=_SEM_ITERS)
+    assigned = (
+        kmeans_assign(vecs, cents)
+        .join(emb.select("vec_id", "embedding", "label"), "vec_id")
+    )
+
+    def _prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf["vec_id"].to_numpy())
+        x = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+        )[order]
+        labels = pdf["label"].to_numpy()[order]
+        xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        g = xn @ xn.T
+        kept: list[int] = []
+        for i in range(len(xn)):
+            if not kept or g[i, kept].max() < _SEM_TAU:
+                kept.append(i)
+        vals, counts = np.unique(labels, return_counts=True)
+        top = int(counts.argmax())
+        return pd.DataFrame(
+            {
+                "cluster": [int(pdf["cluster"].iloc[0])],
+                "n_members": [len(xn)],
+                "n_kept": [len(kept)],
+                "n_dropped": [len(xn) - len(kept)],
+                "top_label": [int(vals[top])],
+                "top_label_n": [int(counts[top])],
+            }
+        )
+
+    return (
+        assigned.groupBy("cluster")
+        .applyInPandas(
+            _prune_cell,
+            "cluster int, n_members long, n_kept long, n_dropped long, "
+            "top_label int, top_label_n long",
+        )
+        .orderBy("cluster")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_ngram": dedup_near_ngram,
@@ -1138,6 +1216,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "semantic_dedup": semantic_dedup,
     "similarity_topk": similarity_topk,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ivf": similarity_ivf,
