@@ -46,6 +46,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 from ..config import IcebergSinkConfig
+from ..functions.zorder import zorder_key
 from .merge import merge_upsert
 from .partitioning import PartitionField, partition_columns, partition_key
 from .snapshots import SnapshotLog
@@ -283,12 +284,25 @@ class LakeSink:
         )
 
     def _write_commit(self, df: DataFrame, operation: str,
-                      batch_id: int | None = None) -> None:
+                      batch_id: int | None = None,
+                      cluster_expr=None) -> None:
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
-        keyed = keyed.repartition(self.config.num_partitions, *pcols) if pcols \
-            else keyed.repartition(self.config.num_partitions)
-        if self.config.sort_order:
+        if cluster_expr is not None:
+            # multi-dimensional clustering (z-order): ONE range exchange on
+            # the interleaved key, files sorted by it → tight min/max stats
+            # on every clustering column at once. Partition columns still
+            # lead the within-partition sort (writer requirement, as below).
+            keyed = (
+                keyed.withColumn("_bic_z", cluster_expr)
+                .repartitionByRange(self.config.num_partitions, "_bic_z")
+                .sortWithinPartitions(*pcols, "_bic_z")
+                .drop("_bic_z")
+            )
+        else:
+            keyed = keyed.repartition(self.config.num_partitions, *pcols) if pcols \
+                else keyed.repartition(self.config.num_partitions)
+        if cluster_expr is None and self.config.sort_order:
             # file-level ordering: Iceberg's WRITE ORDERED BY analogue —
             # sorted row groups → tighter min/max stats → better file skips.
             # Partition columns lead the sort: the partitioned-file writer
@@ -389,7 +403,7 @@ class LakeSink:
         survivors = current.select(*data_cols).where(f"NOT ({condition})")
         self._write_commit(survivors, operation="delete")
 
-    def compact(self) -> None:
+    def compact(self, zorder_by: list[str] | None = None) -> None:
         """Rewrite the table's live data as ONE fresh commit (Iceberg's
         rewrite_data_files): N streaming micro-commits × P partitions of
         small files collapse to ``num_partitions`` right-sized files, while
@@ -404,13 +418,23 @@ class LakeSink:
         """
         if self.backend == "iceberg":
             cat = self.config.catalog_name
-            self.spark.sql(
-                f"CALL {cat}.system.rewrite_data_files('{self.config.table_name}')"
-            )
+            if zorder_by:
+                zcols = ", ".join(zorder_by)
+                self.spark.sql(
+                    f"CALL {cat}.system.rewrite_data_files("
+                    f"table => '{self.config.table_name}', "
+                    f"strategy => 'sort', sort_order => 'zorder({zcols})')"
+                )
+            else:
+                self.spark.sql(
+                    f"CALL {cat}.system.rewrite_data_files('{self.config.table_name}')"
+                )
             return
         current = self.read()
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
-        self._write_commit(current.select(*data_cols), operation="replace")
+        live = current.select(*data_cols)
+        cluster = zorder_key(live, zorder_by) if zorder_by else None
+        self._write_commit(live, operation="replace", cluster_expr=cluster)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop history older than the newest ``keep_last`` snapshots and

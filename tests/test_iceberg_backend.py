@@ -119,6 +119,15 @@ def test_iceberg_compact_and_expire(iceberg_sink, batch):
     assert iceberg_sink.read().count() == 30
 
 
+def test_iceberg_zorder_rewrite(iceberg_sink, batch):
+    """rewrite_data_files with the sort strategy and a zorder() sort_order
+    — the iceberg-native form of LakeSink.compact(zorder_by=...)."""
+    for i in range(3):
+        iceberg_sink.append(batch.where(f"event_id % 3 = {i}"))
+    iceberg_sink.compact(zorder_by=["event_id", "v"])
+    assert iceberg_sink.read().count() == 30
+
+
 def test_iceberg_overwrite_partitions(iceberg_sink, batch, spark):
     import datetime as dt
 
