@@ -897,6 +897,67 @@ SELECT lang, s, df, rank FROM (
 ) t WHERE rank <= 5
 """
 
+def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style keyword extraction: top-3 terms per document by a
+    rarity-normalized term weight, with the per-term document frequency
+    reported alongside.
+
+    The weight is ``tf·10⁶ div df`` — integer division of exact counts —
+    rather than ``tf·ln(N/df)``: same ordering intent (frequent-in-doc,
+    rare-in-corpus wins), but bit-identical across engines, so the oracle
+    comparison never rides on libm's last ulp (the repo's integer-exact
+    parity discipline).
+
+    Scale: explode → (doc, term) count is word-count (map-side partial
+    agg); the document-frequency table is VOCABULARY-sized, so it joins
+    back as a broadcast — no shuffle of the tf table; the final top-k
+    window partitions by doc_id over tf-table-sized rows. At 100 TB: tf
+    shuffles (doc_id, term_hash)-narrow rows; df fits in one executor's
+    broadcast budget for any natural-language vocabulary.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_tab), "term").withColumn(
+        "score_ppm", F.expr("tf * 1000000L div df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "term", "tf", "df", "score_ppm")
+        .orderBy("doc_id", "rnk")
+    )
+
+
+_SQL_KEYWORDS = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df, tf.tf * 1000000 // df.df AS score_ppm
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, rnk, term, tf, df, score_ppm FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY doc_id ORDER BY score_ppm DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+) t WHERE rnk <= 3 ORDER BY doc_id, rnk
+"""
+
 # ---------------------------------------------------------------------------
 # B19d: corpus curation — quality filter + deterministic stratified sample
 # ---------------------------------------------------------------------------
@@ -1225,6 +1286,7 @@ QUERIES = {
     "quality_filter": quality_filter,
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
+    "keyword_extract": keyword_extract,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -1248,6 +1310,7 @@ ORACLE = {
     "quality_filter": _SQL_QUALITY,
     "sample_stratified": _SQL_SAMPLE,
     "ngram_topk": _SQL_NGRAM_TOPK,
+    "keyword_extract": _SQL_KEYWORDS,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,

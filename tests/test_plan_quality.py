@@ -165,3 +165,19 @@ def test_contamination_broadcasts_benchmark_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keyword_extract_broadcasts_vocabulary(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized: it must join back
+    into the tf table as a broadcast even with auto-broadcast off — a
+    SortMergeJoin would re-shuffle the whole (doc, term) table on term."""
+    from bytewax_iceberg_connector_spark.plans.llm import keyword_extract
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(keyword_extract(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
