@@ -175,15 +175,87 @@ ORDER BY band
 """
 
 # ---------------------------------------------------------------------------
+# Gap-filled hourly series with last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+
+def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style ``time_bucket_gapfill`` + ``locf``: a dense hourly
+    grid per user over that user's observed span, empty hours filled with
+    zero counts and the last seen hourly value carried forward.
+
+    Per-user spans come from the hourly aggregate (tiny), the dense grid
+    is ``sequence(lo, hi, 1 hour)`` exploded — generated, never stored —
+    and LOCF is one running ``last(ignorenulls)`` window. Scale: the
+    aggregate is word-count-shaped; the grid join and the LOCF window both
+    hash on user_id, so AQE coalesces them onto one exchange lineage; grid
+    size is bounded by span x users, not by raw event volume — at 100 TB
+    of events the dense grid is still only users x hours rows.
+
+    Restricted to user_id < 10 to keep the driver-side correctness
+    comparison bounded; the plan shape is user-count-invariant.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("hour_value"))
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("value_locf"),
+    ).orderBy("user_id", "h")
+
+
+_SQL_GAPFILL = f"""
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 10),
+hourly AS (
+  SELECT user_id, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_dsum('value')} AS hour_value
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
+)
+SELECT g.user_id, g.h,
+       COALESCE(n_events, 0) AS n_events,
+       LAST_VALUE(hour_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+FROM grid g LEFT JOIN hourly USING (user_id, h)
+ORDER BY user_id, h
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "asof_join_events": asof_join_events,
     "asof_join_forward": asof_join_forward,
     "range_join_bands": range_join_bands,
+    "gapfill_locf": gapfill_locf,
 }
 
 ORACLE = {
     "asof_join_events": _SQL_ASOF,
     "asof_join_forward": _SQL_ASOF_FWD,
     "range_join_bands": _SQL_RANGE,
+    "gapfill_locf": _SQL_GAPFILL,
 }

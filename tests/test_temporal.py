@@ -63,3 +63,23 @@ def test_asof_left_row_count_preserved(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     n_purchases = ev.where(F.col("event_type") == "purchase").count()
     assert asof_join_events(spark, sf_dir).count() == n_purchases
+
+
+def test_gapfill_locf_fills_gaps_with_prior_value(spark, sf_dir):
+    from bytewax_iceberg_connector_spark.plans.temporal import gapfill_locf
+
+    rows = gapfill_locf(spark, sf_dir).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for user, series in by_user.items():
+        # dense hourly grid: consecutive rows are exactly 1 hour apart
+        for a, b in zip(series, series[1:]):
+            assert (b.h - a.h).total_seconds() == 3600, (user, a.h, b.h)
+        # first grid point is an observation, so LOCF is always defined
+        assert series[0].n_events > 0
+        gaps = [i for i, r in enumerate(series) if r.n_events == 0]
+        assert gaps, "fixture must contain empty hours"
+        for i in gaps:
+            assert series[i].value_locf == series[i - 1].value_locf
