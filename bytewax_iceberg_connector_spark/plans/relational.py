@@ -486,6 +486,37 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-DAY HLL sketches of distinct users,
+    unioned upward into WEEKLY estimates — the continuous-aggregate
+    pattern for distinct counts (Datasketches `hll_sketch_agg` /
+    `hll_union_agg`, the same mechanism Iceberg stores as theta sketches
+    in puffin files).
+
+    Why it matters at 100 TB: exact distincts don't roll up (day-level
+    distinct counts can't be summed into weeks), so dashboards either
+    re-scan raw data per window or store sketches. The day sketches here
+    are what you'd MATERIALIZE to the lake: any coarser window (week,
+    month, arbitrary range) is then a cheap union of fixed-size sketches
+    — no raw-data re-scan, one narrow shuffle of ~1.5 KB sketch blobs.
+
+    rows-only check (sketch internals are engine-specific); accuracy vs
+    exact weekly distincts is pinned in tests/test_relational.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return (
+        daily.groupBy(F.date_trunc("week", "day").alias("week"))
+        .agg(
+            F.count("*").cast("long").alias("n_days"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        )
+        .orderBy("week")
+    )
+
+
 # ---------------------------------------------------------------------------
 # B9 set operations
 # ---------------------------------------------------------------------------
@@ -847,6 +878,7 @@ QUERIES = {
     "grouping_cube": grouping_cube,
     "distinct_exact": distinct_exact,
     "distinct_approx": distinct_approx,
+    "sketch_rollup": sketch_rollup,
     "set_ops": set_ops,
     "sort_limit": sort_limit,
     "scalar_funcs": scalar_funcs,

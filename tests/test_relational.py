@@ -42,3 +42,25 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
         for q, v in ((0.5, p50), (0.95, p95)):
             rank = grp.where(F.col("value") <= v).count() / n
             assert abs(rank - q) <= 0.02, (et, q, v, rank)
+
+
+def test_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
+    """Weekly HLL estimates from unioned DAY sketches must sit within 5%
+    of the exact weekly distincts — proving the persisted-sketch rollup
+    path loses nothing material vs re-scanning raw events."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.plans.relational import sketch_rollup
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    approx = {r.week: r.approx_users for r in sketch_rollup(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.week: r.n
+        for r in ev.groupBy(F.date_trunc("week", "ts").alias("week"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for wk, est in approx.items():
+        assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
