@@ -241,14 +241,16 @@ class LakeSink:
             return
         self._write_commit(df, operation="append", batch_id=batch_id)
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Replace the table contents in one snapshot (the copy-on-write
-        commit MERGE compiles to on the parquet backend)."""
+        commit MERGE compiles to on the parquet backend). ``batch_id``
+        tags the snapshot with a caller-meaningful watermark (e.g. the
+        base-table snapshot a materialized view was refreshed to)."""
         self.ensure_table(df)
         if self.backend == "iceberg":
             df.writeTo(self._qualified).createOrReplace()
             return
-        self._write_commit(df, operation="overwrite")
+        self._write_commit(df, operation="overwrite", batch_id=batch_id)
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         """Dynamic partition overwrite (backfill/restatement): replace ONLY

@@ -190,13 +190,80 @@ ORDER BY p_day
 """
 
 
+# ---------------------------------------------------------------------------
+# B23d: continuous aggregate — incremental materialized-view refresh
+# ---------------------------------------------------------------------------
+
+def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly order rollup maintained as a continuous aggregate
+    (operators/matview.py): orders land in a base lake table in two
+    appends; the view full-builds after the first, then folds ONLY the
+    second append's delta commits into the existing aggregate rows — the
+    base table is never re-scanned (pinned by
+    tests/test_matview.py::test_incremental_never_rescans_base_files).
+
+    The oracle aggregates the raw orders parquet directly, so the green
+    row proves the incremental fold is EXACT, not merely close — which is
+    why the view stores additive decimal sums and counts, deriving
+    nothing at refresh time.
+    """
+    from ..operators.matview import ContinuousAggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = tempfile.mkdtemp(prefix="bic_cagg_")
+    base = LakeSink(spark, IcebergSinkConfig(
+        table_name="analytics.orders_base",
+        warehouse_path=warehouse, num_partitions=4,
+    ))
+    agg = LakeSink(spark, IcebergSinkConfig(
+        table_name="analytics.orders_by_month",
+        warehouse_path=warehouse, num_partitions=1,
+    ))
+    cagg = ContinuousAggregate(
+        base, agg,
+        group_exprs={
+            "month": F.date_trunc("month", "o_orderdate").cast("date")
+        },
+        measures={"total_price": "o_totalprice"},
+    )
+    base.append(orders.where(F.col("o_orderkey") % 3 != 0))
+    first = cagg.refresh()
+    base.append(orders.where(F.col("o_orderkey") % 3 == 0))
+    second = cagg.refresh()
+    assert first["mode"] == "full" and second["mode"] == "incremental"
+    out = (
+        cagg.read()
+        .select(
+            "month",
+            F.col("total_price").cast("double").alias("total_price"),
+            "n_rows",
+        )
+        .orderBy("month")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_CAGG = """
+SELECT CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       COUNT(*) AS n_rows
+FROM orders
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_time_travel": snapshot_time_travel,
+    "continuous_aggregate": continuous_aggregate,
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
     "merge_upsert_orders": _SQL_MERGE,
     "snapshot_time_travel": _SQL_TIME_TRAVEL,
+    "continuous_aggregate": _SQL_CAGG,
 }
