@@ -897,6 +897,55 @@ SELECT lang, s, df, rank FROM (
 ) t WHERE rank <= 5
 """
 
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-10 corpus tokens via Misra–Gries candidate pruning
+    (functions/sketches.py): one zero-shuffle sketch scan yields a
+    candidate superset of every term with count > N/s, the candidate list
+    broadcasts back as an ``isin`` scan filter, and only candidate rows
+    enter the word-count shuffle — |candidates| keys instead of the full
+    distinct-term universe.
+
+    Why not plain groupBy+top-k (ngram_topk's shape)? At 100 TB the
+    distinct n-gram universe is billions of keys and the count shuffle
+    dominates; MG caps the shuffle at s·partitions keys while keeping the
+    RESULT exact whenever f_k > N/s (true by construction here: s=64
+    exceeds the corpus vocabulary) — and certified-exact-counts-subset
+    otherwise. The oracle computes the same top-10 with a full GROUP BY,
+    so the green row proves the pruned plan loses nothing.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.sketches import misra_gries_candidates
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(X.tokens("text")).alias("term"))
+    cands = misra_gries_candidates(toks, "term", s=64)
+    counts = (
+        toks.where(F.col("term").isin(cands))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "term", "n")
+        .orderBy("rnk")
+    )
+
+
+_SQL_HEAVY = r"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
+SELECT rnk, term, n FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term ASC) AS BIGINT) AS rnk
+  FROM c
+) t WHERE rnk <= 10 ORDER BY rnk
+"""
+
+
 def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF-style keyword extraction: top-3 terms per document by a
     rarity-normalized term weight, with the per-term document frequency
@@ -1287,6 +1336,7 @@ QUERIES = {
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
     "keyword_extract": keyword_extract,
+    "heavy_hitters": heavy_hitters,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
     "multimodal_binary_meta": multimodal_binary_meta,
@@ -1311,6 +1361,7 @@ ORACLE = {
     "sample_stratified": _SQL_SAMPLE,
     "ngram_topk": _SQL_NGRAM_TOPK,
     "keyword_extract": _SQL_KEYWORDS,
+    "heavy_hitters": _SQL_HEAVY,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,
