@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import IcebergSinkConfig
-from ..functions.numeric import sql_dsum
+from ..functions.numeric import dsum, sql_dsum
 from ..operators.sink import LakeSink
 from ..sources.tables import load_table
 
@@ -255,15 +255,65 @@ ORDER BY 1
 """
 
 
+# ---------------------------------------------------------------------------
+# B23e: change data capture — row-level changelog between snapshots
+# ---------------------------------------------------------------------------
+
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC read: orders land (v1), a MERGE reprices every 10th key (v2),
+    and ``LakeSink.changes(v1, v2)`` must emit exactly the old versions as
+    deletes and the new versions as inserts — nothing for untouched rows
+    (the multiset diff cancels them). The oracle derives the same
+    changelog from the raw parquet, so the green row certifies the
+    diff is row-exact, not just count-plausible.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = tempfile.mkdtemp(prefix="bic_cdc_")
+    sink = LakeSink(spark, IcebergSinkConfig(
+        table_name="analytics.orders_cdc",
+        warehouse_path=warehouse, num_partitions=4,
+    ))
+    sink.append(orders)
+    v1 = sink._log.current_id()
+    upd = orders.where(F.col("o_orderkey") % 10 == 0).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+    )
+    sink.merge(upd, keys=["o_orderkey"])
+    v2 = sink._log.current_id()
+    out = (
+        sink.changes(v1, v2)
+        .groupBy(F.col("_change_type").alias("change_type"))
+        .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
+        .orderBy("change_type")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_CDC = f"""
+SELECT 'delete' AS change_type, COUNT(*) AS n,
+       {sql_dsum('o_totalprice')} AS total
+FROM orders WHERE o_orderkey % 10 = 0
+UNION ALL
+SELECT 'insert' AS change_type, COUNT(*) AS n,
+       {sql_dsum('o_totalprice + 1.0')} AS total
+FROM orders WHERE o_orderkey % 10 = 0
+ORDER BY change_type
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_time_travel": snapshot_time_travel,
     "continuous_aggregate": continuous_aggregate,
+    "snapshot_changes": snapshot_changes,
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
     "merge_upsert_orders": _SQL_MERGE,
     "snapshot_time_travel": _SQL_TIME_TRAVEL,
     "continuous_aggregate": _SQL_CAGG,
+    "snapshot_changes": _SQL_CDC,
 }

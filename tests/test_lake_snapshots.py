@@ -438,3 +438,77 @@ def test_overwrite_partitions_replaces_only_affected(spark, tmp_path, batches):
     assert day2 == [100, 101, 102, 103]
     # pre-restatement day 2 still time-travelable
     assert sink.read(as_of=1).count() == 30
+
+
+def test_changes_across_append_merge_delete(spark, tmp_path, batches):
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)                       # v1
+    v1 = sink._log.current_id()
+    sink.append(b2)                       # v2: pure append
+    v2 = sink._log.current_id()
+
+    ch = sink.changes(v1, v2)
+    assert ch.where("_change_type = 'delete'").count() == 0
+    got = sorted(r.event_id for r in ch.where("_change_type = 'insert'").collect())
+    assert got == list(range(10, 30))
+
+    # an update = old row out, new row in
+    upd = b1.where("event_id = 3").withColumn("v", F.lit(999.0))
+    sink.merge(upd, keys=["event_id"])    # v3
+    v3 = sink._log.current_id()
+    ch = {(r._change_type, r.event_id, r.v) for r in sink.changes(v2, v3).collect()}
+    assert ch == {("delete", 3, 3.0), ("insert", 3, 999.0)}
+
+    sink.delete("event_id >= 25")         # v4
+    ch = sink.changes(v3)
+    assert ch.where("_change_type = 'insert'").count() == 0
+    assert ch.where("_change_type = 'delete'").count() == 5
+
+
+def test_streaming_commits_feed_continuous_aggregate(spark, tmp_path, batches):
+    """End-to-end: micro-batch commits from a file-source stream are
+    visible to the continuous aggregate as ordinary append snapshots, and
+    a single refresh folds all of them."""
+    import os
+
+    from bytewax_iceberg_connector_spark.operators.matview import (
+        ContinuousAggregate,
+    )
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    b1, b2 = batches
+    src_dir = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(os.path.join(src_dir, "f1"))
+    b2.coalesce(1).write.parquet(os.path.join(src_dir, "f2"))
+
+    sink = _sink(spark, tmp_path)
+    stream = (
+        spark.readStream.schema(b1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src_dir}/*")
+    )
+    q = sink.write_stream(stream, checkpoint=str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+
+    agg = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.snap_events_by_day",
+        warehouse_path=str(tmp_path), num_partitions=1,
+    ))
+    cagg = ContinuousAggregate(
+        sink, agg,
+        group_exprs={"day": F.to_date("ts")},
+        measures={"total_v": "v"},
+    )
+    assert cagg.refresh()["mode"] == "full"
+    view = {(r.day, float(r.total_v), r.n_rows) for r in cagg.read().collect()}
+    expected = {
+        (r.day, float(r.total_v), r.n_rows)
+        for r in sink.read()
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum("v").cast("decimal(18,2)").alias("total_v"),
+             F.count("*").alias("n_rows"))
+        .collect()
+    }
+    assert view == expected
