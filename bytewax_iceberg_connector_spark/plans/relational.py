@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import davg, dec, dsum, sql_davg, sql_dsum
-from ..sources.tables import load_table
+from ..sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
 # shared expressions (Spark + SQL mirrors)
@@ -486,6 +486,38 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+_Q3_SQL = """
+SELECT o_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, o_orderkey
+LIMIT 10
+"""
+
+
+def sql_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) run through the PLAIN SQL surface:
+    ``register_views`` + ``spark.sql`` with the SAME ANSI text the DuckDB
+    oracle executes — proving the engine's SQL entry point is a
+    first-class peer of the DataFrame API (identical Catalyst plan, no
+    dialect fork; the decimal-exact revenue expression is portable
+    verbatim).
+
+    Scale: Catalyst broadcast-joins the filtered BUILDING customers,
+    pushes both date predicates into the scans, and runs a TopK
+    (TakeOrderedAndProject) instead of a global sort for the LIMIT.
+    """
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q3_SQL)
+
+
 def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup: per-DAY HLL sketches of distinct users,
     unioned upward into WEEKLY estimates — the continuous-aggregate
@@ -881,6 +913,7 @@ QUERIES = {
     "sketch_rollup": sketch_rollup,
     "set_ops": set_ops,
     "sort_limit": sort_limit,
+    "sql_shipping_priority": sql_shipping_priority,
     "scalar_funcs": scalar_funcs,
     "json_extract": json_extract,
     "exists_subquery": exists_subquery,
@@ -906,6 +939,7 @@ ORACLE = {
     # distinct_approx: deliberately no oracle (sketch estimate) → rows-only
     "set_ops": _SQL_SET_OPS,
     "sort_limit": _SQL_SORT_LIMIT,
+    "sql_shipping_priority": _Q3_SQL,
     "scalar_funcs": _SQL_SCALAR,
     "json_extract": _SQL_JSON,
     "exists_subquery": _SQL_EXISTS,

@@ -181,3 +181,17 @@ def test_keyword_extract_broadcasts_vocabulary(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sql_surface_q3_topk_and_pushdown(spark, sf_dir):
+    """The plain-SQL entry point must get the same Catalyst treatment as
+    the DataFrame API: date predicates pushed to the scans, the LIMIT
+    compiled to TopK (TakeOrderedAndProject), never a global sort."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_shipping_priority,
+    )
+
+    plan = _plan(sql_shipping_priority(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
