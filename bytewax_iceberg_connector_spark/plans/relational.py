@@ -486,6 +486,48 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("event_type")
     )
 
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (``DataFrame.unpivot`` / SQL ``stack``): lineitem
+    measure columns melt into (measure, value) rows, then per-measure
+    accounting per return flag.
+
+    Scale: unpivot is a zero-shuffle Expand (each input row emits k
+    measure rows inside the same task) followed by the usual partial-agged
+    group-by — the long table never materializes; only the k×groups
+    aggregate shuffles.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+    return (
+        long.groupBy("l_returnflag", "measure")
+        .agg(
+            F.count("*").alias("n"),
+            dsum("val", 2).alias("total"),
+        )
+        .orderBy("l_returnflag", "measure")
+    )
+
+
+_SQL_UNPIVOT = f"""
+WITH long AS (
+  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+)
+SELECT l_returnflag, measure, COUNT(*) AS n, {sql_dsum('val')} AS total
+FROM long
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 _Q3_SQL = """
 SELECT o_orderkey, o_orderdate, o_orderpriority,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -914,6 +956,7 @@ QUERIES = {
     "set_ops": set_ops,
     "sort_limit": sort_limit,
     "sql_shipping_priority": sql_shipping_priority,
+    "unpivot_measures": unpivot_measures,
     "scalar_funcs": scalar_funcs,
     "json_extract": json_extract,
     "exists_subquery": exists_subquery,
@@ -940,6 +983,7 @@ ORACLE = {
     "set_ops": _SQL_SET_OPS,
     "sort_limit": _SQL_SORT_LIMIT,
     "sql_shipping_priority": _Q3_SQL,
+    "unpivot_measures": _SQL_UNPIVOT,
     "scalar_funcs": _SQL_SCALAR,
     "json_extract": _SQL_JSON,
     "exists_subquery": _SQL_EXISTS,
