@@ -897,6 +897,74 @@ SELECT lang, s, df, rank FROM (
 ) t WHERE rank <= 5
 """
 
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: pairs whose Levenshtein
+    distance is ≤ 20% of the longer text — the character-level verify
+    stage that catches what token-set methods miss (small in-place edits)
+    and vice versa. The synthetic corpus has no true edit-near-dups
+    (closest natural pair ratio ≈ 0.59), so 30 deterministic twins are
+    planted (first 10 chars dropped), mirrored verbatim in the oracle —
+    the pii_scrub pattern: predictable work, provable answer.
+
+    Scale shape: candidates are LENGTH-BANDED before any distance call
+    (lev(a,b) ≥ |len(a)−len(b)|, so |Δlen| ≤ 0.2·max is a free exact
+    prefilter), and the threshold compare is integer (5·lev ≤ max_len) —
+    no float ratio. At 100 TB the candidate source is the MinHash-LSH
+    bucket join (dedup_minhash_lsh); the quadratic-within-band form here
+    doubles as its recall oracle, same division of labor as
+    dedup_near_ngram.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") < 100).select(
+        "doc_id", "lang", F.lower("text").alias("t")
+    )
+    twins = base.where(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        "lang",
+        F.substring("t", 11, 1_000_000).alias("t"),
+    )
+    d = base.unionByName(twins).withColumn("len", F.length("t"))
+    a, b = d.alias("a"), d.alias("b")
+    mx = F.greatest(F.col("a.len"), F.col("b.len"))
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (F.abs(F.col("a.len") - F.col("b.len")) * 5 <= mx),
+    )
+    return (
+        pairs.withColumn("lev", F.levenshtein(F.col("a.t"), F.col("b.t")))
+        .where(F.col("lev") * 5 <= mx)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("lev").cast("long").alias("lev"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_SQL_EDIT_DIST = """
+WITH base AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents WHERE doc_id < 100
+), twins AS (
+  SELECT doc_id + 100000 AS doc_id, lang, substr(t, 11) AS t
+  FROM base WHERE doc_id < 30
+), d AS (
+  SELECT doc_id, lang, t, length(t) AS len FROM (
+    SELECT * FROM base UNION ALL SELECT * FROM twins
+  )
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev
+FROM d a JOIN d b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+ AND abs(a.len - b.len) * 5 <= greatest(a.len, b.len)
+WHERE levenshtein(a.t, b.t) * 5 <= greatest(a.len, b.len)
+ORDER BY id_a, id_b
+"""
+
+
 def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-10 corpus tokens via Misra–Gries candidate pruning
     (functions/sketches.py): one zero-shuffle sketch scan yields a
@@ -1326,6 +1394,7 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_embedding_cosine": dedup_embedding_cosine,
+    "dedup_edit_distance": dedup_edit_distance,
     "semantic_dedup": semantic_dedup,
     "similarity_topk": similarity_topk,
     "similarity_ann_lsh": similarity_ann_lsh,
@@ -1353,6 +1422,7 @@ ORACLE = {
     "dedup_minhash_lsh": _SQL_NEAR_NGRAM,
     # dedup_simhash: rows-only (engine-specific hash functions)
     "dedup_embedding_cosine": _SQL_DEDUP_EMB,
+    "dedup_edit_distance": _SQL_EDIT_DIST,
     "similarity_topk": _SQL_SIM_TOPK,
     # similarity_ann_lsh: rows-only (engine-local hyperplanes)
     "text_analysis": _SQL_TEXT_ANALYSIS,
