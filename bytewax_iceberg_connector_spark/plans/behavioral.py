@@ -140,3 +140,79 @@ ORACLE = {
     "event_funnel": _SQL_FUNNEL,
     "retention_cohorts": _SQL_RETENTION,
 }
+
+
+# ---------------------------------------------------------------------------
+# Anomaly detection: deterministic z-score outliers per event_type
+# ---------------------------------------------------------------------------
+
+
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type outlier audit: count of |z| > 3 values and the
+    maximum |z|, with mean/stddev derived from EXACT decimal sums
+    (sum and sum-of-squares) so the statistics — and therefore every
+    z-score — are bit-identical across partitionings and engines.
+    Native STDDEV would accumulate doubles in nondeterministic order;
+    here variance = (s2 - s1^2/n) / (n-1) is a fixed sequence of IEEE
+    ops on exact operands (functions/numeric.py discipline).
+
+    Scale: pass 1 aggregates 5 stat rows (map-side partial, one tiny
+    shuffle); the stats then BROADCAST back onto the fact scan — the
+    second pass is shuffle-free, so at 100 TB the cost is two scans of
+    the value column (or one with the input cached), never a wide
+    exchange. The classic two-pass parallel z-score plan.
+    """
+    from ..functions.numeric import dec
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(dec("value")).cast("double").alias("s1"),
+        F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("std")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("mean", F.col("s1") / F.col("n"))
+        .withColumn(
+            "std",
+            F.sqrt(
+                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                / (F.col("n") - F.lit(1))
+            ),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.abs(z) > 3, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.round(F.max(F.abs(z)), 6).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_ANOMALY = """
+WITH stats AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), scored AS (
+  SELECT e.event_type,
+         (e.value - s.s1 / s.n)
+           / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+  FROM events e JOIN stats s ON e.event_type = s.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN ABS(z) > 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(MAX(ABS(z)), 6) AS max_abs_z
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["anomaly_zscore"] = anomaly_zscore
+ORACLE["anomaly_zscore"] = _SQL_ANOMALY

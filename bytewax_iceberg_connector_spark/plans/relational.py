@@ -1026,3 +1026,115 @@ ORDER BY gid, event_type, user_bucket
 
 QUERIES["grouping_sets_mix"] = grouping_sets_mix
 ORACLE["grouping_sets_mix"] = _SQL_GROUPING_SETS
+
+
+# ---------------------------------------------------------------------------
+# full-outer join: per-user click/purchase reconciliation
+# ---------------------------------------------------------------------------
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of per-user click counts vs purchase
+    counts, with a coalesced key and a both/click_only/purchase_only
+    segment — the ledger-reconciliation shape (rows survive from BOTH
+    unmatched sides, unlike B4's left outer).
+
+    Scale: both sides are pre-aggregated before the join (map-side partial
+    agg, then one narrow (user_id, count) shuffle each), so the full-outer
+    sort-merge join sees one row per user per side — never the raw fact
+    rows. Full outer cannot broadcast (either side may produce unmatched
+    rows), so SMJ on the shared user_id distribution is the right 100 TB
+    plan; the two aggregates and the join reuse the same hash partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    j = clicks.join(purchases, ["user_id"], "full_outer")
+    return (
+        j.select(
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.when(
+                F.col("n_clicks").isNotNull() & F.col("n_purchases").isNotNull(),
+                "both",
+            )
+            .when(F.col("n_clicks").isNotNull(), "click_only")
+            .otherwise("purchase_only")
+            .alias("segment"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_FULL_OUTER = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY user_id),
+p AS (SELECT user_id, COUNT(*) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(n_clicks, 0) AS n_clicks,
+       COALESCE(n_purchases, 0) AS n_purchases,
+       CASE WHEN c.user_id IS NOT NULL AND p.user_id IS NOT NULL THEN 'both'
+            WHEN c.user_id IS NOT NULL THEN 'click_only'
+            ELSE 'purchase_only' END AS segment
+FROM c FULL OUTER JOIN p ON c.user_id = p.user_id
+ORDER BY user_id
+"""
+
+QUERIES["join_full_outer"] = join_full_outer
+ORACLE["join_full_outer"] = _SQL_FULL_OUTER
+
+
+# ---------------------------------------------------------------------------
+# window: distribution analytics (ntile / percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucket, percent_rank, and cume_dist of each order's
+    totalprice within its priority class — the distribution-analytic
+    window family (B6 covers lag/lead/running aggregates; this covers the
+    rank-distribution trio).
+
+    Parity: the ordering is made total with the unique o_orderkey
+    tiebreaker, so ntile boundaries and cumulative fractions are
+    identical in both engines; percent_rank/cume_dist are single IEEE
+    divisions of exact integers. Scale: one hash exchange on the
+    5-value priority key feeds all three window functions (same
+    partitioning + ordering -> one sort, one Window operator); the
+    final ORDER BY is presentation-only.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+        )
+        .orderBy("o_orderpriority", "o_orderkey")
+    )
+
+
+_SQL_WINDOW_DISTRIBUTION = """
+SELECT o_orderkey, o_orderpriority, o_totalprice,
+       NTILE(4) OVER w AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cum_dist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+ORDER BY o_orderpriority, o_orderkey
+"""
+
+QUERIES["window_distribution"] = window_distribution
+ORACLE["window_distribution"] = _SQL_WINDOW_DISTRIBUTION

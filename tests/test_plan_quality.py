@@ -195,3 +195,47 @@ def test_sql_surface_q3_topk_and_pushdown(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
     assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan)
+
+
+def test_full_outer_join_preaggregates_both_sides(spark, sf_dir):
+    """Full outer cannot broadcast; the plan must shuffle the PRE-AGGREGATED
+    per-user counts (one narrow row per user per side), never the raw event
+    rows — partial aggregation has to appear below each join input."""
+    from bytewax_iceberg_connector_spark.plans.relational import join_full_outer
+
+    plan = _plan(join_full_outer(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("ShuffledHashJoin"))
+    # both join inputs aggregate before the exchange feeding the join
+    assert plan[join_pos:].count("partial_count") >= 2
+
+
+def test_window_distribution_single_exchange_single_window(spark, sf_dir):
+    """ntile + percent_rank + cume_dist share one partitioning and ordering:
+    Catalyst must plan ONE hash exchange and ONE Window operator evaluating
+    all three — a second exchange or window would double the sort cost."""
+    from bytewax_iceberg_connector_spark.plans.relational import window_distribution
+
+    plan = _plan(window_distribution(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning\(o_orderpriority", plan)) == 1
+    window_ops = [ln for ln in plan.splitlines() if re.search(r"\bWindow\b", ln)]
+    assert len(window_ops) == 1
+    assert all(
+        fn in window_ops[0] for fn in ("ntile", "percent_rank", "cume_dist")
+    )
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """The 5-row stats frame must broadcast back onto the fact scan even in
+    the no-auto-broadcast (100 TB) regime — a shuffle join here would hash
+    the whole fact table a second time for a 5-row dimension."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import anomaly_zscore
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(anomaly_zscore(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
