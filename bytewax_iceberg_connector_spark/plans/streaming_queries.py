@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.numeric import sql_dsum
 from ..sources.tables import load_table
-from ..streaming.windows import session_windows_batch, tumbling_agg
+from ..streaming.windows import hopping_agg, session_windows_batch, tumbling_agg
 
 # ---------------------------------------------------------------------------
 # B21: tumbling event-time windows
@@ -35,6 +35,38 @@ SELECT DATE_TRUNC('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        {sql_dsum('value')} AS total_value
 FROM events
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+# ---------------------------------------------------------------------------
+# B21a: hopping (sliding) event-time windows
+# ---------------------------------------------------------------------------
+
+def streaming_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding every hour per event_type — each event counts
+    in exactly two overlapping windows. Oracle: UNION ALL of the two
+    epoch-aligned window starts per event (trunc(ts,1h) and -1h)."""
+    ev = load_table(spark, sf_dir, "events")
+    return hopping_agg(ev, "ts", "2 hours", "1 hour", ("event_type",)).orderBy(
+        "window_start", "event_type"
+    )
+
+
+_SQL_HOPPING = f"""
+WITH contrib AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
+         event_type, value
+  FROM events
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM contrib
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
@@ -130,12 +162,14 @@ ORDER BY click_hour
 
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
+    "streaming_hopping": streaming_hopping,
     "streaming_session": streaming_session,
     "streaming_interval_join": streaming_interval_join,
 }
 
 ORACLE = {
     "streaming_tumbling": _SQL_TUMBLING,
+    "streaming_hopping": _SQL_HOPPING,
     "streaming_session": _SQL_SESSION,
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
 }

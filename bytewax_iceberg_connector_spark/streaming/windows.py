@@ -53,6 +53,37 @@ def tumbling_agg(
     )
 
 
+def hopping_agg(
+    df: DataFrame,
+    ts_col: str = "ts",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    keys: tuple[str, ...] = ("event_type",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) window counts/sums — batch- and stream-compatible.
+
+    Each event belongs to duration/slide overlapping windows (here 2);
+    ``F.window`` generates that per-row window list and Catalyst explodes
+    it BEFORE the partial aggregate, so the shuffle still carries one row
+    per (window, key) group, not per event — the overlap factor inflates
+    the map-side input, never the exchange. Epoch-aligned starts make the
+    batch oracle exact: the windows containing ts start at
+    trunc(ts, slide) - k*slide for k in 0..dur/slide-1.
+    """
+    src = with_watermark_if_streaming(df, ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window, slide).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            *keys,
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_windows_batch(
     df: DataFrame,
     ts_col: str = "ts",

@@ -7,6 +7,7 @@ import pytest
 from bytewax_iceberg_connector_spark.sources.tables import load_table
 from bytewax_iceberg_connector_spark.streaming.windows import (
     read_events_stream,
+    hopping_agg,
     session_agg_streaming,
     session_windows_batch,
     tumbling_agg,
@@ -42,6 +43,22 @@ def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events, tmp_path):
     want = {
         (r.window_start, r.event_type): (r.n_events, r.total_value)
         for r in tumbling_agg(batch_events).collect()
+    }
+    assert got == want
+
+
+def test_hopping_stream_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    """The overlapping-window generation + watermarked state must produce
+    the same (window, key) cells streaming as batch."""
+    stream = read_events_stream(spark, sf_dir)
+    _run_stream(hopping_agg(stream), "hopping_t", tmp_path / "cph")
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("hopping_t").collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in hopping_agg(batch_events).collect()
     }
     assert got == want
 
