@@ -1138,3 +1138,48 @@ ORDER BY o_orderpriority, o_orderkey
 
 QUERIES["window_distribution"] = window_distribution
 ORACLE["window_distribution"] = _SQL_WINDOW_DISTRIBUTION
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #2: TPC-H Q5 (local supplier volume, 6-table join graph)
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 verbatim through the plain SQL surface — the 6-table join
+    graph (two facts, four dims, plus the cross-fact c_nationkey =
+    s_nationkey equality) that exercises Catalyst's join REORDERING: the
+    declared join order (customer->orders->lineitem->supplier->nation->
+    region) is not the efficient one, and the optimizer is free to start
+    from the region filter and broadcast the pruned dims instead. Same
+    ANSI text runs on DuckDB (decimal-exact revenue is portable).
+
+    Scale: region/nation/supplier broadcast; the orders date filter pushes
+    to the scan so the one big shuffle (orders x lineitem on orderkey)
+    sees a year's slice only; final agg is 5 rows.
+    """
+    register_views(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region"
+    )
+    return spark.sql(_Q5_SQL)
+
+
+QUERIES["sql_local_supplier_volume"] = sql_local_supplier_volume
+ORACLE["sql_local_supplier_volume"] = _Q5_SQL

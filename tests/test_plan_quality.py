@@ -239,3 +239,16 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "BroadcastHashJoin" in plan
+
+
+def test_sql_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    """The verbatim Q5 join graph must come out of Catalyst with the small
+    dims broadcast and the orders date range pushed to the scan — the
+    declared join order is deliberately not the efficient one."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_local_supplier_volume,
+    )
+
+    plan = _plan(sql_local_supplier_volume(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
