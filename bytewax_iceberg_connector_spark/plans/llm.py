@@ -924,22 +924,41 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("t", 11, 1_000_000).alias("t"),
     )
     d = base.unionByName(twins).withColumn("len", F.length("t"))
-    a, b = d.alias("a"), d.alias("b")
+    # Stage 1 — candidate generation on NARROW rows (id, lang, len only):
+    # the length band is a free exact prefilter (lev(a,b) >= |len_a-len_b|).
+    ids = d.select("doc_id", "lang", "len")
+    a, b = ids.alias("a"), ids.alias("b")
     mx = F.greatest(F.col("a.len"), F.col("b.len"))
-    pairs = a.join(
+    cand = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & (F.abs(F.col("a.len") - F.col("b.len")) * 5 <= mx),
+    ).select(
+        F.col("a.doc_id").alias("id_a"),
+        F.col("b.doc_id").alias("id_b"),
+        mx.alias("mx"),
     )
+    # Stage 2 — spread the candidate ids, THEN attach texts via broadcast
+    # and verify. Each surviving pair costs O(len_a*len_b) in the
+    # Levenshtein DP, so the verify must run on the repartitioned frame: a
+    # naive pairs.repartition().where(lev...) is defeated by Catalyst,
+    # which pushes the deterministic lev predicate down into the candidate
+    # join condition — serializing the quadratic work onto the join's few
+    # map tasks. Referencing columns that only exist AFTER the broadcast
+    # text-attach keeps the verify above the round-robin exchange, i.e.
+    # parallel. (Same shape at 100 TB: LSH emits id pairs, a narrow
+    # shuffle spreads them, texts join in for the verify.)
+    shuffle_n = int(d.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    texts = d.select("doc_id", "t")
+    lev = F.levenshtein(F.col("ta.t"), F.col("tb.t"))
     return (
-        pairs.withColumn("lev", F.levenshtein(F.col("a.t"), F.col("b.t")))
-        .where(F.col("lev") * 5 <= mx)
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("lev").cast("long").alias("lev"),
-        )
+        cand.repartition(shuffle_n)
+        .join(F.broadcast(texts.alias("ta")), F.col("id_a") == F.col("ta.doc_id"))
+        .join(F.broadcast(texts.alias("tb")), F.col("id_b") == F.col("tb.doc_id"))
+        .withColumn("lev", lev)
+        .where(F.col("lev") * 5 <= F.col("mx"))
+        .select("id_a", "id_b", F.col("lev").cast("long").alias("lev"))
         .orderBy("id_a", "id_b")
     )
 

@@ -252,3 +252,21 @@ def test_sql_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
     plan = _plan(sql_local_supplier_volume(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 3
     assert re.search(r"PushedFilters: \[[^\]]*o_orderdate", plan)
+
+
+def test_edit_distance_verify_runs_above_repartition(spark, sf_dir):
+    """The O(len^2) Levenshtein verify must evaluate ABOVE the round-robin
+    exchange that spreads candidate pairs — Catalyst will happily push a
+    deterministic lev predicate down into the candidate join condition,
+    which serializes the quadratic work onto the join's few map tasks
+    (the regression this pin guards: 4.1s -> 0.7s at sf0.1)."""
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_edit_distance
+
+    plan = _plan(dedup_edit_distance(spark, sf_dir))
+    rr = plan.find("RoundRobinPartitioning")
+    lev = plan.find("levenshtein")
+    assert rr != -1 and lev != -1
+    # plan prints top-down: the verify must appear BEFORE (above) the exchange
+    assert lev < rr
+    # and the candidate join below the exchange must NOT evaluate levenshtein
+    assert "levenshtein" not in plan[rr:]
