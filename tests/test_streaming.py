@@ -92,6 +92,58 @@ def test_session_stream_matches_island_form(spark, sf_dir, batch_events, tmp_pat
     assert got_per_user == want_per_user
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, batch_events, tmp_path):
+    """Stream-static join: the streaming fact side joins a STATIC dimension
+    (customer segment) without any state or watermark — the dim is re-read
+    per micro-batch, which is exactly the semantics a slowly-changing
+    lookup table wants. Aggregated counts must match the batch join."""
+    from pyspark.sql import functions as F
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+    )
+    _run_stream(agg, "stream_static_t", tmp_path / "cpss")
+    got = {
+        (r.c_mktsegment, r.n_events) for r in spark.table("stream_static_t").collect()
+    }
+    want = {
+        (r.c_mktsegment, r.n_events)
+        for r in batch_events.join(dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_drop_duplicates_within_watermark(spark, sf_dir, tmp_path):
+    """Built-in watermark-bounded streaming dedup (the state-TTL'd
+    counterpart of streaming/stateful.py's first-seen dedup): a self-union
+    doubles every event; dropDuplicatesWithinWatermark must collapse the
+    pairs back to exactly one row per event_id while the watermark bounds
+    the dedup state instead of growing it forever."""
+    stream = read_events_stream(spark, sf_dir)
+    doubled = stream.union(stream).withWatermark("ts", "2 hours")
+    deduped = doubled.dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddww_t")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cpdd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_batch = load_table(spark, sf_dir, "events").count()
+    assert spark.table("ddww_t").count() == n_batch
+
+
 def test_stream_sink_checkpoint_roundtrip(spark, sf_dir, tmp_path):
     """LakeSink streaming path: partitioned file sink + checkpoint manifest,
     drained with availableNow (bounded test stand-in for the config's
