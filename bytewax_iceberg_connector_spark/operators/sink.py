@@ -375,6 +375,38 @@ class LakeSink:
             "operation STRING, batch_id BIGINT, n_live_commits INT",
         )
 
+    def tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (default: current head) with a stable name —
+        Iceberg's ``CREATE TAG`` ref. Tagged snapshots survive
+        ``expire_snapshots`` until the tag is dropped, so a tag is the
+        durable handle for "the exact table state release X trained on".
+        """
+        if self.backend == "iceberg":
+            as_of = (
+                f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
+            )
+            self.spark.sql(
+                f"ALTER TABLE {self._qualified} CREATE TAG `{name}`{as_of}"
+            )
+            return snapshot_id or 0
+        return self._log.set_tag(name, snapshot_id)
+
+    def drop_tag(self, name: str) -> None:
+        if self.backend == "iceberg":
+            self.spark.sql(f"ALTER TABLE {self._qualified} DROP TAG `{name}`")
+            return
+        self._log.drop_tag(name)
+
+    def tags(self) -> dict[str, int]:
+        """Tag name -> snapshot id (Iceberg's ``<table>.refs`` metadata)."""
+        if self.backend == "iceberg":
+            rows = self.spark.sql(
+                f"SELECT name, snapshot_id FROM {self._qualified}.refs "
+                "WHERE type = 'TAG'"
+            ).collect()
+            return {r.name: r.snapshot_id for r in rows}
+        return dict(self._log.refs())
+
     def rollback(self, snapshot_id: int) -> None:
         """Restore an earlier snapshot's live set as a NEW snapshot (history
         is append-only — Iceberg's rollback_to_snapshot semantics)."""
@@ -588,26 +620,34 @@ class LakeSink:
 
     def read(self, merge_schema: bool = False,
              as_of: int | None = None,
-             as_of_timestamp_ms: int | None = None) -> DataFrame:
+             as_of_timestamp_ms: int | None = None,
+             tag: str | None = None) -> DataFrame:
         """Read the table; ``as_of`` pins a snapshot id (time travel —
         Iceberg ``VERSION AS OF``) and ``as_of_timestamp_ms`` pins the
         latest snapshot at or before a wall-clock instant (``TIMESTAMP AS
-        OF``); ``merge_schema=True`` unions schemas across files so batches
+        OF``); ``tag`` pins a named ref (``VERSION AS OF 'tag'`` — see
+        :meth:`tag`); ``merge_schema=True`` unions schemas across files so batches
         appended with ADDED columns surface (nulls for older rows) — the
         additive schema evolution the reference forbids ("Static schemas
         only", reference README.md:68). Iceberg handles this through table
         metadata; the parquet backend pays a footer merge pass, so keep it
         off for fixed-schema hot paths.
         """
+        if sum(x is not None for x in (as_of, as_of_timestamp_ms, tag)) > 1:
+            raise ValueError("pass at most one of as_of / as_of_timestamp_ms / tag")
         if as_of_timestamp_ms is not None:
-            if as_of is not None:
-                raise ValueError("pass as_of OR as_of_timestamp_ms, not both")
             as_of = self.snapshot_as_of_timestamp(as_of_timestamp_ms)
             if as_of is None:
                 raise ValueError(
                     f"no snapshot existed at timestamp {as_of_timestamp_ms}"
                 )
+        if tag is not None and self.backend != "iceberg":
+            as_of = self._log.resolve_tag(tag)
         if self.backend == "iceberg":
+            if tag is not None:
+                return self.spark.sql(
+                    f"SELECT * FROM {self._qualified} VERSION AS OF '{tag}'"
+                )
             if as_of is not None:
                 return self.spark.sql(
                     f"SELECT * FROM {self._qualified} VERSION AS OF {as_of}"

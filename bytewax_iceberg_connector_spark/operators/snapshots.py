@@ -110,6 +110,43 @@ class SnapshotLog:
         return [os.path.join(self.data_dir, c)
                 for c in self.live_commits(snapshot_id)]
 
+    # -- named refs (tags) -------------------------------------------------
+
+    def refs(self) -> dict[str, int]:
+        """Named immutable refs (Iceberg tags): tag name -> snapshot id."""
+        try:
+            with open(os.path.join(self.meta_dir, "refs.json")) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+
+    def set_tag(self, name: str, snapshot_id: int | None = None) -> int:
+        """Tag a snapshot (default: head). Tags pin snapshots across
+        ``expire`` — same retention rule as Iceberg refs. Tag writes are
+        last-wins (they never move data, only name it), unlike the
+        version-race-protected data commits."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        self.snapshot(sid)  # validate it exists / not expired
+        refs = self.refs()
+        refs[name] = sid
+        self._atomic_write(os.path.join(self.meta_dir, "refs.json"), refs)
+        return sid
+
+    def drop_tag(self, name: str) -> None:
+        refs = self.refs()
+        if name not in refs:
+            raise LookupError(f"tag {name!r} does not exist")
+        del refs[name]
+        self._atomic_write(os.path.join(self.meta_dir, "refs.json"), refs)
+
+    def resolve_tag(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise LookupError(
+                f"tag {name!r} does not exist (have: {sorted(refs)})"
+            )
+        return refs[name]
+
     def committed_batch_ids(self) -> set[int]:
         """Batch ids recorded by streaming commits — the replay-dedup set."""
         return {
@@ -182,7 +219,9 @@ class SnapshotLog:
 
         Returns (expired snapshot ids, removed commit dir names). Never
         touches a dir a retained snapshot can still read — time travel
-        within the retention window keeps working.
+        within the retention window keeps working. TAGGED snapshots are
+        retained regardless of age (Iceberg's ref-retention rule), so a
+        release tag keeps its data alive until the tag is dropped.
         """
         import shutil
 
@@ -190,12 +229,22 @@ class SnapshotLog:
             raise ValueError("keep_last must be >= 1")
         head = self.current_id()
         cutoff = max(head - keep_last + 1, 1)
+        tagged = set(self.refs().values())
+        retained_ids = set(range(cutoff, head + 1)) | tagged
         retained_live: set[str] = set()
-        for sid in range(cutoff, head + 1):
-            retained_live.update(self.snapshot(sid)["live"])
-        expired = list(range(1, cutoff))
-        for sid in expired:
-            os.unlink(os.path.join(self.meta_dir, f"v{sid}.json"))
+        for sid in retained_ids:
+            try:
+                retained_live.update(self.snapshot(sid)["live"])
+            except LookupError:  # hole left by an earlier expire
+                continue
+        expired = []
+        for sid in range(1, cutoff):
+            if sid in tagged:
+                continue
+            path = os.path.join(self.meta_dir, f"v{sid}.json")
+            if os.path.exists(path):
+                os.unlink(path)
+                expired.append(sid)
         removed = []
         for d in os.listdir(self.data_dir):
             if d.startswith("_c=") and d not in retained_live:

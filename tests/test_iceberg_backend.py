@@ -142,3 +142,16 @@ def test_iceberg_overwrite_partitions(iceberg_sink, batch, spark):
     back = iceberg_sink.read()
     assert back.where("ts >= '2024-01-02' AND ts < '2024-01-03'").count() == 4
     assert back.where("ts < '2024-01-02'").count() == 10
+
+
+def test_iceberg_tag_and_read_by_ref(iceberg_sink, batch):
+    """Named refs: CREATE TAG on the head snapshot, VERSION AS OF 'tag'
+    reads the pinned state across later writes, DROP TAG removes the ref."""
+    iceberg_sink.append(batch.where("event_id < 10"))
+    iceberg_sink.tag("release-v1")
+    iceberg_sink.append(batch.where("event_id >= 10"))
+    assert iceberg_sink.read().count() == 30
+    assert iceberg_sink.read(tag="release-v1").count() == 10
+    assert "release-v1" in iceberg_sink.tags()
+    iceberg_sink.drop_tag("release-v1")
+    assert "release-v1" not in iceberg_sink.tags()

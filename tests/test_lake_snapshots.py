@@ -407,7 +407,7 @@ def test_timestamp_as_of_resolves_to_snapshot(spark, tmp_path, batches):
     assert sink.read(as_of_timestamp_ms=int(time.time() * 1000)).count() == 30
     with pytest.raises(ValueError, match="no snapshot"):
         sink.read(as_of_timestamp_ms=1)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="at most one"):
         sink.read(as_of=1, as_of_timestamp_ms=t_between)
 
 
@@ -512,3 +512,35 @@ def test_streaming_commits_feed_continuous_aggregate(spark, tmp_path, batches):
         .collect()
     }
     assert view == expected
+
+
+def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path, batches):
+    """Iceberg ref semantics on the fallback: a tag names a snapshot for
+    time travel, pins it (and its data) across expire_snapshots, and
+    dropping the tag releases it for reclamation."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sid = sink.tag("release-v1")          # tag head (snapshot 1)
+    sink.append(b2)
+    sink.overwrite(b2.limit(5))
+
+    assert sink.tags() == {"release-v1": sid}
+    assert sink.read(tag="release-v1").count() == b1.count()
+
+    # expire to the newest snapshot only — the tagged one must survive
+    # (3 snapshots exist; without the tag 2 would expire, with it only 1)
+    assert sink.expire_snapshots(keep_last=1) == 1
+    assert sink.read(tag="release-v1").count() == b1.count()
+
+    # conflicting selectors rejected; unknown tags reported with the list
+    with pytest.raises(ValueError, match="at most one"):
+        sink.read(as_of=1, tag="release-v1")
+    with pytest.raises(LookupError, match="release"):
+        sink.read(tag="nope")
+
+    # dropping the tag releases the pin: the next expiry reclaims it
+    sink.drop_tag("release-v1")
+    assert sink.expire_snapshots(keep_last=1) == 1
+    with pytest.raises(LookupError):
+        sink.read(tag="release-v1")
