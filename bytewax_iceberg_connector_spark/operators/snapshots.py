@@ -65,8 +65,9 @@ class SnapshotLog:
 
     # -- snapshot access ---------------------------------------------------
 
-    def current_id(self) -> int:
-        """Highest committed snapshot id; 0 = empty table."""
+    def _max_version(self) -> int:
+        """Highest snapshot id across ALL branches — the version-race
+        counter (ids are globally unique, branches share one sequence)."""
         try:
             names = os.listdir(self.meta_dir)
         except FileNotFoundError:
@@ -76,6 +77,22 @@ class SnapshotLog:
             if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
         ]
         return max(ids, default=0)
+
+    def current_id(self, branch: str = "main") -> int:
+        """Head snapshot id of ``branch`` (default main); 0 = no commits.
+
+        Branch heads are DERIVED by scanning the per-version files rather
+        than kept in a pointer file: a read-modify-write ``branches.json``
+        would race between writers on different branches, while the
+        version-file create is already the single atomic commit point.
+        Real Iceberg stores refs in the one table-metadata file it swaps
+        atomically; per-version scan is the honest equivalent here.
+        """
+        head = 0
+        for s in self.snapshots():
+            if s.get("branch", "main") == branch:
+                head = max(head, s["snapshot_id"])
+        return head
 
     def snapshot(self, snapshot_id: int) -> dict:
         try:
@@ -92,23 +109,26 @@ class SnapshotLog:
         metadata table of the iceberg backend. Ids expired by ``expire``
         are simply absent (numbering is never rewritten)."""
         out = []
-        for i in range(1, self.current_id() + 1):
+        for i in range(1, self._max_version() + 1):
             try:
                 out.append(self.snapshot(i))
             except LookupError:
                 continue
         return out
 
-    def live_commits(self, snapshot_id: int | None = None) -> list[str]:
-        """Commit dir names visible at ``snapshot_id`` (default: head)."""
-        sid = self.current_id() if snapshot_id is None else snapshot_id
+    def live_commits(self, snapshot_id: int | None = None,
+                     branch: str = "main") -> list[str]:
+        """Commit dir names visible at ``snapshot_id`` (default: head of
+        ``branch``)."""
+        sid = self.current_id(branch) if snapshot_id is None else snapshot_id
         if sid == 0:
             return []
         return self.snapshot(sid)["live"]
 
-    def commit_paths(self, snapshot_id: int | None = None) -> list[str]:
+    def commit_paths(self, snapshot_id: int | None = None,
+                     branch: str = "main") -> list[str]:
         return [os.path.join(self.data_dir, c)
-                for c in self.live_commits(snapshot_id)]
+                for c in self.live_commits(snapshot_id, branch)]
 
     # -- named refs (tags) -------------------------------------------------
 
@@ -169,45 +189,142 @@ class SnapshotLog:
         overwrite: bool = False,
         rollback_to: int | None = None,
         batch_id: int | None = None,
+        branch: str = "main",
         retries: int = 3,
     ) -> int:
         """Commit a snapshot; returns its id.
 
-        ``operation``: append | overwrite | rollback (audit field).
+        ``operation``: append | overwrite | rollback | publish (audit field).
         ``overwrite=True`` replaces the live set with ``added``;
         ``rollback_to`` restores the live set of an earlier snapshot.
+        ``branch`` commits onto a named mutable ref (forked from main's
+        head on its first commit) — main is just the default branch.
         The loop re-reads the head each attempt, so a concurrent winner's
         appends are preserved (append-over-append composes; overwrite is
         latest-wins, the documented simplification of Iceberg's
-        serializable validation).
+        serializable validation). Snapshot ids are globally unique across
+        branches (one version sequence), so two writers on different
+        branches still serialize through the same atomic v-file create.
         """
         for _ in range(retries + 1):
-            head = self.current_id()
+            version = self._max_version()
+            # parent = branch head; a branch's FIRST commit forks from main
+            head = self.current_id(branch)
+            base = head if (head or branch == "main") else self.current_id()
             if rollback_to is not None:
                 live = list(self.live_commits(rollback_to))
             elif overwrite:
                 live = list(added)
             else:
-                live = self.live_commits(head) + list(added)
+                live = self.live_commits(base) + list(added)
             snap = {
-                "snapshot_id": head + 1,
-                "parent_id": head or None,
+                "snapshot_id": version + 1,
+                "parent_id": base or None,
                 "timestamp_ms": int(time.time() * 1000),
                 "operation": operation,
                 "added": list(added),
                 "live": live,
                 "batch_id": batch_id,
             }
+            if branch != "main":
+                snap["branch"] = branch
             try:
                 self._atomic_create(
-                    os.path.join(self.meta_dir, f"v{head + 1}.json"), snap
+                    os.path.join(self.meta_dir, f"v{version + 1}.json"), snap
                 )
-                return head + 1
+                return version + 1
             except FileExistsError:
                 continue  # lost the race — recompute against the new head
         raise CommitConflict(
             f"commit of {operation} lost the version race {retries + 1} times"
         )
+
+    # -- branches (write-audit-publish) ------------------------------------
+
+    def branches(self) -> dict[str, int]:
+        """Branch name -> head snapshot id, for every branch with at least
+        one commit (main included when non-empty)."""
+        heads: dict[str, int] = {}
+        for s in self.snapshots():
+            b = s.get("branch", "main")
+            heads[b] = max(heads.get(b, 0), s["snapshot_id"])
+        return heads
+
+    def ancestors(self, snapshot_id: int) -> list[int]:
+        """Snapshot lineage from ``snapshot_id`` back to the root (parent
+        chain), inclusive."""
+        chain = []
+        sid: int | None = snapshot_id
+        while sid:
+            chain.append(sid)
+            sid = self.snapshot(sid).get("parent_id")
+        return chain
+
+    def publish(self, branch: str, retries: int = 3) -> int:
+        """Fast-forward main to ``branch``'s head (Iceberg's
+        ``fast_forward`` procedure — the publish step of write-audit-
+        publish). Requires main's head to be an ancestor of the branch
+        head: if main advanced since the branch forked, publishing would
+        silently drop those commits, so raise instead (rebase by
+        re-staging the branch)."""
+        b_head = self.current_id(branch)
+        if b_head == 0:
+            raise LookupError(f"branch {branch!r} has no commits")
+        for _ in range(retries + 1):
+            m_head = self.current_id()
+            if m_head and m_head not in self.ancestors(b_head):
+                raise CommitConflict(
+                    f"cannot fast-forward: main advanced to {m_head} after "
+                    f"branch {branch!r} forked (not an ancestor of {b_head})"
+                )
+            snap = {
+                "snapshot_id": self._max_version() + 1,
+                "parent_id": m_head or None,
+                "timestamp_ms": int(time.time() * 1000),
+                "operation": "publish",
+                "added": [],
+                "live": list(self.live_commits(b_head)),
+                "batch_id": None,
+                "source_branch": branch,
+            }
+            try:
+                self._atomic_create(
+                    os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),
+                    snap,
+                )
+                return snap["snapshot_id"]
+            except FileExistsError:
+                continue
+        raise CommitConflict(f"publish of {branch!r} lost the version race")
+
+    def drop_branch(self, branch: str) -> list[int]:
+        """Delete a branch: unlink its snapshot files and remove commit
+        dirs no remaining snapshot references (the audit-failed arm of
+        write-audit-publish — staged data vanishes, main is untouched).
+        Published data survives because the publish snapshot on main
+        carries the live list itself."""
+        import shutil
+
+        if branch == "main":
+            raise ValueError("cannot drop main")
+        dropped = []
+        for s in self.snapshots():
+            if s.get("branch", "main") == branch:
+                os.unlink(os.path.join(self.meta_dir, f"v{s['snapshot_id']}.json"))
+                dropped.append(s["snapshot_id"])
+        if not dropped:
+            raise LookupError(f"branch {branch!r} does not exist")
+        referenced: set[str] = set()
+        for s in self.snapshots():
+            referenced.update(s["live"])
+        try:
+            dirs = os.listdir(self.data_dir)
+        except FileNotFoundError:
+            dirs = []
+        for d in dirs:
+            if d.startswith("_c=") and d not in referenced:
+                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
+        return dropped
 
     # -- maintenance -------------------------------------------------------
 
