@@ -58,14 +58,46 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(json.dumps({
-        "metric": "headline_queries_total_sec",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf else None,
-    }))
+    print(_final_line(total, timings, float(sf) if sf else None))
     spark.stop()
+
+
+# the driver captures only the last 2000 characters of stdout and parses the
+# final JSON line out of that window — a line longer than the window is
+# unparseable no matter how complete it is (this truncated the round-2
+# record). Budget the line; if the per-query dict would overflow, keep the
+# slowest entries and summarize the rest.
+_LINE_BUDGET = 1900
+
+
+def _final_line(total: float, timings: dict[str, float], sf) -> str:
+    def render(q: dict[str, float], omitted: int, omitted_sec: float) -> str:
+        payload = {
+            "metric": "headline_queries_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": q,
+            "sf": sf,
+        }
+        if omitted:
+            payload["queries_omitted"] = omitted
+            payload["omitted_sec"] = round(omitted_sec, 3)
+        return json.dumps(payload, separators=(",", ":"))
+
+    line = render(timings, 0, 0.0)
+    if len(line) <= _LINE_BUDGET:
+        return line
+    by_cost = sorted(timings, key=timings.get, reverse=True)
+    keep = len(by_cost)
+    while keep > 1:
+        keep -= 1
+        kept = {n: timings[n] for n in by_cost[:keep]}
+        omitted = len(timings) - keep
+        omitted_sec = sum(timings[n] for n in by_cost[keep:])
+        line = render(kept, omitted, omitted_sec)
+        if len(line) <= _LINE_BUDGET:
+            return line
+    return line
 
 
 if __name__ == "__main__":
