@@ -104,6 +104,13 @@ class SnapshotLog:
                 "(expired or never committed)"
             ) from None
 
+    def _maybe_snapshot(self, snapshot_id: int) -> dict | None:
+        """``snapshot`` that returns None for expired/missing ids."""
+        try:
+            return self.snapshot(snapshot_id)
+        except LookupError:
+            return None
+
     def snapshots(self) -> list[dict]:
         """All retained snapshots, ascending — the ``<table>.snapshots``
         metadata table of the iceberg backend. Ids expired by ``expire``
@@ -168,10 +175,17 @@ class SnapshotLog:
         return refs[name]
 
     def committed_batch_ids(self) -> set[int]:
-        """Batch ids recorded by streaming commits — the replay-dedup set."""
-        return {
-            s["batch_id"] for s in self.snapshots() if s.get("batch_id") is not None
-        }
+        """Batch ids recorded by streaming commits — the replay-dedup set.
+
+        Publish snapshots carry the batch ids of the branch lineage they
+        fast-forwarded (``batch_ids``), so the exactly-once guarantee
+        survives the full WAP sequence commit→publish→drop_branch."""
+        out: set[int] = set()
+        for s in self.snapshots():
+            if s.get("batch_id") is not None:
+                out.add(s["batch_id"])
+            out.update(s.get("batch_ids", []))
+        return out
 
     # -- commit protocol ---------------------------------------------------
 
@@ -247,36 +261,69 @@ class SnapshotLog:
         heads: dict[str, int] = {}
         for s in self.snapshots():
             b = s.get("branch", "main")
+            if b is None:  # detached (tag-pinned survivor of drop_branch)
+                continue
             heads[b] = max(heads.get(b, 0), s["snapshot_id"])
         return heads
 
     def ancestors(self, snapshot_id: int) -> list[int]:
         """Snapshot lineage from ``snapshot_id`` back to the root (parent
-        chain), inclusive."""
+        chain), inclusive. The walk stops at an expired parent instead of
+        raising — retention may legitimately punch holes below a retained
+        snapshot, and lineage above the hole is still meaningful."""
         chain = []
         sid: int | None = snapshot_id
         while sid:
             chain.append(sid)
-            sid = self.snapshot(sid).get("parent_id")
+            try:
+                sid = self.snapshot(sid).get("parent_id")
+            except LookupError:
+                break
         return chain
 
     def publish(self, branch: str, retries: int = 3) -> int:
         """Fast-forward main to ``branch``'s head (Iceberg's
         ``fast_forward`` procedure — the publish step of write-audit-
         publish). Requires main's head to be an ancestor of the branch
-        head: if main advanced since the branch forked, publishing would
-        silently drop those commits, so raise instead (rebase by
-        re-staging the branch)."""
+        head — OR a previous publish of this same branch (Iceberg's
+        fast_forward leaves main and the branch pointing at the same
+        snapshot, so stage→publish→stage-more→publish is the normal
+        steady-state loop, not a conflict). If main advanced through any
+        OTHER route since the branch forked, publishing would silently
+        drop those commits, so raise instead (rebase by re-staging).
+
+        The publish snapshot records ``published_head`` (the branch head
+        it fast-forwarded — what makes re-publish recognizable) and
+        ``batch_ids`` (every streaming batch id in the published branch
+        lineage — what keeps exactly-once dedup alive after the branch
+        is dropped)."""
         b_head = self.current_id(branch)
         if b_head == 0:
             raise LookupError(f"branch {branch!r} has no commits")
+        b_chain = self.ancestors(b_head)
+        batch_ids = sorted({
+            s["batch_id"]
+            for sid in b_chain
+            for s in [self._maybe_snapshot(sid)]
+            if s is not None
+            and s.get("branch", "main") == branch
+            and s.get("batch_id") is not None
+        })
         for _ in range(retries + 1):
             m_head = self.current_id()
-            if m_head and m_head not in self.ancestors(b_head):
-                raise CommitConflict(
-                    f"cannot fast-forward: main advanced to {m_head} after "
-                    f"branch {branch!r} forked (not an ancestor of {b_head})"
+            if m_head and m_head not in b_chain:
+                m_snap = self._maybe_snapshot(m_head)
+                republish_of_self = (
+                    m_snap is not None
+                    and m_snap.get("operation") == "publish"
+                    and m_snap.get("source_branch") == branch
+                    and m_snap.get("published_head") in b_chain
                 )
+                if not republish_of_self:
+                    raise CommitConflict(
+                        f"cannot fast-forward: main advanced to {m_head} after "
+                        f"branch {branch!r} forked (not an ancestor of {b_head})"
+                    )
             snap = {
                 "snapshot_id": self._max_version() + 1,
                 "parent_id": m_head or None,
@@ -285,7 +332,9 @@ class SnapshotLog:
                 "added": [],
                 "live": list(self.live_commits(b_head)),
                 "batch_id": None,
+                "batch_ids": batch_ids,
                 "source_branch": branch,
+                "published_head": b_head,
             }
             try:
                 self._atomic_create(
@@ -302,18 +351,43 @@ class SnapshotLog:
         dirs no remaining snapshot references (the audit-failed arm of
         write-audit-publish — staged data vanishes, main is untouched).
         Published data survives because the publish snapshot on main
-        carries the live list itself."""
+        carries the live list itself.
+
+        Tags pin snapshots (the same rule ``expire`` honors): a TAGGED
+        branch snapshot is not deleted — it is re-homed as a detached
+        snapshot (its ``branch`` field dropped) so the tag keeps
+        resolving to readable data while the branch itself ceases to
+        exist. Returns the unlinked snapshot ids."""
         import shutil
 
         if branch == "main":
             raise ValueError("cannot drop main")
-        dropped = []
+        tagged = set(self.refs().values())
+        dropped, rehomed = [], []
+        found = False
         for s in self.snapshots():
-            if s.get("branch", "main") == branch:
-                os.unlink(os.path.join(self.meta_dir, f"v{s['snapshot_id']}.json"))
-                dropped.append(s["snapshot_id"])
-        if not dropped:
+            if s.get("branch", "main") != branch:
+                continue
+            found = True
+            sid = s["snapshot_id"]
+            if sid in tagged:
+                detached = dict(s)
+                # branch=None: detached — NOT main (an absent field means
+                # main, and a tagged staged snapshot must never advance
+                # main's head when its branch goes away)
+                detached["branch"] = None
+                detached["detached_from_branch"] = branch
+                self._atomic_write(
+                    os.path.join(self.meta_dir, f"v{sid}.json"), detached
+                )
+                rehomed.append(sid)
+            else:
+                os.unlink(os.path.join(self.meta_dir, f"v{sid}.json"))
+                dropped.append(sid)
+        if not found:
             raise LookupError(f"branch {branch!r} does not exist")
+        # orphan cleanup: every surviving snapshot (main, other branches,
+        # re-homed tagged snapshots) keeps its data
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s["live"])
@@ -336,27 +410,38 @@ class SnapshotLog:
 
         Returns (expired snapshot ids, removed commit dir names). Never
         touches a dir a retained snapshot can still read — time travel
-        within the retention window keeps working. TAGGED snapshots are
-        retained regardless of age (Iceberg's ref-retention rule), so a
-        release tag keeps its data alive until the tag is dropped.
+        within the retention window keeps working. Retention is
+        REF-AWARE, the same rule as Iceberg's expire_snapshots:
+        - the newest ``keep_last`` snapshots of MAIN's own history
+          (selected from main's snapshot list, not an id window — ids
+          interleave across branches);
+        - every snapshot reachable from any branch head (the branch's
+          own commits AND its main-lineage ancestors, so a later
+          ``publish`` still finds its fork point);
+        - every TAGGED snapshot (a release tag keeps its data alive
+          until the tag is dropped), including detached ones.
         """
         import shutil
 
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        head = self.current_id()
-        cutoff = max(head - keep_last + 1, 1)
-        tagged = set(self.refs().values())
-        retained_ids = set(range(cutoff, head + 1)) | tagged
+        snaps = self.snapshots()
+        main_ids = sorted(
+            s["snapshot_id"] for s in snaps if s.get("branch", "main") == "main"
+        )
+        retained_ids = set(main_ids[-keep_last:]) | set(self.refs().values())
+        for b, b_head in self.branches().items():
+            if b != "main":
+                retained_ids.update(self.ancestors(b_head))
         retained_live: set[str] = set()
         for sid in retained_ids:
-            try:
-                retained_live.update(self.snapshot(sid)["live"])
-            except LookupError:  # hole left by an earlier expire
-                continue
+            snap = self._maybe_snapshot(sid)
+            if snap is not None:
+                retained_live.update(snap["live"])
         expired = []
-        for sid in range(1, cutoff):
-            if sid in tagged:
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if sid in retained_ids:
                 continue
             path = os.path.join(self.meta_dir, f"v{sid}.json")
             if os.path.exists(path):

@@ -1,0 +1,213 @@
+"""Regression tests for branch (write-audit-publish) retention semantics of
+the SnapshotLog — the round-3 advice findings:
+
+1. ``expire`` must be branch-aware: an active branch's snapshots (which can
+   carry ids above main's head and below main's retention cutoff) keep both
+   their metadata files and their data dirs.
+2. ``drop_branch`` must honor tag pins: a tagged branch snapshot survives as
+   a detached snapshot the tag still resolves to.
+3. Re-``publish`` of a still-active branch is the normal fast-forward loop,
+   not a conflict.
+4. ``publish`` carries the branch lineage's streaming batch ids so
+   exactly-once dedup survives commit→publish→drop_branch.
+
+All tests drive SnapshotLog directly (no Spark session needed): commits are
+fake data dirs containing one marker file.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from bytewax_iceberg_connector_spark.operators.snapshots import (
+    CommitConflict,
+    SnapshotLog,
+)
+
+
+@pytest.fixture()
+def log(tmp_path):
+    sl = SnapshotLog(str(tmp_path / "tbl"))
+    sl.init_table({"schema": "fake", "partition_spec": []})
+    return sl
+
+
+def _append(log: SnapshotLog, *, branch: str = "main",
+            batch_id: int | None = None) -> tuple[int, str]:
+    """Fake one data commit: a dir with a marker file + a snapshot."""
+    name, path = log.new_commit_dir()
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.marker"), "w") as f:
+        f.write(name)
+    sid = log.commit("append", [name], branch=branch, batch_id=batch_id)
+    return sid, name
+
+
+def _live_dirs_exist(log: SnapshotLog, branch: str = "main") -> bool:
+    return all(os.path.isdir(p) for p in log.commit_paths(branch=branch))
+
+
+# -- finding 1: branch-aware expire -------------------------------------
+
+
+def test_expire_keeps_active_branch_snapshots_and_data(log):
+    for _ in range(3):
+        _append(log)
+    main_head = log.current_id()
+    b1, _ = _append(log, branch="audit")
+    b2, _ = _append(log, branch="audit")
+    assert b2 > main_head  # branch ids above main's head
+
+    log.expire(keep_last=2)
+
+    # branch metadata intact, branch data dirs intact and readable
+    assert log.current_id("audit") == b2
+    assert log.snapshot(b1)["branch"] == "audit"
+    assert _live_dirs_exist(log, branch="audit")
+    # and main time travel within its window still works
+    assert _live_dirs_exist(log, branch="main")
+
+
+def test_expire_then_publish_still_fast_forwards(log):
+    for _ in range(4):
+        _append(log)
+    _append(log, branch="audit")
+    log.expire(keep_last=1)  # punches holes below the branch fork lineage
+    pid = log.publish("audit")
+    assert log.current_id() == pid
+    assert _live_dirs_exist(log)  # published data readable on main
+
+
+def test_expire_retains_branch_fork_lineage_data(log):
+    """The branch's live set includes commits created on MAIN before the
+    fork; expire on main must not delete those dirs while the branch can
+    still read them."""
+    _, pre_fork = _append(log)           # main commit the branch inherits
+    _append(log, branch="audit")
+    for _ in range(3):                   # main moves on
+        _append(log)
+    log.expire(keep_last=1)
+    # main's keep-last window alone would have dropped pre_fork only if
+    # unreferenced — the branch still references it
+    assert pre_fork in log.live_commits(branch="audit")
+    assert _live_dirs_exist(log, branch="audit")
+
+
+def test_expire_selects_main_window_from_main_history_not_id_range(log):
+    """Main ids 1,2 then (dropped) branch ids 3,4 then main id 5:
+    keep_last=2 must retain main snapshots {2,5} (main's own newest two),
+    not the id window {4,5} — ids interleave across branches."""
+    m1, _ = _append(log)
+    m2, _ = _append(log)
+    _append(log, branch="b")
+    _append(log, branch="b")
+    m5, _ = _append(log)
+    log.drop_branch("b")  # no live branch: pure main-window selection
+    expired, _removed = log.expire(keep_last=2)
+    assert expired == [m1]
+    assert log.snapshot(m2)["snapshot_id"] == m2  # retained
+    assert log.current_id() == m5
+
+
+# -- finding 2: drop_branch honors tags ----------------------------------
+
+
+def test_drop_branch_keeps_tagged_snapshot_as_detached(log):
+    _append(log)
+    main_head = log.current_id()
+    sid, name = _append(log, branch="audit")
+    log.set_tag("staged-release", sid)
+
+    dropped = log.drop_branch("audit")
+
+    assert sid not in dropped
+    # tag still resolves to a readable snapshot with live data
+    rsid = log.resolve_tag("staged-release")
+    snap = log.snapshot(rsid)
+    assert snap["detached_from_branch"] == "audit"
+    assert all(os.path.isdir(p) for p in log.commit_paths(rsid))
+    # the branch itself is gone and main never moved
+    assert "audit" not in log.branches()
+    assert log.current_id("audit") == 0
+    assert log.current_id() == main_head
+
+
+def test_drop_branch_untagged_snapshots_still_vanish(log):
+    _append(log)
+    s1, n1 = _append(log, branch="audit")
+    s2, _ = _append(log, branch="audit")
+    log.set_tag("pin", s2)
+    dropped = log.drop_branch("audit")
+    assert dropped == [s1]
+    with pytest.raises(LookupError):
+        log.snapshot(s1)
+    # s1's exclusive dir is gone; s2's data (which includes n1 via the
+    # cumulative live list) survives through the tag pin
+    assert all(os.path.isdir(p) for p in log.commit_paths(s2))
+
+
+def test_expire_retains_detached_tagged_snapshot(log):
+    _append(log)
+    sid, _ = _append(log, branch="audit")
+    log.set_tag("keep", sid)
+    log.drop_branch("audit")
+    for _ in range(3):
+        _append(log)
+    log.expire(keep_last=1)
+    assert all(os.path.isdir(p) for p in log.commit_paths(log.resolve_tag("keep")))
+
+
+# -- finding 3: re-publish of a still-active branch ----------------------
+
+
+def test_republish_same_branch_fast_forwards(log):
+    _append(log)
+    _append(log, branch="wap", batch_id=0)
+    p1 = log.publish("wap")
+    assert log.current_id() == p1
+    # branch keeps staging after the first publish
+    _append(log, branch="wap", batch_id=1)
+    p2 = log.publish("wap")  # must NOT raise CommitConflict
+    assert log.current_id() == p2
+    assert log.live_commits() == log.live_commits(branch="wap")
+
+
+def test_publish_still_rejects_foreign_main_advance(log):
+    _append(log)
+    _append(log, branch="wap")
+    _append(log)  # main advances through a route that is NOT this branch
+    with pytest.raises(CommitConflict):
+        log.publish("wap")
+
+
+def test_publish_rejects_other_branch_publish(log):
+    _append(log)
+    _append(log, branch="a")
+    _append(log, branch="b")
+    log.publish("a")
+    with pytest.raises(CommitConflict):
+        log.publish("b")  # main advanced via branch a, not b
+
+
+# -- finding 4: batch ids survive publish + drop_branch ------------------
+
+
+def test_publish_carries_branch_batch_ids_through_drop(log):
+    _append(log, batch_id=100)  # direct-to-main streaming commit
+    _append(log, branch="wap", batch_id=7)
+    _append(log, branch="wap", batch_id=8)
+    log.publish("wap")
+    log.drop_branch("wap")
+    assert {7, 8, 100} <= log.committed_batch_ids()
+
+
+def test_republish_and_drop_keeps_all_batch_ids(log):
+    _append(log, branch="wap", batch_id=1)
+    log.publish("wap")
+    _append(log, branch="wap", batch_id=2)
+    log.publish("wap")
+    log.drop_branch("wap")
+    assert {1, 2} <= log.committed_batch_ids()
+    # replaying either batch would be recognized as a duplicate
