@@ -46,15 +46,24 @@ def default_sf_dir() -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes types to engine conventions.
 
-    - ``events.ts`` is stored as parquet timestamp[ns]; Spark reads it as a
-      long (nanosAsLong) and we truncate to microseconds — identical to
-      DuckDB's TIMESTAMP_NS→TIMESTAMP cast, so oracle comparisons line up.
-      Integer `div` (not `/`) avoids double-precision loss on epoch-nanos.
+    - ``events.ts`` as parquet timestamp[ns]: Spark reads it as a long
+      (nanosAsLong) and we truncate to microseconds — identical to DuckDB's
+      TIMESTAMP_NS→TIMESTAMP cast, so oracle comparisons line up. Integer
+      `div` (not `/`) avoids double-precision loss on epoch-nanos.
+    - parquet timestamp[us] without timezone: Spark 4 reads it as
+      TIMESTAMP_NTZ, which time-arithmetic builtins (``unix_micros`` et al.)
+      reject. Cast every NTZ column to the session type — with the engine's
+      pinned UTC session timezone this is value-identical to DuckDB's naive
+      TIMESTAMP read, and it keeps query code on ONE timestamp type no
+      matter which physical annotation the test-data generator emitted.
     """
     ensure_engine_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

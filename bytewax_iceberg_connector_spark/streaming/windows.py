@@ -157,6 +157,8 @@ def read_events_stream(spark, sf_dir: str, max_files_per_trigger: int = 1) -> Da
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
