@@ -676,6 +676,250 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B18d: ANN via IVF-PQ (product quantization) — the memory-scale path
+# ---------------------------------------------------------------------------
+
+_PQ_M = 16         # subvectors per embedding (64-dim → 16×4-dim subspaces)
+_PQ_K = 16         # codebook entries per subspace (4-bit codes)
+_PQ_SAMPLE = 7     # codebook training sample = vec_id % 7 == 0 (~N/7 rows)
+_PQ_ITERS = 5      # deterministic k-means refinement iterations
+_PQ_REFINE = 40    # ADC survivors re-ranked with exact vectors (8×top-k)
+
+
+def _pq_train_ctx(all_ids, all_vecs):
+    """Shared deterministic training context for encode and ADC kernels:
+    (centroid ids, centroid matrix, residual codebooks).
+
+    Codebooks are trained on RESIDUALS (sample − nearest centroid), the
+    IVF-PQ formulation: residual magnitudes are a fraction of vector
+    magnitudes, so the same M×K code budget spends its precision on the
+    part of the vector the coarse cell doesn't already explain. All
+    arithmetic is fixed-iteration and order-pinned (rows sorted by id —
+    collect_list order is not deterministic, the codebooks must be), so
+    every executor that receives the same broadcast sample materializes
+    bit-identical codebooks: no driver-side training, no model shipping.
+    """
+    import numpy as np
+
+    all_ids = np.asarray(all_ids, dtype=np.int64)
+    cmask = all_ids % _IVF_STRIDE == 0
+    c_ids = all_ids[cmask]
+    corder = np.argsort(c_ids)
+    c_ids = c_ids[corder]
+    C = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, cmask) if m]
+    )[corder]
+    smask = all_ids % _PQ_SAMPLE == 0
+    s_ids = all_ids[smask]
+    sorder = np.argsort(s_ids)
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, smask) if m]
+    )[sorder]
+    # residuals of the training sample w.r.t. each vector's nearest centroid
+    d2 = ((X * X).sum(axis=1))[:, None] - 2 * (X @ C.T) + ((C * C).sum(axis=1))[None, :]
+    R = X - C[d2.argmin(axis=1)]
+    dim = X.shape[1]
+    sub = dim // _PQ_M
+    books = []
+    for m in range(_PQ_M):
+        S_ = R[:, m * sub:(m + 1) * sub]
+        B = S_[:_PQ_K].copy()  # init = first K sorted sample residuals
+        for _ in range(_PQ_ITERS):
+            dd = ((S_[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+            assign = dd.argmin(axis=1)
+            for k in range(_PQ_K):
+                mask = assign == k
+                if mask.any():
+                    B[k] = S_[mask].mean(axis=0)
+        books.append(B)
+    return c_ids, C, books
+
+
+def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN, IVF-PQ: the IVF cell layout of ``similarity_ivf``
+    with product-quantized neighbor vectors — the candidate shuffle ships
+    ``_PQ_M`` 4-bit codes (+ one float norm) per vector instead of the
+    float array, and scoring is asymmetric-distance (ADC): the query stays
+    exact, neighbors are scored against a per-query M×K lookup table.
+
+    Why this is the 100 TB memory path: at dim=64 float32 a vector is
+    256 B; the PQ code is M=8 codes + 1 norm ≈ 12 B — a ~20× smaller
+    candidate shuffle and a ~20× smaller index table on the lake. Recall
+    degrades gracefully (quantization error only affects ranking inside
+    the probed cells) and is pinned vs the exact top-k in tests.
+
+    Plan shape: ONE corpus GEMM pass (coarse assign + PQ encode fused in
+    the same mapInPandas kernel, ids+codes out, vectors stay in the scan)
+    → narrow candidate join on cell id → ADC scoring with the broadcast
+    training sample re-deriving codebooks deterministically per executor
+    → top-5 per query. No full-precision neighbor vector is ever
+    shuffled or broadcast.
+
+    rows-only check (centroid seeds + codebooks are engine-local);
+    recall vs exact similarity_topk pinned in tests/test_llm.py.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cblock = (
+        emb.where(
+            (F.col("vec_id") % _IVF_STRIDE == 0)
+            | (F.col("vec_id") % _PQ_SAMPLE == 0)
+        )
+        .groupBy(F.lit(1).alias("g"))
+        .agg(
+            F.collect_list("vec_id").alias("c_ids"),
+            F.collect_list("embedding").alias("c_vecs"),
+        )
+        .drop("g")
+    )
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+    )
+    tiles = blocks.crossJoin(F.broadcast(cblock))
+
+    def _encode(batches):
+        """Fused kernel: coarse cells (rank 0..P-1) + residual PQ code +
+        true norm per vector; emits ids/codes only. The member cell (rank
+        0) is the residual base, so decode = centroid[cell] + book[code]."""
+        for pdf in batches:
+            rows = {"vec_id": [], "cell": [], "rnk": [], "code": [], "nrm": []}
+            for r in pdf.itertuples(index=False):
+                ids = np.asarray(r.ids, dtype=np.int64)
+                c_ids, C, books = _pq_train_ctx(r.c_ids, r.c_vecs)
+                E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
+                ne = np.sqrt((E * E).sum(axis=1))
+                nc = np.sqrt((C * C).sum(axis=1))
+                cos = (E @ C.T) / np.outer(ne, nc)
+                kp = min(_IVF_PROBES, cos.shape[1])
+                near = np.argsort(-cos, axis=1)[:, :kp]
+                # residual to the MEMBER cell centroid (probe rank 0)
+                R = E - C[near[:, 0]]
+                sub = E.shape[1] // _PQ_M
+                codes = np.empty((len(ids), _PQ_M), dtype=np.int64)
+                for m in range(_PQ_M):
+                    S_ = R[:, m * sub:(m + 1) * sub]
+                    B = books[m]
+                    d2 = ((S_[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+                    codes[:, m] = d2.argmin(axis=1)
+                for i in range(len(ids)):
+                    for rnk, j in enumerate(near[i]):
+                        rows["vec_id"].append(ids[i])
+                        rows["cell"].append(c_ids[j])
+                        rows["rnk"].append(rnk)
+                        rows["code"].append(codes[i].tolist())
+                        rows["nrm"].append(float(ne[i]))
+            yield pd.DataFrame(rows)
+
+    assigned = tiles.mapInPandas(
+        _encode,
+        schema="vec_id BIGINT, cell BIGINT, rnk INT, code ARRAY<INT>, nrm DOUBLE",
+    ).persist()
+    members = assigned.where(F.col("rnk") == 0).select("vec_id", "cell", "code", "nrm")
+    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"), "cell"
+    )
+    # candidate shuffle: (q_id, neighbor_id, code[8], nrm) ≈ 60 B/row vs
+    # the 512 B float64 vector — codes ride the join, vectors never do
+    cand = (
+        probes.join(members, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        # cell rides along: it is the neighbor's member cell = its residual
+        # base, which ADC needs to add back dot(q, centroid[cell])
+        .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "code", "nrm")
+        .dropDuplicates(["q_id", "neighbor_id"])
+    )
+    qe = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    # ONE row per query (qblock pattern): the training block attaches per
+    # QUERY, not per candidate — without this grouping the crossJoin
+    # replicates the ~centroid+sample arrays onto every candidate row and
+    # the Arrow transfer dominates the whole query
+    cand_grp = cand.groupBy("q_id").agg(
+        F.collect_list(F.struct("neighbor_id", "cell", "code", "nrm")).alias("cands")
+    )
+    scored_in = cand_grp.join(F.broadcast(qe), "q_id").crossJoin(F.broadcast(cblock))
+
+    def _adc(batches):
+        """ADC scoring: approx cosine = (dot(q, centroid[cell]) +
+        Σ_m table[m, code_m]) / (‖q‖·‖c‖) — the centroid term is exact,
+        the residual term is the per-(query, subspace) dot-product table
+        against the re-derived codebooks, and the neighbor norm is the
+        EXACT norm carried from encode."""
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame({"q_id": [], "neighbor_id": [], "score": []})
+                continue
+            c_ids, C, books = _pq_train_ctx(
+                pdf["c_ids"].iloc[0], pdf["c_vecs"].iloc[0]
+            )
+            cpos = {int(c): i for i, c in enumerate(c_ids)}
+            out_q, out_n, out_s = [], [], []
+            for row in pdf.itertuples(index=False):
+                q = np.asarray(row.qe, dtype=np.float64)
+                qn = np.sqrt((q * q).sum())
+                sub = len(q) // _PQ_M
+                # M×K lookup table: dot(q_sub[m], codebook[m][k])
+                table = np.stack(
+                    [books[m] @ q[m * sub:(m + 1) * sub] for m in range(_PQ_M)]
+                )
+                qc = C @ q  # exact centroid dots
+                nbr = np.asarray([c["neighbor_id"] for c in row.cands], dtype=np.int64)
+                cells = np.asarray(
+                    [cpos[int(c["cell"])] for c in row.cands], dtype=np.int64
+                )
+                codes = np.asarray([c["code"] for c in row.cands], dtype=np.int64)
+                nrms = np.asarray([c["nrm"] for c in row.cands], dtype=np.float64)
+                dots = qc[cells] + table[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
+                out_q.extend([row.q_id] * len(nbr))
+                out_n.extend(nbr.tolist())
+                out_s.extend(np.round(dots / (qn * nrms), 6).tolist())
+            yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "score": out_s})
+
+    scored = scored_in.mapInPandas(
+        _adc, schema="q_id BIGINT, neighbor_id BIGINT, score DOUBLE"
+    )
+    # refine: exact re-rank of the ADC top-_PQ_REFINE per query (FAISS's
+    # IVFPQ+refine). Full-precision vectors are fetched for ONLY these
+    # |Q|·R survivor ids — the one place they enter the plan, and a
+    # constant-bounded fraction of the corpus at any scale.
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
+    survivors = (
+        scored.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= _PQ_REFINE)
+        .select("q_id", "neighbor_id")
+    )
+    e_wide = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    refined = (
+        survivors.join(F.broadcast(qe), "q_id")
+        .join(e_wide, "neighbor_id")
+        .select(
+            "q_id",
+            "neighbor_id",
+            F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
+        )
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _TOPK)
+        .orderBy("q_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # B19: text analysis (oracle)
 # ---------------------------------------------------------------------------
 
@@ -1095,6 +1339,156 @@ SELECT doc_id, rnk, term, tf, df, score_ppm FROM (
 """
 
 # ---------------------------------------------------------------------------
+# B19f: search-index components — inverted index + BM25 ranking
+# ---------------------------------------------------------------------------
+
+_POSTINGS_CAP = 10  # postings materialized per term (head of the full list)
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the term→postings inverted index over the corpus: per term its
+    document frequency, total term frequency, and the first
+    ``_POSTINGS_CAP`` posting doc_ids (sorted) — the index table a
+    distributed keyword-search layer materializes to the lake.
+
+    Scale: explode → (doc_id, term) tf is word-count shape (map-side
+    partial agg); the term-level rollup shuffles one narrow row per
+    DISTINCT (doc, term) — never raw text; posting arrays are explicitly
+    capped so no single hot term ("the") materializes an O(corpus) row
+    (the full list stays in the exploded table; the cap is the
+    documented head-sample). Restricting to df ≥ 2 keeps hapax noise out
+    of the result without changing the plan shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias(
+                "postings_head"
+            ),
+        )
+        .where(F.col("df") >= 2)
+        .orderBy("term")
+    )
+
+
+_SQL_INVERTED_INDEX = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT term,
+       CAST(COUNT(*) AS BIGINT) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       (list(doc_id ORDER BY doc_id))[1:10] AS postings_head
+FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
+"""
+
+
+_BM25_TERMS = ("join", "vector", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search: rank the corpus for a fixed 3-term query with
+    the classic Robertson idf and length-normalized tf saturation —
+    top-10 documents by summed term score.
+
+    Scale: the (doc, term) tf table is filtered to the QUERY's terms
+    before any join (predicate pushes through the explode→agg), so the
+    scored frame is |terms|·|matching docs|, not the corpus; doc-length
+    and corpus stats ride in via one broadcast each. The score is pure
+    JVM arithmetic (ln/divisions in codegen), no UDF.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", X.token_count("text").alias("dl")).persist()
+    stats = base.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_tab = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "term")
+        .join(F.broadcast(base), "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "s",
+            F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * (_BM25_K1 + 1))
+            / (
+                F.col("tf")
+                + _BM25_K1
+                * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.sum("s"), 6).alias("score"),
+            F.count("*").cast("long").alias("n_terms_hit"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+_SQL_BM25 = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('join', 'vector', 'scan') GROUP BY 1, 2
+), df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+)
+SELECT doc_id, score, n_terms_hit, rank FROM (
+  SELECT doc_id,
+         ROUND(SUM(s), 6) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+         CAST(ROW_NUMBER() OVER (
+             ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC) AS BIGINT) AS rank
+  FROM scored GROUP BY doc_id
+) t WHERE rank <= 10 ORDER BY rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # B19d: corpus curation — quality filter + deterministic stratified sample
 # ---------------------------------------------------------------------------
 
@@ -1418,12 +1812,15 @@ QUERIES = {
     "similarity_topk": similarity_topk,
     "similarity_ann_lsh": similarity_ann_lsh,
     "similarity_ivf": similarity_ivf,
+    "similarity_ivf_pq": similarity_ivf_pq,
     "text_analysis": text_analysis,
     "token_stats": token_stats,
     "quality_filter": quality_filter,
     "sample_stratified": sample_stratified,
     "ngram_topk": ngram_topk,
     "keyword_extract": keyword_extract,
+    "inverted_index": inverted_index,
+    "bm25_rank": bm25_rank,
     "heavy_hitters": heavy_hitters,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -1450,6 +1847,8 @@ ORACLE = {
     "sample_stratified": _SQL_SAMPLE,
     "ngram_topk": _SQL_NGRAM_TOPK,
     "keyword_extract": _SQL_KEYWORDS,
+    "inverted_index": _SQL_INVERTED_INDEX,
+    "bm25_rank": _SQL_BM25,
     "heavy_hitters": _SQL_HEAVY,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,

@@ -1183,3 +1183,48 @@ def sql_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_local_supplier_volume"] = sql_local_supplier_volume
 ORACLE["sql_local_supplier_volume"] = _Q5_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #3: TPC-H Q10 (returned-item report)
+# ---------------------------------------------------------------------------
+
+_Q10_SQL = """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def sql_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 verbatim through the plain SQL surface: rank customers by
+    revenue lost to returned items in one quarter. Exercises a fact-fact
+    join (orders⋈lineitem) UNDER a selective pushed filter pair
+    (one-quarter date range + returnflag='R'), a wide GROUP BY (4 keys),
+    and TopK-by-aggregate. Same ANSI text runs on DuckDB (decimal-exact
+    revenue; acctbal round-tripped through DECIMAL so both engines emit
+    the same 2-dp value).
+
+    Scale: both filters reach the scans (quarter slice of orders, 'R'
+    slice of lineitem ≈ 1/3), nation broadcasts, the orderkey shuffle
+    carries only the filtered slices, and the LIMIT compiles to
+    TakeOrderedAndProject (no global sort of the aggregate).
+    """
+    register_views(spark, sf_dir, "customer", "orders", "lineitem", "nation")
+    return spark.sql(_Q10_SQL)
+
+
+QUERIES["sql_returned_item_report"] = sql_returned_item_report
+ORACLE["sql_returned_item_report"] = _Q10_SQL

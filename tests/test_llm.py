@@ -67,6 +67,35 @@ def test_ivf_recall_floor(spark, sf_dir):
     assert len(ivf & exact) / len(exact) >= 0.2
 
 
+def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
+    """IVF-PQ shares IVF's candidate cells, so its recall ceiling IS the
+    IVF recall; residual 4-bit PQ + exact re-rank of the ADC top-40 must
+    keep ≥ ~70% of that ceiling (measured ~89% on this corpus). Every
+    query must still be answered with a full top-k."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _TOPK,
+        similarity_ivf,
+        similarity_ivf_pq,
+        similarity_topk,
+    )
+
+    exact_rows = similarity_topk(spark, sf_dir).collect()
+    exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
+    ivf = {
+        (r.q_id, r.neighbor_id) for r in similarity_ivf(spark, sf_dir).collect()
+    }
+    pq_rows = similarity_ivf_pq(spark, sf_dir).collect()
+    pq = {(r.q_id, r.neighbor_id) for r in pq_rows}
+    assert {r.q_id for r in pq_rows} == {r.q_id for r in exact_rows}
+    per_q = {}
+    for q, _ in pq:
+        per_q[q] = per_q.get(q, 0) + 1
+    assert all(n == _TOPK for n in per_q.values())
+    ceiling = len(ivf & exact) / len(exact)
+    recall = len(pq & exact) / len(exact)
+    assert recall >= 0.7 * ceiling, (recall, ceiling)
+
+
 def test_topk_query_chunking_is_lossless(spark, sf_dir, monkeypatch):
     """The bounded query-block broadcast (``_QCHUNK``) must not change
     results: forcing many tiny chunks — the oversized-query-set regime,
