@@ -216,3 +216,127 @@ ORDER BY event_type
 
 QUERIES["anomaly_zscore"] = anomaly_zscore
 ORACLE["anomaly_zscore"] = _SQL_ANOMALY
+
+
+# ---------------------------------------------------------------------------
+# Time-decayed counters (streaming-trend scoring, batch-replayable)
+# ---------------------------------------------------------------------------
+
+
+def decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity per event type: weight halves
+    per day of age (trending-score / recency-weighted counter semantics).
+
+    Determinism contract: the decay weight is the exact dyadic 2^-age and
+    every decayed quantity is INTEGER arithmetic — count in parts-per-
+    million (1e6 >> age) and value in milli-units (round(value·1000) >>
+    age) — so sums are exact bigints in any partitioning and any engine:
+    no float exp(), no order-dependent rounding. Ages cap at 40 doublings
+    (weight underflows to 0 ppm long before).
+
+    Scale: the reference day is a 1-row broadcast; the decayed quantities
+    are a pure projection; ONE narrow groupBy(event_type) shuffle with
+    map-side partials. Decayed counters also MERGE: partial sums from
+    disjoint slices add, so this is lake-materializable per day and
+    rolled up on read like the sketch rollups.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("d_ref"))
+    # SQL expr: the Python shiftleft() wrapper takes only literal numBits
+    div = "shiftleft(1L, cast(least(datediff(d_ref, to_date(ts)), 40) as int))"
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .select(
+            "event_type",
+            F.expr(f"1000000L div {div}").alias("w_ppm"),
+            F.expr(f"cast(round(value * 1000) as long) div {div}").alias("v_milli"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("w_ppm").cast("long").alias("decayed_count_ppm"),
+            F.sum("v_milli").cast("long").alias("decayed_value_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_DECAYED = """
+WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS d_ref FROM events),
+w AS (
+  SELECT event_type,
+         1000000 // (1 << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS w_ppm,
+         CAST(ROUND(value * 1000) AS BIGINT)
+           // (1 << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS v_milli
+  FROM events CROSS JOIN ref
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w_ppm) AS BIGINT) AS decayed_count_ppm,
+       CAST(SUM(v_milli) AS BIGINT) AS decayed_value_milli
+FROM w GROUP BY event_type ORDER BY event_type
+"""
+
+QUERIES["decayed_counts"] = decayed_counts
+ORACLE["decayed_counts"] = _SQL_DECAYED
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width histogram (distribution sketch with exact counts)
+# ---------------------------------------------------------------------------
+
+_HIST_WIDTH = 25000.0
+_HIST_BINS = 20
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totalprice per orderpriority: 20
+    fixed $25000 bins (last bin open-ended) with exact counts and bin
+    bounds — the fixed-layout distribution sketch.
+
+    Why fixed bins and not percentiles: fixed-bin counts MERGE (cells
+    from disjoint partitions/days add up), so at 100 TB the histogram is
+    computed as a map-side partial aggregate and can be materialized per
+    partition then rolled up — the same property the HLL/decayed-counter
+    rollups exploit. Exact quantiles don't merge; t-digest-style sketches
+    trade exactness for it. Bin assignment is one floor-divide in
+    codegen; the shuffle carries (priority, bin, partial count) only.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+        F.lit(_HIST_BINS - 1).cast("long"),
+    )
+    return (
+        orders.select("o_orderpriority", bin_.alias("bin"))
+        .groupBy("o_orderpriority", "bin")
+        .agg(F.count("*").cast("long").alias("n"))
+        .withColumn("lo", (F.col("bin") * _HIST_WIDTH))
+        .withColumn(
+            "hi",
+            F.when(F.col("bin") == _HIST_BINS - 1, F.lit(None).cast("double"))
+            .otherwise((F.col("bin") + 1) * _HIST_WIDTH),
+        )
+        .orderBy("o_orderpriority", "bin")
+    )
+
+
+_SQL_HISTOGRAM = f"""
+SELECT o_orderpriority,
+       bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       bin * {_HIST_WIDTH} AS lo,
+       CASE WHEN bin = {_HIST_BINS - 1} THEN NULL
+            ELSE (bin + 1) * {_HIST_WIDTH} END AS hi
+FROM (
+  SELECT o_orderpriority,
+         LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+               {_HIST_BINS - 1}) AS bin
+  FROM orders
+) t
+GROUP BY o_orderpriority, bin
+ORDER BY o_orderpriority, bin
+"""
+
+QUERIES["value_histogram"] = value_histogram
+ORACLE["value_histogram"] = _SQL_HISTOGRAM

@@ -70,6 +70,8 @@ _CHECK_FIRST = (
     "inverted_index",
     "bm25_rank",
     "similarity_ivf_pq",
+    "decayed_counts",
+    "value_histogram",
 )
 
 
