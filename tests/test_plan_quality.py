@@ -270,3 +270,54 @@ def test_edit_distance_verify_runs_above_repartition(spark, sf_dir):
     assert lev < rr
     # and the candidate join below the exchange must NOT evaluate levenshtein
     assert "levenshtein" not in plan[rr:]
+
+
+def test_bm25_filters_terms_before_join_and_broadcasts_stats(spark, sf_dir):
+    """The tf table must be pruned to the QUERY's terms at the scan side of
+    the aggregation (isin filter below the joins), and every stats side
+    (df table, doc lengths, corpus stats) must broadcast — the scored
+    frame is |terms|·|matching docs|, never corpus-wide."""
+    from bytewax_iceberg_connector_spark.plans.llm import bm25_rank
+
+    plan = _plan(bm25_rank(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+    # the term filter must run below the first join (plan prints top-down:
+    # the LAST 'term IN/INSET' occurrence sits in the scan-side filter)
+    joins = plan.find("BroadcastHashJoin")
+    term_filter = max(plan.rfind("term#"), plan.rfind("INSET"))
+    assert term_filter > joins
+
+
+def test_inverted_index_partial_aggregates_before_exchange(spark, sf_dir):
+    """Word-count shape: both aggregation levels must plan map-side
+    partial_count before their exchange, so the term shuffle carries one
+    row per distinct (doc, term), not one per token."""
+    from bytewax_iceberg_connector_spark.plans.llm import inverted_index
+
+    plan = _plan(inverted_index(spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan
+
+
+def test_ivf_pq_candidate_shuffle_is_narrow(spark, sf_dir):
+    """The cell-id candidate join must shuffle ids/codes only — the
+    full-precision embedding array enters the plan solely via the scan
+    and the bounded refine join, never the cell Exchange."""
+    from bytewax_iceberg_connector_spark.plans.llm import similarity_ivf_pq
+
+    plan = _plan(similarity_ivf_pq(spark, sf_dir))
+    import re as _re
+
+    for m in _re.finditer(r"Exchange hashpartitioning\(cell#\d+L[^)]*\)", plan):
+        seg = plan[m.start():m.start() + 400]
+        assert "embedding" not in seg
+
+
+def test_decayed_counts_single_narrow_shuffle(spark, sf_dir):
+    """One groupBy(event_type) exchange with map-side partials; the 1-row
+    reference day rides a broadcast, not a shuffle."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import decayed_counts
+
+    plan = _plan(decayed_counts(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan or "partial sum" in plan
