@@ -15,7 +15,7 @@ contamination join is bounded by the benchmark side being tiny (broadcast).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
@@ -658,7 +658,91 @@ ORDER BY lang
 """
 
 
+# ---------------------------------------------------------------------------
+# Training-mix reweighting (per-source sampling weights)
+# ---------------------------------------------------------------------------
+
+_MIX_MAX_UPSAMPLE_PPM = 3_000_000  # upsampling cap: 3 epochs of a source
+
+
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(lang, source) training-mix weights: each source's sampling
+    weight makes its EFFECTIVE token share uniform across sources within
+    its language, capped at 3× upsampling (the DoReMi/Pile-style static
+    reweighting step, computed from corpus statistics alone).
+
+    weight_ppm = min(target_share / actual_share, 3) in parts-per-million,
+    computed with integer arithmetic over exact token counts — ppm
+    rationals keep both engines bit-identical (no float division drift).
+    effective_tokens = tokens · weight, the number the mix planner feeds
+    the sampler.
+
+    Scale: one word-count aggregate per (lang, source) — the corpus scan
+    is the entire cost; the share arithmetic runs on a |sources|-row
+    frame (a broadcast-scale table at any corpus size). The weight table
+    is what a sampler joins back (broadcast) onto the corpus at training
+    time — that join is deliberately NOT part of this query's cost.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = (
+        docs.select("lang", "source", X.token_count("text").alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(F.sum("n_tok").alias("tokens"))
+    )
+    w_lang = Window.partitionBy("lang")
+    shared = per_src.select(
+        "lang",
+        "source",
+        "tokens",
+        F.sum("tokens").over(w_lang).alias("lang_tokens"),
+        F.count("*").over(w_lang).alias("n_sources"),
+    )
+    # target/actual = (lang_tokens / n_sources) / tokens, in ppm ints
+    weight = F.least(
+        F.expr("lang_tokens * 1000000L div (n_sources * tokens)"),
+        F.lit(_MIX_MAX_UPSAMPLE_PPM).cast("long"),
+    )
+    return (
+        shared.select(
+            "lang",
+            "source",
+            F.col("tokens").cast("long").alias("tokens"),
+            weight.alias("weight_ppm"),
+            F.expr(
+                f"tokens * least(lang_tokens * 1000000L div (n_sources * tokens), "
+                f"{_MIX_MAX_UPSAMPLE_PPM}L) div 1000000L"
+            ).alias("effective_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_MIX_WEIGHTS = rf"""
+WITH per_src AS (
+  SELECT lang, source,
+         SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> ''))) AS tokens
+  FROM documents GROUP BY lang, source
+), shared AS (
+  SELECT lang, source, tokens,
+         SUM(tokens) OVER (PARTITION BY lang) AS lang_tokens,
+         COUNT(*) OVER (PARTITION BY lang) AS n_sources
+  FROM per_src
+)
+SELECT lang, source,
+       CAST(tokens AS BIGINT) AS tokens,
+       CAST(LEAST(lang_tokens * 1000000 // (n_sources * tokens),
+                  {_MIX_MAX_UPSAMPLE_PPM}) AS BIGINT) AS weight_ppm,
+       CAST(tokens * LEAST(lang_tokens * 1000000 // (n_sources * tokens),
+                           {_MIX_MAX_UPSAMPLE_PPM}) // 1000000 AS BIGINT)
+         AS effective_tokens
+FROM shared
+ORDER BY lang, source
+"""
+
+
 QUERIES = {
+    "domain_mix_weights": domain_mix_weights,
     "embedding_quantize": embedding_quantize,
     "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
@@ -670,6 +754,7 @@ QUERIES = {
     "dataset_split": dataset_split,
 }
 ORACLE = {
+    "domain_mix_weights": _SQL_MIX_WEIGHTS,
     "embedding_quantize": _SQL_QUANTIZE,
     "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,

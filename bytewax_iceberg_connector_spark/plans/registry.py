@@ -72,6 +72,7 @@ _CHECK_FIRST = (
     "similarity_ivf_pq",
     "decayed_counts",
     "value_histogram",
+    "domain_mix_weights",
 )
 
 
