@@ -1,0 +1,31 @@
+"""bench.py final-line budget: the driver parses the last JSON line out of
+a 2000-char stdout tail, so the line must ALWAYS fit (round 2's full
+per-query dict overflowed the window and the headline number was lost)."""
+
+from __future__ import annotations
+
+import json
+
+from bench import _LINE_BUDGET, _final_line
+
+
+def test_small_result_is_complete():
+    t = {f"q{i}": 0.5 for i in range(40)}
+    d = json.loads(_final_line(20.0, t, 0.1))
+    assert d["queries"] == {k: 0.5 for k in t}
+    assert "queries_omitted" not in d
+
+
+def test_oversized_result_keeps_slowest_and_fits():
+    t = {f"query_name_number_{i:03d}": round(0.1 + i * 0.01, 3) for i in range(150)}
+    line = _final_line(sum(t.values()), t, 0.1)
+    assert len(line) <= _LINE_BUDGET
+    d = json.loads(line)
+    kept = d["queries"]
+    assert d["queries_omitted"] == len(t) - len(kept)
+    # slowest-first retention: every kept timing >= every omitted timing
+    omitted = set(t) - set(kept)
+    assert min(kept.values()) >= max(t[n] for n in omitted)
+    # the omitted total is accounted for, so value stays auditable
+    assert abs(d["omitted_sec"] - sum(t[n] for n in omitted)) < 1e-6
+    assert d["value"] == sum(t.values())
