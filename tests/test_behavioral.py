@@ -74,3 +74,72 @@ def test_retention_day0_equals_cohort_size(spark, sf_dir):
 
     n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
     assert sum(day0.values()) == n_users
+
+
+def test_decayed_counts_partials_merge(spark, sf_dir):
+    """The documented mergeability contract: decayed sums computed over
+    disjoint slices of the corpus and ADDED must equal the whole-corpus
+    result exactly (integer arithmetic — no tolerance)."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import decayed_counts
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    whole = {
+        r.event_type: (r.decayed_count_ppm, r.decayed_value_milli)
+        for r in decayed_counts(spark, sf_dir).collect()
+    }
+    # recompute per-slice with the SAME reference day, then add
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("d_ref"))
+    div = "shiftleft(1L, cast(least(datediff(d_ref, to_date(ts)), 40) as int))"
+    merged: dict = {}
+    for part in (F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1):
+        sl = (
+            load_table(spark, sf_dir, "events")
+            .where(part)
+            .crossJoin(F.broadcast(ref))
+            .select(
+                "event_type",
+                F.expr(f"1000000L div {div}").alias("w_ppm"),
+                F.expr(f"cast(round(value * 1000) as long) div {div}").alias(
+                    "v_milli"
+                ),
+            )
+            .groupBy("event_type")
+            .agg(F.sum("w_ppm").alias("c"), F.sum("v_milli").alias("v"))
+        )
+        for r in sl.collect():
+            c, v = merged.get(r.event_type, (0, 0))
+            merged[r.event_type] = (c + r.c, v + r.v)
+    assert merged == whole
+
+
+def test_value_histogram_cells_merge(spark, sf_dir):
+    """Fixed-bin histogram cells from disjoint slices add to the whole."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _HIST_BINS,
+        _HIST_WIDTH,
+        value_histogram,
+    )
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    whole = {
+        (r.o_orderpriority, r.bin): r.n
+        for r in value_histogram(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+        F.lit(_HIST_BINS - 1).cast("long"),
+    )
+    merged: dict = {}
+    for part in (F.col("o_orderkey") % 2 == 0, F.col("o_orderkey") % 2 == 1):
+        sl = (
+            orders.where(part)
+            .select("o_orderpriority", bin_.alias("bin"))
+            .groupBy("o_orderpriority", "bin")
+            .agg(F.count("*").alias("n"))
+        )
+        for r in sl.collect():
+            k = (r.o_orderpriority, r.bin)
+            merged[k] = merged.get(k, 0) + r.n
+    assert merged == whole
