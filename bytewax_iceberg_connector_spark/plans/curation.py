@@ -741,8 +741,73 @@ ORDER BY lang, source
 """
 
 
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into fixed context windows)
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 2048  # tokens per packed training sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing plan: documents concatenate in stable
+    doc_id order within each (lang, source) shard and split into fixed
+    2048-token training sequences; report per-bin document starts and
+    token mass (the packing manifest a dataloader consumes).
+
+    bin = (running_token_sum − n_tok) div 2048 — each doc is assigned the
+    bin its FIRST token lands in, a pure prefix-sum over the shard
+    ordering (GPT-style concat+chunk, not bin-packing: no reordering, no
+    fragmentation bookkeeping, deterministic on any engine).
+
+    Scale: the window partitions by (lang, source) — shards fill in
+    parallel, no global ordering exists anywhere in the plan. Shuffle
+    carries (lang, source, doc_id, n_tok); the manifest is
+    bins-not-tokens sized. At 100 TB the shard key would include a date
+    bucket to bound any one shard's window state.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "source", "doc_id", X.token_count("text").alias("n_tok")
+    )
+    binned = toks.withColumn(
+        "bin",
+        F.expr(f"(sum(n_tok) over (partition by lang, source order by doc_id) "
+               f"- n_tok) div {_PACK_WINDOW}L"),
+    )
+    return (
+        binned.groupBy("lang", "source", "bin")
+        .agg(
+            F.count("*").cast("long").alias("n_doc_starts"),
+            F.sum("n_tok").cast("long").alias("tokens_started"),
+        )
+        .orderBy("lang", "source", "bin")
+    )
+
+
+_SQL_PACKING = rf"""
+WITH toks AS (
+  SELECT lang, source, doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT lang, source, doc_id, n_tok,
+         (SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
+          - n_tok) // {_PACK_WINDOW} AS bin
+  FROM toks
+)
+SELECT lang, source, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_doc_starts,
+       CAST(SUM(n_tok) AS BIGINT) AS tokens_started
+FROM binned
+GROUP BY lang, source, bin
+ORDER BY lang, source, bin
+"""
+
+
 QUERIES = {
     "domain_mix_weights": domain_mix_weights,
+    "sequence_packing": sequence_packing,
     "embedding_quantize": embedding_quantize,
     "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
@@ -755,6 +820,7 @@ QUERIES = {
 }
 ORACLE = {
     "domain_mix_weights": _SQL_MIX_WEIGHTS,
+    "sequence_packing": _SQL_PACKING,
     "embedding_quantize": _SQL_QUANTIZE,
     "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,

@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     "decayed_counts",
     "value_histogram",
     "domain_mix_weights",
+    "sequence_packing",
 )
 
 
