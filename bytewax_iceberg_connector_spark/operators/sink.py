@@ -318,10 +318,90 @@ class LakeSink:
         if pcols:
             w = w.partitionBy(*pcols)
         w.save(path)
+        self._write_commit_stats(keyed, path)
         self._log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
         )
+
+    def _write_commit_stats(self, df: DataFrame, commit_path: str) -> None:
+        """Record per-commit column min/max into ``_bic_stats.json`` inside
+        the commit dir — the manifest-stats analogue of Iceberg's file
+        metrics, harvested the same way Iceberg does: from the already-
+        written parquet FOOTERS (row-group statistics), so the batch is
+        never recomputed — the cost is one metadata read per data file.
+        The underscore prefix keeps the file invisible to Spark's
+        data-file listing; co-locating stats with data (not in the
+        snapshot json) means they survive snapshot expiry for as long as
+        the dir itself is live. Non-parquet commit formats skip stats
+        (pruning then keeps their dirs — never lossy).
+        """
+        if self._file_format() != "parquet":
+            return
+        try:
+            import pyarrow.parquet as pq
+        except ImportError:  # pragma: no cover
+            return
+        lo: dict = {}
+        hi: dict = {}
+        for root, _dirs, files in os.walk(commit_path):
+            for fn in files:
+                if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
+                    continue
+                md = pq.ParquetFile(os.path.join(root, fn)).metadata
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        try:
+                            st = col.statistics
+                            if st is None or not st.has_min_max:
+                                continue
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            # stats not extractable for this physical type
+                            # (pyarrow raises on some logical annotations)
+                            continue
+                        name = col.path_in_schema
+                        if isinstance(mn, bytes):
+                            try:
+                                mn, mx = mn.decode(), mx.decode()
+                            except UnicodeDecodeError:
+                                continue
+                        if not isinstance(mn, (int, float, str)):
+                            continue  # timestamps/decimals: not prunable here
+                        lo[name] = mn if name not in lo else min(lo[name], mn)
+                        hi[name] = mx if name not in hi else max(hi[name], mx)
+        if not lo:
+            return
+        with open(os.path.join(commit_path, "_bic_stats.json"), "w") as f:
+            json.dump({c: [lo[c], hi[c]] for c in lo}, f)
+
+    def _prune_dirs(self, dirs: list[str], prune: dict) -> list[str]:
+        """Commit dirs whose recorded [min, max] can intersect every
+        ``col: (lo, hi)`` bound (None = open end). Dirs without stats (or
+        without the column) are kept — pruning must never be lossy."""
+        out = []
+        for d in dirs:
+            keep = True
+            try:
+                with open(os.path.join(d, "_bic_stats.json")) as f:
+                    stats = json.load(f)
+            except (FileNotFoundError, ValueError):
+                out.append(d)
+                continue
+            for col, (lo, hi) in prune.items():
+                if col not in stats:
+                    continue
+                smin, smax = stats[col]
+                if (hi is not None and smin is not None and smin > hi) or (
+                    lo is not None and smax is not None and smax < lo
+                ):
+                    keep = False
+                    break
+            if keep:
+                out.append(d)
+        return out
 
     # -- MERGE (row-level upsert) -----------------------------------------
 
@@ -621,7 +701,8 @@ class LakeSink:
     def read(self, merge_schema: bool = False,
              as_of: int | None = None,
              as_of_timestamp_ms: int | None = None,
-             tag: str | None = None) -> DataFrame:
+             tag: str | None = None,
+             prune: dict | None = None) -> DataFrame:
         """Read the table; ``as_of`` pins a snapshot id (time travel —
         Iceberg ``VERSION AS OF``) and ``as_of_timestamp_ms`` pins the
         latest snapshot at or before a wall-clock instant (``TIMESTAMP AS
@@ -632,6 +713,14 @@ class LakeSink:
         only", reference README.md:68). Iceberg handles this through table
         metadata; the parquet backend pays a footer merge pass, so keep it
         off for fixed-schema hot paths.
+
+        ``prune={"col": (lo, hi)}`` (parquet backend) skips whole commit
+        dirs whose recorded min/max stats cannot intersect the bounds
+        (None = open end) — the manifest-pruning analogue of Iceberg's
+        file metrics. Pruning restricts which FILES are read; callers
+        still apply their row filter (same contract as partition
+        pruning). On the iceberg backend the runtime already prunes from
+        footer metrics, so ``prune`` is ignored there.
         """
         if sum(x is not None for x in (as_of, as_of_timestamp_ms, tag)) > 1:
             raise ValueError("pass at most one of as_of / as_of_timestamp_ms / tag")
@@ -654,6 +743,8 @@ class LakeSink:
                 )
             return self.spark.table(self._qualified)
         dirs = self._log.commit_paths(as_of)
+        if prune:
+            dirs = self._prune_dirs(dirs, prune)
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             return self.spark.createDataFrame([], schema)

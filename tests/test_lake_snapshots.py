@@ -544,3 +544,57 @@ def test_tags_pin_snapshots_and_survive_expiry(spark, tmp_path, batches):
     assert sink.expire_snapshots(keep_last=1) == 1
     with pytest.raises(LookupError):
         sink.read(tag="release-v1")
+
+
+def test_commit_stats_prune_skips_nonoverlapping_dirs(spark, tmp_path, batches):
+    """Manifest-stats file skipping: commit dirs whose footer-harvested
+    min/max cannot intersect the bound are not read at all; results equal
+    the full-scan filter exactly (pruning restricts files, callers still
+    filter rows)."""
+    b1, b2 = batches  # v in [0,10) and [10,30)
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    dirs = sink._log.live_commits()
+    assert len(dirs) == 2
+
+    pruned = sink.read(prune={"v": (15.0, 25.0)})
+    read_dirs = {f.split("/_c=")[1].split("/")[0] for f in pruned.inputFiles()}
+    assert read_dirs == {dirs[1].split("_c=")[1]}  # only the second commit
+    got = sorted(r.event_id for r in pruned.where(F.col("v").between(15, 25)).collect())
+    want = sorted(
+        r.event_id
+        for r in sink.read().where(F.col("v").between(15, 25)).collect()
+    )
+    assert got == want
+
+    # open-ended bound prunes the other side
+    lo_only = sink.read(prune={"v": (None, 5.0)})
+    lo_dirs = {f.split("/_c=")[1].split("/")[0] for f in lo_only.inputFiles()}
+    assert lo_dirs == {dirs[0].split("_c=")[1]}
+
+    # non-intersecting bound reads nothing but keeps the schema
+    none_df = sink.read(prune={"v": (1000.0, None)})
+    assert none_df.count() == 0
+    assert set(none_df.columns) == set(sink.read().columns)
+
+
+def test_commit_stats_prune_is_never_lossy_without_stats(spark, tmp_path, batches):
+    """Dirs without a stats file (or without the column) must be kept."""
+    import os as _os
+
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    # simulate a stats-less commit (e.g. written by an older writer)
+    for d in sink._log.commit_paths():
+        p = _os.path.join(d, "_bic_stats.json")
+        if _os.path.exists(p):
+            _os.unlink(p)
+            break
+    pruned = sink.read(prune={"v": (0.0, 5.0)})
+    got = sorted(r.event_id for r in pruned.where("v <= 5").collect())
+    assert got == [0, 1, 2, 3, 4, 5]
+    # unknown column: everything kept
+    assert sink.read(prune={"nope": (0, 1)}).count() == 30
