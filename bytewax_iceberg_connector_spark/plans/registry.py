@@ -74,6 +74,8 @@ _CHECK_FIRST = (
     "value_histogram",
     "domain_mix_weights",
     "sequence_packing",
+    "sql_recursive_rollup",
+    "variant_extract",
 )
 
 

@@ -1228,3 +1228,102 @@ def sql_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_returned_item_report"] = sql_returned_item_report
 ORACLE["sql_returned_item_report"] = _Q10_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #4: recursive CTE (hierarchical rollup)
+# ---------------------------------------------------------------------------
+
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS orig, p_partkey AS cur,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+  FROM part
+  UNION ALL
+  SELECT orig, cur DIV 10, price FROM walk WHERE cur >= 10
+)
+SELECT cur AS root,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM walk
+WHERE cur < 10
+GROUP BY cur
+ORDER BY cur
+"""
+
+
+def sql_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup through a RECURSIVE CTE (Spark 4's WITH
+    RECURSIVE): every part climbs its derived decimal-digit hierarchy
+    (parent = key div 10) to its single-digit root, and each root
+    aggregates the subtree's count and decimal-exact retail price — the
+    BOM-explosion / org-chart recursion pattern on the SQL surface.
+
+    Scale: recursion depth is log10(maxkey) — ~7 iterations at any
+    realistic key space, each a narrow (orig, cur, price) frame; the
+    step is a pure projection (no join), so each iteration is a scan of
+    the frontier only, and the final aggregate is 10 rows. Unbounded-
+    depth recursion over long chains (e.g. event-at-a-time
+    sessionization) stays with the window-islands formulation
+    (streaming_session) — recursion iterations serialize on the driver.
+
+    The DuckDB oracle runs the same recursion with its `//` integer
+    division (the one dialect difference).
+    """
+    register_views(spark, sf_dir, "part")
+    return spark.sql(_RECURSIVE_SQL)
+
+
+_SQL_RECURSIVE_ORACLE = _RECURSIVE_SQL.replace("cur DIV 10", "cur // 10")
+
+QUERIES["sql_recursive_rollup"] = sql_recursive_rollup
+ORACLE["sql_recursive_rollup"] = _SQL_RECURSIVE_ORACLE
+
+
+# ---------------------------------------------------------------------------
+# VARIANT: schema-on-read semi-structured extraction (Spark 4 native)
+# ---------------------------------------------------------------------------
+
+
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through the VARIANT type: ``parse_json`` once
+    into Spark 4's binary variant encoding, ``variant_get`` typed paths
+    out — the modern schema-on-read path (shredded binary access, no
+    per-query string re-parse, no declared struct schema).
+
+    vs json_extract (B12): get_json_object re-walks the JSON TEXT per
+    extraction; variant parses once and every subsequent path get is a
+    binary probe — at 100 TB the parse cost is paid at ingest and
+    amortized across all consumers (store the variant column in the
+    lake). Aggregation: events bucketed by the extracted k mod 10,
+    decimal-exact value sums.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        "value",
+    )
+    return (
+        v.where(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("long").alias("k_bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            dsum("value").alias("total_value"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+_SQL_VARIANT = f"""
+SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT)
+         AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       {sql_dsum('value')} AS total_value
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["variant_extract"] = variant_extract
+ORACLE["variant_extract"] = _SQL_VARIANT
