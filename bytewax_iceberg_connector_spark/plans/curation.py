@@ -805,9 +805,104 @@ ORDER BY lang, source, bin
 """
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM surprise (perplexity-proxy quality filtering)
+# ---------------------------------------------------------------------------
+
+_SURPRISE_FLAG_MICRONATS = 5_500_000  # docs with mean surprise > 5.5 nats
+
+
+def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal: each document's mean token
+    surprise −ln p(token) under the corpus's own unigram LM, rolled up
+    per (lang, source) with a count of high-surprise outlier docs — the
+    CCNet/KenLM filtering stage with the corpus-internal unigram model
+    standing in for an external LM (no model artifacts in this
+    container).
+
+    Determinism: each TOKEN's log-probability is quantized to integer
+    micro-nats before any sum, so per-doc totals are order-independent
+    bigint arithmetic — the one float op (ln of the corpus frequency) is
+    computed identically per distinct token on both engines, never
+    re-accumulated. Doc mean = integer div by token count.
+
+    Scale: token→count is word-count shape; the unigram table is
+    VOCABULARY-sized and joins back as a broadcast onto the (doc, term,
+    tf) frame — no corpus-wide shuffle beyond the tf aggregate; the
+    rollup shuffles one row per (lang, source).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", "lang", "source",
+                    F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "lang", "source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("n_term"))
+    total = vocab.agg(F.sum("n_term").alias("n_total"))
+    lm = vocab.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.expr(
+            "cast(round(-ln(n_term / n_total) * 1000000) as long)"
+        ).alias("surprise_micro"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(lm), "term")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.expr("sum(tf * surprise_micro) div sum(tf)").alias("mean_micro")
+        )
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("mean_micro").cast("long").alias("max_mean_micronats"),
+            F.sum(
+                (F.col("mean_micro") > _SURPRISE_FLAG_MICRONATS).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_SURPRISE = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3, 4
+), vocab AS (
+  SELECT term, SUM(tf) AS n_term FROM tf GROUP BY 1
+), lm AS (
+  SELECT term,
+         CAST(ROUND(-ln(n_term / (SELECT SUM(n_term) FROM vocab)) * 1000000)
+              AS BIGINT) AS surprise_micro
+  FROM vocab
+), per_doc AS (
+  SELECT tf.doc_id, tf.lang, tf.source,
+         SUM(tf.tf * lm.surprise_micro) // SUM(tf.tf) AS mean_micro
+  FROM tf JOIN lm USING (term)
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(mean_micro) AS BIGINT) AS max_mean_micronats,
+       CAST(SUM(CASE WHEN mean_micro > {_SURPRISE_FLAG_MICRONATS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "sequence_packing": sequence_packing,
+    "unigram_surprise": unigram_surprise,
     "embedding_quantize": embedding_quantize,
     "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
@@ -821,6 +916,7 @@ QUERIES = {
 ORACLE = {
     "domain_mix_weights": _SQL_MIX_WEIGHTS,
     "sequence_packing": _SQL_PACKING,
+    "unigram_surprise": _SQL_SURPRISE,
     "embedding_quantize": _SQL_QUANTIZE,
     "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,

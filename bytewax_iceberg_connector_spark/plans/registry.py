@@ -76,6 +76,7 @@ _CHECK_FIRST = (
     "sequence_packing",
     "sql_recursive_rollup",
     "variant_extract",
+    "unigram_surprise",
 )
 
 
