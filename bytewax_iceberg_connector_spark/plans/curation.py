@@ -899,10 +899,98 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# Duplicated n-gram fraction (corpus-wide substring duplication metric)
+# ---------------------------------------------------------------------------
+
+_DUP_FLAG_PPM = 300_000  # docs with >30% duplicated trigrams get flagged
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-trigram fraction: the share of a doc's
+    trigram shingles that also occur in at least one OTHER document,
+    rolled up per (lang, source) — the Gopher/RefinedWeb "duplicated
+    n-gram fraction" signal, the bounded stand-in for suffix-array
+    substring dedup.
+
+    Scale: shingles shuffle as 8-byte hashes to build the document-
+    frequency table, which then joins BACK on the hash — this second
+    shuffle is corpus-sized and unavoidable (the df table is NOT
+    vocabulary-small like unigram_surprise's LM: distinct shingles grow
+    with the corpus), which is exactly why this metric is the expensive
+    tier of the dedup family and runs AFTER cheap gates cut volume.
+    Fractions are ppm integers (count·1e6 div total) — deterministic at
+    any partitioning.
+
+    The oracle builds the same trigrams as strings (the repo's standard
+    shingle-SQL shape); hashing only changes the join key, not the
+    per-doc counts, up to xxhash collisions (~1e-9 at this cardinality).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # the shingle kernel emits DISTINCT hashes per doc, so the metric is
+    # defined over distinct shingles (the common set-based formulation)
+    sh = docs.select(
+        "doc_id", "lang", "source",
+        F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s"),
+    )
+    df_tab = sh.groupBy("s").agg(F.count("*").alias("docs_with"))
+    per_doc = (
+        sh.join(df_tab, "s")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.expr(
+                "sum(case when docs_with > 1 then 1 else 0 end) * 1000000L "
+                "div count(*)"
+            ).alias("dup_ppm")
+        )
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(dup_ppm) div count(*)").alias("avg_dup_ppm"),
+            F.sum((F.col("dup_ppm") > _DUP_FLAG_PPM).cast("long")).alias("n_flagged"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_DUP_FRACTION = rf"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, lang, source,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+  )
+), df AS (
+  SELECT s, CAST(COUNT(*) AS BIGINT) AS docs_with FROM sh GROUP BY 1
+), per_doc AS (
+  SELECT sh.doc_id, sh.lang, sh.source,
+         SUM(CASE WHEN df.docs_with > 1 THEN 1 ELSE 0 END) * 1000000
+           // COUNT(*) AS dup_ppm
+  FROM sh JOIN df USING (s)
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(dup_ppm) // COUNT(*) AS BIGINT) AS avg_dup_ppm,
+       CAST(SUM(CASE WHEN dup_ppm > {_DUP_FLAG_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "sequence_packing": sequence_packing,
     "unigram_surprise": unigram_surprise,
+    "dup_ngram_fraction": dup_ngram_fraction,
     "embedding_quantize": embedding_quantize,
     "doc_chunking": doc_chunking,
     "curation_pipeline": curation_pipeline,
@@ -917,6 +1005,7 @@ ORACLE = {
     "domain_mix_weights": _SQL_MIX_WEIGHTS,
     "sequence_packing": _SQL_PACKING,
     "unigram_surprise": _SQL_SURPRISE,
+    "dup_ngram_fraction": _SQL_DUP_FRACTION,
     "embedding_quantize": _SQL_QUANTIZE,
     "doc_chunking": _SQL_CHUNKING,
     "curation_pipeline": _SQL_PIPELINE,

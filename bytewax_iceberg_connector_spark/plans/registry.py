@@ -77,6 +77,7 @@ _CHECK_FIRST = (
     "sql_recursive_rollup",
     "variant_extract",
     "unigram_surprise",
+    "dup_ngram_fraction",
 )
 
 
