@@ -194,3 +194,78 @@ def sample_frames(
             yield pd.DataFrame(rows, columns=["key", "frame_idx", "offset", "frame_sha256"])
 
     return df.select(key_col, payload_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
+
+
+#: schema of decode_audio_meta output
+AUDIO_META_SCHEMA = (
+    "key BIGINT, n_samples BIGINT, sample_rate BIGINT, duration_ms BIGINT, "
+    "rms_milli BIGINT, peak_milli BIGINT"
+)
+
+try:  # pragma: no cover - not present in this container
+    import soundfile  # noqa: F401
+
+    _HAS_SOUNDFILE = True
+except Exception:
+    _HAS_SOUNDFILE = False
+
+
+def decode_audio_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFrame:
+    """binary payload → audio metadata + loudness stats (the audio arm of
+    the modality convention: payload stays opaque binary, decode runs
+    Arrow-batched).
+
+    Real path: ``soundfile``/librosa when available. Stub (this
+    container): the payload's bytes are interpreted as signed 8-bit PCM
+    and the sample rate derives from the content digest — deterministic
+    across runs/partitionings. RMS and peak amplitude are emitted as
+    integer MILLI-units of full scale so downstream aggregation is
+    exact-integer (the loudness-gate analogue of the text suite's ppm
+    discipline).
+
+    Scale: same rules as image decode — narrow projection into the
+    kernel, ~10-100 MB of payload per batch, no shuffle in the stage.
+    """
+
+    def _decode(batches):
+        import numpy as np
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            rows = []
+            for key, payload in zip(pdf[key_col], pdf[payload_col]):
+                data = bytes(payload) if payload is not None else b""
+                if _HAS_SOUNDFILE:  # pragma: no cover - real decoder path
+                    import io
+
+                    import soundfile as sf
+
+                    x, rate = sf.read(io.BytesIO(data), dtype="float64")
+                    x = x.ravel()
+                else:
+                    x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+                    rate = rates[hashlib.sha256(data).digest()[0] % 3]
+                n = len(x)
+                rms = float(np.sqrt((x * x).mean())) if n else 0.0
+                peak = float(np.abs(x).max()) if n else 0.0
+                rows.append(
+                    {
+                        "key": int(key),
+                        "n_samples": n,
+                        "sample_rate": int(rate),
+                        "duration_ms": n * 1000 // int(rate),
+                        "rms_milli": int(round(rms * 1000)),
+                        "peak_milli": int(round(peak * 1000)),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "n_samples", "sample_rate", "duration_ms",
+                    "rms_milli", "peak_milli",
+                ],
+            )
+
+    return df.select(key_col, payload_col).mapInPandas(
+        _decode, schema=AUDIO_META_SCHEMA
+    )

@@ -1670,6 +1670,31 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio arm of the modality convention: opaque binary payloads →
+    Arrow-batched audio decode (sample count / rate / duration /
+    integer-milli loudness; deterministic stub decoder, see
+    functions/multimodal.py) → per-sample-rate loudness accounting, the
+    loudness-gate shape an audio curation pipeline runs before training.
+    rows-only check: the decode is engine-local by design."""
+    from ..functions.multimodal import decode_audio_meta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    meta = decode_audio_meta(docs, "payload", "doc_id")
+    return (
+        meta.groupBy("sample_rate")
+        .agg(
+            F.count("*").cast("long").alias("n_clips"),
+            F.sum("duration_ms").cast("long").alias("total_ms"),
+            F.expr("sum(rms_milli) div count(*)").alias("avg_rms_milli"),
+            F.max("peak_milli").cast("long").alias("max_peak_milli"),
+        )
+        .orderBy("sample_rate")
+    )
+
+
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full multimodal chain: payload → decode meta → resize → feature
     extraction → per-channel accounting (rows-only: every stage is an
@@ -1827,6 +1852,7 @@ QUERIES = {
     "multimodal_binary_meta": multimodal_binary_meta,
     "multimodal_nested": multimodal_nested,
     "multimodal_decode": multimodal_decode,
+    "multimodal_audio": multimodal_audio,
     "multimodal_pipeline": multimodal_pipeline,
 }
 

@@ -78,6 +78,7 @@ _CHECK_FIRST = (
     "variant_extract",
     "unigram_surprise",
     "dup_ngram_fraction",
+    "multimodal_audio",
 )
 
 

@@ -201,6 +201,23 @@ def test_multimodal_decode_deterministic(spark):
     }
 
 
+def test_audio_decode_deterministic_and_exact(spark):
+    from bytewax_iceberg_connector_spark.functions.multimodal import decode_audio_meta
+
+    df = spark.createDataFrame([Row(k=1, b=bytes([0, 64, 128, 192])), Row(k=2, b=b"")])
+    got = {r.key: r for r in decode_audio_meta(df, "b", "k").collect()}
+    assert got[1].n_samples == 4
+    assert got[1].sample_rate in (8000, 16000, 44100)
+    assert got[1].duration_ms == 4 * 1000 // got[1].sample_rate
+    # int8 PCM stub: [0, 64, -128, -64]/128 → rms/peak in exact milli-units
+    assert got[1].peak_milli == 1000
+    assert got[2].n_samples == 0 and got[2].rms_milli == 0
+    again = {r.key: r for r in decode_audio_meta(df, "b", "k").collect()}
+    assert {k: (v.sample_rate, v.rms_milli) for k, v in got.items()} == {
+        k: (v.sample_rate, v.rms_milli) for k, v in again.items()
+    }
+
+
 def test_frame_sampling_fanout(spark):
     from bytewax_iceberg_connector_spark.functions.multimodal import sample_frames
 
