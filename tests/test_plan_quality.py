@@ -321,3 +321,39 @@ def test_decayed_counts_single_narrow_shuffle(spark, sf_dir):
     plan = _plan(decayed_counts(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_sum" in plan or "partial sum" in plan
+
+
+def test_unigram_surprise_broadcasts_lm_table(spark, sf_dir):
+    """The vocabulary-sized LM joins back as a broadcast onto the tf frame
+    — no corpus-wide re-shuffle on term for the scoring join."""
+    from bytewax_iceberg_connector_spark.plans.curation import unigram_surprise
+
+    plan = _plan(unigram_surprise(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_variant_parses_json_once(spark, sf_dir):
+    """The VARIANT path evaluates parse_json in the scan-side projection;
+    no get_json_object text re-walks anywhere in the plan."""
+    from bytewax_iceberg_connector_spark.plans.relational import variant_extract
+
+    plan = _plan(variant_extract(spark, sf_dir))
+    assert "parseJson" in plan and "variant_get" in plan
+    assert "get_json_object" not in plan
+
+
+def test_sequence_packing_shards_not_global_sort(spark, sf_dir):
+    """The prefix-sum window partitions by (lang, source) — a hash
+    exchange, never a global range sort (the plan must scale by shard)."""
+    from bytewax_iceberg_connector_spark.plans.curation import sequence_packing
+
+    plan = _plan(sequence_packing(spark, sf_dir))
+    assert "Window" in plan
+    import re as _re
+
+    win = plan[: plan.find("partial")] if "partial" in plan else plan
+    assert _re.search(r"Exchange hashpartitioning\(lang#\d+, source#\d+", plan)
+    # no SinglePartition exchange feeding the window
+    w_at = plan.find("Window")
+    seg = plan[w_at : w_at + 600]
+    assert "SinglePartition" not in seg
