@@ -79,6 +79,8 @@ _CHECK_FIRST = (
     "unigram_surprise",
     "dup_ngram_fraction",
     "multimodal_audio",
+    "streaming_topk",
+    "sql_forecast_revenue",
 )
 
 

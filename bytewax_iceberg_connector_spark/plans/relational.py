@@ -1327,3 +1327,36 @@ ORDER BY 1
 
 QUERIES["variant_extract"] = variant_extract
 ORACLE["variant_extract"] = _SQL_VARIANT
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #5: TPC-H Q6 (forecast revenue change)
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 verbatim: the pure scan-side query — three pushed
+    predicates, zero joins, one global decimal-exact aggregate. The
+    benchmark's canonical test that selective filters actually reach the
+    columnar scan: the plan must be FileScan(PushedFilters: shipdate
+    range + discount range + quantity) → partial agg → single exchange
+    → final 1-row agg. At 100 TB this is the difference between reading
+    a year's row groups and reading the table.
+    """
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_Q6_SQL)
+
+
+QUERIES["sql_forecast_revenue"] = sql_forecast_revenue
+ORACLE["sql_forecast_revenue"] = _Q6_SQL

@@ -159,12 +159,64 @@ ORDER BY click_hour
 """
 
 # ---------------------------------------------------------------------------
+# B21b: windowed top-k (trending items per window)
+# ---------------------------------------------------------------------------
+
+
+def streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 6-hour tumbling window by count — the
+    trending-items dashboard query. Batch-replayable form: the window
+    aggregate is the mode-agnostic core (same epoch-aligned buckets the
+    streaming path emits per micro-batch); the rank-and-keep runs over
+    the AGGREGATED frame, so in streaming mode it lands downstream of
+    the stateful window agg (complete/update output), never over raw
+    events.
+
+    Scale: one (window, type) aggregate with map-side partials — the
+    ranked frame is windows×types sized, thousands of rows at any corpus
+    scale; the top-k window costs nothing material there.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    agg = tumbling_agg(ev, "ts", "6 hours", ("event_type",))
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select("window_start", "rank", "event_type", "n_events", "total_value")
+        .orderBy("window_start", "rank")
+    )
+
+
+_SQL_TOPK = f"""
+WITH agg AS (
+  SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP)
+           - INTERVAL (EXTRACT(HOUR FROM ts)::INT % 6) HOUR AS window_start,
+         event_type,
+         COUNT(*) AS n_events,
+         {sql_dsum('value')} AS total_value
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT window_start, rank, event_type, n_events, total_value FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY window_start
+      ORDER BY n_events DESC, event_type ASC) AS BIGINT) AS rank
+  FROM agg
+) t WHERE rank <= 3
+ORDER BY window_start, rank
+"""
+
 
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_hopping": streaming_hopping,
     "streaming_session": streaming_session,
     "streaming_interval_join": streaming_interval_join,
+    "streaming_topk": streaming_topk,
 }
 
 ORACLE = {
@@ -172,4 +224,5 @@ ORACLE = {
     "streaming_hopping": _SQL_HOPPING,
     "streaming_session": _SQL_SESSION,
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
+    "streaming_topk": _SQL_TOPK,
 }
