@@ -303,8 +303,64 @@ ORDER BY change_type
 """
 
 
+# ---------------------------------------------------------------------------
+# B23f: manifest-stats file skipping under a range predicate
+# ---------------------------------------------------------------------------
+
+def stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File skipping end-to-end: orders land in three VALUE-BANDED commits
+    (the clustered-ingest layout); a banded read then prunes whole commit
+    dirs from the per-commit min/max stats (harvested from parquet
+    footers at write — operators/sink.py) BEFORE Spark lists a file, and
+    the residual row filter produces the exact oracle answer over the raw
+    table.
+
+    What the green row proves: pruning changed which files were read
+    (dir-level skip is pinned in tests/test_lake_snapshots.py via
+    inputFiles) without changing any answer — the Iceberg manifest-
+    metrics contract on the always-available backend. Scale: the stats
+    probe is O(live commits) metadata reads on the driver; the scan cost
+    tracks the selected band, not the table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    warehouse = tempfile.mkdtemp(prefix="bic_skip_")
+    sink = LakeSink(spark, IcebergSinkConfig(
+        table_name="analytics.orders_banded",
+        warehouse_path=warehouse, num_partitions=4,
+    ))
+    for lo, hi in ((0, 150000), (150000, 300000), (300000, 10**9)):
+        sink.append(
+            orders.where((F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi))
+        )
+    pruned = sink.read(prune={"o_totalprice": (160000.0, 260000.0)})
+    out = (
+        pruned.where(F.col("o_totalprice").between(160000.0, 260000.0))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_STATS_SKIP = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice')} AS total_price
+FROM orders
+WHERE o_totalprice BETWEEN 160000.0 AND 260000.0
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
+    "stats_skipping_scan": stats_skipping_scan,
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_time_travel": snapshot_time_travel,
     "continuous_aggregate": continuous_aggregate,
@@ -312,6 +368,7 @@ QUERIES = {
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
+    "stats_skipping_scan": _SQL_STATS_SKIP,
     "merge_upsert_orders": _SQL_MERGE,
     "snapshot_time_travel": _SQL_TIME_TRAVEL,
     "continuous_aggregate": _SQL_CAGG,

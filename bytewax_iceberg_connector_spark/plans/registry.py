@@ -81,6 +81,7 @@ _CHECK_FIRST = (
     "multimodal_audio",
     "streaming_topk",
     "sql_forecast_revenue",
+    "stats_skipping_scan",
 )
 
 
