@@ -47,7 +47,9 @@ def test_ann_recall_floor(spark, sf_dir):
     exact = {(r.q_id, r.neighbor_id) for r in similarity_topk(spark, sf_dir).collect()}
     ann = {(r.q_id, r.neighbor_id) for r in similarity_ann_lsh(spark, sf_dir).collect()}
     assert ann  # buckets must produce candidates
-    assert len(ann & exact) / len(exact) >= 0.2
+    # measured 0.72 on the round-3 corpus (deterministic); 0.4 leaves
+    # headroom for generator drift while still catching quality breaks
+    assert len(ann & exact) / len(exact) >= 0.4
 
 
 def test_ivf_recall_floor(spark, sf_dir):
@@ -64,7 +66,8 @@ def test_ivf_recall_floor(spark, sf_dir):
     ivf_rows = similarity_ivf(spark, sf_dir).collect()
     ivf = {(r.q_id, r.neighbor_id) for r in ivf_rows}
     assert {r.q_id for r in ivf_rows} == {r.q_id for r in exact_rows}
-    assert len(ivf & exact) / len(exact) >= 0.2
+    # measured 0.50 on the round-3 corpus (deterministic); see ann note
+    assert len(ivf & exact) / len(exact) >= 0.3
 
 
 def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
