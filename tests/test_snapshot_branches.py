@@ -211,3 +211,49 @@ def test_republish_and_drop_keeps_all_batch_ids(log):
     log.drop_branch("wap")
     assert {1, 2} <= log.committed_batch_ids()
     # replaying either batch would be recognized as a duplicate
+
+
+def test_publish_races_concurrent_branch_append(log):
+    """A publish racing an append on the SAME branch must serialize
+    through the version-file create: whichever order lands, no snapshot
+    is lost, main's live set equals some branch prefix, and a follow-up
+    publish drains the remainder."""
+    import threading
+
+    _append(log)
+    _append(log, branch="wap", batch_id=0)
+
+    errs = []
+
+    def do_append():
+        try:
+            _append(log, branch="wap", batch_id=1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_publish():
+        try:
+            log.publish("wap")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    t1 = threading.Thread(target=do_append)
+    t2 = threading.Thread(target=do_publish)
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    # no lost snapshots: branch carries both batch commits
+    assert {0, 1} <= {
+        s.get("batch_id")
+        for s in log.snapshots()
+        if s.get("branch") == "wap"
+    }
+    # main's live set is a prefix of the branch's (publish saw some head)
+    main_live = set(log.live_commits())
+    branch_live = set(log.live_commits(branch="wap"))
+    assert main_live <= branch_live
+    # draining publish converges main to the branch head
+    log.publish("wap")
+    assert set(log.live_commits()) == branch_live
+    # and the full batch-id dedup set survives a drop
+    log.drop_branch("wap")
+    assert {0, 1} <= log.committed_batch_ids()
