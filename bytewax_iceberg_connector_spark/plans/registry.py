@@ -82,6 +82,7 @@ _CHECK_FIRST = (
     "streaming_topk",
     "sql_forecast_revenue",
     "stats_skipping_scan",
+    "sql_promo_revenue",
 )
 
 

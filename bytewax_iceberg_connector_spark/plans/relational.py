@@ -1360,3 +1360,40 @@ def sql_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_forecast_revenue"] = sql_forecast_revenue
 ORACLE["sql_forecast_revenue"] = _Q6_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #6: TPC-H Q14 (promotion effect)
+# ---------------------------------------------------------------------------
+
+_Q14_SQL = """
+SELECT CAST(ROUND(
+         100.00 * SUM(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                           ELSE CAST(0 AS DECIMAL(18,2)) END)
+         / SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))), 4) AS DOUBLE)
+         AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 verbatim (promotion effect): one month of lineitem joined
+    to part, conditional decimal aggregation into a single ratio row —
+    the CASE-inside-SUM conditional-aggregate pattern plus a
+    broadcastable dimension join under a pushed month filter. The ratio
+    divides two decimal-exact sums, so both engines compute the same
+    IEEE quotient; ROUND(…, 4) makes the printed percentage stable.
+    """
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q14_SQL)
+
+
+QUERIES["sql_promo_revenue"] = sql_promo_revenue
+ORACLE["sql_promo_revenue"] = _Q14_SQL
