@@ -71,3 +71,36 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sorted(sdf.columns) == sorted(dcols), "column names must match"
     assert len(srows) == len(drows), "row counts must match"
     assert _norm(sdf.columns, srows) == _norm(dcols, drows), "values must match"
+
+
+def test_no_duplicate_query_names_across_plan_modules():
+    """dict.update in the registry would silently shadow a query defined in
+    two plan modules — enforce global uniqueness instead."""
+    import importlib
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    seen: dict[str, str] = {}
+    for mod_name in registry._PLAN_MODULES:
+        mod = importlib.import_module(
+            f"bytewax_iceberg_connector_spark.plans.{mod_name}"
+        )
+        for name in getattr(mod, "QUERIES", {}):
+            assert name not in seen, (
+                f"query {name!r} defined in both {seen[name]} and {mod_name}"
+            )
+            seen[name] = mod_name
+        for name in getattr(mod, "ORACLE", {}):
+            assert name in getattr(mod, "QUERIES", {}), (
+                f"oracle {name!r} in {mod_name} has no matching query"
+            )
+
+
+def test_check_first_names_resolve():
+    """Every name in the driver-gate priority block must be a registered
+    query (a typo would silently fall out of the checked set)."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    q = registry.all_queries()
+    missing = [n for n in registry._CHECK_FIRST if n not in q]
+    assert not missing, missing
