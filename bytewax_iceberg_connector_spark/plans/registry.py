@@ -83,6 +83,7 @@ _CHECK_FIRST = (
     "sql_forecast_revenue",
     "stats_skipping_scan",
     "sql_promo_revenue",
+    "sql_large_orders",
 )
 
 

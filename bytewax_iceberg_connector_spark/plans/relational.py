@@ -1397,3 +1397,45 @@ def sql_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_promo_revenue"] = sql_promo_revenue
 ORACLE["sql_promo_revenue"] = _Q14_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #7: TPC-H Q18 (large-volume customers)
+# ---------------------------------------------------------------------------
+
+_Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE)
+         AS o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 20
+"""
+
+
+def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 verbatim (large-volume customers): the IN-subquery over a
+    grouped HAVING aggregate — Catalyst rewrites it to an aggregate +
+    left-semi join, so the outer 3-table join runs only over qualifying
+    orderkeys. Decimal-exact quantity sums on both engines; TopK by
+    totalprice.
+
+    Scale: the semi-join side is the aggregated (orderkey, qty) frame —
+    narrow and shuffle-partitioned on the same key as the main join, and
+    the HAVING filter cuts it to the rare heavy tail before anything
+    wide happens.
+    """
+    register_views(spark, sf_dir, "customer", "orders", "lineitem")
+    return spark.sql(_Q18_SQL)
+
+
+QUERIES["sql_large_orders"] = sql_large_orders
+ORACLE["sql_large_orders"] = _Q18_SQL
