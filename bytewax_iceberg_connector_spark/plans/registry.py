@@ -84,6 +84,7 @@ _CHECK_FIRST = (
     "stats_skipping_scan",
     "sql_promo_revenue",
     "sql_large_orders",
+    "sql_top_supplier",
 )
 
 

@@ -1439,3 +1439,45 @@ def sql_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_large_orders"] = sql_large_orders
 ORACLE["sql_large_orders"] = _Q18_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #8: TPC-H Q15 (top supplier)
+# ---------------------------------------------------------------------------
+
+_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 verbatim (top supplier): the CTE-reused-twice pattern —
+    ``revenue`` feeds both the join and the scalar MAX subquery, and the
+    decimal-exact revenue makes the equality predicate safe (the reason
+    the spec's float version is notoriously flaky across engines).
+
+    Scale: Catalyst evaluates the CTE's aggregate per reference (or
+    reuses the exchange under AQE); both consumers are supplier-sized
+    frames, and the scalar subquery broadcasts one row. The quarter
+    filter pushes to the lineitem scan on both paths.
+    """
+    register_views(spark, sf_dir, "lineitem", "supplier")
+    return spark.sql(_Q15_SQL)
+
+
+QUERIES["sql_top_supplier"] = sql_top_supplier
+ORACLE["sql_top_supplier"] = _Q15_SQL
