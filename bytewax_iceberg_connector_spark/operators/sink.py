@@ -344,6 +344,15 @@ class LakeSink:
             return
         lo: dict = {}
         hi: dict = {}
+        # A column's recorded [min, max] claims to cover the WHOLE commit
+        # dir: if even one row group of one file fails to yield usable
+        # bounds for it (missing/truncated stats, undecodable binary,
+        # non-prunable logical type), the column's partial bounds would be
+        # silently narrower than the data and _prune_dirs could drop a dir
+        # that holds matching rows. Track those columns and omit them
+        # entirely — _prune_dirs' "col not in stats" path then keeps the
+        # dir conservatively.
+        bad: set = set()
         for root, _dirs, files in os.walk(commit_path):
             for fn in files:
                 if not fn.endswith(".parquet") or fn.startswith(("_", ".")):
@@ -353,29 +362,34 @@ class LakeSink:
                     g = md.row_group(rg)
                     for ci in range(g.num_columns):
                         col = g.column(ci)
+                        name = col.path_in_schema
                         try:
                             st = col.statistics
                             if st is None or not st.has_min_max:
+                                bad.add(name)
                                 continue
                             mn, mx = st.min, st.max
                         except Exception:
                             # stats not extractable for this physical type
                             # (pyarrow raises on some logical annotations)
+                            bad.add(name)
                             continue
-                        name = col.path_in_schema
                         if isinstance(mn, bytes):
                             try:
                                 mn, mx = mn.decode(), mx.decode()
                             except UnicodeDecodeError:
+                                bad.add(name)
                                 continue
                         if not isinstance(mn, (int, float, str)):
-                            continue  # timestamps/decimals: not prunable here
+                            bad.add(name)  # timestamps/decimals: not prunable
+                            continue
                         lo[name] = mn if name not in lo else min(lo[name], mn)
                         hi[name] = mx if name not in hi else max(hi[name], mx)
-        if not lo:
+        stats = {c: [lo[c], hi[c]] for c in lo if c not in bad}
+        if not stats:
             return
         with open(os.path.join(commit_path, "_bic_stats.json"), "w") as f:
-            json.dump({c: [lo[c], hi[c]] for c in lo}, f)
+            json.dump(stats, f)
 
     def _prune_dirs(self, dirs: list[str], prune: dict) -> list[str]:
         """Commit dirs whose recorded [min, max] can intersect every

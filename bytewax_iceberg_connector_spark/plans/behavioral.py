@@ -264,10 +264,14 @@ def decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DECAYED = """
 WITH ref AS (SELECT MAX(CAST(ts AS DATE)) AS d_ref FROM events),
 w AS (
+  -- CAST(1 AS BIGINT): DuckDB's bare 1 is 32-bit INTEGER and << raises
+  -- "Out of Range" for shifts >= 32, so the documented 40-doubling cap
+  -- would crash the oracle on any corpus spanning >= ~31 days; Spark's
+  -- shiftleft(1L, ...) never had the problem
   SELECT event_type,
-         1000000 // (1 << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS w_ppm,
+         1000000 // (CAST(1 AS BIGINT) << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS w_ppm,
          CAST(ROUND(value * 1000) AS BIGINT)
-           // (1 << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS v_milli
+           // (CAST(1 AS BIGINT) << LEAST(date_diff('day', CAST(ts AS DATE), d_ref), 40)) AS v_milli
   FROM events CROSS JOIN ref
 )
 SELECT event_type,

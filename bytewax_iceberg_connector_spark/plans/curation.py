@@ -792,8 +792,11 @@ WITH toks AS (
   FROM documents
 ), binned AS (
   SELECT lang, source, doc_id, n_tok,
-         (SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
-          - n_tok) // {_PACK_WINDOW} AS bin
+         -- CAST: the windowed SUM is HUGEINT in DuckDB, which pandas
+         -- renders as float64 (12.0 vs Spark's int64 12) and the driver's
+         -- value hash diverges on identical values (CORRECTNESS_r03)
+         CAST((SUM(n_tok) OVER (PARTITION BY lang, source ORDER BY doc_id)
+          - n_tok) // {_PACK_WINDOW} AS BIGINT) AS bin
   FROM toks
 )
 SELECT lang, source, bin,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from ..functions import similarity as S
 from ..functions import text as X
 from ..sources.tables import load_table
+from ._cache import scoped
 
 # ---------------------------------------------------------------------------
 # B16: exact dedup
@@ -72,10 +73,12 @@ _JACCARD_THRESHOLD = 0.8
 _SHINGLE_N = 3
 
 
-def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Exact trigram-shingle Jaccard over all candidate pairs that share at
     least one shingle (sparse self-join — identical algorithm to the
-    oracle).
+    oracle). Returns ``(pairs, shingle_cache)``: the second element is the
+    persisted shingle table the plan reads three times — callers scope its
+    lifetime to their final result (see _cache.scoped).
 
     The self-join runs on 64-bit shingle HASHES, not strings: the shuffle
     ships 8-byte keys instead of ~20-byte text (the 100 TB-relevant choice);
@@ -95,11 +98,12 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    return (
+    pairs = (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
         .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
     )
+    return pairs, sh
 
 
 def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,10 +113,11 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in the worst case, so at cluster scale dedup_minhash_lsh
     replaces it (same output contract).
     """
-    return (
-        _shingle_pairs(spark, sf_dir)
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+    pairs, sh = _shingle_pairs(spark, sf_dir)
+    return scoped(
+        pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard"),
+        sh,
     )
 
 
@@ -191,10 +196,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    return (
+    return scoped(
         cand.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        base,
+        banded,
     )
 
 
@@ -211,20 +218,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-reachable id, so the iterative Spark algorithm is checked against
     closed-form SQL semantics.
     """
-    pairs = (
-        _shingle_pairs(spark, sf_dir)
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b")
+    raw, sh = _shingle_pairs(spark, sf_dir)
+    pairs = raw.where(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b"
     )
+    # localCheckpoint (eager) rather than persist: each iteration's plan
+    # references the previous iteration's frame, so without truncation the
+    # lineage (and per-job planning cost) grows with the component
+    # diameter — the round-3 bench regression. Checkpointing pins the
+    # MATERIALIZED rows and severs the plan, so every iteration is one
+    # flat join job regardless of how many came before; at 100 TB this is
+    # the difference between O(diameter) and O(diameter²) work.
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
+    # sym is materialized now; the shingle cache fed it and is done
+    sh.unpersist()
     labels = (
         sym.select(F.col("src").alias("d")).distinct()
         .select("d", F.col("d").alias("label"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
     while True:
@@ -235,7 +250,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_labels = (
             labels.unionByName(flowed)
             .groupBy("d").agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
@@ -243,6 +258,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    sym.unpersist()
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").cast("long").alias("n_members"))
@@ -305,7 +321,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sim", F.explode(S.simhash_bands(F.col("sim"), 4)).alias("bk")
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    return scoped(
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -314,7 +330,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b")
+        .orderBy("doc_a", "doc_b"),
+        banded,
     )
 
 
@@ -547,10 +564,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
+    return scoped(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TOPK)
-        .orderBy("q_id", "rank")
+        .orderBy("q_id", "rank"),
+        bucketed,
     )
 
 
@@ -649,11 +667,13 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
+    # no dropDuplicates: a neighbor contributes exactly one rnk-0 member
+    # row and a query's probe cells are distinct, so (q_id, neighbor_id)
+    # is already unique — the dedup shuffle is pure overhead
     pairs = (
         probes.join(members, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
-        .dropDuplicates()
     )
     e_wide = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     qe = e_wide.where(F.col("vec_id") % 50 == 0).select(
@@ -668,10 +688,11 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    return (
+    return scoped(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TOPK)
-        .orderBy("q_id", "rank")
+        .orderBy("q_id", "rank"),
+        assigned,
     )
 
 
@@ -686,9 +707,20 @@ _PQ_ITERS = 5      # deterministic k-means refinement iterations
 _PQ_REFINE = 40    # ADC survivors re-ranked with exact vectors (8×top-k)
 
 
+_PQ_CTX_CACHE: dict = {}
+
+
 def _pq_train_ctx(all_ids, all_vecs):
     """Shared deterministic training context for encode and ADC kernels:
     (centroid ids, centroid matrix, residual codebooks).
+
+    Memoized per PROCESS on an order-invariant fingerprint of the broadcast
+    sample (count, min, max, sum of ids): every executor worker trains the
+    k-means codebooks ONCE and every subsequent block-row / ADC batch is a
+    dict hit — round 3 re-ran the full training once per block row inside
+    ``_encode``, multiplying a fixed cost by the number of corpus blocks.
+    The fingerprint is content-derived, so the no-model-shipping property
+    is unchanged: identical broadcast sample → identical codebooks.
 
     Codebooks are trained on RESIDUALS (sample − nearest centroid), the
     IVF-PQ formulation: residual magnitudes are a fraction of vector
@@ -702,6 +734,15 @@ def _pq_train_ctx(all_ids, all_vecs):
     import numpy as np
 
     all_ids = np.asarray(all_ids, dtype=np.int64)
+    key = (
+        all_ids.size,
+        int(all_ids.min()) if all_ids.size else 0,
+        int(all_ids.max()) if all_ids.size else 0,
+        int(all_ids.sum()),
+    )
+    hit = _PQ_CTX_CACHE.get(key)
+    if hit is not None:
+        return hit
     cmask = all_ids % _IVF_STRIDE == 0
     c_ids = all_ids[cmask]
     corder = np.argsort(c_ids)
@@ -732,7 +773,9 @@ def _pq_train_ctx(all_ids, all_vecs):
                 if mask.any():
                     B[k] = S_[mask].mean(axis=0)
         books.append(B)
-    return c_ids, C, books
+    ctx = (c_ids, C, books)
+    _PQ_CTX_CACHE[key] = ctx
+    return ctx
 
 
 def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,8 +786,8 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact, neighbors are scored against a per-query M×K lookup table.
 
     Why this is the 100 TB memory path: at dim=64 float32 a vector is
-    256 B; the PQ code is M=8 codes + 1 norm ≈ 12 B — a ~20× smaller
-    candidate shuffle and a ~20× smaller index table on the lake. Recall
+    256 B; the PQ code is M=16 4-bit codes (8 B packed) + 1 float norm
+    ≈ 16 B — a ~16× smaller candidate shuffle and index table on the lake. Recall
     degrades gracefully (quantization error only affects ranking inside
     the probed cells) and is pinned vs the exact top-k in tests.
 
@@ -827,15 +870,17 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = assigned.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
-    # candidate shuffle: (q_id, neighbor_id, code[8], nrm) ≈ 60 B/row vs
+    # candidate shuffle: (q_id, neighbor_id, code[16], nrm) ≈ 90 B/row vs
     # the 512 B float64 vector — codes ride the join, vectors never do
+    # no dropDuplicates: a neighbor has exactly ONE member (rnk 0) row, so
+    # probes(q, cell) ⋈ members(cell) emits each (q, neighbor) at most once
+    # — the dedup shuffle the LSH variant needs is dead weight here
     cand = (
         probes.join(members, "cell")
         .where(F.col("vec_id") != F.col("q_id"))
         # cell rides along: it is the neighbor's member cell = its residual
         # base, which ADC needs to add back dot(q, centroid[cell])
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "code", "nrm")
-        .dropDuplicates(["q_id", "neighbor_id"])
     )
     qe = emb.where(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -851,11 +896,16 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored_in = cand_grp.join(F.broadcast(qe), "q_id").crossJoin(F.broadcast(cblock))
 
     def _adc(batches):
-        """ADC scoring: approx cosine = (dot(q, centroid[cell]) +
-        Σ_m table[m, code_m]) / (‖q‖·‖c‖) — the centroid term is exact,
-        the residual term is the per-(query, subspace) dot-product table
-        against the re-derived codebooks, and the neighbor norm is the
-        EXACT norm carried from encode."""
+        """ADC scoring + local top-R cut: approx cosine = (dot(q,
+        centroid[cell]) + Σ_m table[m, code_m]) / (‖q‖·‖c‖) — the centroid
+        term is exact, the residual term is the per-(query, subspace)
+        dot-product table against the re-derived codebooks, and the
+        neighbor norm is the EXACT norm carried from encode. Each input row
+        already holds ALL of one query's candidates (the cand_grp qblock),
+        so the top-``_PQ_REFINE`` selection happens HERE with one argsort —
+        the kernel emits |Q|·R survivor rows, not |candidates| rows, and
+        the separate row_number window (a full candidate shuffle + sort in
+        round 3) disappears from the plan."""
         for pdf in batches:
             if pdf.empty:
                 yield pd.DataFrame({"q_id": [], "neighbor_id": [], "score": []})
@@ -881,41 +931,45 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                 codes = np.asarray([c["code"] for c in row.cands], dtype=np.int64)
                 nrms = np.asarray([c["nrm"] for c in row.cands], dtype=np.float64)
                 dots = qc[cells] + table[np.arange(_PQ_M)[None, :], codes].sum(axis=1)
-                out_q.extend([row.q_id] * len(nbr))
-                out_n.extend(nbr.tolist())
-                out_s.extend(np.round(dots / (qn * nrms), 6).tolist())
+                scores = np.round(dots / (qn * nrms), 6)
+                # deterministic top-R: (-score, neighbor_id) lexsort — the
+                # same (score DESC, neighbor ASC) contract the old window had
+                keep = np.lexsort((nbr, -scores))[:_PQ_REFINE]
+                out_q.extend([row.q_id] * len(keep))
+                out_n.extend(nbr[keep].tolist())
+                out_s.extend(scores[keep].tolist())
             yield pd.DataFrame({"q_id": out_q, "neighbor_id": out_n, "score": out_s})
 
-    scored = scored_in.mapInPandas(
-        _adc, schema="q_id BIGINT, neighbor_id BIGINT, score DOUBLE"
-    )
     # refine: exact re-rank of the ADC top-_PQ_REFINE per query (FAISS's
     # IVFPQ+refine). Full-precision vectors are fetched for ONLY these
     # |Q|·R survivor ids — the one place they enter the plan, and a
     # constant-bounded fraction of the corpus at any scale.
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
-    survivors = (
-        scored.withColumn("adc_rank", F.row_number().over(w))
-        .where(F.col("adc_rank") <= _PQ_REFINE)
-        .select("q_id", "neighbor_id")
-    )
+    survivors = scored_in.mapInPandas(
+        _adc, schema="q_id BIGINT, neighbor_id BIGINT, score DOUBLE"
+    ).select("q_id", "neighbor_id")
     e_wide = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("e"),
     )
+    # survivors are |Q|·R rows — constant-bounded at any corpus scale — so
+    # BROADCAST them onto the corpus scan: the exact-vector fetch is a
+    # map-side join, never a corpus-wide shuffle
     refined = (
-        survivors.join(F.broadcast(qe), "q_id")
-        .join(e_wide, "neighbor_id")
+        e_wide.join(
+            F.broadcast(survivors.join(F.broadcast(qe), "q_id")), "neighbor_id"
+        )
         .select(
             "q_id",
             "neighbor_id",
             F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
         )
     )
-    return (
+    return scoped(
         refined.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= _TOPK)
-        .orderBy("q_id", "rank")
+        .orderBy("q_id", "rank"),
+        assigned,
     )
 
 
@@ -1348,8 +1402,13 @@ _POSTINGS_CAP = 10  # postings materialized per term (head of the full list)
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build the term→postings inverted index over the corpus: per term its
     document frequency, total term frequency, and the first
-    ``_POSTINGS_CAP`` posting doc_ids (sorted) — the index table a
-    distributed keyword-search layer materializes to the lake.
+    ``_POSTINGS_CAP`` posting doc_ids (sorted, comma-joined into one
+    deterministic string column) — the index table a distributed
+    keyword-search layer materializes to the lake. The postings head is
+    a STRING, not an array: the differential gate hashes cell values
+    through pandas, and array cells are unhashable there
+    (CORRECTNESS_r03's driver crash) — a flat string is also what a
+    lake-manifest row would store.
 
     Scale: explode → (doc_id, term) tf is word-count shape (map-side
     partial agg); the term-level rollup shuffles one narrow row per
@@ -1370,9 +1429,11 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("long").alias("df"),
             F.sum("tf").cast("long").alias("total_tf"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP).alias(
-                "postings_head"
-            ),
+            F.concat_ws(
+                ",",
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, _POSTINGS_CAP)
+                .cast("array<string>"),
+            ).alias("postings_head"),
         )
         .where(F.col("df") >= 2)
         .orderBy("term")
@@ -1390,7 +1451,7 @@ WITH tok AS (
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS total_tf,
-       (list(doc_id ORDER BY doc_id))[1:10] AS postings_head
+       array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_head
 FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
 """
 
@@ -1414,7 +1475,14 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", X.token_count("text").alias("dl")).persist()
+    # dl > 0: corpus stats (n_docs, avgdl) are defined over documents that
+    # HAVE tokens — the oracle's dl CTE is built from unnest, which emits
+    # nothing for empty/whitespace-only docs, so both engines must agree
+    # on that doc set. No persist: base is a narrow 2-col projection read
+    # twice; caching it leaked a pinned frame into later queries' memory.
+    base = docs.select("doc_id", X.token_count("text").alias("dl")).where(
+        F.col("dl") > 0
+    )
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -1814,14 +1882,15 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    return (
+    return scoped(
         assigned.groupBy("cluster")
         .applyInPandas(
             _prune_cell,
             "cluster int, n_members long, n_kept long, n_dropped long, "
             "top_label int, top_label_n long",
         )
-        .orderBy("cluster")
+        .orderBy("cluster"),
+        vecs,
     )
 
 

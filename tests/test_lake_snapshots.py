@@ -598,3 +598,72 @@ def test_commit_stats_prune_is_never_lossy_without_stats(spark, tmp_path, batche
     assert got == [0, 1, 2, 3, 4, 5]
     # unknown column: everything kept
     assert sink.read(prune={"nope": (0, 1)}).count() == 30
+
+
+def test_commit_stats_omit_column_with_partial_coverage(spark, tmp_path, batches):
+    """Round-3 ADVICE: if ANY row group of ANY file in a commit fails to
+    yield usable min/max for a column, the column must be omitted from
+    _bic_stats.json entirely — partial bounds recorded as dir-wide bounds
+    would let prune() drop a dir that actually holds matching rows."""
+    import json as _json
+    import os as _os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    d = sink._log.commit_paths()[0]
+    stats_file = _os.path.join(d, "_bic_stats.json")
+    with open(stats_file) as f:
+        before = _json.load(f)
+    assert "v" in before  # normally covered
+
+    # drop a parquet file with stats for event_id ONLY into a leaf
+    # partition dir (an older / misconfigured writer): v now has a row
+    # group without min/max somewhere in the commit
+    leaf = next(
+        _os.path.join(d, e) for e in _os.listdir(d)
+        if _os.path.isdir(_os.path.join(d, e))
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": [99],
+                "ts": [dt.datetime(2024, 1, 1, 10)],
+                "v": [9000.0],
+            }
+        ),
+        _os.path.join(leaf, "part-extra.parquet"),
+        write_statistics=["event_id"],
+    )
+    _os.unlink(stats_file)
+    sink._write_commit_stats(None, d)
+    with open(stats_file) as f:
+        after = _json.load(f)
+    # v=9000 is invisible to v's stats now — recording the old [0,9] bound
+    # would prune this dir for prune={"v": (8000, None)} and lose the row
+    assert "v" not in after
+    assert after["event_id"] == [0, 99]  # fully covered: still recorded
+    # and the pruned read keeps the dir (v absent from stats = keep)
+    assert sink.read(prune={"v": (8000.0, None)}).where("v >= 8000").count() == 1
+
+
+def test_scoped_cache_unpersists_on_result_gc(spark):
+    """plans/_cache.scoped ties plan-internal persists to the result's
+    lifetime: dropping the result must unpersist the cache (round-3
+    ADVICE: persisted frames leaked across queries in long sessions)."""
+    import gc
+
+    from bytewax_iceberg_connector_spark.plans._cache import scoped
+
+    cached = spark.range(100).persist()
+    cached.count()
+    assert cached.is_cached
+    result = scoped(cached.selectExpr("sum(id) as s"), cached)
+    assert result.collect()[0][0] == 4950
+    assert cached.is_cached  # alive while the result is referenced
+    del result
+    gc.collect()
+    assert not cached.is_cached

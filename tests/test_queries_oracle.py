@@ -57,6 +57,43 @@ def test_entry_smoke(spark):
     assert df.count() > 0
 
 
+def _driver_fidelity_check(spdf, opdf, name):
+    """Reproduce the DRIVER's canonicalization constraints locally.
+
+    The driver routes both results through pandas, sorts, and hashes the
+    cell VALUES — so divergences invisible to a python-level == compare
+    still fail there (CORRECTNESS_r03): DuckDB HUGEINT lands in pandas as
+    float64 while Spark emits int64 (12.0 vs 12 hash-diverge), and an
+    array-typed column is unhashable in pandas sort/factorize and crashes
+    the comparison outright. Catch both classes pre-driver.
+    """
+    import numpy as np
+
+    _NUMERIC = {"i", "u", "f"}
+    for c in spdf.columns:
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if sk in _NUMERIC or ok in _NUMERIC:
+            assert sk == ok, (
+                f"{name}.{c}: pandas dtype kind diverges (spark={spdf[c].dtype}"
+                f", oracle={opdf[c].dtype}) — the driver hashes through pandas"
+                f" and an int/float split is a hash mismatch even when values"
+                f" are equal; CAST the oracle column explicitly"
+            )
+    for frame, side in ((spdf, "spark"), (opdf, "oracle")):
+        bad = [
+            c
+            for c in frame.columns
+            if frame[c]
+            .map(lambda v: isinstance(v, (list, tuple, dict, np.ndarray)))
+            .any()
+        ]
+        assert not bad, (
+            f"{name}: {side} returns array/struct column(s) {bad} — "
+            f"unhashable in the driver's pandas canonicalizer; serialize to"
+            f" a deterministic string on both sides"
+        )
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = _QUERIES[name](spark, sf_dir)
@@ -71,6 +108,9 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     assert sorted(sdf.columns) == sorted(dcols), "column names must match"
     assert len(srows) == len(drows), "row counts must match"
     assert _norm(sdf.columns, srows) == _norm(dcols, drows), "values must match"
+    _driver_fidelity_check(
+        sdf.toPandas(), duck.execute(_ORACLES[name]).df(), name
+    )
 
 
 def test_no_duplicate_query_names_across_plan_modules():
@@ -96,11 +136,33 @@ def test_no_duplicate_query_names_across_plan_modules():
             )
 
 
-def test_check_first_names_resolve():
-    """Every name in the driver-gate priority block must be a registered
-    query (a typo would silently fall out of the checked set)."""
+def test_registry_orders_unproven_queries_into_gate_window():
+    """The driver records only the first _GATE_WINDOW queries() entries per
+    round; the registry derives its order from the CORRECTNESS_r*.json
+    artifacts so red / never-checked queries land inside that window
+    (round-3 ADVICE: no hand-maintained priority tuple)."""
     from bytewax_iceberg_connector_spark.plans import registry
 
     q = registry.all_queries()
-    missing = [n for n in registry._CHECK_FIRST if n not in q]
+    recs = registry._driver_records()
+    window = list(q)[: registry._GATE_WINDOW]
+    priority = [n for n in q if registry._rank(recs, n)[0] < 2]
+    assert len(priority) <= registry._GATE_WINDOW, (
+        "more unproven queries than the driver can check in one round — "
+        "stage registrations across rounds"
+    )
+    missing = [n for n in priority if n not in window]
     assert not missing, missing
+
+
+def test_registry_rank_semantics():
+    """Red-latest sorts before never-checked before green; greens rotate
+    stalest-first."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    recs = {"red": (3, False), "old_green": (1, True), "new_green": (3, True)}
+    order = sorted(
+        ["new_green", "never", "red", "old_green"],
+        key=lambda n: registry._rank(recs, n),
+    )
+    assert order == ["red", "never", "old_green", "new_green"]
