@@ -1481,3 +1481,242 @@ def sql_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_top_supplier"] = sql_top_supplier
 ORACLE["sql_top_supplier"] = _Q15_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #9: TPC-H Q7 (volume shipping between two nations)
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_20' AND n2.n_name = 'NATION_11')
+      OR (n1.n_name = 'NATION_11' AND n2.n_name = 'NATION_20'))
+    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                       AND TIMESTAMP '1996-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def sql_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 verbatim (volume shipping): the SELF-ALIASED dimension —
+    nation joins in twice (n1 for the supplier side, n2 for the customer
+    side) under a symmetric disjunctive nation-pair predicate, with a
+    per-year decimal-exact revenue rollup. The query the reference's
+    row-at-a-time pipeline cannot express without two passes; here both
+    nation aliases broadcast and the pair predicate evaluates inside the
+    joined stream. (Reference scope: connector.py has no query engine —
+    this is north-star surface.)
+
+    Scale: nation is tiny (both aliases broadcast), the two-year shipdate
+    filter pushes to the lineitem scan, and the only wide shuffles are the
+    fact-fact joins on orderkey/custkey — each carrying the filtered
+    slice. Catalyst pushes the nation-pair disjunction below the final
+    join as residual filter on the broadcast rows.
+    """
+    register_views(
+        spark, sf_dir, "supplier", "lineitem", "orders", "customer", "nation"
+    )
+    return spark.sql(_Q7_SQL)
+
+
+QUERIES["sql_volume_shipping"] = sql_volume_shipping
+ORACLE["sql_volume_shipping"] = _Q7_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #10: TPC-H Q8 (national market share)
+# ---------------------------------------------------------------------------
+
+_Q8_SQL = """
+SELECT o_year,
+       CAST(ROUND(
+         CAST(SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END)
+              AS DOUBLE)
+         / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'AMERICA'
+    AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                        AND TIMESTAMP '1996-12-31 00:00:00'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def sql_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 verbatim (national market share): the widest join graph in
+    the suite — 8 relations including nation twice (customer region
+    gating vs supplier nationality labeling) — with a conditional-
+    aggregate ratio per year. Both SUMs are exact DECIMAL; the one
+    division happens once per output row on the exact sums (then ROUND 6),
+    so the ratio is bit-stable across engines and partitionings.
+
+    Scale: part/supplier/nation/region broadcast; the two fact-fact
+    shuffles (lineitem⋈orders on orderkey, ⋈customer on custkey) carry
+    only the date-filtered slice; the ECONOMY filter pushes into the part
+    scan BEFORE the join, cutting the probe side by ~1/6. The final agg
+    is |years| rows.
+    """
+    register_views(
+        spark, sf_dir,
+        "part", "lineitem", "supplier", "orders", "customer", "nation", "region",
+    )
+    return spark.sql(_Q8_SQL)
+
+
+QUERIES["sql_market_share"] = sql_market_share
+ORACLE["sql_market_share"] = _Q8_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #11: TPC-H Q13 (customer order-count distribution)
+# ---------------------------------------------------------------------------
+
+_Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def sql_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted: the synthetic orders
+    table has no o_comment, so the spec's NOT LIKE exclusion becomes an
+    o_orderpriority exclusion — the PLAN SHAPE is unchanged: a left outer
+    join with the filter in the JOIN CONDITION (not a WHERE, which would
+    defeat the outer join), COUNT of a nullable column (counts 0 for
+    customers with no qualifying orders), then a second aggregation over
+    the first's result — the double-aggregate histogram pattern.
+
+    Scale: both aggregations shuffle on narrow keys (custkey, then the
+    count value); the first agg's map side runs combine on custkey, and
+    the histogram is |distinct counts| rows. Skew risk is the histogram
+    key (many customers share an order count) — partial aggregation
+    absorbs it map-side.
+    """
+    register_views(spark, sf_dir, "customer", "orders")
+    return spark.sql(_Q13_SQL)
+
+
+QUERIES["sql_customer_distribution"] = sql_customer_distribution
+ORACLE["sql_customer_distribution"] = _Q13_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #12: TPC-H Q17 (small-quantity-order revenue)
+# ---------------------------------------------------------------------------
+
+_Q17_SQL = """
+SELECT CAST(ROUND(
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0,
+       2) AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1'
+  AND l_quantity < (
+    SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def sql_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), p_container swapped for
+    p_brand (the synthetic part table has no container column; the plan
+    shape — a CORRELATED scalar aggregate subquery over the same fact
+    table — is the point and is unchanged). Catalyst decorrelates the
+    subquery into a per-partkey aggregate joined back to the filtered
+    fact; DuckDB does the equivalent rewrite, so the same text runs on
+    both engines.
+
+    Float-determinism note: l_quantity is integral (verified in testdata),
+    so AVG's double sum is EXACT (integers ≪ 2^53) and 0.2·avg is the
+    same IEEE double on both engines — the strict < threshold cannot
+    diverge. The revenue sum is decimal-exact; the single /7.0 division
+    happens once on the exact total.
+
+    Scale: the decorrelated aggregate is partkey-partitioned (same key as
+    the join — no extra shuffle under co-partitioning), brand filter
+    prunes the part side before the join, and the result is ONE row.
+    """
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q17_SQL)
+
+
+QUERIES["sql_small_qty_revenue"] = sql_small_qty_revenue
+ORACLE["sql_small_qty_revenue"] = _Q17_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #13: TPC-H Q19 (disjunctive predicate revenue)
+# ---------------------------------------------------------------------------
+
+_Q19_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), p_container terms adapted to
+    p_size bands: the OR-of-conjunctions predicate that straddles BOTH
+    join sides — the classic test of disjunctive predicate handling.
+    Catalyst derives single-side implied filters from the disjunction
+    (brand IN (...) pushes to the part scan, quantity range union to
+    lineitem) while keeping the full residual on the joined rows.
+
+    Scale: the derived pushdowns shrink the part build side to three
+    brands (broadcastable) and the probe side to the quantity envelope;
+    without them this is a full fact scan against a full dim scan. One
+    decimal-exact output row.
+    """
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q19_SQL)
+
+
+QUERIES["sql_disjunctive_revenue"] = sql_disjunctive_revenue
+ORACLE["sql_disjunctive_revenue"] = _Q19_SQL
