@@ -43,7 +43,10 @@ IMAGE_META_SCHEMA = (
 )
 
 #: schema of sample_frames output (one row per sampled frame)
-FRAME_SCHEMA = "key BIGINT, frame_idx BIGINT, offset BIGINT, frame_sha256 STRING"
+FRAME_SCHEMA = (
+    "key BIGINT, frame_idx BIGINT, offset BIGINT, frame_bytes BIGINT, "
+    "frame_sha256 STRING"
+)
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -188,10 +191,16 @@ def sample_frames(
                             "key": int(key),
                             "frame_idx": i,
                             "offset": off,
+                            "frame_bytes": len(chunk),
                             "frame_sha256": hashlib.sha256(chunk).hexdigest(),
                         }
                     )
-            yield pd.DataFrame(rows, columns=["key", "frame_idx", "offset", "frame_sha256"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "key", "frame_idx", "offset", "frame_bytes", "frame_sha256",
+                ],
+            )
 
     return df.select(key_col, payload_col).mapInPandas(_sample, schema=FRAME_SCHEMA)
 

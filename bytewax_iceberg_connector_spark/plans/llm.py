@@ -1813,6 +1813,64 @@ GROUP BY pos
 ORDER BY dim
 """
 
+
+def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video arm of the modality convention: opaque binary payloads →
+    ``sample_frames`` (functions/multimodal.py — the ffmpeg-shaped 1→N
+    frame fan-out inside one Arrow-batched mapInPandas, no codec libs in
+    this container so frames are deterministic byte slices) → per-frame-
+    index rollup of the sampling manifest (count / offset mass / byte
+    mass a video-curation pipeline audits before decode).
+
+    Unlike the image/audio arms this one IS oracle-checked: the sampling
+    geometry (evenly-spaced offsets, slice lengths) is pure integer
+    arithmetic over the payload byte length, which DuckDB reproduces from
+    ``octet_length`` — so the fan-out plumbing itself (row expansion,
+    offsets, bounds at empty/short payloads) is differentially verified,
+    not just row-counted. The per-frame sha256 stays in the kernel output
+    for downstream dedup but is excluded here (no blob slicing in the
+    oracle dialect).
+
+    Scale: the fan-out is a narrow map (no shuffle); only the 4-group
+    rollup exchanges, carrying (frame_idx, partials).
+    """
+    from ..functions.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    frames = sample_frames(docs, "payload", "doc_id", n_frames=4)
+    return (
+        frames.groupBy("frame_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_frames"),
+            F.sum("offset").cast("long").alias("sum_offset"),
+            F.sum("frame_bytes").cast("long").alias("sum_frame_bytes"),
+        )
+        .orderBy("frame_idx")
+    )
+
+
+_SQL_MM_VIDEO = """
+WITH base AS (
+  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+), params AS (
+  SELECT doc_id, len, GREATEST(len // 4, 1) AS step FROM base
+), frames AS (
+  SELECT doc_id, i AS frame_idx, len, step,
+         LEAST(i * step, GREATEST(len - 1, 0)) AS off
+  FROM params, (SELECT UNNEST(range(4)) AS i)
+)
+SELECT frame_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(off) AS BIGINT) AS sum_offset,
+       CAST(SUM(GREATEST(LEAST(step, len - off), 0)) AS BIGINT)
+         AS sum_frame_bytes
+FROM frames
+GROUP BY frame_idx
+ORDER BY frame_idx
+"""
+
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
@@ -1922,6 +1980,7 @@ QUERIES = {
     "multimodal_nested": multimodal_nested,
     "multimodal_decode": multimodal_decode,
     "multimodal_audio": multimodal_audio,
+    "multimodal_video": multimodal_video,
     "multimodal_pipeline": multimodal_pipeline,
 }
 
@@ -1949,4 +2008,5 @@ ORACLE = {
     "doc_fingerprint": _SQL_FINGERPRINT,
     "multimodal_binary_meta": _SQL_MM_BINARY,
     "multimodal_nested": _SQL_MM_NESTED,
+    "multimodal_video": _SQL_MM_VIDEO,
 }

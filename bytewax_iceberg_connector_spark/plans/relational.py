@@ -1720,3 +1720,49 @@ def sql_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_disjunctive_revenue"] = sql_disjunctive_revenue
 ORACLE["sql_disjunctive_revenue"] = _Q19_SQL
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group percentiles (the histogram sketch's exact twin)
+# ---------------------------------------------------------------------------
+
+_PCTL_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS p25,
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS p50,
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS p75,
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+            AS DOUBLE) AS p95
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group order-statistics: discrete p25/p50/p75/p95 of order
+    totalprice per priority — the EXACT baseline twin of the mergeable
+    ``value_histogram`` sketch (the same pairing discipline as
+    similarity_topk ↔ the ANN family and distinct_exact ↔ HLL).
+
+    ``percentile_disc`` returns an actual data value (no interpolation,
+    no float accumulation), so the comparison is deterministic on any
+    engine; the ANSI WITHIN GROUP text runs verbatim on both.
+
+    Scale contract, stated honestly: exact percentiles DO NOT merge — 
+    this aggregate must see each group's full value set (Spark sorts
+    per group after a key shuffle), so at 100 TB you materialize
+    ``value_histogram``'s fixed bins (mergeable map-side) for dashboards
+    and reserve this exact form for per-partition audits or final
+    reports. That trade is the reason both queries exist.
+    """
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_PCTL_SQL)
+
+
+QUERIES["percentile_rollup"] = percentile_rollup
+ORACLE["percentile_rollup"] = _PCTL_SQL

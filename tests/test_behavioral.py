@@ -143,3 +143,44 @@ def test_value_histogram_cells_merge(spark, sf_dir):
             k = (r.o_orderpriority, r.bin)
             merged[k] = merged.get(k, 0) + r.n
     assert merged == whole
+
+
+def test_decayed_counts_oracle_survives_long_spans(spark, tmp_path):
+    """Round-3 ADVICE regression: the DuckDB oracle's decay divisor used a
+    32-bit `1 <<`, which raises Out of Range for shifts >= 32 — i.e. any
+    events corpus spanning >= ~31 days crashed the oracle while the Spark
+    side (shiftleft(1L, ...)) ran fine. Both engines must agree on a
+    60-day span with the documented 40-doubling cap reachable."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_DECAYED,
+        decayed_counts,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        Row(event_type="a", ts=t0 + _dt.timedelta(days=d), value=float(d))
+        for d in range(0, 61, 5)  # 0..60 days: shifts up to 40+ requested
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+
+    got = {
+        (r.event_type, r.n_events, r.decayed_count_ppm, r.decayed_value_milli)
+        for r in decayed_counts(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    want = set(map(tuple, con.execute(_SQL_DECAYED).fetchall()))
+    assert got == want
