@@ -989,6 +989,252 @@ ORDER BY 1, 2
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance resampling weights (target-vs-raw unigram log-ratio)
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET_LANG = "en"  # the "high-quality target corpus" stand-in
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023)
+    reduced to its distributable core: score every raw document by the
+    mean per-token log-ratio ln p_target(t) − ln p_raw(t) between a
+    TARGET corpus LM (here: the ``lang = 'en'`` slice standing in for the
+    curated target) and the raw-corpus LM, both add-1-smoothed over the
+    joint vocabulary; documents with positive mean ratio are the ones
+    importance resampling keeps. Rolled up per (lang, source): docs,
+    selected docs, max score — the selection manifest.
+
+    Determinism: the same integer-micro-nats discipline as
+    ``unigram_surprise`` — each DISTINCT token's log-ratio is quantized to
+    micro-nats once, per-doc totals are bigint sums, the mean is integer
+    division. No float ever re-accumulates across rows.
+
+    Scale: both LMs live in ONE vocabulary-sized table (target and raw
+    counts are two aggregates of the same token frame), broadcast back
+    onto the (doc, term, tf) rows; the only corpus-wide shuffle is the tf
+    word-count. The target slice needs no second scan — its counts are a
+    conditional aggregate of the same pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", "lang", "source",
+                    F.explode(X.tokens("text")).alias("term"))
+        .groupBy("doc_id", "lang", "source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = tf.groupBy("term").agg(
+        F.sum("tf").alias("r_cnt"),
+        F.sum(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, F.col("tf")).otherwise(0)
+        ).alias("t_cnt"),
+    )
+    totals = vocab.agg(
+        F.sum("r_cnt").alias("r_tot"),
+        F.sum("t_cnt").alias("t_tot"),
+        F.count("*").alias("v"),
+    )
+    lm = vocab.crossJoin(F.broadcast(totals)).select(
+        "term",
+        F.expr(
+            "cast(round((ln((t_cnt + 1) / (t_tot + v))"
+            "            - ln((r_cnt + 1) / (r_tot + v))) * 1000000) as long)"
+        ).alias("ratio_micro"),
+    )
+    per_doc = (
+        tf.join(F.broadcast(lm), "term")
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.expr("sum(tf * ratio_micro) div sum(tf)").alias("score_micro"))
+    )
+    return (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("score_micro") > 0).cast("long")).alias("n_selected"),
+            F.max("score_micro").cast("long").alias("max_score_micro"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_DSIR = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, lang, source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2, 3, 4
+), vocab AS (
+  SELECT term, SUM(tf) AS r_cnt,
+         SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN tf ELSE 0 END) AS t_cnt
+  FROM tf GROUP BY 1
+), totals AS (
+  SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot, COUNT(*) AS v FROM vocab
+), lm AS (
+  SELECT term,
+         CAST(ROUND((ln((t_cnt + 1) / (t_tot + v))
+                     - ln((r_cnt + 1) / (r_tot + v))) * 1000000)
+              AS BIGINT) AS ratio_micro
+  FROM vocab CROSS JOIN totals
+), per_doc AS (
+  SELECT tf.doc_id, tf.lang, tf.source,
+         SUM(tf.tf * lm.ratio_micro) // SUM(tf.tf) AS score_micro
+  FROM tf JOIN lm USING (term)
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN score_micro > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected,
+       CAST(MAX(score_micro) AS BIGINT) AS max_score_micro
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deterministic shard-shuffle manifest (seeded global shuffle for training)
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_SEED = "-seed42"
+_SHUFFLE_SHARDS = 8
+
+
+def shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded deterministic global shuffle: every document gets a shuffle
+    key md5(doc_id || seed); the key's first two hex chars assign one of
+    8 shards and the key itself is the within-shard sort order — the
+    pre-training shuffle a dataloader consumes, reproducible on ANY
+    engine from (doc_id, seed) alone (no RNG state, no engine hash).
+    Output: per-shard manifest (docs, token mass, order-boundary keys).
+
+    Why md5 and not Spark's rand/shuffle or xxhash64: rand is not
+    cross-engine reproducible and xxhash64 has no DuckDB twin; md5 text
+    is bit-identical everywhere, and a cryptographic hash of id+seed is
+    exactly how deterministic dataset shuffles are specified in practice
+    (reshuffle = change the seed suffix).
+
+    Scale: the key is a projection; shard assignment shuffles one narrow
+    row per doc to 8 groups (skew-free: md5 is uniform); the manifest is
+    shards-not-docs sized. The full shuffled ORDER is never materialized
+    globally — each shard sorts independently at read time (the
+    sortWithinPartitions shape).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        X.token_count("text").alias("n_tok"),
+        F.expr(f"md5(doc_id || '{_SHUFFLE_SEED}')").alias("hk"),
+    ).withColumn(
+        "shard",
+        F.expr(
+            f"(ascii(substr(hk, 1, 1)) * 256 + ascii(substr(hk, 2, 1)))"
+            f" % {_SHUFFLE_SHARDS}"
+        ).cast("long"),
+    )
+    return (
+        keyed.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.min("hk").alias("first_key"),
+            F.max("hk").alias("last_key"),
+        )
+        .orderBy("shard")
+    )
+
+
+_SQL_SHUFFLE = rf"""
+WITH keyed AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok,
+         md5(doc_id || '{_SHUFFLE_SEED}') AS hk
+  FROM documents
+)
+SELECT CAST((ascii(substr(hk, 1, 1)) * 256 + ascii(substr(hk, 2, 1)))
+            % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       MIN(hk) AS first_key,
+       MAX(hk) AS last_key
+FROM keyed
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Length-bucket padding audit (batching-efficiency manifest)
+# ---------------------------------------------------------------------------
+
+_LB_WIDTH = 16    # tokens per bucket step (testdata docs are 10-99 tokens)
+_LB_CAP = 8       # last bucket open-ended
+
+
+def length_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching audit: documents bucket by token count
+    (16-token steps, last bucket open), and each bucket reports the
+    padding waste a fixed-length batcher would pay — padded mass minus
+    real mass, in ppm of the padded mass. The signal that decides bucket
+    boundaries for length-grouped batching (the padding-efficiency lever
+    in training-data pipelines).
+
+    All integer arithmetic (bucket = div, window = (bucket+1)·128, waste
+    ppm = div on exact bigint sums) — deterministic at any partitioning;
+    one narrow groupBy(bucket) shuffle with map-side partials.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(X.token_count("text").alias("n_tok"))
+    binned = toks.select(
+        "n_tok",
+        F.expr(f"least(n_tok div {_LB_WIDTH}, {_LB_CAP})").alias("bucket"),
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("sum_tok"),
+            F.expr(
+                f"cast(count(*) * (bucket + 1) * {_LB_WIDTH} as long)"
+            ).alias("padded_tok"),
+            F.expr(
+                f"cast(greatest(count(*) * (bucket + 1) * {_LB_WIDTH}"
+                f"              - sum(n_tok), 0) * 1000000L"
+                f"     div (count(*) * (bucket + 1) * {_LB_WIDTH}) as long)"
+            ).alias("waste_ppm"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_SQL_LENGTH_BUCKETS = rf"""
+WITH toks AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok
+  FROM documents
+), binned AS (
+  SELECT n_tok, LEAST(n_tok // {_LB_WIDTH}, {_LB_CAP}) AS bucket FROM toks
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+       CAST(COUNT(*) * (bucket + 1) * {_LB_WIDTH} AS BIGINT) AS padded_tok,
+       CAST(GREATEST(COUNT(*) * (bucket + 1) * {_LB_WIDTH} - SUM(n_tok), 0)
+            * 1000000 // (COUNT(*) * (bucket + 1) * {_LB_WIDTH}) AS BIGINT)
+         AS waste_ppm
+FROM binned
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES = {
     "domain_mix_weights": domain_mix_weights,
     "sequence_packing": sequence_packing,
@@ -1003,6 +1249,9 @@ QUERIES = {
     "repetition_ratio": repetition_ratio,
     "contamination_check": contamination_check,
     "dataset_split": dataset_split,
+    "dsir_importance": dsir_importance,
+    "shard_shuffle_manifest": shard_shuffle_manifest,
+    "length_bucket_audit": length_bucket_audit,
 }
 ORACLE = {
     "domain_mix_weights": _SQL_MIX_WEIGHTS,
@@ -1018,4 +1267,7 @@ ORACLE = {
     "repetition_ratio": _SQL_REPETITION,
     "contamination_check": _SQL_CONTAMINATION,
     "dataset_split": _SQL_SPLIT,
+    "dsir_importance": _SQL_DSIR,
+    "shard_shuffle_manifest": _SQL_SHUFFLE,
+    "length_bucket_audit": _SQL_LENGTH_BUCKETS,
 }
