@@ -211,12 +211,55 @@ ORDER BY window_start, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# B22a: streaming first-seen dedup (batch-replayable contract of the
+# stateful operator)
+# ---------------------------------------------------------------------------
+
+
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once first-seen dedup, batch-replayable form: per key the
+    FIRST event time and the count of suppressed later occurrences — the
+    precise output contract of the stateful streaming operator
+    ``streaming/stateful.dedup_first_seen`` (applyInPandasWithState, one
+    seen-marker per live key, watermark-TTL'd state). The streaming-mode
+    execution path is exercised in tests/test_stateful.py; THIS entry
+    puts the operator's declared batch equivalence (its docstring:
+    groupBy(key).min(ts)) under the differential oracle, so the stateful
+    kernel and the SQL semantics can never drift apart silently.
+
+    Scale: one narrow groupBy(key) with map-side partial min/count — the
+    same state-per-key footprint the streaming operator carries, batch
+    form; no window, no sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.min("ts").alias("first_ts"),
+            (F.count("*") - 1).cast("long").alias("n_suppressed"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_SQL_DEDUP_FIRST_SEEN = """
+SELECT user_id,
+       MIN(ts) AS first_ts,
+       CAST(COUNT(*) - 1 AS BIGINT) AS n_suppressed
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_hopping": streaming_hopping,
     "streaming_session": streaming_session,
     "streaming_interval_join": streaming_interval_join,
     "streaming_topk": streaming_topk,
+    "streaming_dedup": streaming_dedup,
 }
 
 ORACLE = {
@@ -225,4 +268,5 @@ ORACLE = {
     "streaming_session": _SQL_SESSION,
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
     "streaming_topk": _SQL_TOPK,
+    "streaming_dedup": _SQL_DEDUP_FIRST_SEEN,
 }
