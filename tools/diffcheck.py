@@ -46,6 +46,36 @@ def _norm_rows(cols, rows):
     return Counter(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+def _driver_fidelity(sdf, con, oracle_sql) -> list[str]:
+    """Mirror tests/test_queries_oracle._driver_fidelity_check for the CLI
+    loop: pandas dtype-kind splits (int vs float) and unhashable
+    array/struct cells fail the DRIVER's canonicalizer even when values
+    compare equal python-side."""
+    import numpy as np
+
+    problems = []
+    spdf = sdf.toPandas()
+    opdf = con.execute(oracle_sql).df()
+    numeric = {"i", "u", "f"}
+    for c in spdf.columns:
+        sk, ok = spdf[c].dtype.kind, opdf[c].dtype.kind
+        if (sk in numeric or ok in numeric) and sk != ok:
+            problems.append(
+                f"dtype-kind split on {c}: spark={spdf[c].dtype}"
+                f" duck={opdf[c].dtype} (driver hash would diverge)"
+            )
+    for frame, side in ((spdf, "spark"), (opdf, "duck")):
+        for c in frame.columns:
+            if frame[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            ).any():
+                problems.append(
+                    f"{side}.{c} holds array/struct cells (unhashable in"
+                    f" the driver's canonicalizer)"
+                )
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -102,6 +132,11 @@ def main() -> int:
                 diff_s = list((sset - dset).items())[:3]
                 diff_d = list((dset - sset).items())[:3]
                 problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
+        if not problems:
+            # driver fidelity: the real gate hashes through pandas, where a
+            # HUGEINT→float64 vs int64 split or an array-typed cell fails
+            # even when python-level values compare equal (round-3 reds)
+            problems.extend(_driver_fidelity(sdf, con, oracles[name]))
         if problems:
             print(f"FAIL  {name}: " + " | ".join(problems)[:800])
             failures += 1
