@@ -1271,3 +1271,168 @@ ORACLE = {
     "shard_shuffle_manifest": _SQL_SHUFFLE,
     "length_bucket_audit": _SQL_LENGTH_BUCKETS,
 }
+
+
+# ---------------------------------------------------------------------------
+# Character-entropy quality gate (fixed alphabet, zero-shuffle scoring)
+# ---------------------------------------------------------------------------
+
+_ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
+_ENT_LOW_MICRO = 2_500_000  # 2.5 nats — below this a doc reads as repetitive
+
+
+def _entropy_exprs(div: str) -> tuple[str, str]:
+    """Generate the shared count/entropy SQL for a FIXED 27-char alphabet.
+
+    Per-char counts use the classic length-difference trick
+    ``length(t) - length(replace(t, c, ''))`` — pure scalar expressions
+    both engines codegen identically; ``div`` is the only dialect split
+    (Spark ``div`` vs DuckDB ``//``).
+    """
+    cnts = [
+        f"(length(t) - length(replace(t, '{c}', ''))) AS c{i}"
+        for i, c in enumerate(_ENT_ALPHABET)
+    ]
+    n = "(" + " + ".join(f"c{i}" for i in range(len(_ENT_ALPHABET))) + ") AS n"
+    terms = " + ".join(
+        f"(CASE WHEN c{i} > 0 THEN c{i} * CAST(ROUND((LN(n) - LN(c{i}))"
+        f" * 1000000) AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(len(_ENT_ALPHABET))
+    )
+    return cnts, n, f"({terms}) {div} n"
+
+
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document over a fixed 27-char
+    alphabet (a–z + space), rolled up per lang: the cheapest gibberish /
+    mojibake / repetition detector a crawl-filtering pipeline runs before
+    any tokenization. Low-entropy docs (< 2.5 nats) are the flag count.
+
+    Determinism: per-char log terms are quantized to integer micro-nats
+    once, per-doc entropy is a bigint-sum integer division — no float
+    ever re-accumulates across rows or engines.
+
+    Scale: the entire per-doc score is 27 codegen'd scalar expressions
+    (length-difference counting — no explode, no per-char shuffle, no
+    UDF); the only exchange is the final 2-group rollup with map-side
+    partials. This is the shape that survives 100 TB: scoring rides the
+    scan.
+    """
+    cnts, n_sql, ent_sql = _entropy_exprs("div")
+    docs = load_table(spark, sf_dir, "documents")
+    scored = (
+        docs.selectExpr("doc_id", "lang", "lower(text) AS t")
+        .selectExpr("doc_id", "lang", *cnts)
+        .selectExpr("*", n_sql)
+        .where(F.col("n") > 0)
+        .selectExpr("doc_id", "lang", f"{ent_sql} AS entropy_micro")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("entropy_micro") < _ENT_LOW_MICRO).cast("long"))
+            .cast("long")
+            .alias("n_low_entropy"),
+            F.min("entropy_micro").cast("long").alias("min_entropy_micro"),
+            F.max("entropy_micro").cast("long").alias("max_entropy_micro"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_char_entropy() -> str:
+    cnts, n_sql, ent_sql = _entropy_exprs("//")
+    return f"""
+WITH lowered AS (
+  SELECT doc_id, lang, lower(text) AS t FROM documents
+), counted0 AS (
+  SELECT doc_id, lang, {", ".join(cnts)} FROM lowered
+), counted AS (
+  SELECT *, {n_sql} FROM counted0
+), scored AS (
+  SELECT doc_id, lang, {ent_sql} AS entropy_micro
+  FROM counted WHERE n > 0
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN entropy_micro < {_ENT_LOW_MICRO} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_entropy,
+       CAST(MIN(entropy_micro) AS BIGINT) AS min_entropy_micro,
+       CAST(MAX(entropy_micro) AS BIGINT) AS max_entropy_micro
+FROM scored
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+QUERIES["char_entropy"] = char_entropy
+ORACLE["char_entropy"] = _sql_char_entropy()
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroids (integer-exact cluster statistics)
+# ---------------------------------------------------------------------------
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding table, component-exact: every
+    float component is quantized once to integer micro-units, per-(label,
+    dim) sums are bigint, and the centroid component is integer division
+    — the k-means-update / class-prototype statistic with none of the
+    float-summation nondeterminism that makes naive AVG(embedding[i])
+    engine- and partitioning-dependent. float→double widening is exact,
+    so both engines quantize identical doubles.
+
+    Scale: posexplode ships (label, dim, micro) triples — 16 bytes of
+    payload per component — into ONE groupBy(label, dim) shuffle with
+    map-side partials; output is |labels|·dims rows, data-independent.
+    This is exactly how distributed k-means updates centroids (sum +
+    count per dim), so the shape is the 100 TB shape by construction.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "label",
+        F.posexplode(F.col("embedding")).alias("dim", "val"),
+    ).select(
+        "label",
+        F.col("dim").cast("long").alias("dim"),
+        F.expr("cast(round(cast(val as double) * 1000000) as long)").alias("q"),
+    )
+    return (
+        comps.groupBy("label", "dim")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.expr("sum(q) div count(*)").alias("centroid_micro"),
+        )
+        .select(
+            F.col("label").cast("long").alias("label"),
+            "dim",
+            "n_vecs",
+            "centroid_micro",
+        )
+        .orderBy("label", "dim")
+    )
+
+
+_SQL_CENTROIDS = """
+WITH comps AS (
+  SELECT label, UNNEST(range(0, len(embedding))) AS dim,
+         UNNEST(embedding) AS val
+  FROM embeddings
+), q AS (
+  SELECT label, dim,
+         CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q
+  FROM comps
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(q) // COUNT(*) AS BIGINT) AS centroid_micro
+FROM q
+GROUP BY label, dim
+ORDER BY label, dim
+"""
+
+QUERIES["embedding_centroids"] = embedding_centroids
+ORACLE["embedding_centroids"] = _SQL_CENTROIDS

@@ -1952,6 +1952,155 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus frequency spectrum
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOPK = 100
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of ln(freq) on ln(rank) over the top-100 token
+    frequencies — the Zipf-exponent health check run on every new crawl
+    slice (a natural-language corpus fits slope ≈ −1; a collapsed or
+    templated corpus doesn't). One summary row: slope, intercept-free
+    fit size, and the top term.
+
+    Determinism: regr_slope over doubles is summation-order-dependent, so
+    both engines instead quantize ln(rank)/ln(freq) to integer micro-nats
+    and evaluate the closed-form OLS slope in pure bigint arithmetic —
+    ``(n·Σxy − Σx·Σy) div ((n·Σx² − (Σx)²) div 1e6)`` — bit-identical at
+    any partitioning. The micro-scaling divides the DENOMINATOR down
+    (denominator ≈ n²·var(x) ≈ 1e16 micro² — relative truncation error
+    ~1e-10) because scaling the numerator UP would overflow int64; both
+    engines' integer division truncates toward zero, so the math is
+    engine-identical either way.
+
+    Scale: the word count is the only corpus-wide shuffle; the rank
+    window and OLS run on a 100-row frame. Rank ties break by term so
+    the cut is total-order deterministic.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("freq"), F.asc("term"))),
+        )
+        .where(F.col("rank") <= _ZIPF_TOPK)
+        .selectExpr(
+            "term",
+            "rank",
+            "cast(round(ln(rank) * 1000000) as long) AS x",
+            "cast(round(ln(freq) * 1000000) as long) AS y",
+        )
+    )
+    return top.agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.expr(
+            "cast((count(*) * sum(x * y) - sum(x) * sum(y))"
+            "     div ((count(*) * sum(x * x) - sum(x) * sum(x))"
+            "          div 1000000) as long)"
+        ).alias("slope_micro"),
+        F.expr("min(case when rank = 1 then term end)").alias("top_term"),
+    )
+
+
+_SQL_ZIPF = rf"""
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            t -> t <> '')) AS term
+  FROM documents
+), freq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1
+), top AS (
+  SELECT term, rank, CAST(ROUND(LN(rank) * 1000000) AS BIGINT) AS x,
+         CAST(ROUND(LN(freq) * 1000000) AS BIGINT) AS y
+  FROM (
+    SELECT term, freq,
+           ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+    FROM freq
+  ) r
+  WHERE rank <= {_ZIPF_TOPK}
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       CAST((COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))
+            // ((COUNT(*) * SUM(x * x) - SUM(x) * SUM(x)) // 1000000)
+            AS BIGINT) AS slope_micro,
+       MIN(CASE WHEN rank = 1 THEN term END) AS top_term
+FROM top
+"""
+
+
+# ---------------------------------------------------------------------------
+# Dedup representative selection (keep-best per duplicate group)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection over exact-duplicate groups: within each
+    normalized-text fingerprint group keep the BEST copy (longest
+    ``n_chars``, doc_id as the total-order tiebreak) rather than the
+    first-seen one — the policy real curation pipelines apply so dedup
+    never discards the highest-quality variant. Per-source manifest:
+    docs in, survivors out, duplicates dropped, and the byte mass the
+    drop saves.
+
+    Scale: same single fingerprint-hash shuffle as ``dedup_exact`` (the
+    128-bit fp rides the exchange, never the text); the keep-best rule is
+    one row_number window on that distribution, then a tiny per-source
+    rollup with map-side partials.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    ranked = docs.withColumn("fp", X.fingerprint("text")).withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("long")
+    )
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            (F.count("*") - F.sum("keep")).cast("long").alias("n_dropped"),
+            F.sum(
+                F.when(F.col("keep") == 0, F.col("n_chars")).otherwise(0)
+            )
+            .cast("long")
+            .alias("dropped_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_KEEP_BEST = r"""
+WITH ranked AS (
+  SELECT source, n_chars,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                ORDER BY n_chars DESC, doc_id ASC) = 1
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN keep = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS dropped_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_near_ngram": dedup_near_ngram,
@@ -1982,10 +2131,14 @@ QUERIES = {
     "multimodal_audio": multimodal_audio,
     "multimodal_video": multimodal_video,
     "multimodal_pipeline": multimodal_pipeline,
+    "zipf_fit": zipf_fit,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE = {
     "dedup_exact": _SQL_DEDUP_EXACT,
+    "zipf_fit": _SQL_ZIPF,
+    "dedup_keep_best": _SQL_KEEP_BEST,
     "dedup_near_ngram": _SQL_NEAR_NGRAM,
     "dedup_clusters": _SQL_CLUSTERS,
     # same contract & oracle as the exact form (deterministic recall ≈ 1):

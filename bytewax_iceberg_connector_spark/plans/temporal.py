@@ -245,12 +245,117 @@ ORDER BY user_id, h
 """
 
 # ---------------------------------------------------------------------------
+# SCD Type-2 dimension history (gaps-and-islands run collapse)
+# ---------------------------------------------------------------------------
+
+
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build: each user's event_type
+    stream becomes a versioned history — consecutive runs of the same
+    state collapse to one interval with ``valid_from``/``valid_to``
+    (NULL = current), the table shape every warehouse dimension load
+    produces (Kimball SCD2; the lake layer's MERGE is the other half).
+    Rolled up per state so the result is bounded: interval count, closed
+    count, and total closed duration in exact integer seconds.
+
+    Gaps-and-islands: a lag-change flag and its running sum assign run
+    ids; ``valid_to`` is the lead of the next run's start. Every window
+    is partitioned by ``user_id`` and ordered by (ts, event_id) — the
+    event_id tiebreak makes run assignment total-order deterministic.
+
+    Scale: ONE hash exchange on user_id feeds the lag window, the
+    run-group aggregate, and the lead window (Catalyst reuses the same
+    distribution); the final state rollup is a 5-row aggregate with
+    map-side partials. No self-joins, no global sort.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id",
+        F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+    )
+    wr = Window.partitionBy("user_id").orderBy("valid_from")
+    hist = runs.withColumn("valid_to", F.lead("valid_from").over(wr))
+    return (
+        hist.groupBy("state")
+        .agg(
+            F.count("*").cast("long").alias("n_intervals"),
+            F.sum(F.col("valid_to").isNotNull().cast("long"))
+            .cast("long")
+            .alias("n_closed"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("valid_to").isNotNull(),
+                        F.unix_timestamp("valid_to")
+                        - F.unix_timestamp("valid_from"),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("closed_sec"),
+        )
+        .orderBy("state")
+    )
+
+
+_SQL_SCD2 = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs0 AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS run_id
+  FROM flagged
+), runs AS (
+  SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS valid_from
+  FROM runs0 GROUP BY 1, 2
+), hist AS (
+  SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+              AS valid_to
+  FROM runs
+)
+SELECT state,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(CASE WHEN valid_to IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_closed,
+       CAST(COALESCE(SUM(CASE WHEN valid_to IS NOT NULL
+                              THEN date_diff('second', valid_from, valid_to)
+                         END), 0) AS BIGINT) AS closed_sec
+FROM hist
+GROUP BY state
+ORDER BY state
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "asof_join_events": asof_join_events,
     "asof_join_forward": asof_join_forward,
     "range_join_bands": range_join_bands,
     "gapfill_locf": gapfill_locf,
+    "scd2_history": scd2_history,
 }
 
 ORACLE = {
@@ -258,4 +363,5 @@ ORACLE = {
     "asof_join_forward": _SQL_ASOF_FWD,
     "range_join_bands": _SQL_RANGE,
     "gapfill_locf": _SQL_GAPFILL,
+    "scd2_history": _SQL_SCD2,
 }
