@@ -389,17 +389,21 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the grand totals ride the SAME single-partition window stage as the
+    # cumulative sums (same ordering → one Window operator, one scan) —
+    # a separate totals aggregate would re-execute the whole subtree
     cum = bins.select(
         "bin",
         F.sum("a_n").over(w).alias("cum_a"),
         F.sum("b_n").over(w).alias("cum_b"),
-    )
-    tot = cum.agg(
-        F.max("cum_a").alias("n_a"), F.max("cum_b").alias("n_b")
+        F.sum("a_n").over(wall).alias("n_a"),
+        F.sum("b_n").over(wall).alias("n_b"),
     )
     return (
-        cum.crossJoin(F.broadcast(tot))
-        .groupBy("n_a", "n_b")
+        cum.groupBy("n_a", "n_b")
         .agg(
             F.expr(
                 "cast(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000"

@@ -418,3 +418,51 @@ def test_shard_shuffle_is_projection_plus_one_exchange(spark, sf_dir):
     plan = _plan(shard_shuffle_manifest(spark, sf_dir))
     assert "BatchEvalPython" not in plan  # no row-at-a-time python
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_char_entropy_scores_at_scan_speed(spark, sf_dir):
+    """The 27-char entropy score must be pure codegen'd projections — no
+    explode, no UDF, no shuffle before the final per-lang rollup."""
+    from bytewax_iceberg_connector_spark.plans.curation import char_entropy
+
+    plan = _plan(char_entropy(spark, sf_dir))
+    assert "Generate" not in plan          # no explode
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_ks_drift_compresses_to_bins_before_window(spark, sf_dir):
+    """KS must aggregate events to ≤~500 bin rows (map-side partials)
+    BEFORE any window/sort; the events table itself is never globally
+    sorted."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import ks_drift
+
+    plan = _plan(ks_drift(spark, sf_dir))
+    assert "HashAggregate" in plan
+    # the event_type IN filter reaches the parquet scan
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
+    # ONE scan: cumulative sums AND grand totals share the same window
+    # stage — a totals cross-join would duplicate the whole subtree
+    assert len(re.findall(r"FileScan parquet", plan)) == 1
+    assert "Join" not in plan
+
+
+def test_scd2_reuses_one_user_exchange(spark, sf_dir):
+    """lag-flag window, run-group aggregate, and lead window must all ride
+    ONE hashpartitioning(user_id) exchange."""
+    from bytewax_iceberg_connector_spark.plans.temporal import scd2_history
+
+    plan = _plan(scd2_history(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_embedding_centroids_single_component_shuffle(spark, sf_dir):
+    """Centroid update = posexplode to (label, dim, micro) triples, then
+    ONE partial-aggregated exchange — the distributed k-means shape."""
+    from bytewax_iceberg_connector_spark.plans.curation import embedding_centroids
+
+    plan = _plan(embedding_centroids(spark, sf_dir))
+    assert "Generate" in plan  # posexplode
+    assert len(re.findall(r"Exchange hashpartitioning\(label", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
