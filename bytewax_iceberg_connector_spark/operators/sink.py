@@ -52,6 +52,21 @@ from .partitioning import PartitionField, partition_columns, partition_key
 from .snapshots import SnapshotLog
 
 
+def _iceberg_transform_sql(f: PartitionField) -> str:
+    """Render a PartitionField as Iceberg DDL transform syntax
+    (``days(ts)``, ``bucket(16, id)``, ``col``)."""
+    t = f.transform.strip().lower().replace("(", "[").replace(")", "]")
+    if t == "identity":
+        return f.source
+    if t in ("year", "month", "day", "hour"):
+        return f"{t}s({f.source})"
+    if t.startswith("bucket["):
+        return f"bucket({int(t[len('bucket['):-1])}, {f.source})"
+    if t.startswith("truncate["):
+        return f"truncate({int(t[len('truncate['):-1])}, {f.source})"
+    raise ValueError(f"unsupported partition transform: {f.transform!r}")
+
+
 def iceberg_runtime_available(spark: SparkSession) -> bool:
     """True when iceberg-spark-runtime is on the JVM classpath."""
     try:
@@ -104,6 +119,14 @@ class LakeSink:
 
     @property
     def _spec(self) -> list[PartitionField]:
+        # an existing parquet-backend table owns its spec (it may have
+        # EVOLVED past the config since creation — evolve_partition_spec);
+        # config only seeds the spec at create time. Real Iceberg likewise
+        # reads the spec from table metadata, never from writer config.
+        if self.backend == "parquet" and self._log.exists():
+            meta_spec = self._log.table_meta().get("partition_spec")
+            if meta_spec is not None:
+                return [PartitionField(*f) for f in meta_spec]
         return [PartitionField(*f) if not isinstance(f, PartitionField) else f
                 for f in (self.config.partition_spec or [])]
 
@@ -319,6 +342,16 @@ class LakeSink:
             w = w.partitionBy(*pcols)
         w.save(path)
         self._write_commit_stats(keyed, path)
+        # record which partition layout this commit dir was written under —
+        # the per-manifest spec_id of Iceberg: read() groups dirs by it so
+        # a table whose spec EVOLVED mid-history still scans cleanly
+        with open(os.path.join(path, "_bic_spec.json"), "w") as f:
+            json.dump(
+                {"spec_id": self._log.current_spec_id()
+                 if self._log.exists() else 0,
+                 "pcols": pcols},
+                f,
+            )
         self._log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
@@ -762,9 +795,85 @@ class LakeSink:
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             return self.spark.createDataFrame([], schema)
-        reader = self.spark.read.option("basePath", self._log.data_dir)
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        # `_c` is the commit-dir partition component — implementation
-        # detail, dropped from the user-visible schema
-        return reader.format(self._file_format()).load(dirs).drop("_c")
+
+        def _load(group: list[str]) -> DataFrame:
+            reader = self.spark.read.option("basePath", self._log.data_dir)
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            # `_c` is the commit-dir partition component — implementation
+            # detail, dropped from the user-visible schema
+            return reader.format(self._file_format()).load(group).drop("_c")
+
+        groups = self._dirs_by_layout(dirs)
+        if len(groups) == 1:
+            return _load(next(iter(groups.values())))
+        # partition evolution: commits written under different specs carry
+        # different _p_* directory keys; Spark's partition discovery
+        # rejects mixed layouts under one load, so scan each spec's dirs
+        # separately and union with null-fill — exactly how Iceberg reads
+        # across spec boundaries (each manifest knows its own spec)
+        out = None
+        for _, group in sorted(groups.items()):
+            part = _load(group)
+            out = part if out is None else out.unionByName(
+                part, allowMissingColumns=True
+            )
+        return out
+
+    def _dirs_by_layout(self, dirs: list[str]) -> dict[tuple, list[str]]:
+        """Group commit dirs by the partition layout they were written
+        under (``_bic_spec.json``, written at commit time). Dirs from
+        before evolution support existed have no marker and group under
+        the table's current column set — correct because a table can only
+        lack markers if it has never evolved."""
+        current = tuple(partition_columns(self._spec))
+        groups: dict[tuple, list[str]] = {}
+        for d in dirs:
+            try:
+                with open(os.path.join(d, "_bic_spec.json")) as f:
+                    key = tuple(json.load(f).get("pcols", []))
+            except (FileNotFoundError, json.JSONDecodeError):
+                key = current
+            groups.setdefault(key, []).append(d)
+        return groups
+
+    # -- partition evolution ----------------------------------------------
+
+    def evolve_partition_spec(
+        self, new_spec: list[PartitionField | tuple | list]
+    ) -> None:
+        """Change the table's partition spec WITHOUT rewriting any data
+        (Iceberg partition evolution, a metadata-only operation): commits
+        after this call lay files out under the new transforms; history
+        and time travel keep every older commit in its original layout,
+        and :meth:`read` unions across spec boundaries with null-fill on
+        the layout columns — the split-planning behavior of Iceberg's
+        per-manifest spec ids.
+
+        Iceberg backend: issued as ALTER TABLE DROP/ADD PARTITION FIELD
+        statements (the runtime records the new spec in table metadata).
+        """
+        fields = [
+            f if isinstance(f, PartitionField) else PartitionField(*f)
+            for f in new_spec
+        ]
+        if self.backend == "iceberg":
+            for f in self._spec:
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified} "
+                    f"DROP PARTITION FIELD {_iceberg_transform_sql(f)}"
+                )
+            for f in fields:
+                self.spark.sql(
+                    f"ALTER TABLE {self._qualified} "
+                    f"ADD PARTITION FIELD {_iceberg_transform_sql(f)}"
+                )
+            return
+        if not self._log.exists():
+            raise ValueError(
+                "cannot evolve the partition spec of a table that does not "
+                "exist yet — set config.partition_spec for creation instead"
+            )
+        self._log.evolve_spec(
+            [[f.source, f.transform, f.field_name] for f in fields]
+        )

@@ -63,6 +63,34 @@ class SnapshotLog:
         with open(os.path.join(self.meta_dir, "table.json")) as f:
             return json.load(f)
 
+    # -- partition-spec evolution ------------------------------------------
+
+    def current_spec_id(self) -> int:
+        """Current partition-spec id (0 for tables created before
+        evolution existed — same default-spec-0 convention as Iceberg)."""
+        return int(self.table_meta().get("spec_id", 0))
+
+    def evolve_spec(self, new_spec: list[list]) -> int:
+        """Install a NEW partition spec (Iceberg partition evolution):
+        the current spec is archived under ``spec_history``, ``spec_id``
+        bumps, and only commits written AFTER this call use the new
+        layout — existing data files are never rewritten, exactly the
+        Iceberg contract (spec evolution is a metadata-only operation).
+
+        Returns the new spec id. Safe against concurrent data commits:
+        they create v-files and never touch table.json; two concurrent
+        evolves are last-wins (same as Iceberg's metadata swap at this
+        fallback's fidelity level).
+        """
+        meta = self.table_meta()
+        old_id = int(meta.get("spec_id", 0))
+        history = meta.setdefault("spec_history", {})
+        history[str(old_id)] = meta.get("partition_spec", [])
+        meta["partition_spec"] = [list(f) for f in new_spec]
+        meta["spec_id"] = old_id + 1
+        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
+        return old_id + 1
+
     # -- snapshot access ---------------------------------------------------
 
     def _max_version(self) -> int:

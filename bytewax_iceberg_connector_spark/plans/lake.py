@@ -358,8 +358,72 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# B23h: partition evolution — spec change mid-history, one seamless scan
+# ---------------------------------------------------------------------------
+
+
+def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition evolution end-to-end: half the events land under a
+    day(ts) spec, the spec evolves to identity(event_type) — a
+    metadata-only operation, no rewrite — and the second half lands under
+    the new layout. One read() then scans ACROSS the spec boundary
+    (per-commit spec ids, union with null-fill on layout columns — how
+    Iceberg plans scans over evolved tables) and must account for every
+    row exactly once; per-commit-era accounting proves both halves.
+
+    The oracle reproduces the same split (event_id parity) straight from
+    the source table, so any row lost/duplicated at the spec boundary
+    diverges. Citation: Iceberg spec §Partition Evolution;
+    operators/sink.py::evolve_partition_spec.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    warehouse = tempfile.mkdtemp(prefix="bic_evolve_")
+    cfg = IcebergSinkConfig(
+        table_name="analytics.events_evolved",
+        warehouse_path=warehouse,
+        num_partitions=4,
+        partition_spec=[("ts", "day")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(ev.where(F.col("event_id") % 2 == 0))
+    sink.evolve_partition_spec([("event_type", "identity")])
+    sink.append(ev.where(F.col("event_id") % 2 == 1))
+    back = sink.read()
+    out = (
+        back.withColumn(
+            "era",
+            F.when(F.col("_p_ts_day").isNotNull(), "day_spec").otherwise(
+                "type_spec"
+            ),
+        )
+        .groupBy("era")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+        .orderBy("era")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_EVOLUTION = """
+SELECT CASE WHEN event_id % 2 = 0 THEN 'day_spec' ELSE 'type_spec' END AS era,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_id) AS n_distinct_ids,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+GROUP BY era
+ORDER BY era
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
+    "partition_evolution": partition_evolution,
     "stats_skipping_scan": stats_skipping_scan,
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_time_travel": snapshot_time_travel,
@@ -368,6 +432,7 @@ QUERIES = {
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
+    "partition_evolution": _SQL_EVOLUTION,
     "stats_skipping_scan": _SQL_STATS_SKIP,
     "merge_upsert_orders": _SQL_MERGE,
     "snapshot_time_travel": _SQL_TIME_TRAVEL,

@@ -132,3 +132,66 @@ def test_avro_without_package_raises_clearly(spark, tmp_path, events_df):
     else:
         with pytest.raises(ValueError, match="spark-avro"):
             sink.append(events_df)
+
+
+def test_partition_evolution_layout_and_union(spark, tmp_path, events_df):
+    """Iceberg partition evolution on the parquet backend: evolve the spec
+    mid-history, old commits keep their layout on disk, read() unions
+    across spec boundaries, appends after evolution use the new spec."""
+    sink = _sink(spark, tmp_path)          # spec: day(ts)
+    sink.append(events_df)
+    sink.evolve_partition_spec([("event_id", "bucket[4]")])
+    sink.append(events_df)
+
+    back = sink.read()
+    assert back.count() == 60
+    # both layouts' key columns surface, null-filled across the boundary
+    assert "_p_ts_day" in back.columns
+    assert "_p_event_id_bucket" in back.columns
+    assert back.where("_p_ts_day IS NULL").count() == 30
+    assert back.where("_p_event_id_bucket IS NULL").count() == 30
+
+    # on-disk: first commit day-partitioned, second bucket-partitioned
+    data_dir = os.path.join(str(tmp_path), "db", "events", "data")
+    layouts = set()
+    for c in os.listdir(data_dir):
+        if not c.startswith("_c="):
+            continue
+        subs = [d for d in os.listdir(os.path.join(data_dir, c))
+                if d.startswith("_p_")]
+        layouts.add(subs[0].split("=")[0] if subs else None)
+    assert layouts == {"_p_ts_day", "_p_event_id_bucket"}
+
+
+def test_partition_evolution_time_travel(spark, tmp_path, events_df):
+    """Snapshots before the evolution read back in their original layout
+    only — evolution is metadata-only and never rewrites history."""
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    v1 = sink._log.current_id()
+    sink.evolve_partition_spec([("event_id", "bucket[4]")])
+    sink.append(events_df)
+
+    old = sink.read(as_of=v1)
+    assert old.count() == 30
+    assert "_p_ts_day" in old.columns
+    assert "_p_event_id_bucket" not in old.columns
+    assert sink._log.current_spec_id() == 1
+
+
+def test_partition_evolution_values_survive(spark, tmp_path, events_df):
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    sink.evolve_partition_spec([])          # evolve to UNPARTITIONED
+    sink.append(events_df)
+    got = sorted((r.event_id, r.v) for r in sink.read().collect())
+    want = sorted(
+        (r.event_id, r.v) for r in events_df.union(events_df).collect()
+    )
+    assert got == want
+
+
+def test_evolve_missing_table_raises(spark, tmp_path):
+    sink = _sink(spark, tmp_path)
+    with pytest.raises(ValueError, match="does not exist"):
+        sink.evolve_partition_spec([("event_id", "identity")])
