@@ -453,7 +453,8 @@ class LakeSink:
     # -- MERGE (row-level upsert) -----------------------------------------
 
     def merge(self, updates: DataFrame, keys: list[str],
-              tiebreak: str | None = None) -> None:
+              tiebreak: str | None = None,
+              batch_id: int | None = None) -> None:
         """MERGE INTO this table: matched keys update, unmatched insert.
 
         iceberg backend: the real ``MERGE INTO`` statement (copy-on-write /
@@ -479,7 +480,7 @@ class LakeSink:
             current.select(*data_cols), updates.select(*data_cols),
             keys, tiebreak=tiebreak,
         )
-        self.overwrite(merged)
+        self.overwrite(merged, batch_id=batch_id)
 
     # -- time travel / maintenance ----------------------------------------
 
@@ -645,6 +646,57 @@ class LakeSink:
 
         return (
             df.writeStream.foreachBatch(_commit_batch)
+            .trigger(**trigger)
+            .option("checkpointLocation", checkpoint)
+            .start()
+        )
+
+    def write_stream_merge(self, df: DataFrame, checkpoint: str,
+                           keys: list[str],
+                           order_by: str | list[str] | None = None,
+                           trigger_override: dict | None = None):
+        """Streaming UPSERT: each micro-batch MERGEs into the table on
+        ``keys`` — the Spark CDC idiom (foreachBatch + MERGE INTO) that
+        turns a changelog stream into its latest-state table, which plain
+        ``write_stream`` (append-only, like the reference's sink) cannot
+        express.
+
+        ``order_by`` picks the within-batch winner when one micro-batch
+        carries several changes for a key (latest ``order_by`` wins;
+        required for correctness on compacted changelogs — MERGE forbids
+        duplicate source keys). Replay safety on the parquet backend:
+        batch ids are recorded in the snapshot log exactly as in
+        write_stream, so a replayed micro-batch after a crash is detected
+        and skipped instead of double-merged. The iceberg backend relies
+        on the engine-side checkpoint only (documented gap: a crash
+        between MERGE commit and checkpoint ack can re-merge one batch —
+        idempotent when updates are full-row, same caveat the Iceberg
+        docs give for foreachBatch MERGE).
+        """
+        trigger = trigger_override or self.config.trigger()
+
+        def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            if (self.backend == "parquet" and self.table_exists()
+                    and epoch_id in self._log.committed_batch_ids()):
+                return  # replayed micro-batch — already merged
+            if order_by is not None:
+                from pyspark.sql import Window
+
+                cols = [order_by] if isinstance(order_by, str) else order_by
+                w = Window.partitionBy(*keys).orderBy(
+                    *[F.desc(c) for c in cols]
+                )
+                batch_df = (
+                    batch_df.withColumn("_bic_rn", F.row_number().over(w))
+                    .where(F.col("_bic_rn") == 1)
+                    .drop("_bic_rn")
+                )
+            if not self.table_exists():
+                self.ensure_table(batch_df)
+            self.merge(batch_df, keys, batch_id=epoch_id)
+
+        return (
+            df.writeStream.foreachBatch(_merge_batch)
             .trigger(**trigger)
             .option("checkpointLocation", checkpoint)
             .start()

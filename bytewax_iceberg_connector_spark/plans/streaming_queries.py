@@ -253,8 +253,59 @@ ORDER BY user_id
 """
 
 
+def streaming_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog→latest-state upsert view, batch-replayable form: each
+    user's LATEST event (ts desc, event_id tiebreak) is their current
+    state; rolled up per state type. This is exactly the table
+    ``LakeSink.write_stream_merge`` (foreachBatch + MERGE, the Spark CDC
+    idiom) materializes from the stream — the streaming execution path
+    with replay-crash dedup is exercised in
+    tests/test_streaming.py::test_stream_merge_builds_latest_state; THIS
+    entry pins the declared upsert semantics under the oracle.
+
+    Scale: one row_number window on a user_id hash exchange (state-sized,
+    not changelog-sized, after the cut), then a 5-row rollup.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    latest = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+    )
+    return (
+        latest.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_UPSERT = """
+WITH latest AS (
+  SELECT user_id, event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM latest
+WHERE rn = 1
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
+    "streaming_upsert": streaming_upsert,
     "streaming_hopping": streaming_hopping,
     "streaming_session": streaming_session,
     "streaming_interval_join": streaming_interval_join,
@@ -264,6 +315,7 @@ QUERIES = {
 
 ORACLE = {
     "streaming_tumbling": _SQL_TUMBLING,
+    "streaming_upsert": _SQL_UPSERT,
     "streaming_hopping": _SQL_HOPPING,
     "streaming_session": _SQL_SESSION,
     "streaming_interval_join": _SQL_INTERVAL_JOIN,

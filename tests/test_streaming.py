@@ -311,3 +311,43 @@ def test_interval_join_left_outer_stream_matches_batch(spark, sf_dir, batch_even
     assert not (got - want)  # stream never invents rows
     missing = want - got
     assert all(r_ts is None and l_ts >= horizon for _, l_ts, r_ts in missing)
+
+
+def test_stream_merge_builds_latest_state(spark, sf_dir, tmp_path):
+    """write_stream_merge (foreachBatch + MERGE, the CDC-upsert idiom):
+    draining the events stream keyed on user_id must leave exactly the
+    latest-per-user state table, across however many micro-batches the
+    source splits into (maxFilesPerTrigger irrelevant: MERGE composes)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    stream = read_events_stream(spark, sf_dir)
+    cfg = IcebergSinkConfig(
+        table_name="db.user_state",
+        warehouse_path=str(tmp_path / "wh"),
+        batch_interval_seconds=1,
+    )
+    sink = LakeSink(spark, cfg)
+    q = sink.write_stream_merge(
+        stream, str(tmp_path / "cp_merge"), keys=["user_id"],
+        order_by=["ts", "event_id"],
+        trigger_override={"availableNow": True},
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.event_id) for r in sink.read().collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    want = {
+        (r.user_id, r.event_id)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1").collect()
+    }
+    assert got == want
+    # replayed batch ids are recorded for crash dedup
+    assert sink._log.committed_batch_ids()
