@@ -421,9 +421,72 @@ ORDER BY era
 """
 
 
+# ---------------------------------------------------------------------------
+# B23i: additive schema evolution — old rows null-fill, one seamless scan
+# ---------------------------------------------------------------------------
+
+
+def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution end-to-end (the upgrade over the
+    reference's "Static schemas only", reference README.md:68): half the
+    events commit under the original schema, the second half commits with
+    an ADDED ``quality`` column, and one ``read(merge_schema=True)`` scan
+    surfaces both eras — nulls for pre-evolution rows, exactly Iceberg's
+    add-column semantics. Per-type accounting of row counts, null counts,
+    and the decimal-exact quality mass proves no row is lost, duplicated,
+    or mis-filled at the schema boundary.
+
+    The oracle reproduces the same parity split from the source table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    warehouse = tempfile.mkdtemp(prefix="bic_schevo_")
+    cfg = IcebergSinkConfig(
+        table_name="analytics.events_schevo",
+        warehouse_path=warehouse,
+        num_partitions=4,
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(ev.where(F.col("event_id") % 2 == 0))
+    sink.append(
+        ev.where(F.col("event_id") % 2 == 1)
+        .withColumn("quality", F.col("value") * 2)
+    )
+    back = sink.read(merge_schema=True)
+    out = (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("quality").isNull().cast("long"))
+            .cast("long")
+            .alias("n_pre_evolution"),
+            dsum(F.coalesce(F.col("quality"), F.lit(0.0))).alias(
+                "quality_mass"
+            ),
+        )
+        .orderBy("event_type")
+    )
+    rows = out.collect()
+    shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
+_SQL_SCHEMA_EVOLUTION = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pre_evolution,
+       {sql_dsum("CASE WHEN event_id % 2 = 1 THEN value * 2 ELSE 0 END")}
+         AS quality_mass
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
     "partition_evolution": partition_evolution,
+    "schema_evolution": schema_evolution,
     "stats_skipping_scan": stats_skipping_scan,
     "merge_upsert_orders": merge_upsert_orders,
     "snapshot_time_travel": snapshot_time_travel,
@@ -433,6 +496,7 @@ QUERIES = {
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
     "partition_evolution": _SQL_EVOLUTION,
+    "schema_evolution": _SQL_SCHEMA_EVOLUTION,
     "stats_skipping_scan": _SQL_STATS_SKIP,
     "merge_upsert_orders": _SQL_MERGE,
     "snapshot_time_travel": _SQL_TIME_TRAVEL,

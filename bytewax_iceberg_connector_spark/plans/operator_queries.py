@@ -139,15 +139,70 @@ ORDER BY p_day, p_bucket
 """
 
 # ---------------------------------------------------------------------------
+# Salted skew join (operators/skew.py as a query)
+# ---------------------------------------------------------------------------
+
+_SALTS = 8
+
+
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the REAL salting operator (operators/skew.salted_join) on the
+    worst-case skewed join the schema offers — events on its 5-value
+    ``event_type`` key, where a plain shuffle join lands ~20% of the fact
+    table on ONE reducer — against a derived per-type dim, then roll up.
+    The oracle replays the UNSALTED join: salting must be row-invisible
+    (identical result, different partitioning), which is precisely the
+    operator's contract.
+
+    Scale: the salt spreads each hot key over 8 reducers; the dim side
+    replicates 8×5 = 40 rows — the documented dim-replication cost, noise
+    at any scale. Deterministic salt (content xxhash64, no rand()) keeps
+    task retries replay-identical.
+    """
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("click", 1), ("error", 0), ("purchase", 3),
+         ("signup", 2), ("view", 1)],
+        "event_type string, weight int",
+    )
+    joined = salted_join(ev, dim, on="event_type", n_salts=_SALTS)
+    return (
+        joined.groupBy("event_type", "weight")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            dsum(F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_SALTED = f"""
+WITH dim(event_type, weight) AS (
+  VALUES ('click', 1), ('error', 0), ('purchase', 3),
+         ('signup', 2), ('view', 1)
+)
+SELECT e.event_type, dim.weight,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('e.value * dim.weight')} AS weighted_value
+FROM events e JOIN dim USING (event_type)
+GROUP BY e.event_type, dim.weight
+ORDER BY e.event_type
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "validate_split": validate_split,
     "enrich_metadata": enrich_metadata,
     "partition_key_extract": partition_key_extract,
+    "skew_salted_join": skew_salted_join,
 }
 
 ORACLE = {
     "validate_split": _SQL_VALIDATE,
     "enrich_metadata": _SQL_ENRICH,
     "partition_key_extract": _SQL_PARTITION_KEY,
+    "skew_salted_join": _SQL_SALTED,
 }
