@@ -88,6 +88,27 @@ SHOWCASE = [
     ("shard_shuffle_manifest",
      "seeded shuffle key is a codegen md5 projection (no UDF, no RNG "
      "state); ONE narrow exchange to shards; manifest is shards-sized"),
+    ("char_entropy",
+     "27-char entropy score is pure codegen'd scalar expressions — no "
+     "explode, no UDF, zero shuffle before the per-lang rollup: scoring "
+     "rides the scan"),
+    ("ks_drift",
+     "events compress to <=~500 bin rows via ONE partial-aggregated "
+     "exchange; cumulative sums AND grand totals share the single-"
+     "partition window stage — one file scan, no join, no global sort "
+     "of raw values"),
+    ("scd2_history",
+     "lag flag, run-id running sum, and lead(valid_to) all ride ONE "
+     "hashpartitioning(user_id) exchange (Catalyst reuses the "
+     "distribution); final state rollup has map-side partials"),
+    ("embedding_centroids",
+     "posexplode ships 16-byte (label, dim, micro) triples into ONE "
+     "partial-aggregated exchange — the distributed k-means update "
+     "shape, bit-exact under any partitioning"),
+    ("skew_salted_join",
+     "hot 5-value key spreads over 8 salts (deterministic content hash, "
+     "no rand); dim replicates 8x — the shuffle is skew-free and the "
+     "result is row-identical to the unsalted join"),
 ]
 
 
