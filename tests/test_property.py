@@ -195,3 +195,101 @@ def test_asof_nearest_agrees_with_pandas(spark, frames):
             assert g_v is None, rec
         else:
             assert g_v == rec.value, (rec, g_v)
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: salted join row-invisibility, SCD2 conservation
+# ---------------------------------------------------------------------------
+
+_SKEW_ROWS = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 100)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(rows=_SKEW_ROWS, n_salts=st.sampled_from([1, 3, 8]))
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_salted_join_row_invisible(spark, rows, n_salts):
+    """salted_join's contract: row-identical to the plain join for ANY
+    fact multiset / salt count — only the partitioning may differ."""
+    from bytewax_iceberg_connector_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(rows, "k string, v int")
+    dims = spark.createDataFrame(
+        [("a", 10), ("b", 20), ("c", 30), ("d", 40)], "k string, w int"
+    )
+    got = sorted(map(tuple, salted_join(facts, dims, on="k",
+                                        n_salts=n_salts).collect()))
+    want = sorted(map(tuple, facts.join(dims, "k").collect()))
+    assert got == want
+
+
+_SCD_EVENTS = st.lists(
+    st.tuples(
+        st.integers(1, 3),                    # user
+        st.integers(0, 50),                   # minute offset
+        st.sampled_from(["x", "y"]),          # state
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(events=_SCD_EVENTS)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_conserves_time_and_intervals(spark, events):
+    """SCD2 invariants for ANY event stream: per user exactly one OPEN
+    interval; closed interval seconds sum to (last ts − first ts); the
+    interval count equals the number of state CHANGES + 1 (computed
+    independently in pandas)."""
+    import pandas as pd
+
+    rows = [
+        Row(
+            user_id=u,
+            ts=dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(minutes=m),
+            event_id=i,
+            event_type=s,
+        )
+        for i, (u, m, s) in enumerate(events)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # run the same pipeline scd2_history builds, on this frame
+    from pyspark.sql import Window
+
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = df.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(wo).isNull()
+            | (F.lag("event_type").over(wo) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "run_id", F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        F.min("ts").alias("valid_from")
+    )
+    wr = Window.partitionBy("user_id").orderBy("valid_from")
+    hist = runs.withColumn("valid_to", F.lead("valid_from").over(wr)).toPandas()
+
+    pdf = pd.DataFrame(
+        [(u, m, s, i) for i, (u, m, s) in enumerate(events)],
+        columns=["u", "m", "s", "i"],
+    ).sort_values(["u", "m", "i"])
+    for u, g in pdf.groupby("u"):
+        h = hist[hist.user_id == u]
+        assert (h.valid_to.isna()).sum() == 1           # one open interval
+        n_changes = (g.s != g.s.shift()).sum()          # first row counts as 1
+        assert len(h) == n_changes
+        closed = h.dropna(subset=["valid_to"])
+        total = (closed.valid_to - closed.valid_from).dt.total_seconds().sum()
+        # closed intervals tile [first event, start of the LAST run)
+        run_starts = g.m[(g.s != g.s.shift()).values]
+        span = (run_starts.iloc[-1] - g.m.iloc[0]) * 60
+        assert total == span
