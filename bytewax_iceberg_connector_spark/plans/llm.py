@@ -2101,8 +2101,102 @@ ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs the historical fingerprint index
+# ---------------------------------------------------------------------------
+
+_INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch"
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the shape production pipelines actually run:
+    a NEW crawl batch (every 7th doc stands in) is checked against the
+    HISTORICAL corpus's fingerprint index, not against itself + history
+    rescanned. Per-source manifest of the new batch: admitted docs,
+    rejected (fingerprint already in history), and rejected-within-batch
+    (duplicate of an admitted new doc, first-by-doc_id wins).
+
+    Scale: history contributes ONLY its 128-bit fingerprint column to a
+    left join on fp (at 100 TB the index is a fraction of corpus bytes
+    and is exactly what an Iceberg fingerprint table stores); the
+    within-batch tier is a window over the same fp exchange. Text never
+    shuffles. The fp index side would be the persisted dedup-state table
+    in a real pipeline — here derived in-query so the oracle can replay
+    it.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", X.fingerprint("text")
+    )
+    batch = docs.where(F.col("doc_id") % _INCR_STRIDE == 0)
+    history = docs.where(F.col("doc_id") % _INCR_STRIDE != 0)
+    hist_index = history.select("fp").distinct()
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    checked = (
+        batch.join(
+            hist_index.withColumn("in_hist", F.lit(1)), "fp", "left"
+        )
+        .withColumn("batch_rank", F.row_number().over(w))
+        .withColumn(
+            "verdict",
+            F.when(F.col("in_hist").isNotNull(), "dup_of_history")
+            .when(F.col("batch_rank") > 1, "dup_in_batch")
+            .otherwise("admitted"),
+        )
+    )
+    return (
+        checked.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.sum((F.col("verdict") == "admitted").cast("long"))
+            .cast("long")
+            .alias("n_admitted"),
+            F.sum((F.col("verdict") == "dup_of_history").cast("long"))
+            .cast("long")
+            .alias("n_dup_history"),
+            F.sum((F.col("verdict") == "dup_in_batch").cast("long"))
+            .cast("long")
+            .alias("n_dup_batch"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_DEDUP_INCR = rf"""
+WITH fp AS (
+  SELECT doc_id, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+), batch AS (
+  SELECT * FROM fp WHERE doc_id % {_INCR_STRIDE} = 0
+), hist AS (
+  SELECT DISTINCT fp FROM fp WHERE doc_id % {_INCR_STRIDE} <> 0
+), checked AS (
+  SELECT b.source,
+         CASE WHEN h.fp IS NOT NULL THEN 'dup_of_history'
+              WHEN ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) > 1
+                THEN 'dup_in_batch'
+              ELSE 'admitted' END AS verdict
+  FROM batch b LEFT JOIN hist h ON b.fp = h.fp
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN verdict = 'admitted' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_admitted,
+       CAST(SUM(CASE WHEN verdict = 'dup_of_history' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_history,
+       CAST(SUM(CASE WHEN verdict = 'dup_in_batch' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_batch
+FROM checked
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
+    "dedup_incremental": dedup_incremental,
     "dedup_near_ngram": dedup_near_ngram,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2139,6 +2233,7 @@ ORACLE = {
     "dedup_exact": _SQL_DEDUP_EXACT,
     "zipf_fit": _SQL_ZIPF,
     "dedup_keep_best": _SQL_KEEP_BEST,
+    "dedup_incremental": _SQL_DEDUP_INCR,
     "dedup_near_ngram": _SQL_NEAR_NGRAM,
     "dedup_clusters": _SQL_CLUSTERS,
     # same contract & oracle as the exact form (deterministic recall ≈ 1):

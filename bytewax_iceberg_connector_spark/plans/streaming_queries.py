@@ -303,9 +303,96 @@ ORDER BY event_type
 """
 
 
+_LATE_DELAY_MIN = 30
+
+
+def streaming_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, batch-replayable: replaying each
+    event_type's stream in ARRIVAL order (event_id is the arrival
+    sequence), an event is late iff it arrives after the stream's
+    watermark — running max event time minus 30 min — has passed its own
+    timestamp; exactly the rows `withWatermark('ts', '30 minutes')`
+    drops from a streaming aggregate. Per-type: late count, late ppm
+    (bigint division), and the worst lateness in seconds — the numbers
+    that justify a watermark setting before deploying the streaming job.
+
+    Scale: one hash exchange on event_type feeds the running-max window
+    (arrival order within the partition); the rollup rides the same
+    distribution. A GLOBAL watermark would need a single-partition
+    running max — per-key watermark is the scale-correct form (and how
+    multi-source streams track watermarks per partition anyway).
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    marked = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(w).alias("high_water"),
+    ).withColumn(
+        "late_sec",
+        (
+            F.unix_timestamp("high_water")
+            - F.lit(_LATE_DELAY_MIN * 60)
+            - F.unix_timestamp("ts")
+        ),
+    )
+    return (
+        marked.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum((F.col("late_sec") > 0).cast("long"))
+            .cast("long")
+            .alias("n_late"),
+            F.expr(
+                "cast(sum(cast(late_sec > 0 as long)) * 1000000"
+                "     div count(*) as long)"
+            ).alias("late_ppm"),
+            F.coalesce(
+                F.max(F.when(F.col("late_sec") > 0, F.col("late_sec"))),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("max_late_sec"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_LATE = f"""
+WITH marked AS (
+  SELECT event_type, ts,
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS high_water
+  FROM events
+), scored AS (
+  SELECT event_type,
+         date_diff('second', ts, high_water) - {_LATE_DELAY_MIN * 60}
+           AS late_sec
+  FROM marked
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_late,
+       CAST(SUM(CASE WHEN late_sec > 0 THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS late_ppm,
+       CAST(COALESCE(MAX(CASE WHEN late_sec > 0 THEN late_sec END), 0)
+            AS BIGINT) AS max_late_sec
+FROM scored
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_upsert": streaming_upsert,
+    "streaming_late_events": streaming_late_events,
     "streaming_hopping": streaming_hopping,
     "streaming_session": streaming_session,
     "streaming_interval_join": streaming_interval_join,
@@ -316,6 +403,7 @@ QUERIES = {
 ORACLE = {
     "streaming_tumbling": _SQL_TUMBLING,
     "streaming_upsert": _SQL_UPSERT,
+    "streaming_late_events": _SQL_LATE,
     "streaming_hopping": _SQL_HOPPING,
     "streaming_session": _SQL_SESSION,
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
