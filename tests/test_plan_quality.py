@@ -466,3 +466,27 @@ def test_embedding_centroids_single_component_shuffle(spark, sf_dir):
     assert "Generate" in plan  # posexplode
     assert len(re.findall(r"Exchange hashpartitioning\(label", plan)) == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dedup_incremental_shuffles_fp_not_text(spark, sf_dir):
+    """Incremental dedup must join batch→history on the 128-bit
+    fingerprint; document text never reaches an exchange."""
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_incremental
+
+    plan = _plan(dedup_incremental(spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1)
+    assert "CartesianProduct" not in plan
+
+
+def test_streaming_late_events_single_type_exchange(spark, sf_dir):
+    """The per-type watermark replay must ride ONE event_type exchange —
+    running-max window and rollup share the distribution; no global
+    (single-partition) watermark sort."""
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        streaming_late_events,
+    )
+
+    plan = _plan(streaming_late_events(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) == 1
+    assert "Exchange SinglePartition" not in plan
