@@ -37,31 +37,43 @@ from pyspark.sql import functions as F
 _TIME_TRUNCS = {"year": "year", "month": "month", "day": "day", "hour": "hour"}
 
 
+def parse_transform(transform: str) -> tuple[str, int | None]:
+    """Normalize an Iceberg transform spec string to ``(kind, param)``.
+
+    Accepted: ``identity``, ``void``, ``year|month|day|hour``,
+    ``bucket[N]``, ``truncate[W]`` (bracket or parenthesis syntax).
+    The single parser behind both the Column compiler and the Iceberg
+    DDL renderer — one place to extend when a transform is added.
+    """
+    t = transform.strip().lower().replace("(", "[").replace(")", "]")
+    if t in ("identity", "void") or t in _TIME_TRUNCS:
+        return t, None
+    for kind in ("bucket", "truncate"):
+        if t.startswith(f"{kind}[") and t.endswith("]"):
+            return kind, int(t[len(kind) + 1:-1])
+    raise ValueError(f"unsupported partition transform: {transform!r}")
+
+
 def transform_column(source: str, transform: str, dtype: str = "") -> Column:
     """Compile one Iceberg transform spec string to a Column.
 
-    Accepted: ``identity``, ``void``, ``year|month|day|hour``, ``bucket[N]``,
-    ``truncate[W]`` (bracket or parenthesis syntax). ``dtype`` (Spark
-    simpleString) picks the truncate flavor — string width vs numeric floor.
+    ``dtype`` (Spark simpleString) picks the truncate flavor — string
+    width vs numeric floor.
     """
-    t = transform.strip().lower().replace("(", "[").replace(")", "]")
-    if t == "identity":
+    kind, param = parse_transform(transform)
+    if kind == "identity":
         return F.col(source)
-    if t == "void":
+    if kind == "void":
         return F.lit(None)
-    if t in _TIME_TRUNCS:
-        return F.date_trunc(_TIME_TRUNCS[t], F.col(source))
-    if t.startswith("bucket["):
-        n = int(t[len("bucket["):-1])
-        return F.pmod(F.hash(F.col(source)), F.lit(n))
-    if t.startswith("truncate["):
-        w = int(t[len("truncate["):-1])
-        if dtype.startswith("string"):
-            return F.substring(F.col(source), 1, w)
-        # Iceberg spec int truncate: v - (((v % W) + W) % W), negative-safe
-        c = F.col(source)
-        return c - F.pmod(F.pmod(c, F.lit(w)) + F.lit(w), F.lit(w))
-    raise ValueError(f"unsupported partition transform: {transform!r}")
+    if kind in _TIME_TRUNCS:
+        return F.date_trunc(_TIME_TRUNCS[kind], F.col(source))
+    if kind == "bucket":
+        return F.pmod(F.hash(F.col(source)), F.lit(param))
+    # truncate: Iceberg spec int form v - (((v % W) + W) % W), negative-safe
+    if dtype.startswith("string"):
+        return F.substring(F.col(source), 1, param)
+    c = F.col(source)
+    return c - F.pmod(F.pmod(c, F.lit(param)) + F.lit(param), F.lit(param))
 
 
 @dataclass(frozen=True)

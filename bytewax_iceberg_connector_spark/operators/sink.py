@@ -48,23 +48,30 @@ from pyspark.sql.types import StructType
 from ..config import IcebergSinkConfig
 from ..functions.zorder import zorder_key
 from .merge import merge_upsert
-from .partitioning import PartitionField, partition_columns, partition_key
+from .partitioning import (
+    PartitionField,
+    parse_transform,
+    partition_columns,
+    partition_key,
+)
 from .snapshots import SnapshotLog
 
 
 def _iceberg_transform_sql(f: PartitionField) -> str:
     """Render a PartitionField as Iceberg DDL transform syntax
-    (``days(ts)``, ``bucket(16, id)``, ``col``)."""
-    t = f.transform.strip().lower().replace("(", "[").replace(")", "]")
-    if t == "identity":
+    (``days(ts)``, ``bucket(16, id)``, ``col``). ``void`` has no DDL
+    partition-field form — rejecting it here is correct (Iceberg models
+    void as a DROPPED field, not an addable one)."""
+    kind, param = parse_transform(f.transform)
+    if kind == "identity":
         return f.source
-    if t in ("year", "month", "day", "hour"):
-        return f"{t}s({f.source})"
-    if t.startswith("bucket["):
-        return f"bucket({int(t[len('bucket['):-1])}, {f.source})"
-    if t.startswith("truncate["):
-        return f"truncate({int(t[len('truncate['):-1])}, {f.source})"
-    raise ValueError(f"unsupported partition transform: {f.transform!r}")
+    if kind in ("year", "month", "day", "hour"):
+        return f"{kind}s({f.source})"
+    if kind in ("bucket", "truncate"):
+        return f"{kind}({param}, {f.source})"
+    raise ValueError(
+        f"transform {f.transform!r} has no Iceberg DDL partition-field form"
+    )
 
 
 def iceberg_runtime_available(spark: SparkSession) -> bool:
@@ -301,7 +308,13 @@ class LakeSink:
         affected = new_keyed.select(*pcols).distinct()
         current = self.read()
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
-        survivors = current.join(
+        # partition membership is LOGICAL — the current spec's transforms
+        # over the data columns — not the stored _p_* layout: rows from
+        # pre-evolution commits carry other (or no) layout columns, so
+        # recompute the key for every live row exactly as Iceberg
+        # evaluates the current spec against old files
+        cur_keyed = partition_key(current.select(*data_cols), self._spec)
+        survivors = cur_keyed.join(
             F.broadcast(affected), on=pcols, how="left_anti"
         ).select(*data_cols)
         self._write_commit(
@@ -735,12 +748,9 @@ class LakeSink:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             return self.spark.createDataFrame([], schema)
         dirs = [os.path.join(self._log.data_dir, c) for c in new]
-        return (
-            self.spark.read.option("basePath", self._log.data_dir)
-            .format(self._file_format())
-            .load(dirs)
-            .drop("_c")
-        )
+        # layout-aware: an incremental range can cross a partition-spec
+        # evolution (evolve is metadata-only, not a replacing commit)
+        return self._load_commit_dirs(dirs)
 
     # -- read-back ---------------------------------------------------------
 
@@ -847,6 +857,16 @@ class LakeSink:
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             return self.spark.createDataFrame([], schema)
+        return self._load_commit_dirs(dirs, merge_schema=merge_schema)
+
+    def _load_commit_dirs(self, dirs: list[str],
+                          merge_schema: bool = False) -> DataFrame:
+        """Load commit dirs, layout-aware. Commits written under different
+        partition specs carry different ``_p_*`` directory keys; Spark's
+        partition discovery rejects mixed layouts under one load, so scan
+        each spec's dirs separately and union with null-fill — exactly
+        how Iceberg reads across spec boundaries (each manifest knows
+        its own spec)."""
 
         def _load(group: list[str]) -> DataFrame:
             reader = self.spark.read.option("basePath", self._log.data_dir)
@@ -859,11 +879,6 @@ class LakeSink:
         groups = self._dirs_by_layout(dirs)
         if len(groups) == 1:
             return _load(next(iter(groups.values())))
-        # partition evolution: commits written under different specs carry
-        # different _p_* directory keys; Spark's partition discovery
-        # rejects mixed layouts under one load, so scan each spec's dirs
-        # separately and union with null-fill — exactly how Iceberg reads
-        # across spec boundaries (each manifest knows its own spec)
         out = None
         for _, group in sorted(groups.items()):
             part = _load(group)
@@ -875,17 +890,27 @@ class LakeSink:
     def _dirs_by_layout(self, dirs: list[str]) -> dict[tuple, list[str]]:
         """Group commit dirs by the partition layout they were written
         under (``_bic_spec.json``, written at commit time). Dirs from
-        before evolution support existed have no marker and group under
-        the table's current column set — correct because a table can only
-        lack markers if it has never evolved."""
-        current = tuple(partition_columns(self._spec))
+        before the marker existed group under the table's ORIGINAL spec
+        — markerless dirs can only predate evolution support, so their
+        layout is whatever the table was created with (``spec_history
+        ['0']`` once evolved, else the current spec)."""
+        meta = self._log.table_meta() if self._log.exists() else {}
+        original = meta.get("spec_history", {}).get(
+            "0", meta.get("partition_spec")
+        )
+        if original is not None:
+            fallback = tuple(
+                partition_columns([PartitionField(*f) for f in original])
+            )
+        else:
+            fallback = tuple(partition_columns(self._spec))
         groups: dict[tuple, list[str]] = {}
         for d in dirs:
             try:
                 with open(os.path.join(d, "_bic_spec.json")) as f:
                     key = tuple(json.load(f).get("pcols", []))
             except (FileNotFoundError, json.JSONDecodeError):
-                key = current
+                key = fallback
             groups.setdefault(key, []).append(d)
         return groups
 
@@ -904,13 +929,19 @@ class LakeSink:
 
         Iceberg backend: issued as ALTER TABLE DROP/ADD PARTITION FIELD
         statements (the runtime records the new spec in table metadata).
+        The fields to DROP come from the spec THIS sink last applied
+        (config at first call, then each evolution's result) — the
+        runtime metadata is the source of truth, but Spark SQL exposes no
+        portable way to read it back, so evolving a table some OTHER sink
+        instance already evolved requires passing that state explicitly.
         """
         fields = [
             f if isinstance(f, PartitionField) else PartitionField(*f)
             for f in new_spec
         ]
         if self.backend == "iceberg":
-            for f in self._spec:
+            current = getattr(self, "_iceberg_spec", None)
+            for f in (current if current is not None else self._spec):
                 self.spark.sql(
                     f"ALTER TABLE {self._qualified} "
                     f"DROP PARTITION FIELD {_iceberg_transform_sql(f)}"
@@ -920,6 +951,7 @@ class LakeSink:
                     f"ALTER TABLE {self._qualified} "
                     f"ADD PARTITION FIELD {_iceberg_transform_sql(f)}"
                 )
+            self._iceberg_spec = fields
             return
         if not self._log.exists():
             raise ValueError(

@@ -364,8 +364,12 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     an exact-order KS needs a global sort of raw values.
 
     Determinism: KS is reported in ppm via pure bigint arithmetic —
-    ``max |cumA·nB − cumB·nA| · 1e6 div (nA·nB)`` — so no float ever
-    accumulates; both engines agree bit-for-bit.
+    ``max |cumA·1e6 div nA − cumB·1e6 div nB|`` — so no float ever
+    accumulates and both engines agree bit-for-bit. The per-side scaling
+    keeps every intermediate ≤ max(cum)·1e6 < 2^63 for any count below
+    ~9.2e12 events per side (the cross-multiplied form ``cumA·nB`` would
+    overflow int64 already at ~3e9×3e9); per-bin truncation costs ≤ 2 ppm,
+    identical on both engines.
 
     Scale: ONE narrow groupBy(bin) shuffle with map-side partials
     compresses the fact table to ≤ ~500 bin rows; the cumulative window
@@ -406,8 +410,8 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum.groupBy("n_a", "n_b")
         .agg(
             F.expr(
-                "cast(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000"
-                "     div (n_a * n_b) as long)"
+                "cast(max(abs(cum_a * 1000000 div n_a"
+                "             - cum_b * 1000000 div n_b)) as long)"
             ).alias("ks_ppm")
         )
         .select(
@@ -440,7 +444,7 @@ WITH bins AS (
 )
 SELECT CAST(n_a AS BIGINT) AS n_a,
        CAST(n_b AS BIGINT) AS n_b,
-       CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) * 1000000 // (n_a * n_b)
+       CAST(MAX(ABS(cum_a * 1000000 // n_a - cum_b * 1000000 // n_b))
             AS BIGINT) AS ks_ppm
 FROM cum CROSS JOIN tot
 GROUP BY n_a, n_b

@@ -1281,8 +1281,9 @@ _ENT_ALPHABET = "abcdefghijklmnopqrstuvwxyz "
 _ENT_LOW_MICRO = 2_500_000  # 2.5 nats — below this a doc reads as repetitive
 
 
-def _entropy_exprs(div: str) -> tuple[str, str]:
-    """Generate the shared count/entropy SQL for a FIXED 27-char alphabet.
+def _entropy_exprs(div: str) -> tuple[list[str], str, str]:
+    """Generate the shared (count exprs, n expr, entropy expr) SQL for a
+    FIXED 27-char alphabet.
 
     Per-char counts use the classic length-difference trick
     ``length(t) - length(replace(t, c, ''))`` — pure scalar expressions

@@ -344,11 +344,13 @@ def streaming_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         marked.groupBy("event_type")
         .agg(
             F.count("*").cast("long").alias("n_events"),
-            F.sum((F.col("late_sec") > 0).cast("long"))
+            # coalesce: a singleton type has ONLY the NULL-high_water row,
+            # and sum over all-NULL is NULL while the oracle's CASE sums 0
+            F.coalesce(F.sum((F.col("late_sec") > 0).cast("long")), F.lit(0))
             .cast("long")
             .alias("n_late"),
             F.expr(
-                "cast(sum(cast(late_sec > 0 as long)) * 1000000"
+                "cast(coalesce(sum(cast(late_sec > 0 as long)), 0) * 1000000"
                 "     div count(*) as long)"
             ).alias("late_ppm"),
             F.coalesce(

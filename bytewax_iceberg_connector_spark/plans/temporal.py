@@ -289,7 +289,9 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").alias("state"),
         F.min("ts").alias("valid_from"),
     )
-    wr = Window.partitionBy("user_id").orderBy("valid_from")
+    # run_id tiebreak: two runs of a user CAN share a valid_from (two
+    # state changes at the same timestamp); run_id is the total order
+    wr = Window.partitionBy("user_id").orderBy("valid_from", "run_id")
     hist = runs.withColumn("valid_to", F.lead("valid_from").over(wr))
     return (
         hist.groupBy("state")
@@ -332,8 +334,8 @@ WITH flagged AS (
   SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS valid_from
   FROM runs0 GROUP BY 1, 2
 ), hist AS (
-  SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
-              AS valid_to
+  SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
+                                   ORDER BY valid_from, run_id) AS valid_to
   FROM runs
 )
 SELECT state,

@@ -195,3 +195,63 @@ def test_evolve_missing_table_raises(spark, tmp_path):
     sink = _sink(spark, tmp_path)
     with pytest.raises(ValueError, match="does not exist"):
         sink.evolve_partition_spec([("event_id", "identity")])
+
+
+def test_partition_evolution_incremental_read_crosses_boundary(
+    spark, tmp_path, events_df
+):
+    """read_incremental over a range that crosses a spec evolution must
+    load each era's layout separately (evolve is metadata-only, not a
+    replacing commit)."""
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    v1 = sink._log.current_id()
+    sink.evolve_partition_spec([("event_id", "bucket[4]")])
+    sink.append(events_df)
+    sink.append(events_df)
+    inc = sink.read_incremental(0)
+    assert inc.count() == 90
+    assert sink.read_incremental(v1).count() == 60
+
+
+def test_overwrite_partitions_after_evolution_uses_logical_membership(
+    spark, tmp_path, events_df
+):
+    """Dynamic partition overwrite after evolution: membership is the
+    CURRENT spec's transforms over the data columns, so pre-evolution
+    rows in the replaced partition are replaced too (Iceberg evaluates
+    the current spec against old files the same way)."""
+    import pyspark.sql.functions as SF
+
+    sink = _sink(spark, tmp_path)                      # day(ts)
+    sink.append(events_df)
+    sink.evolve_partition_spec([("event_id", "truncate[10]")])
+    # restate the event_id in [0, 10) partition with a single row
+    repl = events_df.where("event_id = 5").withColumn("v", SF.lit(999.0))
+    sink.overwrite_partitions(repl)
+    back = sink.read()
+    # every pre-evolution row with event_id < 10 is gone; rest survive
+    assert back.where("event_id < 10").count() == 1
+    assert back.where("event_id >= 10").count() == 20
+    assert back.where("event_id = 5").select("v").first().v == 999.0
+
+
+def test_partition_evolution_markerless_dirs_use_original_spec(
+    spark, tmp_path, events_df
+):
+    """Commit dirs from before the _bic_spec.json marker existed must
+    group under the table's ORIGINAL spec, not the current one — an
+    upgraded table that then evolves would otherwise mix layouts in one
+    load and crash partition discovery."""
+    sink = _sink(spark, tmp_path)                      # day(ts)
+    sink.append(events_df)
+    data_dir = os.path.join(str(tmp_path), "db", "events", "data")
+    for c in os.listdir(data_dir):
+        marker = os.path.join(data_dir, c, "_bic_spec.json")
+        if os.path.exists(marker):
+            os.remove(marker)                          # simulate pre-upgrade
+    sink.evolve_partition_spec([("event_id", "bucket[4]")])
+    sink.append(events_df)
+    back = sink.read()
+    assert back.count() == 60
+    assert back.where("_p_ts_day IS NULL").count() == 30

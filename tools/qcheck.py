@@ -1,6 +1,6 @@
 """Quick differential check for a handful of queries while iterating.
 
-Usage: python tools/qcheck.py <query_name> [<query_name> ...] [--sf DIR]
+Usage: python tools/qcheck.py <query_name> [<query_name> ...] [--sf=DIR | --sf DIR]
 
 Runs each named query on Spark (local[4]) and its DuckDB oracle over the
 same parquet dir, applies the SAME canonicalization the pytest gate uses
@@ -18,11 +18,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args: list[str] = []
     sf_dir = "/root/testdata/sf0.001"
-    for a in sys.argv[1:]:
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--sf="):
             sf_dir = a.split("=", 1)[1]
+        elif a == "--sf":
+            i += 1
+            if i == len(argv):
+                raise SystemExit("--sf requires a directory argument")
+            sf_dir = argv[i]
+        elif a.startswith("--"):
+            raise SystemExit(f"unknown option {a!r}")
+        else:
+            args.append(a)
+        i += 1
 
     import duckdb
 
