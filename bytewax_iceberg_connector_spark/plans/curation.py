@@ -1127,6 +1127,12 @@ def shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     sortWithinPartitions shape).
     """
     docs = load_table(spark, sf_dir, "documents")
+    # shard from the DECODED hex value of the first two digits (uniform
+    # over 0..255 → uniform mod 8). Raw ascii codes are NOT uniform mod
+    # 8 (hex digits are 0-9a-f, 16 codepoints folding 3:1 onto some
+    # residues) — that skew would silently unbalance training shards
+    # while both engines still agree.
+    _hex = "0123456789abcdef"
     keyed = docs.select(
         "doc_id",
         X.token_count("text").alias("n_tok"),
@@ -1134,7 +1140,8 @@ def shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "shard",
         F.expr(
-            f"(ascii(substr(hk, 1, 1)) * 256 + ascii(substr(hk, 2, 1)))"
+            f"((instr('{_hex}', substr(hk, 1, 1)) - 1) * 16"
+            f" + instr('{_hex}', substr(hk, 2, 1)) - 1)"
             f" % {_SHUFFLE_SHARDS}"
         ).cast("long"),
     )
@@ -1158,7 +1165,8 @@ WITH keyed AS (
          md5(doc_id || '{_SHUFFLE_SEED}') AS hk
   FROM documents
 )
-SELECT CAST((ascii(substr(hk, 1, 1)) * 256 + ascii(substr(hk, 2, 1)))
+SELECT CAST(((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+             + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
             % {_SHUFFLE_SHARDS} AS BIGINT) AS shard,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
@@ -1186,7 +1194,7 @@ def length_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries for length-grouped batching (the padding-efficiency lever
     in training-data pipelines).
 
-    All integer arithmetic (bucket = div, window = (bucket+1)·128, waste
+    All integer arithmetic (bucket = div, window = (bucket+1)·_LB_WIDTH, waste
     ppm = div on exact bigint sums) — deterministic at any partitioning;
     one narrow groupBy(bucket) shuffle with map-side partials.
     """

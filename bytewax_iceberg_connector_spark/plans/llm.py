@@ -253,12 +253,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
+        # rebinding drops the only reference to the previous iteration's
+        # checkpoint; its RDD blocks are reclaimed by Spark's
+        # ContextCleaner once the JVM object is GC'd (DataFrame.unpersist
+        # would be a no-op here — it only touches CacheManager entries,
+        # not checkpoint block storage), so peak block usage is ~2 label
+        # frames plus sym, not one per iteration retained forever
         labels = new_labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    sym.unpersist()
     return (
         labels.groupBy(F.col("label").alias("cluster_id"))
         .agg(F.count("*").cast("long").alias("n_members"))
@@ -715,12 +719,17 @@ def _pq_train_ctx(all_ids, all_vecs):
     (centroid ids, centroid matrix, residual codebooks).
 
     Memoized per PROCESS on an order-invariant fingerprint of the broadcast
-    sample (count, min, max, sum of ids): every executor worker trains the
-    k-means codebooks ONCE and every subsequent block-row / ADC batch is a
-    dict hit — round 3 re-ran the full training once per block row inside
-    ``_encode``, multiplying a fixed cost by the number of corpus blocks.
-    The fingerprint is content-derived, so the no-model-shipping property
-    is unchanged: identical broadcast sample → identical codebooks.
+    sample — id stats PLUS a digest of the vector bytes in id order:
+    every executor worker trains the k-means codebooks ONCE and every
+    subsequent block-row / ADC batch is a dict hit — round 3 re-ran the
+    full training once per block row inside ``_encode``, multiplying a
+    fixed cost by the number of corpus blocks. The vector digest matters
+    because Spark reuses Python workers ACROSS queries: two corpora with
+    the same id set but different embeddings must not share codebooks
+    (id-only stats would collide and silently score against the wrong
+    model). The fingerprint is content-derived, so the no-model-shipping
+    property is unchanged: identical broadcast sample → identical
+    codebooks.
 
     Codebooks are trained on RESIDUALS (sample − nearest centroid), the
     IVF-PQ formulation: residual magnitudes are a fraction of vector
@@ -731,14 +740,17 @@ def _pq_train_ctx(all_ids, all_vecs):
     every executor that receives the same broadcast sample materializes
     bit-identical codebooks: no driver-side training, no model shipping.
     """
+    import hashlib
+
     import numpy as np
 
     all_ids = np.asarray(all_ids, dtype=np.int64)
+    V = np.asarray([np.asarray(v, dtype=np.float64) for v in all_vecs])
+    order = np.argsort(all_ids, kind="stable")
     key = (
         all_ids.size,
-        int(all_ids.min()) if all_ids.size else 0,
-        int(all_ids.max()) if all_ids.size else 0,
-        int(all_ids.sum()),
+        hashlib.md5(all_ids[order].tobytes()).hexdigest(),
+        hashlib.md5(V[order].tobytes()).hexdigest(),
     )
     hit = _PQ_CTX_CACHE.get(key)
     if hit is not None:
@@ -747,15 +759,11 @@ def _pq_train_ctx(all_ids, all_vecs):
     c_ids = all_ids[cmask]
     corder = np.argsort(c_ids)
     c_ids = c_ids[corder]
-    C = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, cmask) if m]
-    )[corder]
+    C = V[cmask][corder]
     smask = all_ids % _PQ_SAMPLE == 0
     s_ids = all_ids[smask]
     sorder = np.argsort(s_ids)
-    X = np.asarray(
-        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, smask) if m]
-    )[sorder]
+    X = V[smask][sorder]
     # residuals of the training sample w.r.t. each vector's nearest centroid
     d2 = ((X * X).sum(axis=1))[:, None] - 2 * (X @ C.T) + ((C * C).sum(axis=1))[None, :]
     R = X - C[d2.argmin(axis=1)]
@@ -1440,7 +1448,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_INVERTED_INDEX = r"""
+_SQL_INVERTED_INDEX = rf"""
 WITH tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
@@ -1451,7 +1459,8 @@ WITH tok AS (
 SELECT term,
        CAST(COUNT(*) AS BIGINT) AS df,
        CAST(SUM(tf) AS BIGINT) AS total_tf,
-       array_to_string((list(doc_id ORDER BY doc_id))[1:10], ',') AS postings_head
+       array_to_string((list(doc_id ORDER BY doc_id))[1:{_POSTINGS_CAP}], ',')
+         AS postings_head
 FROM tf GROUP BY term HAVING COUNT(*) >= 2 ORDER BY term
 """
 

@@ -51,6 +51,30 @@ _GATE_WINDOW = 50  # driver records the first N queries() entries per round
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
+def _artifact_paths() -> list[Path]:
+    """CORRECTNESS_r*.json search: the source-checkout repo root first,
+    the process working directory as fallback (covers running from an
+    installed copy with the artifacts beside the driver). Finding NONE is
+    legal only for a fresh round-1 checkout — warn otherwise-silent
+    deployments so a misplaced artifact dir can't quietly turn the gate
+    ordering alphabetical and rotate unproven queries out of the window.
+    """
+    for root in (_REPO_ROOT, Path.cwd()):
+        found = sorted(root.glob("CORRECTNESS_r*.json"))
+        if found:
+            return found
+    import warnings
+
+    warnings.warn(
+        "no CORRECTNESS_r*.json artifacts found near "
+        f"{_REPO_ROOT} or {Path.cwd()} — registry gate ordering is "
+        "running without driver history (fresh checkout, or the package "
+        "was imported away from the artifact directory)",
+        stacklevel=3,
+    )
+    return []
+
+
 def _driver_records() -> dict[str, tuple[int, bool]]:
     """name -> (latest round with a record, that record was green).
 
@@ -59,7 +83,7 @@ def _driver_records() -> dict[str, tuple[int, bool]]:
     hash mismatch, canonicalizer crash, missing counts — is red.
     """
     out: dict[str, tuple[int, bool]] = {}
-    for p in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+    for p in _artifact_paths():
         m = re.search(r"r(\d+)", p.name)
         rnd = int(m.group(1)) if m else 0
         try:

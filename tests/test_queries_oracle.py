@@ -96,21 +96,29 @@ def _driver_fidelity_check(spdf, opdf, name):
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
-    sdf = _QUERIES[name](spark, sf_dir)
-    srows = [tuple(r) for r in sdf.collect()]
-    if name not in _ORACLES:
-        # rows-only contract: must at least run and return a stable schema
-        assert sdf.columns
-        return
-    res = duck.execute(_ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
-    assert sorted(sdf.columns) == sorted(dcols), "column names must match"
-    assert len(srows) == len(drows), "row counts must match"
-    assert _norm(sdf.columns, srows) == _norm(dcols, drows), "values must match"
-    _driver_fidelity_check(
-        sdf.toPandas(), duck.execute(_ORACLES[name]).df(), name
-    )
+    # persist: the frame is executed twice (collect for the value multiset,
+    # toPandas for driver fidelity) — the heavy queries would otherwise pay
+    # their full plan cost twice per test
+    sdf = _QUERIES[name](spark, sf_dir).persist()
+    try:
+        srows = [tuple(r) for r in sdf.collect()]
+        if name not in _ORACLES:
+            # rows-only contract: must at least run and return a stable schema
+            assert sdf.columns
+            return
+        res = duck.execute(_ORACLES[name])
+        dcols = [d[0] for d in res.description]
+        drows = res.fetchall()
+        assert sorted(sdf.columns) == sorted(dcols), "column names must match"
+        assert len(srows) == len(drows), "row counts must match"
+        assert _norm(sdf.columns, srows) == _norm(dcols, drows), (
+            "values must match"
+        )
+        _driver_fidelity_check(
+            sdf.toPandas(), duck.execute(_ORACLES[name]).df(), name
+        )
+    finally:
+        sdf.unpersist()
 
 
 def test_no_duplicate_query_names_across_plan_modules():

@@ -103,45 +103,63 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir)
+            # persist: the frame is executed twice (collect for the value
+            # multiset, toPandas for driver fidelity) — without it the
+            # heavy queries pay their full plan cost twice
+            sdf = fn(spark, sf_dir).persist()
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {ex!r}"[:500])
             failures += 1
             continue
-        if name not in oracles:
-            print(f"ok?   {name}: rows-only, {len(srows)} rows ({time.time()-t0:.1f}s)")
-            continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
-        except Exception as ex:
-            print(f"FAIL  {name}: duckdb error: {ex!r}"[:500])
-            failures += 1
-            continue
-        problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
-        if not problems:
-            sset, dset = _norm_rows(scols, srows), _norm_rows(dcols, drows)
-            if sset != dset:
-                diff_s = list((sset - dset).items())[:3]
-                diff_d = list((dset - sset).items())[:3]
-                problems.append(f"values spark-only={diff_s} duck-only={diff_d}")
-        if not problems:
-            # driver fidelity: the real gate hashes through pandas, where a
-            # HUGEINT→float64 vs int64 split or an array-typed cell fails
-            # even when python-level values compare equal (round-3 reds)
-            problems.extend(_driver_fidelity(sdf, con, oracles[name]))
-        if problems:
-            print(f"FAIL  {name}: " + " | ".join(problems)[:800])
-            failures += 1
-        else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            if name not in oracles:
+                print(
+                    f"ok?   {name}: rows-only, {len(srows)} rows "
+                    f"({time.time()-t0:.1f}s)"
+                )
+                continue
+            try:
+                res = con.execute(oracles[name])
+                dcols = [d[0] for d in res.description]
+                drows = res.fetchall()
+            except Exception as ex:
+                print(f"FAIL  {name}: duckdb error: {ex!r}"[:500])
+                failures += 1
+                continue
+            problems = []
+            if sorted(scols) != sorted(dcols):
+                problems.append(
+                    f"cols spark={sorted(scols)} duck={sorted(dcols)}"
+                )
+            if len(srows) != len(drows):
+                problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+            if not problems:
+                sset, dset = _norm_rows(scols, srows), _norm_rows(dcols, drows)
+                if sset != dset:
+                    diff_s = list((sset - dset).items())[:3]
+                    diff_d = list((dset - sset).items())[:3]
+                    problems.append(
+                        f"values spark-only={diff_s} duck-only={diff_d}"
+                    )
+            if not problems:
+                # driver fidelity: the real gate hashes through pandas,
+                # where a HUGEINT→float64 vs int64 split or an array-typed
+                # cell fails even when python-level values compare equal
+                # (round-3 reds). Guarded: one query's Arrow/duckdb hiccup
+                # must print ITS fail line, not abort the whole sweep.
+                try:
+                    problems.extend(_driver_fidelity(sdf, con, oracles[name]))
+                except Exception as ex:
+                    problems.append(f"fidelity check error: {ex!r}")
+            if problems:
+                print(f"FAIL  {name}: " + " | ".join(problems)[:800])
+                failures += 1
+            else:
+                print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+        finally:
+            sdf.unpersist()
     spark.stop()
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
     return 1 if failures else 0
