@@ -142,3 +142,28 @@ def test_doc_chunking_window_arithmetic(spark):
     assert rows[2].nc == 1 and rows[2].ct == 64
     assert rows[3].nc == 2 and rows[3].ct == 64 + 64      # 16-token overlap
     assert rows[4].nc == 3 and rows[4].ct == 64 + 64 + 17
+
+
+def test_shard_shuffle_assignment_is_uniform():
+    """The md5-derived shard formula must be UNIFORM mod the shard count —
+    raw ascii codes of hex digits are not (16 symbols fold 3:1 onto mod-8
+    residues, a silent 3:1 training-shard imbalance both engines would
+    agree on). Checked distribution-level in DuckDB (no Spark needed)."""
+    import duckdb
+
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        _SHUFFLE_SHARDS,
+        _SQL_SHUFFLE,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS "
+        "SELECT i AS doc_id, 'word word word' AS text FROM range(100000) t(i)"
+    )
+    counts = {r[0]: r[1] for r in con.execute(_SQL_SHUFFLE).fetchall()}
+    con.close()
+    assert len(counts) == _SHUFFLE_SHARDS
+    expected = 100000 / _SHUFFLE_SHARDS
+    for shard, n in counts.items():
+        assert abs(n - expected) < 0.05 * expected, (shard, n)
