@@ -236,9 +236,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     # sym is materialized now; the shingle cache fed it and is done
     sh.unpersist()
+    # init fuses the FIRST propagation step: label(d) = min(d, neighbors)
+    # straight off the edge table — one groupBy instead of a distinct plus
+    # a full join round (every node appears as src because sym is
+    # symmetric), so the loop starts one hop ahead
     labels = (
-        sym.select(F.col("src").alias("d")).distinct()
-        .select("d", F.col("d").alias("label"))
+        sym.groupBy(F.col("src").alias("d"))
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .localCheckpoint(eager=True)
     )
     prev_sum = None
@@ -252,7 +256,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("d").agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        # fixpoint detector: labels are min-monotone, so the exact total
+        # strictly decreases until convergence. Decimal(38,0) sum — an
+        # int64 sum of billions of 64-bit ids would overflow (ANSI throw
+        # or silent wrap), a double sum can miss a sub-ulp change
+        cur_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
         # rebinding drops the only reference to the previous iteration's
         # checkpoint; its RDD blocks are reclaimed by Spark's
         # ContextCleaner once the JVM object is GC'd (DataFrame.unpersist
