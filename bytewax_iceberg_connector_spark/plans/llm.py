@@ -70,6 +70,7 @@ FROM (
 # ---------------------------------------------------------------------------
 
 _JACCARD_THRESHOLD = 0.8
+_INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch" (incremental dedup)
 _SHINGLE_N = 3
 
 
@@ -203,6 +204,108 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         base,
         banded,
     )
+
+
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: a new crawl batch (every 7th doc) is checked
+    against the HISTORICAL corpus through the banded MinHash index — the
+    join is batch-bands × history-bands on the band key, never a corpus
+    self-join, which is how a 100 TB pipeline admits a daily batch
+    without rescanning itself quadratically. Candidates verify with
+    exact shingle Jaccard ≥ 0.8; per-source manifest of the batch: docs
+    in, docs near-duplicating history.
+
+    Oracle: the exact cross-pair n-gram Jaccard (same fixed-seed
+    determinism argument as ``dedup_minhash_lsh``: recall ≈ 1 at these
+    band parameters, so the LSH path must reproduce the exact answer).
+
+    Scale: history contributes 16 band rows/doc (the persisted LSH index
+    a real pipeline stores in the lake); the batch side is
+    batch-not-corpus sized; the exact verify touches only bucket-mates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
+    ).where(F.size("sh") > 0).persist()
+    sig = base.select(
+        "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)
+        ).alias("bk"),
+    ).persist()
+    is_batch = F.col("doc_id") % _INCR_STRIDE == 0
+    bb = banded.where(is_batch).alias("a")
+    hb = banded.where(~is_batch).alias("b")
+    cand = (
+        bb.join(hb, F.col("a.bk") == F.col("b.bk"))
+        .select(
+            F.col("a.doc_id").alias("doc_n"), F.col("b.doc_id").alias("doc_h")
+        )
+        .dropDuplicates()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_n"), F.col("sh").alias("sa"))
+    sb = base.select(F.col("doc_id").alias("doc_h"), F.col("sh").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb"))
+    union = F.size("sa") + F.size("sb") - inter
+    flagged = (
+        cand.join(sa, "doc_n").join(sb, "doc_h")
+        .where((inter / union) >= _JACCARD_THRESHOLD)
+        .select(F.col("doc_n").alias("doc_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return scoped(
+        docs.where(is_batch)
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_batch"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(
+                "n_near_dup_of_history"
+            ),
+        )
+        .orderBy("source"),
+        base,
+        banded,
+    )
+
+
+_SQL_INCR_LSH = rf"""
+WITH toks AS (
+  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tokens
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), cross_pairs AS (
+  SELECT a.doc_id AS doc_n, b.doc_id AS doc_h, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE a.doc_id % {_INCR_STRIDE} = 0 AND b.doc_id % {_INCR_STRIDE} <> 0
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT DISTINCT doc_n AS doc_id
+  FROM cross_pairs
+  JOIN sizes sa ON doc_n = sa.doc_id
+  JOIN sizes sb ON doc_h = sb.doc_id
+  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_near_dup_of_history
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+WHERE d.doc_id % {_INCR_STRIDE} = 0
+GROUP BY source
+ORDER BY source
+"""
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2124,7 +2227,7 @@ ORDER BY source
 # Incremental dedup: new batch vs the historical fingerprint index
 # ---------------------------------------------------------------------------
 
-_INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch"
+# _INCR_STRIDE lives with the shingle constants near the top of the file
 
 
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,6 +2319,7 @@ ORDER BY source
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_incremental": dedup_incremental,
+    "dedup_incremental_lsh": dedup_incremental_lsh,
     "dedup_near_ngram": dedup_near_ngram,
     "dedup_clusters": dedup_clusters,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -2253,6 +2357,7 @@ ORACLE = {
     "zipf_fit": _SQL_ZIPF,
     "dedup_keep_best": _SQL_KEEP_BEST,
     "dedup_incremental": _SQL_DEDUP_INCR,
+    "dedup_incremental_lsh": _SQL_INCR_LSH,
     "dedup_near_ngram": _SQL_NEAR_NGRAM,
     "dedup_clusters": _SQL_CLUSTERS,
     # same contract & oracle as the exact form (deterministic recall ≈ 1):
