@@ -1445,3 +1445,55 @@ ORDER BY label, dim
 
 QUERIES["embedding_centroids"] = embedding_centroids
 ORACLE["embedding_centroids"] = _SQL_CENTROIDS
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal cluster quality profile (documents ⋈ embeddings)
+# ---------------------------------------------------------------------------
+
+
+def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level curation signal: join each document to its embedding
+    row (vec_id ≡ doc_id in the synthetic corpus) and profile every
+    embedding cluster (label) by the text-quality statistics of its
+    members — docs, token mass, mean chars (integer division), distinct
+    languages. This is the table a curation pipeline ranks to PRUNE
+    whole low-quality clusters (the cluster-level analogue of per-doc
+    filtering, cf. semantic dedup / SemDeDup-style cluster pruning).
+
+    Scale: one co-partitioned equi-join on the id (both sides shuffle
+    once on the same key; with both tables bucketed by id in the lake it
+    is exchange-free), then a 10-group rollup with map-side partials.
+    Integer discipline throughout — no float accumulates.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    joined = docs.join(emb, "doc_id")
+    return (
+        joined.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(X.token_count("text")).cast("long").alias("sum_tok"),
+            F.expr("sum(n_chars) div count(*)").alias("mean_chars"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("label")
+    )
+
+
+_SQL_CLUSTER_QUALITY = r"""
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> x <> ''))) AS BIGINT) AS sum_tok,
+       CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+GROUP BY label
+ORDER BY label
+"""
+
+QUERIES["cluster_quality_profile"] = cluster_quality_profile
+ORACLE["cluster_quality_profile"] = _SQL_CLUSTER_QUALITY

@@ -192,12 +192,84 @@ ORDER BY e.event_type
 """
 
 # ---------------------------------------------------------------------------
+# Malformed-JSON ingest split (A14's error philosophy at the parse boundary)
+# ---------------------------------------------------------------------------
+
+_CORRUPT_STRIDE = 13
+
+
+def json_ingest_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time malformed-record accounting: every 13th event's JSON
+    payload is deterministically corrupted (closing brace truncated —
+    mirrored verbatim in the oracle; note Spark's Jackson parser is
+    LENIENT about trailing garbage, so corruption must break the object
+    itself), then the parse stage splits valid rows from
+    malformed ones and accounts both per event_type, plus the extracted
+    value mass from the VALID side only — the PERMISSIVE-mode parse
+    split every production ingest runs (and the query proves corrupt
+    payloads cannot leak into the extracted aggregate).
+
+    Scale: from_json + the split predicate are codegen'd projections —
+    zero shuffle before the per-type rollup; the reference's error-split
+    (_iceberg_error_split, connector operators.py) applied at the parse
+    boundary instead of the schema boundary.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    planted = ev.withColumn(
+        "praw",
+        F.when(
+            F.col("event_id") % _CORRUPT_STRIDE == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        ).otherwise(F.col("props")),
+    )
+    parsed = planted.withColumn(
+        "pk", F.from_json("praw", "k INT")["k"]
+    ).withColumn("malformed", F.col("pk").isNull())
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.col("malformed").cast("long")).cast("long").alias(
+                "n_malformed"
+            ),
+            F.coalesce(F.sum(F.when(~F.col("malformed"), F.col("pk"))), F.lit(0))
+            .cast("long")
+            .alias("sum_k_valid"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_JSON_ERRORS = f"""
+WITH planted AS (
+  SELECT event_type,
+         CASE WHEN event_id % {_CORRUPT_STRIDE} = 0
+              THEN substr(props, 1, len(props) - 1) ELSE props END AS praw
+  FROM events
+), parsed AS (
+  SELECT event_type,
+         CASE WHEN json_valid(praw)
+              THEN CAST(json_extract(praw, '$.k') AS INTEGER) END AS pk
+  FROM planted
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_malformed,
+       CAST(COALESCE(SUM(pk), 0) AS BIGINT) AS sum_k_valid
+FROM parsed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "validate_split": validate_split,
     "enrich_metadata": enrich_metadata,
     "partition_key_extract": partition_key_extract,
     "skew_salted_join": skew_salted_join,
+    "json_ingest_errors": json_ingest_errors,
 }
 
 ORACLE = {
@@ -205,4 +277,5 @@ ORACLE = {
     "enrich_metadata": _SQL_ENRICH,
     "partition_key_extract": _SQL_PARTITION_KEY,
     "skew_salted_join": _SQL_SALTED,
+    "json_ingest_errors": _SQL_JSON_ERRORS,
 }
