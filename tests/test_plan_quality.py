@@ -490,3 +490,29 @@ def test_streaming_late_events_single_type_exchange(spark, sf_dir):
     plan = _plan(streaming_late_events(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning\(event_type", plan)) == 1
     assert "Exchange SinglePartition" not in plan
+
+
+def test_json_ingest_split_rides_the_scan(spark, sf_dir):
+    """Corruption-plant, parse, and split are all codegen'd projections —
+    ONE exchange (the per-type rollup), no Python."""
+    from bytewax_iceberg_connector_spark.plans.operator_queries import (
+        json_ingest_errors,
+    )
+
+    plan = _plan(json_ingest_errors(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cluster_quality_profile_single_equi_join(spark, sf_dir):
+    """documents ⋈ embeddings must plan as an equi-join (hash/merge or
+    broadcast — never a nested loop) feeding a partial-aggregated
+    rollup."""
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        cluster_quality_profile,
+    )
+
+    plan = _plan(cluster_quality_profile(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan and "partial_" in plan
