@@ -858,25 +858,35 @@ def _pq_train_ctx(all_ids, all_vecs):
     import numpy as np
 
     all_ids = np.asarray(all_ids, dtype=np.int64)
-    V = np.asarray([np.asarray(v, dtype=np.float64) for v in all_vecs])
-    order = np.argsort(all_ids, kind="stable")
-    key = (
-        all_ids.size,
-        hashlib.md5(all_ids[order].tobytes()).hexdigest(),
-        hashlib.md5(V[order].tobytes()).hexdigest(),
-    )
-    hit = _PQ_CTX_CACHE.get(key)
-    if hit is not None:
-        return hit
     cmask = all_ids % _IVF_STRIDE == 0
     c_ids = all_ids[cmask]
     corder = np.argsort(c_ids)
     c_ids = c_ids[corder]
-    C = V[cmask][corder]
+    C = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, cmask) if m]
+    )[corder]
     smask = all_ids % _PQ_SAMPLE == 0
     s_ids = all_ids[smask]
     sorder = np.argsort(s_ids)
-    X = V[smask][sorder]
+    X = np.asarray(
+        [np.asarray(v, dtype=np.float64) for v, m in zip(all_vecs, smask) if m]
+    )[sorder]
+    # the memo key digests EXACTLY the inputs training consumes — the
+    # sorted centroid rows and the sorted PQ sample rows (converting only
+    # these strided subsets; digesting every broadcast vector measured
+    # ~2x the whole query's cost). Two corpora that differ only outside
+    # the training subsets legitimately share codebooks; two corpora with
+    # the same id set but different training vectors can NOT collide
+    # (Spark reuses Python workers across queries)
+    key = (
+        all_ids.size,
+        hashlib.md5(c_ids.tobytes()).hexdigest(),
+        hashlib.md5(C.tobytes()).hexdigest(),
+        hashlib.md5(X.tobytes()).hexdigest(),
+    )
+    hit = _PQ_CTX_CACHE.get(key)
+    if hit is not None:
+        return hit
     # residuals of the training sample w.r.t. each vector's nearest centroid
     d2 = ((X * X).sum(axis=1))[:, None] - 2 * (X @ C.T) + ((C * C).sum(axis=1))[None, :]
     R = X - C[d2.argmin(axis=1)]
