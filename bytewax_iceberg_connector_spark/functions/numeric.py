@@ -39,9 +39,15 @@ def davg(col: Column | str, scale: int = 2) -> Column:
 
     IEEE-754 double division of identical operands is deterministic across
     engines, unlike AVG() whose internal accumulation order varies.
+
+    nullif guard: a group whose measure is entirely NULL has COUNT(c)=0 —
+    ANSI Spark would throw DIVIDE_BY_ZERO there while DuckDB's x/0 is
+    NULL; dividing by NULL instead yields the oracle's NULL average.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(dec(c, scale)).cast("double") / F.count(c)
+    return F.sum(dec(c, scale)).cast("double") / F.nullif(
+        F.count(c), F.lit(0)
+    )
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:

@@ -42,8 +42,15 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     """cos(a,b) = a·b / (|a||b|) — formula mirrored verbatim in oracles:
-    list_dot_product(a,b)/sqrt(list_dot_product(a,a)*list_dot_product(b,b))."""
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    list_dot_product(a,b)/sqrt(list_dot_product(a,a)*list_dot_product(b,b)).
+
+    nullif guard: a zero-norm vector makes the divisor 0.0 — ANSI Spark
+    would throw DIVIDE_BY_ZERO while DuckDB's x/0 is NULL; dividing by
+    NULL instead reproduces the oracle's NULL score for degenerate rows.
+    """
+    return dot(a, b) / F.nullif(
+        F.sqrt(dot(a, a) * dot(b, b)), F.lit(0.0)
+    )
 
 
 def minhash_signature(hashes: Column, num_perm: int = 32, seed: int = 7) -> list[Column]:
@@ -177,7 +184,12 @@ def simhash64_np(bits: int = 64):
         out = []
         for h in hashes:
             if h is None or len(h) == 0:
-                out.append(0)
+                # NULL, not 0: the expression twin (simhash64's
+                # F.aggregate over a null array) returns NULL, and a 0
+                # fingerprint would make every null/empty doc a mutual
+                # near-duplicate (shared bands, hamming 0) — null rows
+                # must drop out of the band join on both kernels
+                out.append(None)
                 continue
             x = np.asarray(h, dtype=np.int64).astype(np.uint64)
             bitmat = (x[:, None] >> shifts[None, :]) & np.uint64(1)

@@ -32,6 +32,17 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 8) -> Column:
     (they cluster together at the low end, like NULLS FIRST)."""
     if not cols:
         raise ValueError("zorder_key needs at least one column")
+    # the interleaved key must fit 63 usable bits of a signed long: bit 63
+    # would flip the sign (top-bucket rows of the last column range-sort
+    # FIRST) and JVM shift amounts wrap mod 64 (dimension 9+ would
+    # silently collide with dimension 1's slots). Degrade bits-per-column
+    # so total interleaved width <= 63 — coarser buckets, correct order.
+    bits = min(bits, 63 // len(cols))
+    if bits == 0:
+        raise ValueError(
+            f"zorder_key over {len(cols)} columns cannot fit even 1 bit "
+            "per column in a signed long key — cluster on fewer columns"
+        )
     aggs = []
     for c in cols:
         v = F.col(c).cast("double")

@@ -63,7 +63,11 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("s2").alias("n_view"),
         F.count("s3").alias("n_click"),
         F.count("s4").alias("n_purchase"),
-        F.round(F.count("s4") * F.lit(1.0) / F.count("s1"), 6).alias("conversion"),
+        # nullif: zero signups is a valid corpus (ANSI Spark would throw
+        # on /0 where DuckDB yields the NULL conversion)
+        F.round(
+            F.count("s4") * F.lit(1.0) / F.nullif(F.count("s1"), F.lit(0)), 6
+        ).alias("conversion"),
     )
 
 
@@ -170,15 +174,27 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dec("value")).cast("double").alias("s1"),
         F.sum(dec("value") * dec("value")).cast("double").alias("s2"),
     )
-    z = (F.col("value") - F.col("mean")) / F.col("std")
+    # degenerate-group guards, ANSI-safe and oracle-identical: n=1 makes
+    # the (n-1) divisor 0 (ANSI Spark throws, DuckDB yields NULL —
+    # nullif reproduces the NULL); greatest(...,0) clamps the one-ulp
+    # negative variance a constant-valued group can produce (DuckDB
+    # sqrt(-eps) ERRORS while Spark gives NaN; both engines' greatest
+    # ignores the NULL from n=1, so the clamp composes with nullif);
+    # z over std=0 divides by NULL, not zero
+    z = (F.col("value") - F.col("mean")) / F.nullif(
+        F.col("std"), F.lit(0.0)
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .withColumn("mean", F.col("s1") / F.col("n"))
         .withColumn(
             "std",
             F.sqrt(
-                (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
-                / (F.col("n") - F.lit(1))
+                F.greatest(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                    / F.nullif(F.col("n") - F.lit(1), F.lit(0)),
+                    F.lit(0.0),
+                )
             ),
         )
         .groupBy("event_type")
@@ -202,7 +218,8 @@ WITH stats AS (
 ), scored AS (
   SELECT e.event_type,
          (e.value - s.s1 / s.n)
-           / SQRT((s.s2 - s.s1 * s.s1 / s.n) / (s.n - 1)) AS z
+           / NULLIF(SQRT(GREATEST(
+               (s.s2 - s.s1 * s.s1 / s.n) / NULLIF(s.n - 1, 0), 0)), 0) AS z
   FROM events e JOIN stats s ON e.event_type = s.event_type
 )
 SELECT event_type,
@@ -409,9 +426,13 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.groupBy("n_a", "n_b")
         .agg(
+            # nullif: an empty cohort (the drift monitor's own alarm
+            # case) must yield a NULL ks_ppm like the oracle's // 0,
+            # not an ANSI division crash
             F.expr(
-                "cast(max(abs(cum_a * 1000000 div n_a"
-                "             - cum_b * 1000000 div n_b)) as long)"
+                "cast(max(abs(cum_a * 1000000 div nullif(n_a, 0)"
+                "             - cum_b * 1000000 div nullif(n_b, 0)))"
+                "     as long)"
             ).alias("ks_ppm")
         )
         .select(

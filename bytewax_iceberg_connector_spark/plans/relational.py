@@ -875,20 +875,12 @@ def exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     declaring the subquery and letting the optimizer pick the join is
     exactly the engine's Spark-first contract.
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bic_orders")
-    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("bic_lineitem")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, COUNT(*) AS order_count
-        FROM bic_orders o
-        WHERE EXISTS (SELECT 1 FROM bic_lineitem l
-                      WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-        """
-    )
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_SQL_EXISTS)
 
 
+# ONE text, both engines (the register_views pattern): no engine/oracle
+# copy to drift apart
 _SQL_EXISTS = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders o
@@ -908,19 +900,8 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding. Catalyst decorrelates both scalar subqueries into one
     aggregate-then-join of orders with per-customer (count, sum).
     """
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("bic_orders")
-    return spark.sql(
-        """
-        SELECT o_orderpriority, COUNT(*) AS n_above
-        FROM bic_orders o
-        WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
-              (SELECT COUNT(*) FROM bic_orders o2 WHERE o2.o_custkey = o.o_custkey)
-            > 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
-                     FROM bic_orders o2 WHERE o2.o_custkey = o.o_custkey)
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-        """
-    )
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_SQL_CORRELATED)
 
 
 _SQL_CORRELATED = """
@@ -1002,17 +983,8 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: same single Expand + one aggregate as rollup/cube — grouping
     sets never multiply shuffles, only Expand's row fan-out (here 3x).
     """
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("bic_ev_gs")
-    return spark.sql(
-        """
-        SELECT event_type, user_id % 4 AS user_bucket,
-               COUNT(*) AS n_events,
-               CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
-        FROM bic_ev_gs
-        GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
-        ORDER BY gid, event_type, user_bucket
-        """
-    )
+    register_views(spark, sf_dir, "events")
+    return spark.sql(_SQL_GROUPING_SETS)
 
 
 _SQL_GROUPING_SETS = """
