@@ -215,6 +215,7 @@ def simhash64(hashes: Column, bits: int = 64) -> Column:
     the sign position cannot ANSI-overflow.
     """
     idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    empty_guard = F.size(hashes) > 0  # NULL array → NULL size → guard NULL
     votes = F.aggregate(
         hashes,
         F.array_repeat(F.lit(0), bits),
@@ -229,7 +230,7 @@ def simhash64(hashes: Column, bits: int = 64) -> Column:
             lambda a, v: a + v,
         ),
     )
-    return F.aggregate(
+    packed = F.aggregate(
         F.zip_with(
             votes,
             idx,
@@ -240,6 +241,10 @@ def simhash64(hashes: Column, bits: int = 64) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
+    # NULL (not 0) for null/empty feature sets, matching simhash64_np: a
+    # 0 fingerprint would make every featureless doc a mutual near-dup
+    # (all bands shared, hamming 0); NULL drops out of the band join
+    return F.when(empty_guard, packed)
 
 
 def hamming64(a: Column, b: Column) -> Column:

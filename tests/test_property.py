@@ -293,3 +293,71 @@ def test_scd2_conserves_time_and_intervals(spark, events):
         run_starts = g.m[(g.s != g.s.shift()).values]
         span = (run_starts.iloc[-1] - g.m.iloc[0]) * 60
         assert total == span
+
+
+# ---------------------------------------------------------------------------
+# degenerate-input contracts (ANSI-mode parity with the DuckDB oracle)
+# ---------------------------------------------------------------------------
+
+
+def test_davg_all_null_group_yields_null(spark):
+    """A group whose measure is entirely NULL must average to NULL (the
+    oracle's x/0 semantics), not raise DIVIDE_BY_ZERO under ANSI."""
+    from bytewax_iceberg_connector_spark.functions.numeric import davg
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", 2.0)], "k string, v double"
+    )
+    rows = {r.k: r.avg for r in df.groupBy("k").agg(davg("v").alias("avg")).collect()}
+    assert rows["a"] is None
+    assert rows["b"] == 2.0
+
+
+def test_cosine_zero_norm_yields_null(spark):
+    from bytewax_iceberg_connector_spark.functions.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = [r[0] for r in df.select(cosine(F.col("a"), F.col("b"))).collect()]
+    assert got[0] is None
+    assert abs(got[1] - 1.0) < 1e-12
+
+
+def test_simhash_np_null_matches_expression_twin(spark):
+    """Null/empty shingle sets must fingerprint as NULL on BOTH kernels —
+    a 0 fingerprint would band-match every null doc with every other."""
+    from bytewax_iceberg_connector_spark.functions.similarity import (
+        simhash64,
+        simhash64_np,
+    )
+
+    df = spark.createDataFrame(
+        [(None,), ([],), ([7, 12, 99],)], "h array<long>"
+    )
+    got = df.select(
+        simhash64_np()(F.col("h")).alias("np"),
+        simhash64(F.col("h")).alias("expr"),
+    ).collect()
+    for r in got:
+        assert r.np == r.expr, (r.np, r.expr)
+    assert got[0].np is None and got[1].np is None
+
+
+def test_zorder_key_many_columns_stays_in_63_bits(spark):
+    """9 columns at default 8 bits would shift past bit 63 (sign flip /
+    mod-64 wrap); the key must degrade bits-per-column and stay
+    non-negative."""
+    from bytewax_iceberg_connector_spark.functions.zorder import zorder_key
+
+    import pyspark.sql.functions as SF
+
+    cols = [f"c{i}" for i in range(9)]
+    df = spark.range(100).select(
+        *[(SF.col("id") * (i + 1) % 97).cast("double").alias(c)
+          for i, c in enumerate(cols)]
+    )
+    z = df.select(zorder_key(df, cols).alias("z"))
+    assert z.where("z < 0").count() == 0
+    assert z.select(SF.max("z")).first()[0] < 2**63
