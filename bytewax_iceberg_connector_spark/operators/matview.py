@@ -25,6 +25,15 @@ sketch_rollup stores HLL sketches, not estimates).
 Reference scope: the reference lands rows into Iceberg and leaves rollups
 to the warehouse (connector.py:245); the north star's "hypertable rollup"
 names exactly this maintained-aggregate capability.
+
+Backend scope: the watermark mechanism reads the parquet backend's
+snapshot log; on the iceberg backend neither the base head nor the
+``batch_id`` watermark is visible through that log, so ``refresh()``
+degrades to a FULL recompute every call (correct, never incremental) and
+warns once. Wiring the iceberg path needs the runtime's own snapshot ids
+(``<table>.snapshots``) plus a table-property watermark — untestable in
+this container (no runtime jar), so the degrade is explicit rather than
+pretended away.
 """
 
 from __future__ import annotations
@@ -91,6 +100,17 @@ class ContinuousAggregate:
     def refresh(self) -> dict:
         """Advance the view to the base table's head snapshot. Returns
         ``{"refreshed_to": id, "mode": "noop"|"incremental"|"full"}``."""
+        if self.base.backend == "iceberg":  # see module docstring
+            import warnings
+
+            warnings.warn(
+                "ContinuousAggregate on the iceberg backend recomputes in "
+                "full every refresh (no snapshot-log watermark there)",
+                stacklevel=2,
+            )
+            merged = self._aggregate(self.base.read())
+            self.agg.overwrite(merged)
+            return {"refreshed_to": None, "mode": "full"}
         head = self.base._log.current_id()
         last = self.last_refreshed()
         if last == head:
@@ -103,8 +123,11 @@ class ContinuousAggregate:
                 existing = self.read()
                 merged = self._fold(existing, self._aggregate(delta))
                 mode = "incremental"
-            except ValueError:
-                merged = None  # replacing commit in range → full recompute
+            except (ValueError, LookupError):
+                # replacing commit in range, or the watermark snapshot
+                # itself was expired since the last refresh → full
+                # recompute
+                merged = None
         if mode == "full":
             current = self.base.read()
             data_cols = [c for c in current.columns if not c.startswith("_p_")]

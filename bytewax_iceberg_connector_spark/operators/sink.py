@@ -220,13 +220,31 @@ class LakeSink:
                 )
             like = self.spark.createDataFrame([], declared)
         if self.backend == "iceberg":
-            from pyspark.sql.functions import col, days, hours, months, years
+            from pyspark.sql.functions import col, partitioning as PT
 
-            _tf = {"year": years, "month": months, "day": days, "hour": hours}
+            _tf = {
+                "year": PT.years, "month": PT.months,
+                "day": PT.days, "hour": PT.hours,
+            }
             parts = []
             for f in self._spec:
-                t = f.transform.split("[")[0].split("(")[0]
-                parts.append(_tf[t](col(f.source)) if t in _tf else col(f.source))
+                kind, param = parse_transform(f.transform)
+                if kind == "identity":
+                    parts.append(col(f.source))
+                elif kind in _tf:
+                    parts.append(_tf[kind](col(f.source)))
+                elif kind == "bucket":
+                    parts.append(PT.bucket(param, col(f.source)))
+                else:
+                    # NEVER silently degrade to identity — bucket[16] on a
+                    # high-cardinality key as identity is a partition
+                    # explosion that can only be fixed by rewriting
+                    raise ValueError(
+                        f"transform {f.transform!r} has no writeTo"
+                        " partitionedBy form; create the table via SQL DDL"
+                        " (config.table_schema + PARTITIONED BY"
+                        f" ({kind}({param}, {f.source})))"
+                    )
             writer = like.limit(0).writeTo(self._qualified)
             for k, v in self.config.table_properties().items():
                 writer = writer.tableProperty(k, v)
@@ -478,6 +496,19 @@ class LakeSink:
         remains readable via read(as_of=...)).
         """
         if self.backend == "iceberg":
+            if tiebreak is not None:
+                # same within-batch winner selection merge_upsert applies
+                # on the parquet path — without it, duplicate source keys
+                # trip Iceberg's MERGE cardinality check and abort, the
+                # opposite outcome of the same call on the fallback
+                from pyspark.sql import Window
+
+                w = Window.partitionBy(*keys).orderBy(F.desc(tiebreak))
+                updates = (
+                    updates.withColumn("_bic_rn", F.row_number().over(w))
+                    .where(F.col("_bic_rn") == 1)
+                    .drop("_bic_rn")
+                )
             updates.createOrReplaceTempView("_bic_merge_src")
             cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
             self.spark.sql(
@@ -575,7 +606,12 @@ class LakeSink:
             return
         current = self.read()
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
-        survivors = current.select(*data_cols).where(f"NOT ({condition})")
+        # coalesce: SQL DELETE removes only cond=TRUE rows; a bare
+        # NOT(cond) would also drop rows where cond is NULL (NOT NULL is
+        # NULL, filtered) — silent data loss vs the iceberg branch
+        survivors = current.select(*data_cols).where(
+            f"NOT coalesce(({condition}), false)"
+        )
         self._write_commit(survivors, operation="delete")
 
     def compact(self, zorder_by: list[str] | None = None) -> None:
@@ -653,7 +689,7 @@ class LakeSink:
             )
 
         def _commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            if self.table_exists() and epoch_id in self._log.committed_batch_ids():
+            if self._replayed_batch(epoch_id):
                 return  # replayed micro-batch — already committed
             self.append(batch_df, batch_id=epoch_id)
 
@@ -663,6 +699,33 @@ class LakeSink:
             .option("checkpointLocation", checkpoint)
             .start()
         )
+
+    def _replayed_batch(self, epoch_id: int) -> bool:
+        """Incremental replay-dedup check: parse only the v-files
+        committed since this sink's previous check instead of re-reading
+        EVERY retained snapshot per micro-batch — the full scan is
+        O(commits) driver IO per trigger, which at the sink's own cited
+        rate (~5 760 commits/day at a 15 s trigger) compounds to O(N²)
+        metadata reads per day and eventually outruns the trigger
+        interval. An id whose snapshot has since been EXPIRED stays in
+        the cache: its data was reclaimed by retention on purpose, and
+        re-appending a replay would resurrect it.
+        """
+        if not self.table_exists():
+            return False
+        log = self._log
+        maxv = log._max_version()
+        seen_v, ids = getattr(self, "_bid_cache", (0, set()))
+        if maxv > seen_v:
+            for i in range(seen_v + 1, maxv + 1):
+                s = log._maybe_snapshot(i)
+                if s is None:
+                    continue
+                if s.get("batch_id") is not None:
+                    ids.add(s["batch_id"])
+                ids.update(s.get("batch_ids", []))
+            self._bid_cache = (maxv, ids)
+        return epoch_id in ids
 
     def write_stream_merge(self, df: DataFrame, checkpoint: str,
                            keys: list[str],
@@ -689,8 +752,7 @@ class LakeSink:
         trigger = trigger_override or self.config.trigger()
 
         def _merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
-            if (self.backend == "parquet" and self.table_exists()
-                    and epoch_id in self._log.committed_batch_ids()):
+            if self.backend == "parquet" and self._replayed_batch(epoch_id):
                 return  # replayed micro-batch — already merged
             if order_by is not None:
                 from pyspark.sql import Window
@@ -735,12 +797,19 @@ class LakeSink:
                 reader = reader.option("end-snapshot-id", str(to_snapshot))
             return reader.load(self._qualified)
         head = self._log.current_id() if to_snapshot is None else to_snapshot
-        for sid in range(from_snapshot + 1, head + 1):
-            if self._log.snapshot(sid)["operation"] in _REPLACING_OPS | {"rollback"}:
+        # walk the ACTUAL lineage (parent chain), not the raw id range:
+        # snapshot ids interleave across branches and expire()/
+        # drop_branch() punch holes in the sequence — iterating raw ids
+        # would crash on a hole and wrongly veto on an unrelated branch's
+        # replacing commit
+        for sid in self._log.ancestors(head):
+            if sid <= from_snapshot:
+                break
+            op = self._log.snapshot(sid)["operation"]
+            if op in _REPLACING_OPS | {"rollback"}:
                 raise ValueError(
-                    f"snapshot {sid} is a replacing commit "
-                    f"({self._log.snapshot(sid)['operation']}); incremental "
-                    "append-scan is undefined across it"
+                    f"snapshot {sid} is a replacing commit ({op}); "
+                    "incremental append-scan is undefined across it"
                 )
         base = set(self._log.live_commits(from_snapshot))
         new = [c for c in self._log.live_commits(head) if c not in base]
@@ -801,9 +870,14 @@ class LakeSink:
                 .collect()
             )
             return rows[0][0]
+        # MAIN lineage only: staged WAP-branch commits and detached
+        # tag survivors must never resolve from a wall-clock read —
+        # TIMESTAMP AS OF on unpublished data would expose rows main
+        # never showed
         ids = [
             s["snapshot_id"] for s in self._log.snapshots()
             if s["timestamp_ms"] <= ts_ms
+            and s.get("branch", "main") == "main"
         ]
         return max(ids, default=None)
 

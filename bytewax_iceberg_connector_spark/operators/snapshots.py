@@ -32,6 +32,11 @@ import os
 import time
 import uuid
 
+#: never orphan-delete a commit dir younger than this — it may be a
+#: concurrent writer's saved-but-not-yet-committed data (same role as
+#: Iceberg remove_orphan_files' older_than)
+_ORPHAN_GRACE_S = 3600.0
+
 
 class CommitConflict(RuntimeError):
     """Raised when the optimistic commit loop exhausts its retries."""
@@ -386,18 +391,18 @@ class SnapshotLog:
         snapshot (its ``branch`` field dropped) so the tag keeps
         resolving to readable data while the branch itself ceases to
         exist. Returns the unlinked snapshot ids."""
-        import shutil
-
         if branch == "main":
             raise ValueError("cannot drop main")
         tagged = set(self.refs().values())
         dropped, rehomed = [], []
+        dropped_live: set[str] = set()
         found = False
         for s in self.snapshots():
             if s.get("branch", "main") != branch:
                 continue
             found = True
             sid = s["snapshot_id"]
+            dropped_live.update(s["live"])
             if sid in tagged:
                 detached = dict(s)
                 # branch=None: detached — NOT main (an absent field means
@@ -415,18 +420,49 @@ class SnapshotLog:
         if not found:
             raise LookupError(f"branch {branch!r} does not exist")
         # orphan cleanup: every surviving snapshot (main, other branches,
-        # re-homed tagged snapshots) keeps its data
+        # re-homed tagged snapshots) keeps its data; dirs only the
+        # just-dropped snapshots referenced are deletable immediately
         referenced: set[str] = set()
         for s in self.snapshots():
             referenced.update(s["live"])
+        self._remove_orphan_dirs(referenced, deletable=set(dropped_live))
+        return dropped
+
+    def _remove_orphan_dirs(self, keep: set[str], deletable: set[str],
+                            grace_s: float = _ORPHAN_GRACE_S) -> list[str]:
+        """Delete ``_c=`` dirs not in ``keep``. Dirs in ``deletable``
+        (referenced by a snapshot that just got expired/dropped — their
+        writer demonstrably finished) go immediately; a dir referenced by
+        NO snapshot at all may be a concurrent writer's in-flight commit
+        (_write_commit saves data BEFORE creating the snapshot file), so
+        those only go once older than ``grace_s`` — deleting one early
+        would let the writer's commit succeed while recording a dir that
+        no longer exists, failing every later read of that snapshot.
+        Iceberg's remove_orphan_files carries the same ``older_than``
+        guard for the same race.
+        """
+        import shutil
+        import time as _time
+
+        now = _time.time()
+        removed = []
         try:
             dirs = os.listdir(self.data_dir)
         except FileNotFoundError:
-            dirs = []
+            return removed
         for d in dirs:
-            if d.startswith("_c=") and d not in referenced:
-                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-        return dropped
+            if not d.startswith("_c=") or d in keep:
+                continue
+            path = os.path.join(self.data_dir, d)
+            if d not in deletable:
+                try:
+                    if now - os.path.getmtime(path) < grace_s:
+                        continue  # possibly an in-flight commit — keep
+                except OSError:
+                    continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(d)
+        return removed
 
     # -- maintenance -------------------------------------------------------
 
@@ -449,8 +485,6 @@ class SnapshotLog:
         - every TAGGED snapshot (a release tag keeps its data alive
           until the tag is dropped), including detached ones.
         """
-        import shutil
-
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         snaps = self.snapshots()
@@ -467,6 +501,7 @@ class SnapshotLog:
             if snap is not None:
                 retained_live.update(snap["live"])
         expired = []
+        expired_live: set[str] = set()
         for s in snaps:
             sid = s["snapshot_id"]
             if sid in retained_ids:
@@ -475,11 +510,10 @@ class SnapshotLog:
             if os.path.exists(path):
                 os.unlink(path)
                 expired.append(sid)
-        removed = []
-        for d in os.listdir(self.data_dir):
-            if d.startswith("_c=") and d not in retained_live:
-                shutil.rmtree(os.path.join(self.data_dir, d), ignore_errors=True)
-                removed.append(d)
+                expired_live.update(s["live"])
+        removed = self._remove_orphan_dirs(
+            retained_live, deletable=expired_live
+        )
         return expired, removed
 
     # -- file primitives ---------------------------------------------------

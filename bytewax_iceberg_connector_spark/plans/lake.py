@@ -26,6 +26,18 @@ from ..operators.sink import LakeSink
 from ..sources.tables import load_table
 
 
+def _materialize_and_clean(spark, out, warehouse):
+    """Collect the (small) result BEFORE deleting the temp warehouse its
+    plan still reads from, then return a plan-free frame. rmtree runs in
+    finally: a failing query must not leak /tmp warehouses across
+    repeated bench/driver invocations (they accumulated before)."""
+    try:
+        rows = out.collect()
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
+
+
 def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write → read-back → per-partition accounting.
 
@@ -55,9 +67,7 @@ def iceberg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize before the temp warehouse can be cleaned up by the OS; the
     # result is small (one row per day partition)
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_ROUNDTRIP = """
@@ -83,7 +93,6 @@ def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with iceberg-spark-runtime this exact statement runs as MERGE INTO with
     file-level pruning — operators/merge.py documents the equivalence.
     """
-    from ..functions.numeric import dsum
     from ..operators.merge import merge_upsert
 
     o = load_table(spark, sf_dir, "orders")
@@ -174,9 +183,7 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_day")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_TIME_TRAVEL = f"""
@@ -240,9 +247,7 @@ def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_CAGG = """
@@ -286,9 +291,7 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("o_totalprice").alias("total"))
         .orderBy("change_type")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_CDC = f"""
@@ -342,9 +345,7 @@ def stats_skipping_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_STATS_SKIP = f"""
@@ -405,9 +406,7 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("era")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_EVOLUTION = """
@@ -465,9 +464,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
-    rows = out.collect()
-    shutil.rmtree(warehouse, ignore_errors=True)
-    return spark.createDataFrame(rows, out.schema)
+    return _materialize_and_clean(spark, out, warehouse)
 
 
 _SQL_SCHEMA_EVOLUTION = f"""

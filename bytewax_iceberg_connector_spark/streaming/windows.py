@@ -89,22 +89,25 @@ def session_windows_batch(
     ts_col: str = "ts",
     key: str = "user_id",
     gap_minutes: int = 30,
+    tiebreak: str | None = "event_id",
 ) -> DataFrame:
     """Session assignment via the lag+cumsum island formulation (batch form).
 
     Deterministic and oracle-expressible (SURVEY.md §7 prefers this shape
     over session_window for verifiability): a session break is a gap >
     ``gap_minutes`` from the previous event of the same key; the running
-    count of breaks is the session index.
+    count of breaks is the session index. ``tiebreak`` makes same-``ts``
+    events total-order deterministic (default fits the events schema;
+    pass None for frames without such a column — like asof_join's
+    explicit tiebreaks, the parameter is part of the semantic input).
     """
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(ts_col, "event_id")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(key).orderBy(*order)
     gap = F.col(ts_col).cast("long") - F.lag(F.col(ts_col).cast("long")).over(w)
     is_new = F.when(gap.isNull() | (gap > gap_minutes * 60), 1).otherwise(0)
-    run = Window.partitionBy(key).orderBy(ts_col, "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn("session_idx", F.sum(is_new).over(run).cast("long"))
 
 
