@@ -255,3 +255,64 @@ def test_partition_evolution_markerless_dirs_use_original_spec(
     back = sink.read()
     assert back.count() == 60
     assert back.where("_p_ts_day IS NULL").count() == 30
+
+
+def test_delete_keeps_null_condition_rows(spark, tmp_path):
+    """SQL DELETE semantics: only cond=TRUE rows go; rows where the
+    condition evaluates to NULL must SURVIVE (NOT(cond) would drop them
+    — silent data loss)."""
+    from pyspark.sql import Row
+
+    cfg = IcebergSinkConfig(table_name="db.del_null", warehouse_path=str(tmp_path))
+    sink = LakeSink(spark, cfg)
+    sink.append(spark.createDataFrame(
+        [Row(id=1, cat="closed"), Row(id=2, cat="open"), Row(id=3, cat=None)]
+    ))
+    sink.delete("cat = 'closed'")
+    back = {r.id for r in sink.read().collect()}
+    assert back == {2, 3}
+
+
+def test_read_incremental_survives_expired_holes(spark, tmp_path, events_df):
+    """expire() punches holes in the id sequence; an incremental range
+    over main's retained lineage must not crash on them."""
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df.where("event_id < 10"))
+    sink.append(events_df.where("event_id >= 10 and event_id < 20"))
+    sink.append(events_df.where("event_id >= 20"))
+    sink.expire_snapshots(keep_last=2)          # v1 expired → id hole at 1
+    inc = sink.read_incremental(2)
+    assert inc.count() == 10
+
+
+def test_orphan_cleanup_spares_young_inflight_dirs(spark, tmp_path, events_df):
+    """A freshly-saved, not-yet-committed commit dir (the concurrent
+    writer's in-flight state) must survive expire's orphan sweep."""
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    sink.append(events_df)
+    # simulate a concurrent writer's saved-but-uncommitted dir
+    name, path = sink._log.new_commit_dir()
+    os.makedirs(path)
+    with open(os.path.join(path, "part-00000.parquet"), "wb") as f:
+        f.write(b"x")
+    sink.expire_snapshots(keep_last=1)
+    assert os.path.isdir(path), "in-flight commit dir was deleted"
+
+
+def test_timestamp_as_of_ignores_branch_snapshots(spark, tmp_path, events_df):
+    """TIMESTAMP AS OF must resolve on main's lineage only — staged WAP
+    branch commits are unpublished."""
+    import time as _t
+
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df.where("event_id < 10"))
+    _t.sleep(0.05)
+    # stage data on an audit branch, never published
+    keyed = sink._log
+    name, path = keyed.new_commit_dir()
+    os.makedirs(path)
+    keyed.commit("append", [name], branch="audit")
+    now_ms = int(_t.time() * 1000) + 1000
+    sid = sink.snapshot_as_of_timestamp(now_ms)
+    assert sid == 1  # main's head, not the staged branch snapshot
