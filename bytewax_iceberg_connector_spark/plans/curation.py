@@ -132,7 +132,13 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("total").alias("n_trigrams"),
             F.sum("dist").alias("n_distinct"),
-            F.round(F.lit(1.0) - F.sum("dist") / F.sum("total"), 6).alias("rep_ratio"),
+            # nullif: a lang of only <3-token docs has sum(total)=0 —
+            # ANSI would throw where the oracle's /0 yields NULL
+            F.round(
+                F.lit(1.0)
+                - F.sum("dist") / F.nullif(F.sum("total"), F.lit(0)),
+                6,
+            ).alias("rep_ratio"),
             F.sum((F.lit(2) * F.col("dist") < F.col("total")).cast("long")).alias(
                 "n_flagged"
             ),
@@ -143,7 +149,7 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_REPETITION = """
 WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tokens
+  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens
   FROM documents
 ), g AS (
   SELECT doc_id, lang, GREATEST(len(tokens) - 2, 0) AS total FROM toks
@@ -212,7 +218,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CONTAMINATION = f"""
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -280,7 +286,7 @@ WITH assigned AS (
            ELSE 'test'
          END AS split,
          len(text) AS n_chars,
-         len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
   FROM documents
 )
 SELECT split,
@@ -315,7 +321,6 @@ def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash — the same shape as window_rank_topk; no global sort, no
     second pass.
     """
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     h = F.md5(F.col("doc_id").cast("string"))
@@ -347,7 +352,7 @@ def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_BUDGET = f"""
 WITH d AS (
   SELECT lang, source,
-         len(string_split_regex(lower(text), '\\s+')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h, doc_id
   FROM documents
 ), c AS (
@@ -543,7 +548,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CHUNKING = f"""
 WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS t
+  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
   FROM documents
 ), ch AS (
   SELECT doc_id, lang,
@@ -582,7 +587,6 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at scan speed FIRST, so every downstream stage sees only
     survivors.
     """
-    from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.where(X.quality_criteria_met("text") >= 2).select(
@@ -697,9 +701,11 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").over(w_lang).alias("lang_tokens"),
         F.count("*").over(w_lang).alias("n_sources"),
     )
-    # target/actual = (lang_tokens / n_sources) / tokens, in ppm ints
+    # target/actual = (lang_tokens / n_sources) / tokens, in ppm ints.
+    # nullif: a (lang, source) of all-empty docs has tokens=0 — ANSI
+    # Spark would throw where the oracle's // 0 yields NULL
     weight = F.least(
-        F.expr("lang_tokens * 1000000L div (n_sources * tokens)"),
+        F.expr("lang_tokens * 1000000L div nullif(n_sources * tokens, 0)"),
         F.lit(_MIX_MAX_UPSAMPLE_PPM).cast("long"),
     )
     return (
@@ -709,7 +715,8 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens").cast("long").alias("tokens"),
             weight.alias("weight_ppm"),
             F.expr(
-                f"tokens * least(lang_tokens * 1000000L div (n_sources * tokens), "
+                f"tokens * least(lang_tokens * 1000000L"
+                f"               div nullif(n_sources * tokens, 0), "
                 f"{_MIX_MAX_UPSAMPLE_PPM}L) div 1000000L"
             ).alias("effective_tokens"),
         )
@@ -929,13 +936,18 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-SQL shape); hashing only changes the join key, not the
     per-doc counts, up to xxhash collisions (~1e-9 at this cardinality).
     """
+    from ._cache import scoped
+
     docs = load_table(spark, sf_dir, "documents")
     # the shingle kernel emits DISTINCT hashes per doc, so the metric is
-    # defined over distinct shingles (the common set-based formulation)
+    # defined over distinct shingles (the common set-based formulation).
+    # persisted: the frame feeds BOTH the df build and the join-back —
+    # without it the Arrow shingle kernel (the query's most expensive
+    # stage) runs twice over the corpus
     sh = docs.select(
         "doc_id", "lang", "source",
         F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s"),
-    )
+    ).persist()
     df_tab = sh.groupBy("s").agg(F.count("*").alias("docs_with"))
     per_doc = (
         sh.join(df_tab, "s")
@@ -947,14 +959,15 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ppm")
         )
     )
-    return (
+    return scoped(
         per_doc.groupBy("lang", "source")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
             F.expr("sum(dup_ppm) div count(*)").alias("avg_dup_ppm"),
             F.sum((F.col("dup_ppm") > _DUP_FLAG_PPM).cast("long")).alias("n_flagged"),
         )
-        .orderBy("lang", "source")
+        .orderBy("lang", "source"),
+        sh,
     )
 
 

@@ -124,7 +124,7 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NEAR_NGRAM = """
 WITH toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -151,6 +151,43 @@ _NUM_PERM = 64
 _ROWS_PER_BAND = 4  # 16 bands → P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2e-4
 
 
+def _minhash_band_index(spark: SparkSession, sf_dir: str):
+    """(base, banded): the persisted shingle table and the persisted
+    (doc_id, band-key) MinHash LSH index — ONE implementation shared by
+    the batch self-join (dedup_minhash_lsh) and the incremental
+    batch×history path (dedup_incremental_lsh), so the two can never
+    drift on band parameters or empty-doc filtering. Callers scope both
+    frames to their result's lifetime (_cache.scoped).
+
+    The shingle table is consumed by multiple branches (signature + the
+    verify joins) and the band table by both sides of its join — persist
+    the narrow forms so each Arrow kernel runs ONCE per corpus scan
+    (measured 2.1 s → ~1 s at sf0.1). The band join ships ONLY (doc_id,
+    band_key) — 16 bytes/row; shingle arrays are fetched AFTER candidate
+    dedup via small joins (shipping arrays through the band shuffle
+    measured ~20% slower and is catastrophically wider at 100 TB). At
+    cluster scale these two frames are the minhash index you'd write to
+    the lake and amortize across runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
+    ).where(F.size("sh") > 0).persist()
+    # Arrow-vectorized signature kernel (same integer math as the
+    # expression form — see functions/similarity.py)
+    sig = base.select(
+        "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)
+        ).alias("bk"),
+    ).persist()
+    return base, banded
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) signatures → 16-band LSH → candidate pairs → EXACT
     Jaccard verify ≥ 0.8.
@@ -161,31 +198,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     so recall (≈1 at these params) is deterministic and the oracle comparison
     is stable, not probabilistic.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # the shingle table is consumed by THREE branches (signature + both
-    # verify joins) and the band table by BOTH sides of the self-join —
-    # persist the narrow forms so each Arrow kernel runs ONCE per corpus
-    # scan instead of once per branch (measured 2.1 s → ~1 s at sf0.1). At
-    # cluster scale these two frames are the minhash index you'd write to
-    # the lake and amortize across runs.
-    base = docs.select(
-        "doc_id",
-        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
-
-    # Arrow-vectorized signature kernel (same integer math as the
-    # expression form — see functions/similarity.py)
-    sig = base.select(
-        "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
-    )
-    # the band self-join ships ONLY (doc_id, band_key) — 16 bytes/row; the
-    # shingle arrays are fetched AFTER candidate dedup via two small joins
-    # (candidate count ≪ corpus). Shipping arrays through the band shuffle
-    # measured ~20% slower at sf0.1 and is catastrophically wider at 100 TB.
-    banded = sig.select(
-        "doc_id",
-        F.explode(S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)).alias("bk"),
-    ).persist()
+    base, banded = _minhash_band_index(spark, sf_dir)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -224,19 +237,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-not-corpus sized; the exact verify touches only bucket-mates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
-    sig = base.select(
-        "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
-    )
-    banded = sig.select(
-        "doc_id",
-        F.explode(
-            S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)
-        ).alias("bk"),
-    ).persist()
+    base, banded = _minhash_band_index(spark, sf_dir)
     is_batch = F.col("doc_id") % _INCR_STRIDE == 0
     bb = banded.where(is_batch).alias("a")
     hb = banded.where(~is_batch).alias("b")
@@ -276,7 +277,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_INCR_LSH = rf"""
 WITH toks AS (
-  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS tokens
+  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tokens
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
@@ -385,7 +386,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CLUSTERS = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -825,6 +826,10 @@ _PQ_REFINE = 40    # ADC survivors re-ranked with exact vectors (8×top-k)
 
 
 _PQ_CTX_CACHE: dict = {}
+_PQ_CTX_CACHE_MAX = 4  # worker processes outlive queries: bound the memo
+#                        so cycling corpora/SFs can't grow executor memory
+#                        monotonically (FIFO eviction — re-training on a
+#                        revisited corpus is the cheap, correct fallback)
 
 
 def _pq_train_ctx(all_ids, all_vecs):
@@ -905,6 +910,8 @@ def _pq_train_ctx(all_ids, all_vecs):
                     B[k] = S_[mask].mean(axis=0)
         books.append(B)
     ctx = (c_ids, C, books)
+    while len(_PQ_CTX_CACHE) >= _PQ_CTX_CACHE_MAX:
+        _PQ_CTX_CACHE.pop(next(iter(_PQ_CTX_CACHE)))
     _PQ_CTX_CACHE[key] = ctx
     return ctx
 
@@ -1125,8 +1132,14 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
-            (F.sum("n_len") / F.sum("n_tok")).alias("chars_per_token"),
-            (F.sum("sw") / F.sum("n_tok")).alias("stopword_ratio"),
+            # nullif: an all-empty-doc stratum has sum(n_tok)=0 — ANSI
+            # would throw where the oracle's /0 yields NULL
+            (F.sum("n_len") / F.nullif(F.sum("n_tok"), F.lit(0))).alias(
+                "chars_per_token"
+            ),
+            (F.sum("sw") / F.nullif(F.sum("n_tok"), F.lit(0))).alias(
+                "stopword_ratio"
+            ),
             F.sum("chars_ok").alias("n_chars_consistent"),
         )
         .orderBy("lang", "source")
@@ -1175,7 +1188,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.sum("ws").alias("ws_tokens"),
             F.sum("bpe").alias("bpe_tokens"),
-            F.round(F.sum("bpe") / F.sum("ws"), 6).alias("bpe_per_word"),
+            # nullif: an all-empty-doc source has sum(ws)=0 — ANSI would
+            # throw where the oracle's /0 yields NULL
+            F.round(
+                F.sum("bpe") / F.nullif(F.sum("ws"), F.lit(0)), 6
+            ).alias("bpe_per_word"),
         )
         .orderBy("source")
     )
@@ -1311,7 +1328,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NGRAM_TOPK = """
 WITH toks AS (
-  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS tokens FROM documents
+  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, lang,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -1350,7 +1367,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = base.where(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         "lang",
-        F.substring("t", 11, 1_000_000).alias("t"),
+        # 2-arg substr: unbounded tail, exactly the oracle's substr(t, 11)
+        # (a length cap would truncate docs past it and diverge the twins)
+        F.expr("substr(t, 11)").alias("t"),
     )
     d = base.unionByName(twins).withColumn("len", F.length("t"))
     # Stage 1 — candidate generation on NARROW rows (id, lang, len only):

@@ -94,7 +94,11 @@ _SQL_SESSION = """
 WITH marked AS (
   SELECT user_id, ts, event_id,
          CASE WHEN LAG(ts) OVER w IS NULL
-                OR EPOCH(ts) - EPOCH(LAG(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS is_new
+                -- date_diff (second-boundary count) == the Spark side's
+                -- truncated cast-to-long diff; fractional EPOCH() would
+                -- split sessions on sub-second gap excess Spark ignores
+                OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+              THEN 1 ELSE 0 END AS is_new
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), assigned AS (
