@@ -1510,3 +1510,134 @@ ORDER BY label
 
 QUERIES["cluster_quality_profile"] = cluster_quality_profile
 ORACLE["cluster_quality_profile"] = _SQL_CLUSTER_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the one-row datasheet manifest
+# ---------------------------------------------------------------------------
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet in one row — docs, exact token and char mass,
+    language/source breadth, exact-duplicate rate in ppm, and the
+    min/max document length: the numbers every released training set
+    publishes in its dataset card, computed engine-side so the card can
+    never drift from the data.
+
+    Scale: token/char masses are per-row projections feeding one global
+    aggregate (map-side partials); the duplicate rate reuses the
+    fingerprint discipline (count - distinct fp) — one narrow distinct
+    over 128-bit fingerprints, never text. All integers.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.select(
+        X.token_count("text").alias("n_tok"),
+        F.col("n_chars"),
+        "lang",
+        "source",
+        X.fingerprint("text").alias("fp"),
+    )
+    return per.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.expr(
+            "cast((count(*) - count(distinct fp)) * 1000000"
+            "     div count(*) as long)"
+        ).alias("dup_ppm"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+    )
+
+
+_SQL_DATASET_CARD = r"""
+WITH per AS (
+  SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+                         x -> x <> '')) AS n_tok,
+         n_chars, lang, source,
+         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+  FROM documents
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT)
+         AS dup_ppm,
+       CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+       CAST(MAX(n_tok) AS BIGINT) AS max_tok
+FROM per
+"""
+
+QUERIES["dataset_card"] = dataset_card
+ORACLE["dataset_card"] = _SQL_DATASET_CARD
+
+
+# ---------------------------------------------------------------------------
+# Hapax ratio: lexical-diversity signal per source
+# ---------------------------------------------------------------------------
+
+
+def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per source: the fraction (ppm) of a source's
+    token OCCURRENCES whose term appears exactly once in the WHOLE
+    corpus — the classic lexical-diversity / templated-text detector (a
+    boilerplate farm has almost no corpus-hapaxes; natural prose is
+    full of them).
+
+    Scale: corpus term frequencies are ONE word-count shuffle; the
+    hapax flag broadcasts back vocabulary-sized onto the per-(source,
+    term) counts from the same pass — no second corpus scan. Pure
+    bigint ppm division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    return (
+        tf.join(F.broadcast(corpus.where(F.col("cf") == 1)), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("cf").isNotNull(), F.col("tf")).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.expr(
+                "cast(sum(case when cf is not null then tf else 0 end)"
+                "     * 1000000 div nullif(sum(tf), 0) as long)"
+            ).alias("hapax_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_HAPAX = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS term
+  FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), corpus AS (
+  SELECT term, SUM(tf) AS cf FROM tf GROUP BY 1
+)
+SELECT source,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN cf = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_hapax,
+       CAST(SUM(CASE WHEN cf = 1 THEN tf ELSE 0 END) * 1000000
+            // NULLIF(SUM(tf), 0) AS BIGINT) AS hapax_ppm
+FROM tf JOIN corpus USING (term)
+GROUP BY source
+ORDER BY source
+"""
+
+QUERIES["hapax_ratio"] = hapax_ratio
+ORACLE["hapax_ratio"] = _SQL_HAPAX
