@@ -1,0 +1,435 @@
+"""Corpus-level lexical statistics and span-level dedup accounting — the
+round-4 widening of the training-data surface beyond per-doc gates:
+tokenizer-vocabulary construction, C4-style duplicated-span removal
+accounting, the FineWeb-style per-language adaptive quality threshold,
+and the cross-source shingle-leakage matrix.
+
+All four are oracle-checked. The repo's standard parity discipline holds:
+every reported ratio is integer ppm/milli math (`div` / `//`) over exact
+bigint sums, thresholds are rank-based (no engine-specific percentile
+interpolation), and the oracle replays the same whitespace tokenization
+(`list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')`).
+
+Scale notes are inline per query; the common thread: corpus-sized state
+always shuffles as 8-byte hashes or vocabulary-sized aggregates, never as
+text, and every broadcast is provably bounded (vocab cap, per-language
+threshold table, source count).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import text as X
+from ..sources.tables import load_table
+
+#: DuckDB mirror of X.tokens — the repo-standard tokenizer SQL.
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+
+# ---------------------------------------------------------------------------
+# vocab_build — tokenizer-vocabulary construction with coverage accounting
+# ---------------------------------------------------------------------------
+
+_VOCAB_MIN_CF = 2
+_VOCAB_SIZE = 200
+
+
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary construction: top-``_VOCAB_SIZE`` corpus terms
+    with corpus frequency ≥ ``_VOCAB_MIN_CF``, deterministic token ids
+    (frequency desc, term asc — the WordPiece/BPE vocab-dump convention),
+    and the cumulative share of TOTAL corpus token mass each vocab prefix
+    covers (the "how big must V be for 99% coverage" curve).
+
+    Extends the reference's ingestion surface with the tokenizer-training
+    precursor a text lake feeds (reference has no query capability;
+    north-star text-analysis mandate).
+
+    Scale: ONE word-count shuffle over the corpus (map-side partial
+    aggregation; the shuffle is vocabulary-sized, not corpus-sized), then
+    TakeOrdered for the top-V cut — the subsequent row_number/cumsum
+    window runs on ≤ V rows (bounded by construction, so the
+    single-partition window is O(V) and never sees corpus-scale data).
+    The term-frequency table is persisted result-scoped because BOTH the
+    vocab branch and the grand total consume it (without it the corpus
+    scan + count shuffle run twice); the grand total rides a broadcast
+    1-row crossJoin. Coverage is exact bigint ppm:
+    ``cum_cf * 1e6 div total``.
+    """
+    from ._cache import scoped
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(X.tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("long").alias("cf"))
+        .persist()
+    )
+    total = tf.agg(F.sum("cf").cast("long").alias("total_tokens"))
+    # (cf desc, term) is a total order — term is unique after groupBy — so
+    # the limit cut and the window rank agree deterministically.
+    w = Window.orderBy(F.desc("cf"), F.asc("term"))
+    result = (
+        tf.where(F.col("cf") >= _VOCAB_MIN_CF)
+        .orderBy(F.desc("cf"), "term")
+        .limit(_VOCAB_SIZE)
+        .withColumn("token_id", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_cf",
+            F.sum("cf")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "token_id",
+            "term",
+            "cf",
+            "cum_cf",
+            F.expr(
+                "cast(cum_cf * 1000000 div nullif(total_tokens, 0) as long)"
+            ).alias("coverage_ppm"),
+        )
+        .orderBy("token_id")
+    )
+    return scoped(result, tf)
+
+
+_SQL_VOCAB = rf"""
+WITH tok AS (
+  SELECT unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS cf FROM tok GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(cf) AS BIGINT) AS total_tokens FROM tf
+), v AS (
+  SELECT term, cf FROM tf WHERE cf >= {_VOCAB_MIN_CF}
+  ORDER BY cf DESC, term LIMIT {_VOCAB_SIZE}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS token_id,
+       term, cf,
+       CAST(SUM(cf) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cf,
+       CAST(SUM(cf) OVER (w ROWS UNBOUNDED PRECEDING) * 1000000
+            // NULLIF(total_tokens, 0) AS BIGINT) AS coverage_ppm
+FROM v, tot
+WINDOW w AS (ORDER BY cf DESC, term)
+ORDER BY token_id
+"""
+
+# ---------------------------------------------------------------------------
+# span_dedup — C4-style duplicated-span removal accounting
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 3
+
+
+def _pos_grams(col, k: int):
+    """Positional (NON-distinct) word k-grams → array<string>, gram i
+    starting at token i. Same O(tokens) zip_with construction as
+    ``X.shingles`` (n whole-array slices, one concat per gram) minus the
+    ``array_distinct`` — span accounting needs every occurrence AND its
+    position."""
+    t = X.tokens(col)
+    cnt = F.greatest(F.size(t) - (k - 1), F.lit(0))
+    grams = F.slice(t, 1, cnt)
+    for i in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(t, i + 1, cnt), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return grams
+
+
+def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span REMOVAL accounting: a span (word
+    ``_SPAN_K``-gram occurrence) is duplicated iff its gram occurs more
+    than once in the whole corpus (any document, including twice in the
+    same one — C4 removes exact repeated spans regardless of where the
+    twin lives); a token is removed iff it is covered by at least one
+    duplicated span. Reports, per source: exact token mass, tokens that
+    span-removal would delete, and the removal ppm — the cost report you
+    run BEFORE committing to span-level dedup.
+
+    Covered-token mass is the union-of-intervals length computed by the
+    lag trick: per document, over duplicated span STARTS in position
+    order, each start ``p`` contributes ``least(k, p - lag(p))`` tokens
+    (first start contributes ``k``) — exact overlap accounting with ONE
+    window over only the duplicated rows, no per-token explode.
+
+    Scale: grams shuffle as 8-byte xxhash64 keys to build the corpus
+    occurrence table (hashing changes the join key only, ~1e-9 collision
+    odds at this cardinality — same argument as ``dup_ngram_fraction``,
+    whose oracle also builds string grams); the join-back is the
+    corpus-sized expensive tier, which is why this metric runs AFTER
+    cheap gates. The coverage window partitions by doc_id (skew-free) and
+    sees only duplicated starts.
+    """
+    k = _SPAN_K
+    docs = load_table(spark, sf_dir, "documents")
+    totals = (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(X.token_count("text")).cast("long").alias("n_tokens"),
+        )
+    )
+    spans = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(_pos_grams(F.col("text"), k)).alias("pos0", "gram"),
+    ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"),
+             F.xxhash64("gram").alias("h"))
+    occ = spans.groupBy("h").agg(F.count("*").alias("occ"))
+    dup = spans.join(occ, "h").where(F.col("occ") > 1)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    covered = (
+        dup.withColumn("prev", F.lag("pos").over(wd))
+        .withColumn(
+            "contrib",
+            F.when(F.col("prev").isNull(), F.lit(k)).otherwise(
+                F.least(F.lit(k), F.col("pos") - F.col("prev"))
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("contrib").cast("long").alias("removed_tokens"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs_hit"),
+        )
+    )
+    return (
+        totals.join(covered, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("removed_tokens", F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.expr(
+                "cast(coalesce(removed_tokens, 0) * 1000000"
+                "     div nullif(n_tokens, 0) as long)"
+            ).alias("removed_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_SPAN_DEDUP = rf"""
+WITH tok AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS ts FROM documents
+), totals AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(ts)) AS BIGINT) AS n_tokens
+  FROM tok GROUP BY 1
+), spans AS (
+  SELECT doc_id, source, unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS pos,
+         NULL AS _pad
+  FROM tok WHERE len(ts) >= {_SPAN_K}
+), g AS (
+  SELECT s.doc_id, s.source, s.pos,
+         t.ts[s.pos] || ' ' || t.ts[s.pos + 1] || ' ' || t.ts[s.pos + 2] AS gram
+  FROM spans s JOIN tok t USING (doc_id)
+), occ AS (
+  SELECT gram, COUNT(*) AS occ FROM g GROUP BY 1
+), dup AS (
+  SELECT g.doc_id, g.source, g.pos FROM g JOIN occ USING (gram)
+  WHERE occ.occ > 1
+), cov AS (
+  SELECT source, doc_id,
+         CASE WHEN lag(pos) OVER w IS NULL THEN {_SPAN_K}
+              ELSE LEAST({_SPAN_K}, pos - lag(pos) OVER w) END AS contrib
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+), per_src AS (
+  SELECT source, CAST(SUM(contrib) AS BIGINT) AS removed_tokens,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs_hit
+  FROM cov GROUP BY 1
+)
+SELECT t.source, t.n_docs, t.n_tokens,
+       CAST(COALESCE(p.removed_tokens, 0) AS BIGINT) AS removed_tokens,
+       CAST(COALESCE(p.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+       CAST(COALESCE(p.removed_tokens, 0) * 1000000
+            // NULLIF(t.n_tokens, 0) AS BIGINT) AS removed_ppm
+FROM totals t LEFT JOIN per_src p USING (source)
+ORDER BY t.source
+"""
+
+# ---------------------------------------------------------------------------
+# quality_adaptive_filter — per-language rank-based threshold gate
+# ---------------------------------------------------------------------------
+
+
+def quality_adaptive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FineWeb-style LANGUAGE-ADAPTIVE quality gate: instead of one global
+    cutoff (``quality_filter``), each language gets its own threshold —
+    the lower median of the per-doc mean-token-length signal (milli
+    integer: ``token_chars * 1000 div n_tok``) — and a document survives
+    iff it scores ≥ its language's median. Reports per language: corpus
+    size, survivors, survival ppm, the threshold used, and the exact
+    retained char mass.
+
+    The threshold is RANK-based (value at row ``(n+1) div 2`` of the
+    score order), not an interpolating percentile — so both engines pick
+    an actual observed score and ties at the cutoff resolve identically
+    (everything ≥ the picked value survives).
+
+    Scale: the score is a codegen'd projection (scan speed); the median
+    needs one per-language sort window (languages are a natural
+    partition; skew bounded by corpus share per language), and the
+    resulting threshold table is languages-sized — broadcast back onto
+    the scored scan, so the gate itself never shuffles the corpus a
+    second time.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = X.tokens("text")
+    scored = docs.select(
+        "lang",
+        "n_chars",
+        F.size(t).cast("long").alias("n_tok"),
+        F.aggregate(
+            t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("tok_chars"),
+    ).where(F.col("n_tok") > 0).withColumn(
+        "tl_milli", F.expr("tok_chars * 1000 div n_tok")
+    )
+    wr = Window.partitionBy("lang").orderBy("tl_milli")
+    wn = Window.partitionBy("lang")
+    thresh = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .withColumn("n", F.count("*").over(wn))
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select("lang", F.col("tl_milli").alias("thr_milli"))
+    )
+    return (
+        scored.join(F.broadcast(thresh), "lang")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum((F.col("tl_milli") >= F.col("thr_milli")).cast("long"))
+            .cast("long")
+            .alias("n_kept"),
+            F.expr(
+                "cast(sum(case when tl_milli >= thr_milli then 1 else 0 end)"
+                "     * 1000000 div count(*) as long)"
+            ).alias("kept_ppm"),
+            F.max("thr_milli").cast("long").alias("thr_milli"),
+            F.sum(
+                F.when(F.col("tl_milli") >= F.col("thr_milli"), F.col("n_chars"))
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SQL_ADAPTIVE = rf"""
+WITH scored AS (
+  SELECT lang, n_chars,
+         len(ts) AS n_tok,
+         CAST(list_sum(list_transform(ts, x -> length(x))) * 1000
+              // len(ts) AS BIGINT) AS tl_milli
+  FROM (SELECT lang, n_chars, {_SQL_TOKS} AS ts FROM documents)
+  WHERE len(ts) > 0
+), ranked AS (
+  SELECT lang, tl_milli,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tl_milli) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM scored
+), thresh AS (
+  SELECT lang, tl_milli AS thr_milli FROM ranked WHERE rn = (n + 1) // 2
+)
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN s.tl_milli >= t.thr_milli THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN s.tl_milli >= t.thr_milli THEN 1 ELSE 0 END) * 1000000
+            // COUNT(*) AS BIGINT) AS kept_ppm,
+       CAST(MAX(t.thr_milli) AS BIGINT) AS thr_milli,
+       CAST(SUM(CASE WHEN s.tl_milli >= t.thr_milli THEN s.n_chars ELSE 0 END)
+            AS BIGINT) AS kept_chars
+FROM scored s JOIN thresh t USING (lang)
+GROUP BY s.lang
+ORDER BY s.lang
+"""
+
+# ---------------------------------------------------------------------------
+# source_overlap_matrix — cross-source shingle-leakage matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination/leakage matrix: for every unordered
+    source pair, the number of DISTINCT word trigrams both sources
+    contain — the boilerplate/mirror-site detector you run before
+    trusting per-source dedup or split boundaries (a hot pair means the
+    sources share templated text and a train/eval split along source
+    lines would leak).
+
+    Scale: ONE shuffle. Distinct grams shuffle as 8-byte hashes (the
+    Arrow shingle kernel, the repo's fast shingling path) into
+    ``groupBy(hash) → collect_set(source)`` — the value set is
+    bounded by the SOURCE COUNT (not corpus size), and the pair fan-out
+    (``k·(k-1)/2`` per gram) happens JVM-side from that tiny sorted
+    array, so no gram-keyed self-join ever materializes. The final pair
+    rollup aggregates ≤ sources² rows. The oracle states the same
+    relation as the readable distinct-pair self-join; hashing changes the
+    join key only (~1e-9 collision odds at this cardinality).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    per_gram = (
+        docs.select(
+            "source", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("h")
+        )
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        .where(F.size("srcs") >= 2)
+    )
+    pairs = per_gram.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(srcs, (x, i) ->"
+                "  transform(slice(srcs, i + 2, size(srcs)),"
+                "            y -> struct(x as sa, y as sb))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.sa", "p.sb")
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+        .orderBy("sa", "sb")
+    )
+
+
+_SQL_OVERLAP = rf"""
+WITH grams AS (
+  SELECT DISTINCT source,
+         unnest(list_transform(
+           range(1, greatest(len(ts) - 1, 1)),
+           i -> ts[i] || ' ' || ts[i + 1] || ' ' || ts[i + 2])) AS g
+  FROM (SELECT source, {_SQL_TOKS} AS ts FROM documents)
+  WHERE len(ts) >= 3
+)
+SELECT a.source AS sa, b.source AS sb, CAST(COUNT(*) AS BIGINT) AS shared_grams
+FROM grams a JOIN grams b USING (g)
+WHERE a.source < b.source
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+QUERIES = {
+    "vocab_build": vocab_build,
+    "span_dedup": span_dedup,
+    "quality_adaptive_filter": quality_adaptive_filter,
+    "source_overlap_matrix": source_overlap_matrix,
+}
+
+ORACLE = {
+    "vocab_build": _SQL_VOCAB,
+    "span_dedup": _SQL_SPAN_DEDUP,
+    "quality_adaptive_filter": _SQL_ADAPTIVE,
+    "source_overlap_matrix": _SQL_OVERLAP,
+}

@@ -43,6 +43,7 @@ _PLAN_MODULES = (
     "lake",
     "curation",
     "behavioral",
+    "corpus",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

@@ -1,0 +1,127 @@
+"""Degenerate-input contracts for plans/corpus.py — the same differential
+discipline as the main gate, but on adversarial corpora the synthetic
+testdata never exercises: sub-k-token docs, empty/whitespace text, single
+sources, and duplicate-free corpora."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from bytewax_iceberg_connector_spark.plans import corpus as C
+
+
+def _docs_dir(tmp_path, rows):
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    return str(tmp_path)
+
+
+def _oracle(tmp_path, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _diff(spdf, opdf):
+    spdf = spdf[sorted(spdf.columns)].sort_values(list(spdf.columns)).reset_index(
+        drop=True
+    )
+    opdf = opdf[sorted(opdf.columns)].sort_values(list(opdf.columns)).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)
+
+
+DEGENERATE = [
+    # shorter than k=3 tokens, duplicated pair, whitespace-only, 1-token
+    (0, "alpha beta", "en", "srcA", 10),
+    (1, "alpha beta gamma alpha beta gamma", "en", "srcA", 33),
+    (2, "alpha beta gamma alpha beta gamma", "en", "srcB", 33),
+    (3, "   ", "en", "srcB", 3),
+    (4, "solo", "de", "srcC", 4),
+]
+
+
+def test_span_dedup_short_and_blank_docs_match_oracle(spark, tmp_path):
+    d = _docs_dir(tmp_path, DEGENERATE)
+    _diff(C.span_dedup(spark, d).toPandas(), _oracle(tmp_path, C._SQL_SPAN_DEDUP))
+
+
+def test_span_dedup_within_doc_repeat_counts_as_duplicated(spark, tmp_path):
+    """C4 removes exact repeated spans wherever the twin lives — a gram
+    occurring twice INSIDE one doc is duplicated even with no cross-doc
+    twin."""
+    d = _docs_dir(
+        tmp_path,
+        [(0, "x y z q r x y z", "en", "s0", 15)],  # 'x y z' twice, one doc
+    )
+    row = C.span_dedup(spark, d).collect()[0]
+    # dup starts at pos 1 and 6: contrib 3 + min(3, 5) = 6 covered tokens
+    assert row.removed_tokens == 6
+    assert row.n_docs_hit == 1
+    _diff(C.span_dedup(spark, d).toPandas(), _oracle(tmp_path, C._SQL_SPAN_DEDUP))
+
+
+def test_quality_adaptive_excludes_empty_docs_on_both_engines(spark, tmp_path):
+    d = _docs_dir(tmp_path, DEGENERATE)
+    sp = C.quality_adaptive_filter(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, C._SQL_ADAPTIVE))
+    # the whitespace-only doc is excluded from its language's cohort
+    assert int(sp.loc[sp.lang == "en", "n_docs"].iloc[0]) == 3
+
+
+def test_quality_adaptive_singleton_language(spark, tmp_path):
+    """A language with ONE doc: threshold = that doc's own score, doc
+    survives (≥), kept_ppm = 1e6."""
+    d = _docs_dir(tmp_path, DEGENERATE)
+    sp = C.quality_adaptive_filter(spark, d).toPandas()
+    de = sp[sp.lang == "de"].iloc[0]
+    assert de.n_docs == 1 and de.n_kept == 1 and de.kept_ppm == 1_000_000
+
+
+def test_vocab_build_min_cf_prunes_and_coverage_counts_all_mass(spark, tmp_path):
+    d = _docs_dir(tmp_path, DEGENERATE)
+    sp = C.vocab_build(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, C._SQL_VOCAB))
+    # 'solo' (cf=1) must be pruned, but its mass still counts in the
+    # denominator: top vocab coverage stays < 1e6
+    assert "solo" not in set(sp.term)
+    assert sp.coverage_ppm.max() < 1_000_000
+
+
+def test_source_overlap_single_source_is_empty(spark, tmp_path):
+    d = _docs_dir(
+        tmp_path,
+        [
+            (0, "a b c d e", "en", "only", 9),
+            (1, "a b c d e", "en", "only", 9),
+        ],
+    )
+    assert C.source_overlap_matrix(spark, d).count() == 0
+
+
+def test_source_overlap_counts_distinct_shared_grams(spark, tmp_path):
+    """Shared grams count DISTINCT per pair even when repeated within
+    either source — and agree with the oracle's self-join formulation."""
+    d = _docs_dir(
+        tmp_path,
+        [
+            (0, "a b c a b c", "en", "s1", 11),  # grams: abc,bca,cab,abc
+            (1, "a b c z z z", "en", "s2", 11),  # shares only 'a b c'
+        ],
+    )
+    sp = C.source_overlap_matrix(spark, d).toPandas()
+    assert len(sp) == 1 and int(sp.shared_grams.iloc[0]) == 1
+    _diff(sp, _oracle(tmp_path, C._SQL_OVERLAP))
