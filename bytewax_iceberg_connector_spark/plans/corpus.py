@@ -420,11 +420,155 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# cooccurrence_pmi — top PMI pairs over the head vocabulary
+# ---------------------------------------------------------------------------
+
+_PMI_VOCAB = 50
+_PMI_TOPK = 20
+
+
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: over the top-``_PMI_VOCAB``
+    corpus terms, the ``_PMI_TOPK`` unordered term pairs that co-occur in
+    the most documents, with document frequencies and PMI in integer
+    micro-nats — the word2vec/SGNS co-occurrence statistic and the
+    phrase-mining signal (high-PMI pairs are collocations worth merging
+    into single tokens before tokenizer training, cf. ``vocab_build``).
+
+    PMI uses document-level indicator events over the WHOLE corpus:
+    ``ln(n_ab·n_docs / (n_a·n_b))`` where n_docs counts every document.
+    Both engines evaluate the identical double expression text and
+    quantize once to micro-nats (`zipf_fit`'s libm-parity discipline).
+
+    Scale: the pair space is capped by the vocabulary CUT, not the corpus
+    — per-doc vocab-member sets are ≤ V elements, so the JVM-side pair
+    fan-out (same slice/transform construction as
+    ``source_overlap_matrix``, no self-join) emits ≤ V²/2 pairs per doc
+    into a map-side-combinable count whose key space is ≤ V²/2 total.
+    The vocab and doc-frequency tables are V-sized broadcasts; the
+    (doc, term) membership dedup rides the one word-count-shaped shuffle.
+    The top-k window runs after the LIMIT cut (≤ k rows).
+    """
+    from ._cache import scoped
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .orderBy(F.desc("cf"), "term")
+        .limit(_PMI_VOCAB)
+        .select("term")
+    )
+    # Two token passes by design: pass 1 is the term-only word count the
+    # vocab cut needs (map-side combined, vocabulary-sized shuffle); pass
+    # 2 re-explodes and filters against the broadcast vocab BEFORE any
+    # shuffle, so only vocab-member (doc, term) rows — ≤ |docs|·V — ever
+    # move, in ONE doc_id exchange: collect_set dedups by itself (its
+    # map-side partials are already ≤ V-element sets), so no separate
+    # distinct() exchange precedes it. Fusing the passes into one
+    # persisted (doc, term, count) table was measured 2× SLOWER at sf0.1:
+    # it shuffles the full distinct (doc, term) universe instead of the
+    # V-pruned slice.
+    per_doc = (
+        toks.join(F.broadcast(vocab), "term")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("term")).alias("ts"))
+        .persist()
+    )
+    dfreq = per_doc.select(F.explode("ts").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    pairs = (
+        per_doc.where(F.size("ts") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts, (x, i) ->"
+                    "  transform(slice(ts, i + 2, size(ts)),"
+                    "            y -> struct(x as ta, y as tb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.ta", "p.tb")
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(dfreq.select(F.col("term").alias("ta"), F.col("n").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(dfreq.select(F.col("term").alias("tb"), F.col("n").alias("n_b"))),
+            "tb",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .orderBy(F.desc("n_ab"), "ta", "tb")
+        .limit(_PMI_TOPK)
+    )
+    w = Window.orderBy(F.desc("n_ab"), "ta", "tb")
+    result = (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(
+            "rnk",
+            "ta",
+            "tb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(round(ln(cast(n_ab * n_docs as double)"
+                "              / cast(n_a * n_b as double)) * 1000000) as long)"
+            ).alias("pmi_micro"),
+        )
+        .orderBy("rnk")
+    )
+    return scoped(result, per_doc)
+
+
+_SQL_PMI = rf"""
+WITH tok AS (
+  SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT term, COUNT(*) AS cf FROM tok GROUP BY 1
+), vocab AS (
+  SELECT term FROM tf ORDER BY cf DESC, term LIMIT {_PMI_VOCAB}
+), dt AS (
+  SELECT DISTINCT doc_id, term FROM tok JOIN vocab USING (term)
+), dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY 1
+), d AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+), pairs AS (
+  SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2
+), top AS (
+  SELECT ta, tb, n_ab FROM pairs
+  ORDER BY n_ab DESC, ta, tb LIMIT {_PMI_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       t.ta, t.tb, t.n_ab, fa.n AS n_a, fb.n AS n_b,
+       CAST(ROUND(ln(CAST(t.n_ab * d.n_docs AS DOUBLE)
+                     / CAST(fa.n * fb.n AS DOUBLE)) * 1000000) AS BIGINT)
+         AS pmi_micro
+FROM top t
+JOIN dfreq fa ON t.ta = fa.term
+JOIN dfreq fb ON t.tb = fb.term, d
+WINDOW w AS (ORDER BY t.n_ab DESC, t.ta, t.tb)
+ORDER BY rnk
+"""
+
+
 QUERIES = {
     "vocab_build": vocab_build,
     "span_dedup": span_dedup,
     "quality_adaptive_filter": quality_adaptive_filter,
     "source_overlap_matrix": source_overlap_matrix,
+    "cooccurrence_pmi": cooccurrence_pmi,
 }
 
 ORACLE = {
@@ -432,4 +576,5 @@ ORACLE = {
     "span_dedup": _SQL_SPAN_DEDUP,
     "quality_adaptive_filter": _SQL_ADAPTIVE,
     "source_overlap_matrix": _SQL_OVERLAP,
+    "cooccurrence_pmi": _SQL_PMI,
 }

@@ -1,0 +1,470 @@
+"""Data-quality profiling — the admission-control battery a lake runs on
+every ingested table before trusting it downstream: per-column profiles,
+referential-integrity audits, arrival-cadence statistics, hot-key skew
+reports, and the event-type transition matrix.
+
+Extends the reference's validation surface (`validate_schema`,
+reference connector.py error-split philosophy) from per-ROW rules to
+TABLE-level contracts: a row can pass every row rule while the table
+violates an FK edge or hides a hot key that will melt a shuffle.
+
+Parity discipline matches the rest of the repo: every ratio is integer
+ppm/milli arithmetic over exact bigint sums (`div` / `//`), every
+windowed order has a unique tie-break, doubles appear only where both
+engines evaluate the identical expression text.
+
+Scale notes inline per query; the common thread: profiles are one-pass
+map-side-combinable aggregates, audits shuffle KEYS (never payloads),
+and every report-sized window is bounded by construction (top-k cut or
+|event_types|² rows) before it runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# table_profile — per-column null/distinct/bounds profile of one table
+# ---------------------------------------------------------------------------
+
+#: (column, bigint-expression for min/max bounds | None for string columns).
+#: Numeric bounds are normalized to EXACT bigints — cents for the money
+#: column, epoch-micros for the timestamp — so the profile row never rides
+#: on float formatting; rounding commutes with min/max (monotonic).
+_PROFILE_COLS = (
+    ("o_custkey", "o_custkey"),
+    ("o_orderdate", "unix_micros(o_orderdate)"),
+    ("o_orderkey", "o_orderkey"),
+    ("o_orderpriority", None),
+    ("o_orderstatus", None),
+    ("o_totalprice", "cast(round(o_totalprice * 100) as bigint)"),
+)
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of ``orders``: row count, null count, exact
+    distinct count, and bounds (bigint-normalized for numeric/timestamp
+    columns, lexicographic for strings) — the datasheet a catalog shows
+    next to every registered table, and the input to join-planning
+    heuristics (distinct counts) and stats-based pruning (bounds).
+
+    Scale: TWO column-pruned scans, deliberately split. Mixing
+    multi-column exact distincts with plain min/max/count in one ``agg``
+    makes Catalyst route EVERY measure through the distincts' Expand pass
+    (rows × |profiled columns|, codegen-hostile — measured ~3× slower);
+    split, the plain measures stay in one whole-stage-codegen partial
+    aggregate and the distincts get their own Expand-only aggregate, the
+    two 1-row results meeting in a free crossJoin. A 100 TB profile would
+    flip ``countDistinct`` to ``approx_count_distinct`` (HLL — no Expand,
+    and the whole profile folds back into ONE scan) and keep every other
+    measure identical. The wide 1-row result pivots to per-column rows
+    JVM-side via ``inline`` — no second action, no driver loop.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    measures = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    distincts = []
+    for c, num in _PROFILE_COLS:
+        measures.append(F.count(c).cast("long").alias(f"{c}__nn"))
+        distincts.append(F.countDistinct(c).cast("long").alias(f"{c}__nd"))
+        if num:
+            measures.append(F.min(F.expr(num)).cast("long").alias(f"{c}__mn"))
+            measures.append(F.max(F.expr(num)).cast("long").alias(f"{c}__mx"))
+        else:
+            measures.append(F.min(c).cast("string").alias(f"{c}__mn"))
+            measures.append(F.max(c).cast("string").alias(f"{c}__mx"))
+    wide = orders.agg(*measures).crossJoin(orders.agg(*distincts))
+    rows = []
+    for c, num in _PROFILE_COLS:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                (F.col("n_rows") - F.col(f"{c}__nn")).cast("long").alias("n_null"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                (F.col(f"{c}__mn") if num else F.lit(None).cast("long")).alias(
+                    "min_num"
+                ),
+                (F.col(f"{c}__mx") if num else F.lit(None).cast("long")).alias(
+                    "max_num"
+                ),
+                (F.col(f"{c}__mn") if not num else F.lit(None).cast("string"))
+                .cast("string")
+                .alias("min_str"),
+                (F.col(f"{c}__mx") if not num else F.lit(None).cast("string"))
+                .cast("string")
+                .alias("max_str"),
+            )
+        )
+    return wide.select(F.inline(F.array(*rows))).orderBy("col_name")
+
+
+#: DuckDB bounds expression per profiled column (None → string column);
+#: must mirror _PROFILE_COLS' Spark expressions value-for-value.
+_PROFILE_DUCK = {
+    "o_custkey": "o_custkey",
+    "o_orderdate": "EPOCH_US(o_orderdate)",
+    "o_orderkey": "o_orderkey",
+    "o_orderpriority": None,
+    "o_orderstatus": None,
+    "o_totalprice": "CAST(ROUND(o_totalprice * 100) AS BIGINT)",
+}
+
+
+def _profile_branch(col: str, num: str | None) -> str:
+    if num:
+        mn, mx = f"CAST(MIN({num}) AS BIGINT)", f"CAST(MAX({num}) AS BIGINT)"
+        smn = smx = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = mx = "CAST(NULL AS BIGINT)"
+        smn, smx = f"MIN({col})", f"MAX({col})"
+    return f"""
+  SELECT '{col}' AS col_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+         CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         {mn} AS min_num, {mx} AS max_num,
+         {smn} AS min_str, {smx} AS max_str
+  FROM orders"""
+
+
+_SQL_PROFILE = (
+    "\nUNION ALL\n".join(
+        _profile_branch(c, _PROFILE_DUCK[c]) for c, _ in _PROFILE_COLS
+    )
+    + "\nORDER BY col_name"
+)
+
+# ---------------------------------------------------------------------------
+# fk_integrity — referential-integrity audit over the star-schema FK graph
+# ---------------------------------------------------------------------------
+
+#: (edge label, child table, child key, parent table, parent key, broadcast?)
+#: broadcast=True for dimension parents whose key set is provably tiny
+#: (nation/region); fact-sized parents (orders) go through the normal
+#: shuffled anti-join and AQE picks broadcast when the key set fits.
+_FK_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey", True),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey", False),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey", False),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey", False),
+    ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey", True),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey", False),
+    ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey", True),
+)
+
+
+def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of every FK edge in the star schema:
+    per edge, the child row count, NULL-key rows (which violate nothing —
+    SQL FK semantics), distinct child keys, and orphan rows/keys whose
+    non-NULL key has no parent. The lake admission check that catches a
+    truncated dimension load before a fact join silently drops rows.
+
+    Scale: per edge, the child side reduces to its KEY column at the scan
+    (column pruning — payloads never move), orphans are a left ANTI join
+    against the parent's key column: provably tiny dimension parents
+    (nation/region) broadcast explicitly, fact-sized parents take the
+    shuffled anti-join where AQE upgrades to broadcast when the runtime
+    key set fits. Each edge's result is a 1-row aggregate; the union is
+    |edges| rows. Anti-join + count is the minimal data movement for
+    exact orphan accounting — no payload, no distinct-materialization of
+    the child side.
+    """
+    frames = []
+    for edge, child_t, ck, parent_t, pk, bcast in _FK_EDGES:
+        child = load_table(spark, sf_dir, child_t).select(ck)
+        parent = load_table(spark, sf_dir, parent_t).select(pk)
+        if bcast:
+            parent = F.broadcast(parent)
+        orphans = child.where(F.col(ck).isNotNull()).join(
+            parent, on=F.col(ck) == F.col(pk), how="left_anti"
+        )
+        stats = child.agg(
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            (F.count(F.lit(1)) - F.count(ck)).cast("long").alias("null_rows"),
+            F.countDistinct(ck).cast("long").alias("child_keys"),
+        )
+        ostats = orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
+            F.countDistinct(ck).cast("long").alias("orphan_keys"),
+        )
+        frames.append(
+            stats.crossJoin(ostats).select(
+                F.lit(edge).alias("edge"),
+                "child_rows",
+                "null_rows",
+                "child_keys",
+                "orphan_rows",
+                "orphan_keys",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("edge")
+
+
+def _fk_branch(edge: str, child: str, ck: str, parent: str, pk: str) -> str:
+    return f"""
+  SELECT '{edge}' AS edge,
+         CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS child_rows,
+         CAST((SELECT COUNT(*) FROM {child} WHERE {ck} IS NULL) AS BIGINT)
+           AS null_rows,
+         CAST((SELECT COUNT(DISTINCT {ck}) FROM {child}) AS BIGINT)
+           AS child_keys,
+         CAST((SELECT COUNT(*) FROM {child} c
+               WHERE c.{ck} IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                 WHERE p.{pk} = c.{ck})) AS BIGINT)
+           AS orphan_rows,
+         CAST((SELECT COUNT(DISTINCT c.{ck}) FROM {child} c
+               WHERE c.{ck} IS NOT NULL
+                 AND NOT EXISTS (SELECT 1 FROM {parent} p
+                                 WHERE p.{pk} = c.{ck})) AS BIGINT)
+           AS orphan_keys"""
+
+
+_SQL_FK = (
+    "\nUNION ALL\n".join(
+        _fk_branch(e, c, ck, p, pk) for e, c, ck, p, pk, _ in _FK_EDGES
+    )
+    + "\nORDER BY edge"
+)
+
+# ---------------------------------------------------------------------------
+# interarrival_stats — per-type event cadence from per-user gaps
+# ---------------------------------------------------------------------------
+
+
+def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-cadence profile: for every event type, the distribution of
+    per-user inter-event gaps (exact integer microseconds) — gap count,
+    min/max, exact sum, and the integer mean. The signal behind session
+    timeout tuning (streaming_session's 30-min constant), watermark
+    sizing, and bot detection (min gap ≈ 0 at volume).
+
+    Gaps are defined WITHIN (user_id, event_type) streams ordered by
+    ``(ts, event_id)`` — the unique tie-break makes consecutive-pair
+    selection identical on both engines even under timestamp ties.
+
+    Scale: ONE shuffle — the lag window partitions by (user_id,
+    event_type), a high-cardinality skew-free key, carrying only the
+    8-byte epoch-micros column (payload pruned at the scan); the per-type
+    rollup that follows is map-side-combinable into |event_types| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "event_id",
+            "ts",
+            F.unix_micros(F.col("ts")).alias("us"),
+        )
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .where(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap_us").cast("long").alias("min_gap_us"),
+            F.max("gap_us").cast("long").alias("max_gap_us"),
+            F.sum("gap_us").cast("long").alias("sum_gap_us"),
+            F.expr("cast(sum(gap_us) div count(*) as long)").alias(
+                "mean_gap_us"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_INTERARRIVAL = """
+WITH g AS (
+  SELECT event_type,
+         EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+       CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
+# key_skew_report — hot-key concentration diagnosis
+# ---------------------------------------------------------------------------
+
+_SKEW_TOPK = 10
+
+
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew diagnosis on ``events.user_id`` — the report you run
+    BEFORE choosing a join/agg strategy on a key (the decision input to
+    ``skew_salted_join``): the top-``_SKEW_TOPK`` keys by row count with
+    each key's exact corpus share (ppm), its multiple of the mean per-key
+    count (milli — >> 1000 means salting territory), and the cumulative
+    share of the top prefix.
+
+    Scale: one map-side-combinable count shuffle (key → count — this is
+    the measurement, so it sees the skew it measures, but carries 16-byte
+    rows, not payloads), a TakeOrdered top-k cut, and a window over the
+    ≤ k surviving rows (bounded by construction). The grand totals ride a
+    broadcast 1-row crossJoin.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    totals = counts.agg(
+        F.sum("n_events").cast("long").alias("total_events"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return (
+        counts.orderBy(F.desc("n_events"), "user_id")
+        .limit(_SKEW_TOPK)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_events",
+            F.sum("n_events")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("long"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "rnk",
+            "user_id",
+            "n_events",
+            F.expr(
+                "cast(n_events * 1000000 div nullif(total_events, 0) as long)"
+            ).alias("share_ppm"),
+            F.expr(
+                "cast(n_events * n_keys * 1000 div nullif(total_events, 0)"
+                "     as long)"
+            ).alias("mean_multiple_milli"),
+            F.expr(
+                "cast(cum_events * 1000000 div nullif(total_events, 0) as long)"
+            ).alias("cum_share_ppm"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_SQL_SKEW = f"""
+WITH counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+         CAST(COUNT(*) AS BIGINT) AS n_keys
+  FROM counts
+), top AS (
+  SELECT user_id, n_events FROM counts
+  ORDER BY n_events DESC, user_id LIMIT {_SKEW_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       user_id, n_events,
+       CAST(n_events * 1000000 // NULLIF(total_events, 0) AS BIGINT)
+         AS share_ppm,
+       CAST(n_events * n_keys * 1000 // NULLIF(total_events, 0) AS BIGINT)
+         AS mean_multiple_milli,
+       CAST(SUM(n_events) OVER (w ROWS UNBOUNDED PRECEDING) * 1000000
+            // NULLIF(total_events, 0) AS BIGINT) AS cum_share_ppm
+FROM top, tot
+WINDOW w AS (ORDER BY n_events DESC, user_id)
+ORDER BY rnk
+"""
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — per-user event-type bigram transitions
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral Markov matrix: for every (prev → next)
+    event-type pair observed in per-user ``(ts, event_id)`` order, the
+    transition count and the row-normalized probability in exact ppm —
+    the funnel generalization (``event_funnel`` checks ONE path; this
+    reports every edge) and the base table for next-action models.
+
+    Scale: ONE corpus shuffle — the lag window partitions by user_id
+    (skew-free natural key) carrying two small strings; the pair rollup
+    is map-side-combinable into ≤ |event_types|² rows, and the
+    row-normalizing window runs on that bounded matrix, never on events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = (
+        pairs.groupBy(
+            F.col("prev_type"), F.col("event_type").alias("next_type")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+    )
+    wrow = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "row_total", F.sum("n_trans").over(wrow).cast("long")
+        )
+        .select(
+            "prev_type",
+            "next_type",
+            "n_trans",
+            F.expr(
+                "cast(n_trans * 1000000 div nullif(row_total, 0) as long)"
+            ).alias("prob_ppm"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_SQL_TRANSITION = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type AS next_type
+  FROM events
+), counts AS (
+  SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM pairs WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n_trans,
+       CAST(n_trans * 1000000
+            // NULLIF(SUM(n_trans) OVER (PARTITION BY prev_type), 0)
+            AS BIGINT) AS prob_ppm
+FROM counts
+ORDER BY prev_type, next_type
+"""
+
+
+QUERIES = {
+    "table_profile": table_profile,
+    "fk_integrity": fk_integrity,
+    "interarrival_stats": interarrival_stats,
+    "key_skew_report": key_skew_report,
+    "event_transition_matrix": event_transition_matrix,
+}
+
+ORACLE = {
+    "table_profile": _SQL_PROFILE,
+    "fk_integrity": _SQL_FK,
+    "interarrival_stats": _SQL_INTERARRIVAL,
+    "key_skew_report": _SQL_SKEW,
+    "event_transition_matrix": _SQL_TRANSITION,
+}

@@ -44,6 +44,7 @@ _PLAN_MODULES = (
     "curation",
     "behavioral",
     "corpus",
+    "profiling",
 )
 
 IMPORT_ERRORS: dict[str, str] = {}

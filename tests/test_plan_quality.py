@@ -577,3 +577,106 @@ def test_source_overlap_has_no_self_join(spark, sf_dir):
     plan = _plan(source_overlap_matrix(spark, sf_dir))
     assert "Join" not in plan and "CartesianProduct" not in plan
     assert len(re.findall(r"Exchange hashpartitioning\(h#", plan)) == 1
+
+
+def test_table_profile_splits_distincts_from_measures(spark, sf_dir):
+    """The exact-distinct Expand pass must stay ISOLATED from the plain
+    min/max/count measures: exactly one Expand in the plan (the distincts'
+    own aggregate), so the measure branch keeps whole-stage codegen
+    instead of re-evaluating every measure on rows × |columns| expanded
+    input (measured ~3× slower fused). No corpus-keyed shuffle at all —
+    both branches reduce to 1 row before meeting."""
+    from bytewax_iceberg_connector_spark.plans.profiling import table_profile
+
+    plan = _plan(table_profile(spark, sf_dir))
+    assert plan.count("Expand") == 1
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "gid" in m.group(1)  # only the distinct-group exchange
+
+
+def test_fk_integrity_prunes_to_keys_and_anti_joins(spark, sf_dir):
+    """Every child/parent scan must prune to its KEY column (payloads
+    never move — ReadSchema carries exactly one field per scan) and every
+    orphan probe must be a LEFT ANTI join, never an exists-subquery
+    rewrite into something wider."""
+    from bytewax_iceberg_connector_spark.plans.profiling import fk_integrity
+
+    plan = _plan(fk_integrity(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(m.group(1).split(",")) == 1, m.group(1)
+
+
+def test_interarrival_single_corpus_window_exchange(spark, sf_dir):
+    """The lag window must partition by (user_id, event_type) — one
+    corpus-sized exchange — and the events scan must prune to the four
+    referenced columns; the per-type rollup shuffles map-side-combined
+    partials only."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        interarrival_stats,
+    )
+
+    plan = _plan(interarrival_stats(spark, sf_dir))
+    assert re.search(
+        r"Exchange hashpartitioning\(user_id[^)]*event_type", plan
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4
+    assert "Exchange SinglePartition" not in plan.split("AdaptiveSparkPlan")[0]
+
+
+def test_key_skew_window_is_bounded_by_limit(spark, sf_dir):
+    """The rank/cumshare window must run AFTER the TakeOrdered top-k cut
+    (vocab_build's bounded-window contract): the single-partition window
+    only ever sees ≤ k rows."""
+    from bytewax_iceberg_connector_spark.plans.profiling import key_skew_report
+
+    plan = _plan(key_skew_report(spark, sf_dir))
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    win_pos = plan.index("Window")
+    lim_pos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
+    assert lim_pos > win_pos  # top-down plan: below = earlier in dataflow
+
+
+def test_transition_matrix_windows_per_user_then_bounded(spark, sf_dir):
+    """The bigram lag must ride ONE user_id-partitioned exchange over the
+    pruned events scan; the row-normalizing window runs on the
+    ≤ |types|² aggregated matrix (its exchange keys on prev_type, after
+    aggregation), never on raw events."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        event_transition_matrix,
+    )
+
+    plan = _plan(event_transition_matrix(spark, sf_dir))
+    assert re.search(r"Exchange hashpartitioning\(user_id#", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_pmi_no_self_join_one_doc_exchange(spark, sf_dir):
+    """The pair space must come from JVM-side array fan-out over the
+    per-doc membership sets (source_overlap_matrix's contract) — never a
+    (doc, term) self-join — with membership riding ONE doc_id exchange
+    (collect_set dedups; no separate distinct() exchange) and the V-sized
+    doc-frequency tables joining back as broadcasts."""
+    from bytewax_iceberg_connector_spark.plans.corpus import cooccurrence_pmi
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(cooccurrence_pmi(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the membership chain is persisted: every doc_id exchange in the
+    # printed plan must sit inside a cached-relation replay (one per
+    # InMemoryTableScan consumer), i.e. it executes at most once
+    n_imts = plan.count("InMemoryTableScan")
+    assert n_imts >= 2  # dfreq (×2 broadcast sides) + pair fan-out
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(doc_id#", plan)) <= n_imts
+    )

@@ -1,0 +1,223 @@
+"""Degenerate-input contracts for plans/profiling.py — differential vs the
+DuckDB oracle on adversarial shapes the synthetic testdata never exercises:
+NULL keys, planted orphans, all-NULL columns, single-event users, timestamp
+ties, and fewer keys than the top-k cut."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from bytewax_iceberg_connector_spark.plans import profiling as P
+
+_TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+    " embeddings"
+).split()
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts_us_epoch, user_id, event_type, value, props)."""
+    tab = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "events.parquet")
+    return str(tmp_path)
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+    o_orderdate_us, o_orderpriority)."""
+    tab = pa.table(
+        {
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array([r[3] for r in rows], pa.float64()),
+            "o_orderdate": pa.array([r[4] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tab, tmp_path / "orders.parquet")
+    return str(tmp_path)
+
+
+def _oracle(tmp_path, sql):
+    con = duckdb.connect()
+    for t in _TABLES:
+        p = tmp_path / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def _diff(spdf, opdf):
+    spdf = (
+        spdf[sorted(spdf.columns)]
+        .sort_values(sorted(spdf.columns))
+        .reset_index(drop=True)
+    )
+    opdf = (
+        opdf[sorted(opdf.columns)]
+        .sort_values(sorted(opdf.columns))
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)
+
+
+_TS0 = 1_700_000_000_000_000  # fixed epoch-µs base
+
+
+def test_interarrival_single_event_streams_yield_no_gaps(spark, tmp_path):
+    """One event per (user, type) → zero gaps → that type absent from the
+    report on BOTH engines (no 0-gap or NULL row invented)."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, 10, "click", 1.0, "{}"),
+            (2, _TS0 + 5_000_000, 11, "click", 1.0, "{}"),
+            (3, _TS0, 10, "view", 1.0, "{}"),
+        ],
+    )
+    sp = P.interarrival_stats(spark, d).toPandas()
+    assert sp.empty  # every stream has exactly one event
+    _diff(sp, _oracle(tmp_path, P._SQL_INTERARRIVAL))
+
+
+def test_interarrival_timestamp_ties_break_on_event_id(spark, tmp_path):
+    """Two events at the SAME (user, type, ts): the event_id tie-break
+    must make both engines pick the same consecutive pairing — gap 0 —
+    and the third event's gap measures from the later event_id."""
+    d = _write_events(
+        tmp_path,
+        [
+            (5, _TS0, 1, "click", 1.0, "{}"),
+            (4, _TS0, 1, "click", 1.0, "{}"),
+            (6, _TS0 + 7_000_000, 1, "click", 1.0, "{}"),
+        ],
+    )
+    sp = P.interarrival_stats(spark, d).toPandas()
+    assert sp.loc[0, "n_gaps"] == 2
+    assert sp.loc[0, "min_gap_us"] == 0
+    assert sp.loc[0, "max_gap_us"] == 7_000_000
+    _diff(sp, _oracle(tmp_path, P._SQL_INTERARRIVAL))
+
+
+def test_key_skew_fewer_keys_than_topk(spark, tmp_path):
+    """Fewer distinct keys than the top-k cut: report exactly |keys| rows,
+    cumulative share reaching 1e6 ppm on the last row."""
+    d = _write_events(
+        tmp_path,
+        [(i, _TS0 + i, 100 + (i % 2), "click", 1.0, "{}") for i in range(6)],
+    )
+    sp = P.key_skew_report(spark, d).toPandas().sort_values("rnk")
+    assert len(sp) == 2
+    assert sp["cum_share_ppm"].iloc[-1] == 1_000_000
+    _diff(sp, _oracle(tmp_path, P._SQL_SKEW))
+
+
+def test_transition_matrix_single_event_users_contribute_nothing(
+    spark, tmp_path
+):
+    """Users with one event have no bigram; ts ties break on event_id so
+    the transition direction is identical on both engines."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, 1, "view", 1.0, "{}"),
+            (2, _TS0, 1, "click", 1.0, "{}"),  # same ts — id orders view→click
+            (3, _TS0, 2, "purchase", 1.0, "{}"),  # singleton user
+        ],
+    )
+    sp = P.event_transition_matrix(spark, d).toPandas()
+    assert len(sp) == 1
+    assert (sp.loc[0, "prev_type"], sp.loc[0, "next_type"]) == ("view", "click")
+    assert sp.loc[0, "prob_ppm"] == 1_000_000
+    _diff(sp, _oracle(tmp_path, P._SQL_TRANSITION))
+
+
+def test_table_profile_nulls_and_bounds(spark, tmp_path):
+    """NULLs count into n_null, never into distincts/bounds; money bounds
+    are exact cents, date bounds exact epoch-µs, on BOTH engines."""
+    d = _write_orders(
+        tmp_path,
+        [
+            (1, 10, "O", 100.005, _TS0, "1-URGENT"),
+            (2, None, "F", 99.994, _TS0 + 86_400_000_000, None),
+            (3, 10, None, None, None, "5-LOW"),
+        ],
+    )
+    sp = P.table_profile(spark, d).toPandas().set_index("col_name")
+    assert sp.loc["o_custkey", "n_null"] == 1
+    assert sp.loc["o_custkey", "n_distinct"] == 1
+    assert sp.loc["o_totalprice", "min_num"] == 9999  # round(99.994*100)
+    assert sp.loc["o_totalprice", "max_num"] == 10001  # round-half-up parity
+    assert sp.loc["o_orderdate", "min_num"] == _TS0
+    assert sp.loc["o_orderpriority", "min_str"] == "1-URGENT"
+    _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_PROFILE))
+
+
+def test_table_profile_empty_table(spark, tmp_path):
+    """Zero rows: every count 0, every bound NULL — and the oracle agrees
+    row for row."""
+    d = _write_orders(tmp_path, [])
+    sp = P.table_profile(spark, d).toPandas()
+    assert len(sp) == len(P._PROFILE_COLS)
+    assert (sp["n_rows"] == 0).all() and (sp["n_distinct"] == 0).all()
+    assert sp["min_num"].isna().all() and sp["min_str"].isna().all()
+    _diff(sp, _oracle(tmp_path, P._SQL_PROFILE))
+
+
+@pytest.fixture()
+def _star_fixture(tmp_path):
+    """Minimal star schema with planted violations: one NULL child key
+    (violates nothing) and one orphan key per audited fact edge."""
+    def t(name, cols):
+        pq.write_table(pa.table(cols), tmp_path / f"{name}.parquet")
+
+    t("region", {"r_regionkey": pa.array([0], pa.int64()),
+                 "r_name": pa.array(["R"], pa.string())})
+    t("nation", {"n_nationkey": pa.array([0], pa.int64()),
+                 "n_regionkey": pa.array([0], pa.int64()),
+                 "n_name": pa.array(["N"], pa.string())})
+    t("customer", {"c_custkey": pa.array([1], pa.int64()),
+                   "c_nationkey": pa.array([0], pa.int64())})
+    t("supplier", {"s_suppkey": pa.array([1], pa.int64()),
+                   "s_nationkey": pa.array([0], pa.int64())})
+    t("part", {"p_partkey": pa.array([1], pa.int64())})
+    t("orders", {"o_orderkey": pa.array([1, 2], pa.int64()),
+                 "o_custkey": pa.array([1, 99], pa.int64())})  # 99 orphan
+    t("lineitem", {"l_orderkey": pa.array([1, 7, None], pa.int64()),
+                   "l_partkey": pa.array([1, 1, 1], pa.int64()),
+                   "l_suppkey": pa.array([1, 8, 8], pa.int64())})
+    return tmp_path
+
+
+def test_fk_integrity_counts_planted_orphans_and_null_keys(
+    spark, _star_fixture
+):
+    tmp_path = _star_fixture
+    sp = P.fk_integrity(spark, str(tmp_path)).toPandas().set_index("edge")
+    lo = sp.loc["lineitem.l_orderkey->orders"]
+    assert (lo["child_rows"], lo["null_rows"]) == (3, 1)
+    assert (lo["orphan_rows"], lo["orphan_keys"]) == (1, 1)  # key 7
+    ls = sp.loc["lineitem.l_suppkey->supplier"]
+    assert (ls["orphan_rows"], ls["orphan_keys"]) == (2, 1)  # key 8 twice
+    oc = sp.loc["orders.o_custkey->customer"]
+    assert (oc["orphan_rows"], oc["orphan_keys"]) == (1, 1)  # key 99
+    _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_FK))
