@@ -249,13 +249,17 @@ def interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gaps are defined WITHIN (user_id, event_type) streams ordered by
     ``(ts, event_id)`` — the unique tie-break makes consecutive-pair
     selection identical on both engines even under timestamp ties.
+    NULL-timestamp events are excluded on BOTH sides before the window
+    (an unknown arrival time can't form a gap — and the engines disagree
+    on NULL placement in window order, Spark NULLS FIRST vs DuckDB NULLS
+    LAST, so leaving them in would silently reorder the pairing).
 
     Scale: ONE shuffle — the lag window partitions by (user_id,
     event_type), a high-cardinality skew-free key, carrying only the
     8-byte epoch-micros column (payload pruned at the scan); the per-type
     rollup that follows is map-side-combinable into |event_types| rows.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     gaps = (
         ev.select(
@@ -288,7 +292,7 @@ WITH g AS (
   SELECT event_type,
          EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER (
            PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_gaps,
@@ -370,8 +374,11 @@ WITH counts AS (
          CAST(COUNT(*) AS BIGINT) AS n_keys
   FROM counts
 ), top AS (
+  -- NULLS FIRST: a NULL key is a legitimate hot key (it stays in the
+  -- report) and Spark's ASC default is NULLS FIRST — the cut and the
+  -- rank must agree on where it sorts
   SELECT user_id, n_events FROM counts
-  ORDER BY n_events DESC, user_id LIMIT {_SKEW_TOPK}
+  ORDER BY n_events DESC, user_id NULLS FIRST LIMIT {_SKEW_TOPK}
 )
 SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
        user_id, n_events,
@@ -382,7 +389,7 @@ SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
        CAST(SUM(n_events) OVER (w ROWS UNBOUNDED PRECEDING) * 1000000
             // NULLIF(total_events, 0) AS BIGINT) AS cum_share_ppm
 FROM top, tot
-WINDOW w AS (ORDER BY n_events DESC, user_id)
+WINDOW w AS (ORDER BY n_events DESC, user_id NULLS FIRST)
 ORDER BY rnk
 """
 
@@ -403,7 +410,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     is map-side-combinable into ≤ |event_types|² rows, and the
     row-normalizing window runs on that bounded matrix, never on events.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select("user_id", "event_type", "ts", "event_id")
@@ -438,7 +445,7 @@ WITH pairs AS (
   SELECT lag(event_type) OVER (
            PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
          event_type AS next_type
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 ), counts AS (
   SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n_trans
   FROM pairs WHERE prev_type IS NOT NULL

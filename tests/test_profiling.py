@@ -221,3 +221,42 @@ def test_fk_integrity_counts_planted_orphans_and_null_keys(
     oc = sp.loc["orders.o_custkey->customer"]
     assert (oc["orphan_rows"], oc["orphan_keys"]) == (1, 1)  # key 99
     _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_FK))
+
+
+def test_interarrival_null_ts_excluded_on_both_engines(spark, tmp_path):
+    """NULL-timestamp events must not form or split gaps: the engines
+    disagree on NULL placement in window order (Spark NULLS FIRST, DuckDB
+    NULLS LAST), so the exclusion is the only divergence-free semantic."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, 1, "click", 1.0, "{}"),
+            (2, None, 1, "click", 1.0, "{}"),
+            (3, _TS0 + 3_000_000, 1, "click", 1.0, "{}"),
+        ],
+    )
+    sp = P.interarrival_stats(spark, d).toPandas()
+    assert sp.loc[0, "n_gaps"] == 1 and sp.loc[0, "max_gap_us"] == 3_000_000
+    _diff(sp, _oracle(tmp_path, P._SQL_INTERARRIVAL))
+    tm = P.event_transition_matrix(spark, d).toPandas()
+    assert tm["n_trans"].sum() == 1
+    _diff(tm, _oracle(tmp_path, P._SQL_TRANSITION))
+
+
+def test_key_skew_null_key_reported_and_ordered_identically(spark, tmp_path):
+    """A NULL user_id is a legitimate hot key: it must appear in the
+    report and sort identically through the top-k cut on both engines
+    (NULLS FIRST pinned in the oracle)."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, None, "click", 1.0, "{}"),
+            (2, _TS0 + 1, None, "click", 1.0, "{}"),
+            (3, _TS0 + 2, 7, "click", 1.0, "{}"),
+            (4, _TS0 + 3, 8, "click", 1.0, "{}"),  # ties 7 and 8 at 1 event
+        ],
+    )
+    sp = P.key_skew_report(spark, d).toPandas().sort_values("rnk")
+    assert len(sp) == 3
+    assert pd.isna(sp.iloc[0]["user_id"]) and sp.iloc[0]["n_events"] == 2
+    _diff(sp, _oracle(tmp_path, P._SQL_SKEW))
