@@ -480,8 +480,108 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# compaction_planning — small-file report + rewrite plan from commit metadata
+# ---------------------------------------------------------------------------
+
+_COMPACT_SLICES = 6
+_COMPACT_TARGET_ROWS = 1000
+
+
+def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the maintenance report behind
+    Iceberg's ``rewrite_data_files``: build a lake table from
+    ``_COMPACT_SLICES`` successive small appends, then report per commit
+    the exact row count, the data-file count, rows per file, whether the
+    commit is below the ``_COMPACT_TARGET_ROWS``-per-file target, and how
+    many files a rewrite would produce.
+
+    METADATA-ONLY planning: rows come from parquet footers of each
+    commit's files (the same footer harvest ``_write_commit_stats`` does;
+    Iceberg reads the identical numbers from manifest file-metrics) — the
+    planner never scans data, so at 100 TB the plan costs |files| footer
+    reads, not a table scan.
+
+    The oracle derives the WHOLE report from the source table alone
+    (commit i holds ``event_id % slices = i``; round-robin fan-out writes
+    exactly ``least(num_partitions, n_rows)`` files), so the green row
+    PROVES two writer contracts end-to-end: the list_parts fan-out
+    (reference connector.py list_parts, A2) produces exactly the declared
+    file count, and the footers account for every ingested row.
+    """
+    import pyarrow.parquet as papq
+
+    ev = load_table(spark, sf_dir, "events")
+    warehouse = tempfile.mkdtemp(prefix="bic_compact_")
+    try:
+        cfg = IcebergSinkConfig(
+            table_name="analytics.events_small",
+            warehouse_path=warehouse,
+            num_partitions=4,
+        )
+        sink = LakeSink(spark, cfg)
+        for i in range(_COMPACT_SLICES):
+            sink.append(ev.where(F.col("event_id") % _COMPACT_SLICES == i))
+        log = sink._log
+        rows, prev = [], set()
+        for i, s in enumerate(log.snapshots()):
+            new = [c for c in s["live"] if c not in prev]
+            prev = set(s["live"])
+            files = []
+            for c in new:
+                for root, _dirs, names in os.walk(
+                    os.path.join(log.data_dir, c)
+                ):
+                    files += [
+                        os.path.join(root, n)
+                        for n in names
+                        if n.endswith(".parquet")
+                    ]
+            n_rows = sum(
+                papq.ParquetFile(p).metadata.num_rows for p in files
+            )
+            n_files = len(files)
+            avg = n_rows // n_files if n_files else 0
+            rows.append(
+                (
+                    i,
+                    n_rows,
+                    n_files,
+                    avg,
+                    avg < _COMPACT_TARGET_ROWS,
+                    max(1, -(-n_rows // _COMPACT_TARGET_ROWS)),
+                )
+            )
+    finally:
+        shutil.rmtree(warehouse, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "commit_id BIGINT, n_rows BIGINT, n_files BIGINT, "
+        "avg_rows_per_file BIGINT, needs_compaction BOOLEAN, "
+        "planned_files BIGINT",
+    ).orderBy("commit_id")
+
+
+_SQL_COMPACT = f"""
+WITH c AS (
+  SELECT event_id % {_COMPACT_SLICES} AS commit_id,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+)
+SELECT CAST(commit_id AS BIGINT) AS commit_id, n_rows,
+       CAST(LEAST(4, n_rows) AS BIGINT) AS n_files,
+       CAST(n_rows // LEAST(4, n_rows) AS BIGINT) AS avg_rows_per_file,
+       (n_rows // LEAST(4, n_rows)) < {_COMPACT_TARGET_ROWS}
+         AS needs_compaction,
+       CAST(GREATEST(1, CEIL(n_rows / {_COMPACT_TARGET_ROWS}.0)) AS BIGINT)
+         AS planned_files
+FROM c ORDER BY commit_id
+"""
+
+
 QUERIES = {
     "iceberg_roundtrip": iceberg_roundtrip,
+    "compaction_planning": compaction_planning,
     "partition_evolution": partition_evolution,
     "schema_evolution": schema_evolution,
     "stats_skipping_scan": stats_skipping_scan,
@@ -492,6 +592,7 @@ QUERIES = {
 }
 ORACLE = {
     "iceberg_roundtrip": _SQL_ROUNDTRIP,
+    "compaction_planning": _SQL_COMPACT,
     "partition_evolution": _SQL_EVOLUTION,
     "schema_evolution": _SQL_SCHEMA_EVOLUTION,
     "stats_skipping_scan": _SQL_STATS_SKIP,

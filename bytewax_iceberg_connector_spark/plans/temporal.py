@@ -7,7 +7,7 @@ the range join replays as an inequality join on a VALUES list.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dec, dsum, sql_dsum
@@ -351,6 +351,173 @@ ORDER BY state
 """
 
 # ---------------------------------------------------------------------------
+# ohlc_bars — open/high/low/close candles per (event_type, hour)
+# ---------------------------------------------------------------------------
+
+
+def ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event type — the kdb/TimescaleDB financial
+    downsampling staple: open (first value), high, low, close (last
+    value), decimal-exact volume, and tick count per (event_type, hour).
+
+    Open/close are selected by the total order ``(ts, event_id)`` via
+    struct-min/max — ``min(struct(ts, event_id, value))`` compares
+    lexicographically, so "first" is deterministic under timestamp ties
+    AND mergeable (a pure aggregate, no window): partial candles from two
+    partitions combine into the exact whole, which is the 100 TB shape —
+    ONE map-side-combinable shuffle of (type, hour) keys, no per-row
+    window state. The oracle states the same selection with rank-1
+    windows (readable but unmergeable) — the green row proves the
+    struct-min trick loses nothing. Volume sums in exact decimal
+    (functions/numeric.py discipline); high/low are order-independent.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    first_s = F.struct(F.col("ts"), F.col("event_id"), F.col("value"))
+    return (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("bar_hour"),
+            "ts",
+            "event_id",
+            "value",
+        )
+        .groupBy("event_type", "bar_hour")
+        .agg(
+            F.min(first_s).getField("value").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(first_s).getField("value").alias("close"),
+            dsum("value").alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+        )
+        .orderBy("event_type", "bar_hour")
+    )
+
+
+_SQL_OHLC = f"""
+WITH ranked AS (
+  SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT event_type, bar_hour,
+       MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+       {sql_dsum('value')} AS volume,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks
+FROM ranked
+GROUP BY event_type, bar_hour
+ORDER BY event_type, bar_hour
+"""
+
+# ---------------------------------------------------------------------------
+# time_weighted_avg — trapezoid TWA per (user, type) stream, typed rollup
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (trapezoid rule) of ``value`` over each
+    (user_id, event_type) stream, rolled up per type — the
+    irregular-sampling average where a reading "holds" until the next one
+    (TimescaleDB ``time_weight``'s semantics), which a plain AVG gets
+    wrong whenever sampling cadence correlates with level.
+
+    Exact integer discipline end-to-end: values in cents, interval
+    lengths in whole seconds (per-pair ``div`` truncation, identical on
+    both engines), per-stream integral as ``Σ (v₁+v₂)·dt`` kept at ×2
+    scale so no fraction ever appears, and the final TWA in cents via one
+    ``div (2·Σdt)``. Streams with zero elapsed seconds (single reading,
+    or all readings inside one second) are excluded — their TWA is 0/0.
+
+    Scale: ONE corpus exchange — the lag window partitions by (user_id,
+    event_type), the same skew-free key as ``interarrival_stats``; the
+    per-stream reduce and the per-type rollup are both
+    map-side-combinable aggregates over already-partitioned narrow rows.
+    Overflow-safe by construction: pair contribution ≤ 2·max_cents·dt_s
+    ≈ 1e12 at a month-long gap, bigint headroom ~9e18.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("t_us"),
+            F.expr("cast(round(value * 100) as bigint)").alias("v_cents"),
+        )
+        .withColumn("prev_t", F.lag("t_us").over(w))
+        .withColumn("prev_v", F.lag("v_cents").over(w))
+        .where(F.col("prev_t").isNotNull())
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("(t_us - prev_t) div 1000000").alias("dt_s"),
+            F.expr("(v_cents + prev_v) * ((t_us - prev_t) div 1000000)")
+            .alias("contrib2"),
+        )
+    )
+    streams = (
+        pairs.groupBy("user_id", "event_type")
+        .agg(
+            F.sum("contrib2").cast("long").alias("integral2"),
+            F.sum("dt_s").cast("long").alias("dur_s"),
+        )
+        .where(F.col("dur_s") > 0)
+        .withColumn("twa_cents", F.expr("integral2 div (2 * dur_s)"))
+    )
+    return (
+        streams.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_streams"),
+            F.sum("twa_cents").cast("long").alias("sum_twa_cents"),
+            F.expr("cast(sum(twa_cents) div count(*) as long)").alias(
+                "mean_twa_cents"
+            ),
+            F.min("twa_cents").cast("long").alias("min_twa_cents"),
+            F.max("twa_cents").cast("long").alias("max_twa_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_TWA = """
+WITH pairs AS (
+  SELECT user_id, event_type,
+         (EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER w) // 1000000 AS dt_s,
+         (CAST(ROUND(value * 100) AS BIGINT)
+          + lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w)
+         * ((EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER w) // 1000000) AS contrib2
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+), streams AS (
+  SELECT user_id, event_type,
+         CAST(SUM(contrib2) AS BIGINT) AS integral2,
+         CAST(SUM(dt_s) AS BIGINT) AS dur_s
+  FROM pairs WHERE dt_s IS NOT NULL
+  GROUP BY 1, 2
+), twa AS (
+  SELECT event_type, integral2 // (2 * dur_s) AS twa_cents
+  FROM streams WHERE dur_s > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_streams,
+       CAST(SUM(twa_cents) AS BIGINT) AS sum_twa_cents,
+       CAST(SUM(twa_cents) // COUNT(*) AS BIGINT) AS mean_twa_cents,
+       CAST(MIN(twa_cents) AS BIGINT) AS min_twa_cents,
+       CAST(MAX(twa_cents) AS BIGINT) AS max_twa_cents
+FROM twa
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "asof_join_events": asof_join_events,
@@ -358,6 +525,8 @@ QUERIES = {
     "range_join_bands": range_join_bands,
     "gapfill_locf": gapfill_locf,
     "scd2_history": scd2_history,
+    "ohlc_bars": ohlc_bars,
+    "time_weighted_avg": time_weighted_avg,
 }
 
 ORACLE = {
@@ -366,4 +535,6 @@ ORACLE = {
     "range_join_bands": _SQL_RANGE,
     "gapfill_locf": _SQL_GAPFILL,
     "scd2_history": _SQL_SCD2,
+    "ohlc_bars": _SQL_OHLC,
+    "time_weighted_avg": _SQL_TWA,
 }

@@ -680,3 +680,33 @@ def test_cooccurrence_pmi_no_self_join_one_doc_exchange(spark, sf_dir):
     assert (
         len(re.findall(r"Exchange hashpartitioning\(doc_id#", plan)) <= n_imts
     )
+
+
+def test_ohlc_is_a_pure_mergeable_aggregate(spark, sf_dir):
+    """Open/close selection must ride the struct-min/max trick — a pure
+    map-side-combinable aggregate with NO window operator (the oracle's
+    rank-1 window formulation is the readable-but-unmergeable shape this
+    plan deliberately avoids): one (type, hour) exchange, partial
+    aggregation below it."""
+    from bytewax_iceberg_connector_spark.plans.temporal import ohlc_bars
+
+    plan = _plan(ohlc_bars(spark, sf_dir))
+    assert "Window" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert "partial" in plan.lower()  # map-side combine before the shuffle
+
+
+def test_twa_single_stream_exchange(spark, sf_dir):
+    """The trapezoid lag must ride ONE (user_id, event_type) exchange;
+    the per-stream reduce reuses that partitioning (no second corpus
+    shuffle) and only the ≤ |types| rollup exchanges after it."""
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        time_weighted_avg,
+    )
+
+    plan = _plan(time_weighted_avg(spark, sf_dir))
+    assert re.search(
+        r"Exchange hashpartitioning\(user_id[^)]*event_type", plan
+    )
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 5  # +value vs interarrival

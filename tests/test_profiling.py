@@ -260,3 +260,46 @@ def test_key_skew_null_key_reported_and_ordered_identically(spark, tmp_path):
     assert len(sp) == 3
     assert pd.isna(sp.iloc[0]["user_id"]) and sp.iloc[0]["n_events"] == 2
     _diff(sp, _oracle(tmp_path, P._SQL_SKEW))
+
+
+# -- temporal additions (reuse the events fixture writer) --------------------
+
+from bytewax_iceberg_connector_spark.plans import temporal as T
+
+
+def test_twa_trapezoid_exact_and_single_readings_excluded(spark, tmp_path):
+    """10.00 → 20.00 over 10 s is exactly 15.00 time-weighted; a stream
+    with one reading has no elapsed time and must vanish (0/0), on BOTH
+    engines."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, 1, "sensor", 10.0, "{}"),
+            (2, _TS0 + 10_000_000, 1, "sensor", 20.0, "{}"),
+            (3, _TS0, 2, "lonely", 7.0, "{}"),
+        ],
+    )
+    sp = T.time_weighted_avg(spark, d).toPandas()
+    assert list(sp["event_type"]) == ["sensor"]
+    assert sp.loc[0, "mean_twa_cents"] == 1500
+    _diff(sp, _oracle(tmp_path, T._SQL_TWA))
+
+
+def test_ohlc_open_close_tie_break_on_event_id(spark, tmp_path):
+    """Two ticks at the same timestamp: open is the LOWER event_id, close
+    the higher — the struct-min/max selection must agree with the
+    oracle's rank-1 windows."""
+    d = _write_events(
+        tmp_path,
+        [
+            (5, _TS0, 1, "trade", 101.0, "{}"),
+            (4, _TS0, 1, "trade", 99.0, "{}"),
+            (6, _TS0 + 60_000_000, 1, "trade", 107.0, "{}"),
+        ],
+    )
+    sp = T.ohlc_bars(spark, d).toPandas()
+    assert len(sp) == 1
+    assert sp.loc[0, "open"] == 99.0  # event_id 4 at the tied ts
+    assert sp.loc[0, "close"] == 107.0
+    assert (sp.loc[0, "high"], sp.loc[0, "low"]) == (107.0, 99.0)
+    _diff(sp, _oracle(tmp_path, T._SQL_OHLC))
