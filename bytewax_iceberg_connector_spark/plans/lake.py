@@ -504,10 +504,12 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle derives the WHOLE report from the source table alone
     (commit i holds ``event_id % slices = i``; round-robin fan-out writes
-    exactly ``least(num_partitions, n_rows)`` files), so the green row
+    exactly ``least(num_partitions, n_rows)`` DATA files — consecutive
+    round-robin from the single input split covers min(parts, rows)
+    outputs; at larger inputs every output gets rows), so the green row
     PROVES two writer contracts end-to-end: the list_parts fan-out
     (reference connector.py list_parts, A2) produces exactly the declared
-    file count, and the footers account for every ingested row.
+    data-file count, and the footers account for every ingested row.
     """
     import pyarrow.parquet as papq
 
@@ -537,10 +539,19 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
                         for n in names
                         if n.endswith(".parquet")
                     ]
-            n_rows = sum(
+            # DATA files only (≥1 row): Spark's writer always emits task
+            # 0's file even when empty (schema carrier) — Iceberg's
+            # manifests would not register a zero-record file as a data
+            # file, and neither does this planner
+            per_file = [
                 papq.ParquetFile(p).metadata.num_rows for p in files
-            )
-            n_files = len(files)
+            ]
+            n_rows = sum(per_file)
+            n_files = sum(1 for r in per_file if r > 0)
+            if n_rows == 0:
+                # empty slice (degenerate corpus): the oracle's GROUP BY
+                # has no such group — skip the empty commit symmetrically
+                continue
             avg = n_rows // n_files if n_files else 0
             rows.append(
                 (

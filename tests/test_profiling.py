@@ -303,3 +303,24 @@ def test_ohlc_open_close_tie_break_on_event_id(spark, tmp_path):
     assert sp.loc[0, "close"] == 107.0
     assert (sp.loc[0, "high"], sp.loc[0, "low"]) == (107.0, 99.0)
     _diff(sp, _oracle(tmp_path, T._SQL_OHLC))
+
+
+def test_compaction_planning_skips_empty_slices(spark, tmp_path):
+    """A corpus with fewer events than commit slices: empty appends must
+    not invent 0-row report lines (the oracle's GROUP BY has no such
+    group), and tiny commits write exactly min(num_partitions, rows)
+    files."""
+    from bytewax_iceberg_connector_spark.plans import lake as L
+
+    d = _write_events(
+        tmp_path,
+        [
+            (0, _TS0, 1, "click", 1.0, "{}"),
+            (1, _TS0 + 1, 1, "click", 1.0, "{}"),
+            (6, _TS0 + 2, 2, "view", 1.0, "{}"),  # residue 0 again
+        ],
+    )
+    sp = L.compaction_planning(spark, d).toPandas()
+    assert sorted(sp["commit_id"]) == [0, 1]  # residues 2-5 empty → absent
+    assert sp.set_index("commit_id").loc[0, "n_files"] == 2  # 2 rows → 2 files
+    _diff(sp, _oracle(tmp_path, L._SQL_COMPACT))
