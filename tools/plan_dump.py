@@ -109,6 +109,23 @@ SHOWCASE = [
      "hot 5-value key spreads over 8 salts (deterministic content hash, "
      "no rand); dim replicates 8x — the shuffle is skew-free and the "
      "result is row-identical to the unsalted join"),
+    ("table_profile",
+     "exact-distinct Expand isolated in its own aggregate; plain "
+     "min/max/count measures keep whole-stage codegen (~3x faster than "
+     "the fused plan) and meet in a 1-row crossJoin"),
+    ("fk_integrity",
+     "every child/parent scan prunes to its single KEY column; orphan "
+     "probes are LEFT ANTI joins — payloads never move"),
+    ("ohlc_bars",
+     "open/close via struct-min/max: a pure map-side-combinable "
+     "aggregate, NO window operator — partial candles merge exactly"),
+    ("time_weighted_avg",
+     "trapezoid lag rides ONE (user, type) exchange; per-stream reduce "
+     "reuses that partitioning, all math exact bigint"),
+    ("cooccurrence_pmi",
+     "pair space capped by the vocab cut: JVM-side array fan-out from "
+     "per-doc member sets (no self-join), membership on ONE doc_id "
+     "exchange, V-sized broadcasts back"),
 ]
 
 
