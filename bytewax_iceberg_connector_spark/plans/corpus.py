@@ -452,7 +452,14 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ._cache import scoped
 
-    docs = load_table(spark, sf_dir, "documents")
+    # doc_id is the membership key: a NULL-keyed document cannot be
+    # attributed, and the engines disagree on it structurally (groupBy
+    # pools all NULLs into one phantom doc, the oracle's equi-self-join
+    # drops them) — excluded from membership AND the n_docs denominator
+    # symmetrically
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
     toks = docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
     vocab = (
         toks.groupBy("term")
@@ -532,6 +539,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PMI = rf"""
 WITH tok AS (
   SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents
+  WHERE doc_id IS NOT NULL
 ), tf AS (
   SELECT term, COUNT(*) AS cf FROM tok GROUP BY 1
 ), vocab AS (
@@ -542,6 +550,7 @@ WITH tok AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM dt GROUP BY 1
 ), d AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+  WHERE doc_id IS NOT NULL
 ), pairs AS (
   SELECT a.term AS ta, b.term AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
   FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term

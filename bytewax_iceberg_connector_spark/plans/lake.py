@@ -523,7 +523,17 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         sink = LakeSink(spark, cfg)
         for i in range(_COMPACT_SLICES):
-            sink.append(ev.where(F.col("event_id") % _COMPACT_SLICES == i))
+            # NULL event_ids match no residue and are excluded from every
+            # slice (mirrored by the oracle's IS NOT NULL); coalesce(1)
+            # pins the deterministic file-count contract — round-robin
+            # from ONE upstream split covers exactly min(parts, rows)
+            # outputs, whereas multi-split inputs start each split's
+            # round-robin at its own offset and small slices could leave
+            # outputs empty. The sink's own repartition fan-out (the
+            # contract under proof) runs downstream of it.
+            sink.append(
+                ev.where(F.col("event_id") % _COMPACT_SLICES == i).coalesce(1)
+            )
         log = sink._log
         rows, prev = [], set()
         for i, s in enumerate(log.snapshots()):
@@ -577,7 +587,7 @@ _SQL_COMPACT = f"""
 WITH c AS (
   SELECT event_id % {_COMPACT_SLICES} AS commit_id,
          CAST(COUNT(*) AS BIGINT) AS n_rows
-  FROM events GROUP BY 1
+  FROM events WHERE event_id IS NOT NULL GROUP BY 1
 )
 SELECT CAST(commit_id AS BIGINT) AS commit_id, n_rows,
        CAST(LEAST(4, n_rows) AS BIGINT) AS n_files,

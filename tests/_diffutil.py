@@ -1,0 +1,41 @@
+"""Shared fixture-corpus differential helpers for the degenerate-input
+suites (test_corpus.py, test_profiling.py): one DuckDB-oracle runner and
+one frame canonicalizer, so every adversarial-shape suite enforces the
+SAME comparison contract."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents"
+    " embeddings"
+).split()
+
+
+def duck_oracle(dirpath, sql: str) -> pd.DataFrame:
+    """Run oracle SQL over whichever corpus tables exist as parquet in
+    ``dirpath`` (registered under their standard view names)."""
+    con = duckdb.connect()
+    for t in TABLES:
+        p = dirpath / f"{t}.parquet"
+        if p.exists():
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
+            )
+    try:
+        return con.sql(sql).df()
+    finally:
+        con.close()
+
+
+def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
+    """Order-insensitive frame equality under a shared canonical form:
+    columns sorted by name, rows sorted by every column."""
+    cols = sorted(spdf.columns)
+    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
+    opdf = opdf[sorted(opdf.columns)][cols].sort_values(cols).reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)

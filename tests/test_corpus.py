@@ -5,9 +5,11 @@ sources, and duplicate-free corpora."""
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 import pytest
+
+from _diffutil import assert_df_match as _diff
+from _diffutil import duck_oracle as _oracle
 
 from bytewax_iceberg_connector_spark.plans import corpus as C
 
@@ -20,28 +22,6 @@ def _docs_dir(tmp_path, rows):
     pdf["n_chars"] = pdf["n_chars"].astype("int64")
     pdf.to_parquet(tmp_path / "documents.parquet")
     return str(tmp_path)
-
-
-def _oracle(tmp_path, sql):
-    con = duckdb.connect()
-    con.execute(
-        "CREATE VIEW documents AS SELECT * FROM "
-        f"read_parquet('{tmp_path}/documents.parquet')"
-    )
-    try:
-        return con.sql(sql).df()
-    finally:
-        con.close()
-
-
-def _diff(spdf, opdf):
-    spdf = spdf[sorted(spdf.columns)].sort_values(list(spdf.columns)).reset_index(
-        drop=True
-    )
-    opdf = opdf[sorted(opdf.columns)].sort_values(list(opdf.columns)).reset_index(
-        drop=True
-    )
-    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)
 
 
 DEGENERATE = [
@@ -125,3 +105,41 @@ def test_source_overlap_counts_distinct_shared_grams(spark, tmp_path):
     sp = C.source_overlap_matrix(spark, d).toPandas()
     assert len(sp) == 1 and int(sp.shared_grams.iloc[0]) == 1
     _diff(sp, _oracle(tmp_path, C._SQL_OVERLAP))
+
+
+def test_pmi_null_doc_id_excluded_on_both_engines(spark, tmp_path):
+    """A NULL-keyed document cannot be attributed: Spark's groupBy would
+    pool all NULLs into one phantom doc while the oracle's equi-self-join
+    drops them — both sides must exclude it from membership AND the
+    n_docs denominator (regression for the confirmed divergence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, None], pa.int64()),
+                "text": pa.array(["alpha beta"] * 3, pa.string()),
+                "lang": pa.array(["en"] * 3, pa.string()),
+                "source": pa.array(["s"] * 3, pa.string()),
+                "n_chars": pa.array([10] * 3, pa.int64()),
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    sp = C.cooccurrence_pmi(spark, str(tmp_path)).toPandas()
+    assert list(sp["n_ab"]) == [2]  # the NULL doc contributes no pair
+    assert sp.loc[0, "pmi_micro"] == 0  # ln(2*2/(2*2)) — NULL doc out of n_docs
+    _diff(sp, _oracle(tmp_path, C._SQL_PMI))
+
+
+def test_pmi_degenerate_corpora(spark, tmp_path):
+    """Single-term docs produce no pairs; a whitespace-only doc produces
+    no membership; both engines agree on the empty report."""
+    d = _docs_dir(
+        tmp_path,
+        [(0, "solo", "en", "s", 4), (1, "   ", "en", "s", 3)],
+    )
+    sp = C.cooccurrence_pmi(spark, d).toPandas()
+    assert sp.empty
+    _diff(sp, _oracle(tmp_path, C._SQL_PMI))

@@ -5,18 +5,14 @@ ties, and fewer keys than the top-k cut."""
 
 from __future__ import annotations
 
-import duckdb
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from _diffutil import assert_df_match as _diff
+from _diffutil import duck_oracle as _oracle
 from bytewax_iceberg_connector_spark.plans import profiling as P
-
-_TABLES = (
-    "region nation customer supplier part orders lineitem events documents"
-    " embeddings"
-).split()
 
 
 def _write_events(tmp_path, rows):
@@ -50,34 +46,6 @@ def _write_orders(tmp_path, rows):
     )
     pq.write_table(tab, tmp_path / "orders.parquet")
     return str(tmp_path)
-
-
-def _oracle(tmp_path, sql):
-    con = duckdb.connect()
-    for t in _TABLES:
-        p = tmp_path / f"{t}.parquet"
-        if p.exists():
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
-            )
-    try:
-        return con.sql(sql).df()
-    finally:
-        con.close()
-
-
-def _diff(spdf, opdf):
-    spdf = (
-        spdf[sorted(spdf.columns)]
-        .sort_values(sorted(spdf.columns))
-        .reset_index(drop=True)
-    )
-    opdf = (
-        opdf[sorted(opdf.columns)]
-        .sort_values(sorted(opdf.columns))
-        .reset_index(drop=True)
-    )
-    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)
 
 
 _TS0 = 1_700_000_000_000_000  # fixed epoch-µs base
