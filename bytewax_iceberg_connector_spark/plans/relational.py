@@ -1738,3 +1738,66 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["percentile_rollup"] = percentile_rollup
 ORACLE["percentile_rollup"] = _PCTL_SQL
+
+
+# ---------------------------------------------------------------------------
+# semi_reduced_join — the semi-join reduction pattern, pinned as a plan shape
+# ---------------------------------------------------------------------------
+
+
+def semi_reduced_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by brand for a selective part subset, executed with the
+    classic SEMI-JOIN REDUCTION: the dimension's qualifying KEY SET
+    (8 bytes/row) broadcasts as a LEFT SEMI prefilter on the fact scan,
+    so the shuffled main join only ever moves the matching fact slice.
+
+    This is the distributed-DB pattern for the middle regime the other
+    join queries don't pin: a dimension too wide to broadcast whole rows
+    at 100 TB (so the main join must shuffle — forced here with a
+    shuffle_merge hint) but whose KEYS fit an executor easily — broadcast
+    the keys, drop the 99% of fact rows that can't match BEFORE the
+    exchange (Spark's runtime bloom-filter injection approximates the
+    same reduction probabilistically; this form is exact and explicit,
+    and fires at any scale). Oracle states the plain join — the reduction
+    must be row-invisible.
+
+    Plan gate: BroadcastHashJoin(LeftSemi) below the fact-side Exchange,
+    SortMergeJoin above it, lineitem scan pruned to 3 columns.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    sel = part.where(F.col("p_size") <= 2).select("p_partkey", "p_brand")
+    keys = F.broadcast(sel.select("p_partkey"))
+    reduced = li.select("l_partkey", "l_extendedprice", "l_discount").join(
+        keys, li.l_partkey == keys.p_partkey, "left_semi"
+    )
+    return (
+        reduced.join(
+            sel.hint("shuffle_merge"),
+            reduced.l_partkey == sel.p_partkey,
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            dsum(
+                dec("l_extendedprice", 2) * (1 - dec("l_discount", 2)), 4
+            ).alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_SQL_SEMI_REDUCED = f"""
+SELECT p.p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       {sql_dsum('CAST(l.l_extendedprice AS DECIMAL(18,2))'
+                 ' * (1 - CAST(l.l_discount AS DECIMAL(18,2)))', 4)}
+         AS revenue
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_size <= 2
+GROUP BY p.p_brand
+ORDER BY p.p_brand
+"""
+
+QUERIES["semi_reduced_join"] = semi_reduced_join
+ORACLE["semi_reduced_join"] = _SQL_SEMI_REDUCED

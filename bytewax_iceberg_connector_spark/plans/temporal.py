@@ -518,6 +518,80 @@ ORDER BY event_type
 """
 
 # ---------------------------------------------------------------------------
+# event_attribution — last-touch channel attribution via the as-of join
+# ---------------------------------------------------------------------------
+
+
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to the
+    channel of the same user's most recent click at-or-before it (channel
+    derived from the click's ``props.k`` — ``ch_<k mod 4>``), purchases
+    with no prior click (or a click without a k) land in
+    ``unattributed``; per channel: purchase count and decimal-exact
+    attributed revenue. The composition the as-of operator exists FOR —
+    conversion credit assignment.
+
+    Scale: the same single-shuffle as-of plan as ``asof_join_events``
+    (one user_id hash exchange + one running-last window — no
+    range-candidate blow-up), then a 5-row channel rollup. The JSON
+    field extraction is a codegen'd projection on the click branch only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        "event_id",
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        ts_col="ts",
+        value_cols=("k",),
+        suffix="_click",
+        tiebreak="event_id",
+    )
+    channel = F.when(
+        F.col("k_click").isNull(), F.lit("unattributed")
+    ).otherwise(F.concat(F.lit("ch_"), (F.col("k_click") % 4).cast("string")))
+    return (
+        joined.select(channel.alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            dsum("value").alias("revenue"),
+        )
+        .orderBy("channel")
+    )
+
+
+_SQL_ATTRIBUTION = f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, value FROM events
+  WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts, k FROM (
+    SELECT user_id, ts,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+)
+SELECT CASE WHEN c.k IS NULL THEN 'unattributed'
+            ELSE 'ch_' || CAST(c.k % 4 AS VARCHAR) END AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       {sql_dsum('p.value')} AS revenue
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1
+ORDER BY 1
+"""
+
+# ---------------------------------------------------------------------------
 
 QUERIES = {
     "asof_join_events": asof_join_events,
@@ -527,6 +601,7 @@ QUERIES = {
     "scd2_history": scd2_history,
     "ohlc_bars": ohlc_bars,
     "time_weighted_avg": time_weighted_avg,
+    "event_attribution": event_attribution,
 }
 
 ORACLE = {
@@ -537,4 +612,5 @@ ORACLE = {
     "scd2_history": _SQL_SCD2,
     "ohlc_bars": _SQL_OHLC,
     "time_weighted_avg": _SQL_TWA,
+    "event_attribution": _SQL_ATTRIBUTION,
 }

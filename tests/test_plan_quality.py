@@ -710,3 +710,26 @@ def test_twa_single_stream_exchange(spark, sf_dir):
     )
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 5  # +value vs interarrival
+
+
+def test_semi_reduced_join_prefilters_before_exchange(spark, sf_dir):
+    """The dimension's key set must broadcast as a LEFT SEMI prefilter on
+    the fact side BELOW the fact exchange, and the main join must be the
+    shuffled merge join the hint forces — the semi-join-reduction shape
+    where only matching fact rows ever enter the shuffle."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        semi_reduced_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(semi_reduced_join(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
+    assert "SortMergeJoin" in plan
+    # the semi prefilter must sit below (deeper than) the merge join
+    assert plan.index("SortMergeJoin") < plan.index("LeftSemi")
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3
