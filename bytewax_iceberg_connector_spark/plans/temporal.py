@@ -540,11 +540,20 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
-        "event_id",
+    # NULL-user clicks can attribute nothing: SQL's equi-ASOF never
+    # matches NULL = NULL, but the window-based as-of operator groups
+    # NULLs together — drop them on the click side so a NULL-user
+    # purchase stays (left semantics) and lands in `unattributed` on both
+    # engines
+    clicks = (
+        ev.where(
+            (F.col("event_type") == "click") & F.col("user_id").isNotNull()
+        ).select(
+            "user_id",
+            "ts",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+            "event_id",
+        )
     )
     joined = asof_join(
         purchases,

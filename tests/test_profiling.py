@@ -292,3 +292,23 @@ def test_compaction_planning_skips_empty_slices(spark, tmp_path):
     assert sorted(sp["commit_id"]) == [0, 1]  # residues 2-5 empty → absent
     assert sp.set_index("commit_id").loc[0, "n_files"] == 2  # 2 rows → 2 files
     _diff(sp, _oracle(tmp_path, L._SQL_COMPACT))
+
+
+def test_attribution_null_user_purchase_is_unattributed(spark, tmp_path):
+    """A NULL-user purchase must survive (left semantics) but never
+    attribute — SQL's equi-ASOF can't match NULL = NULL, and the
+    window-based operator must not pool NULL users into a phantom
+    stream. A click without a k key also lands in unattributed."""
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, None, "click", 1.0, '{"k": 3}'),
+            (2, _TS0 + 1, None, "purchase", 50.0, "{}"),
+            (3, _TS0, 9, "click", 1.0, "{}"),  # no k key
+            (4, _TS0 + 1, 9, "purchase", 25.0, "{}"),
+        ],
+    )
+    sp = T.event_attribution(spark, d).toPandas()
+    assert list(sp["channel"]) == ["unattributed"]
+    assert sp.loc[0, "n_purchases"] == 2
+    _diff(sp, _oracle(tmp_path, T._SQL_ATTRIBUTION))
