@@ -436,10 +436,13 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     phrase-mining signal (high-PMI pairs are collocations worth merging
     into single tokens before tokenizer training, cf. ``vocab_build``).
 
-    PMI uses document-level indicator events over the WHOLE corpus:
-    ``ln(n_ab·n_docs / (n_a·n_b))`` where n_docs counts every document.
-    Both engines evaluate the identical double expression text and
-    quantize once to micro-nats (`zipf_fit`'s libm-parity discipline).
+    PMI uses document-level indicator events:
+    ``ln(n_ab·n_docs / (n_a·n_b))`` where n_docs counts every document
+    with a non-NULL doc_id — NULL-keyed documents are excluded from
+    membership AND the denominator on both engines (see the filter
+    below; anything else diverges structurally). Both engines evaluate
+    the identical double expression text and quantize once to micro-nats
+    (`zipf_fit`'s libm-parity discipline).
 
     Scale: the pair space is capped by the vocabulary CUT, not the corpus
     — per-doc vocab-member sets are ≤ V elements, so the JVM-side pair

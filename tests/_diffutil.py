@@ -32,10 +32,13 @@ def duck_oracle(dirpath, sql: str) -> pd.DataFrame:
 
 def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
     """Order-insensitive frame equality under a shared canonical form:
-    columns sorted by name, rows sorted by every column."""
+    columns sorted by name, rows sorted by every column. Column SETS must
+    match exactly first — an oracle-only helper column left in the final
+    SELECT is a shape divergence, not something to silently drop."""
     cols = sorted(spdf.columns)
-    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
-    opdf = opdf[sorted(opdf.columns)][cols].sort_values(cols).reset_index(
-        drop=True
+    assert sorted(opdf.columns) == cols, (
+        f"column sets diverge: spark={cols} oracle={sorted(opdf.columns)}"
     )
+    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
+    opdf = opdf[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)

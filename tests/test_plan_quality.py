@@ -729,7 +729,11 @@ def test_semi_reduced_join_prefilters_before_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert re.search(r"BroadcastHashJoin .*LeftSemi", plan)
     assert "SortMergeJoin" in plan
-    # the semi prefilter must sit below (deeper than) the merge join
-    assert plan.index("SortMergeJoin") < plan.index("LeftSemi")
+    # the semi prefilter must sit BELOW the fact-side exchange (top-down
+    # plan strings print shallower nodes first): filtering after the
+    # shuffle would defeat the reduction entirely
+    fact_exchange = re.search(r"Exchange hashpartitioning\(l_partkey", plan)
+    assert fact_exchange, "fact side must shuffle on the join key"
+    assert fact_exchange.start() < plan.index("LeftSemi")
     m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 3
