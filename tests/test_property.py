@@ -361,3 +361,134 @@ def test_zorder_key_many_columns_stays_in_63_bits(spark):
     z = df.select(zorder_key(df, cols).alias("z"))
     assert z.where("z < 0").count() == 0
     assert z.select(SF.max("z")).first()[0] < 2**63
+
+
+# -- temporal kernels: OHLC and trapezoid TWA vs pure-Python references ------
+
+@st.composite
+def _event_stream(draw):
+    """Random (event_id, t_us, user, type, cents) stream biased toward the
+    edges: timestamp ties (distinct ids), sub-second deltas (dt_s == 0),
+    single-reading streams, multi-hour spans."""
+    n = draw(st.integers(1, 14))
+    base = 1_700_000_000_000_000
+    rows = []
+    for i in range(n):
+        rows.append(
+            (
+                i,
+                base + draw(st.integers(0, 3 * 3600 * 1_000_000)),
+                draw(st.integers(0, 2)),
+                draw(st.sampled_from(["a", "b"])),
+                draw(st.integers(1, 9999)),  # cents, 2-dp money
+            )
+        )
+    return rows
+
+
+def _events_dir(rows):
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="bic_prop_")
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] / 100.0 for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        f"{d}/events.parquet",
+    )
+    return d
+
+
+@given(rows=_event_stream())
+@settings(**_SETTINGS)
+def test_twa_matches_python_reference(spark, rows):
+    """The engine's trapezoid TWA == an independent integer reference on
+    arbitrary streams (ties, zero-second intervals, singleton streams)."""
+    import shutil
+    from collections import defaultdict
+
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        time_weighted_avg,
+    )
+
+    d = _events_dir(rows)
+    try:
+        got = {
+            r.event_type: (r.n_streams, r.sum_twa_cents, r.mean_twa_cents,
+                           r.min_twa_cents, r.max_twa_cents)
+            for r in time_weighted_avg(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    streams = defaultdict(list)
+    for eid, t_us, user, typ, cents in rows:
+        streams[(user, typ)].append((t_us, eid, cents))
+    twas = defaultdict(list)
+    for (user, typ), evs in streams.items():
+        evs.sort()
+        integral2 = dur = 0
+        for (t1, _, v1), (t2, _, v2) in zip(evs, evs[1:]):
+            dt_s = (t2 - t1) // 1_000_000
+            integral2 += (v1 + v2) * dt_s
+            dur += dt_s
+        if dur > 0:
+            twas[typ].append(integral2 // (2 * dur))
+    want = {
+        t: (len(v), sum(v), sum(v) // len(v), min(v), max(v))
+        for t, v in twas.items()
+    }
+    assert got == want
+
+
+@given(rows=_event_stream())
+@settings(**_SETTINGS)
+def test_ohlc_matches_python_reference(spark, rows):
+    """struct-min/max open/close selection == the reference's
+    first/last-by-(ts, event_id); volume compared in exact cents."""
+    import shutil
+    from collections import defaultdict
+
+    from bytewax_iceberg_connector_spark.plans.temporal import ohlc_bars
+
+    d = _events_dir(rows)
+    try:
+        got = {
+            (r.event_type, r.bar_hour): (
+                round(r.open * 100), round(r.high * 100), round(r.low * 100),
+                round(r.close * 100), round(r.volume * 100), r.n_ticks,
+            )
+            for r in ohlc_bars(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    import datetime as dtm
+
+    bars = defaultdict(list)
+    for eid, t_us, user, typ, cents in rows:
+        hour_us = t_us - t_us % (3600 * 1_000_000)
+        bars[(typ, hour_us)].append((t_us, eid, cents))
+    assert len(got) == len(bars)
+    for (typ, hour_us), evs in bars.items():
+        evs.sort()
+        key = (
+            typ,
+            dtm.datetime(1970, 1, 1) + dtm.timedelta(microseconds=hour_us),
+        )
+        cents = [c for _, _, c in evs]
+        want = (
+            evs[0][2], max(cents), min(cents), evs[-1][2], sum(cents),
+            len(evs),
+        )
+        assert got[key] == want, (typ, hour_us)
