@@ -460,12 +460,115 @@ ORDER BY prev_type, next_type
 """
 
 
+# ---------------------------------------------------------------------------
+# corr_matrix — deterministic Pearson correlations between fact measures
+# ---------------------------------------------------------------------------
+
+#: measure pairs and the decimal scale that represents each product
+#: exactly (quantity integral ×2-dp price → 2 dp; price × discount → 4 dp)
+_CORR_PAIRS = (
+    ("l_quantity", "l_discount", 0, 2, 2),
+    ("l_quantity", "l_extendedprice", 0, 2, 2),
+    ("l_extendedprice", "l_discount", 2, 2, 4),
+)
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations between the lineitem measures — the
+    engine's CORR/COVAR surface, made run-to-run deterministic: the
+    built-in ``corr()`` accumulates in floating point (order-dependent on
+    a cluster, and DuckDB's accumulation differs), so every moment here
+    is an EXACT decimal sum (inputs are ≤2-dp; every pairwise product is
+    ≤4-dp — representable exactly), the closed-form
+    ``(n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))`` is then one
+    identical double expression on both engines, quantized to
+    micro units.
+
+    Scale: ONE scan, one 1-row map-side-combinable aggregate (all three
+    pairs' moments in the same pass), pivoted to rows JVM-side via
+    ``inline`` — `table_profile`'s shape with zero distincts, so no
+    Expand and no shuffle beyond the single-partition final combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for x, y, sx, sy, sp_ in _CORR_PAIRS:
+        k = f"{x}__{y}"
+        aggs += [
+            F.sum(F.expr(f"cast({x} as decimal(18,{sx}))")).alias(f"{k}_sx"),
+            F.sum(F.expr(f"cast({y} as decimal(18,{sy}))")).alias(f"{k}_sy"),
+            F.sum(
+                F.expr(
+                    f"cast({x} as decimal(18,{sx}))"
+                    f" * cast({x} as decimal(18,{sx}))"
+                )
+            ).alias(f"{k}_sxx"),
+            F.sum(
+                F.expr(
+                    f"cast({y} as decimal(18,{sy}))"
+                    f" * cast({y} as decimal(18,{sy}))"
+                )
+            ).alias(f"{k}_syy"),
+            F.sum(
+                F.expr(
+                    f"cast({x} as decimal(18,{sx}))"
+                    f" * cast({y} as decimal(18,{sy}))"
+                )
+            ).alias(f"{k}_sxy"),
+        ]
+    wide = li.agg(*aggs)
+    rows = []
+    for x, y, *_ in _CORR_PAIRS:
+        k = f"{x}__{y}"
+        num = f"(n * cast({k}_sxy as double) - cast({k}_sx as double) * cast({k}_sy as double))"
+        dx = f"(n * cast({k}_sxx as double) - cast({k}_sx as double) * cast({k}_sx as double))"
+        dy = f"(n * cast({k}_syy as double) - cast({k}_sy as double) * cast({k}_sy as double))"
+        rows.append(
+            F.struct(
+                F.lit(x).alias("x_col"),
+                F.lit(y).alias("y_col"),
+                F.col("n").alias("n"),
+                F.expr(
+                    f"cast(round({num} / nullif(sqrt({dx} * {dy}), 0)"
+                    " * 1000000) as long)"
+                ).alias("corr_micro"),
+            )
+        )
+    return wide.select(F.inline(F.array(*rows))).orderBy("x_col", "y_col")
+
+
+def _corr_branch(x: str, y: str, sx: int, sy: int) -> str:
+    cx, cy = f"CAST({x} AS DECIMAL(18,{sx}))", f"CAST({y} AS DECIMAL(18,{sy}))"
+    return f"""
+  SELECT '{x}' AS x_col, '{y}' AS y_col,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROUND(
+           (COUNT(*) * CAST(SUM({cx} * {cy}) AS DOUBLE)
+            - CAST(SUM({cx}) AS DOUBLE) * CAST(SUM({cy}) AS DOUBLE))
+           / NULLIF(SQRT(
+               (COUNT(*) * CAST(SUM({cx} * {cx}) AS DOUBLE)
+                - CAST(SUM({cx}) AS DOUBLE) * CAST(SUM({cx}) AS DOUBLE))
+               * (COUNT(*) * CAST(SUM({cy} * {cy}) AS DOUBLE)
+                  - CAST(SUM({cy}) AS DOUBLE) * CAST(SUM({cy}) AS DOUBLE))
+             ), 0)
+           * 1000000) AS BIGINT) AS corr_micro
+  FROM lineitem"""
+
+
+_SQL_CORR = (
+    "\nUNION ALL\n".join(
+        _corr_branch(x, y, sx, sy) for x, y, sx, sy, _ in _CORR_PAIRS
+    )
+    + "\nORDER BY x_col, y_col"
+)
+
+
 QUERIES = {
     "table_profile": table_profile,
     "fk_integrity": fk_integrity,
     "interarrival_stats": interarrival_stats,
     "key_skew_report": key_skew_report,
     "event_transition_matrix": event_transition_matrix,
+    "corr_matrix": corr_matrix,
 }
 
 ORACLE = {
@@ -474,4 +577,5 @@ ORACLE = {
     "interarrival_stats": _SQL_INTERARRIVAL,
     "key_skew_report": _SQL_SKEW,
     "event_transition_matrix": _SQL_TRANSITION,
+    "corr_matrix": _SQL_CORR,
 }

@@ -737,3 +737,16 @@ def test_semi_reduced_join_prefilters_before_exchange(spark, sf_dir):
     assert fact_exchange.start() < plan.index("LeftSemi")
     m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 3
+
+
+def test_corr_matrix_single_pass_no_expand(spark, sf_dir):
+    """All three pairs' moments ride ONE map-side-combinable aggregate
+    over one pruned scan: no Expand (zero distincts), no hash exchange,
+    3-column ReadSchema."""
+    from bytewax_iceberg_connector_spark.plans.profiling import corr_matrix
+
+    plan = _plan(corr_matrix(spark, sf_dir))
+    assert "Expand" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3

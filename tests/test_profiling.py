@@ -312,3 +312,26 @@ def test_attribution_null_user_purchase_is_unattributed(spark, tmp_path):
     assert list(sp["channel"]) == ["unattributed"]
     assert sp.loc[0, "n_purchases"] == 2
     _diff(sp, _oracle(tmp_path, T._SQL_ATTRIBUTION))
+
+
+def test_corr_matrix_degenerate_constant_and_tiny(spark, tmp_path):
+    """A constant column has zero variance → corr NULL (0/0) on both
+    engines; a perfectly linear pair hits exactly ±1e6 micro."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_quantity": pa.array([1.0, 2.0, 3.0], pa.float64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 30.0], pa.float64()),
+                "l_discount": pa.array([0.05, 0.05, 0.05], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    sp = (
+        P.corr_matrix(spark, str(tmp_path))
+        .toPandas()
+        .set_index(["x_col", "y_col"])
+    )
+    assert sp.loc[("l_quantity", "l_extendedprice"), "corr_micro"] == 1_000_000
+    assert pd.isna(sp.loc[("l_quantity", "l_discount"), "corr_micro"])
+    _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_CORR))
