@@ -38,18 +38,19 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in sorted(qs) if n not in EXCLUDE]
-    # warmup pass (untimed): JVM JIT, Janino whole-stage-codegen compile,
-    # parquet footer caches. We report steady-state per-query time — cold
-    # compile is a per-process constant, not a property of the plan.
+    # light warmup: JVM/parquet-footer startup only. A FULL warmup pass
+    # became redundant once timing went best-of-2 — the first timed run
+    # is the cold/codegen-compile run and min() always lands on the warm
+    # second — and at 140+ queries the extra pass pushed total wall past
+    # external harness timeouts (~1/3 of the run for numbers min() never
+    # used).
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    for name in names:
-        _force(qs[name](spark, sf_dir))
-        spark.catalog.clearCache()
 
     # best-of-2 steady-state timing per query (local single-JVM runs have
-    # multi-second GC/scheduler noise; min is the stable estimator).
+    # multi-second GC/scheduler noise; min is the stable estimator; the
+    # first run doubles as that query's JIT/codegen warmup).
     # clearCache between QUERIES: every query() call persists fresh frames
-    # (index tables etc.), and with 90+ queries x 3 passes the storage pool
+    # (index tables etc.), and with 90+ queries x 2 passes the storage pool
     # otherwise accumulates until eviction thrash dominates the early
     # alphabet — each query pays its own persist cost, no cross-query noise.
     timings: dict[str, float] = {}
