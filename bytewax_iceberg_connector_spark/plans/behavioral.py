@@ -473,3 +473,77 @@ GROUP BY n_a, n_b
 
 QUERIES["ks_drift"] = ks_drift
 ORACLE["ks_drift"] = _SQL_KS
+
+
+# ---------------------------------------------------------------------------
+# rolling_active_users — DAU / rolling-7-day WAU / stickiness per day
+# ---------------------------------------------------------------------------
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily actives, rolling-7-day actives, and the DAU/WAU stickiness
+    ratio (exact integer ppm) per observed day — the product-analytics
+    staple that a naive range window CANNOT express (COUNT DISTINCT does
+    not decompose over overlapping windows).
+
+    Exact form: the distinct (user, day) membership explodes each row
+    into the 7 windows it covers (``sequence(day, day+6)``) and each
+    window counts distinct users — the standard exact decomposition. The
+    cover explode is ×7 of the MEMBERSHIP table (distinct user-days, far
+    smaller than raw events), not of the fact stream.
+
+    Scale: one (user, day) dedup exchange over 12-byte rows, one ×7
+    fan-out, one per-day distinct-count exchange. At 100 TB you'd flip
+    the window count to the mergeable HLL sketch (functions/sketches.py's
+    rollup surface: union 7 daily sketches per window) and keep this
+    exact form as its oracle twin — the same exact/sketch pairing as
+    distinct_exact/distinct_approx.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    cover = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("win_day"),
+        "user_id",
+    )
+    wau = cover.groupBy("win_day").agg(
+        F.countDistinct("user_id").cast("long").alias("wau7")
+    )
+    return (
+        dau.join(wau, dau.day == wau.win_day)
+        .select(
+            "day",
+            "dau",
+            "wau7",
+            F.expr("cast(dau * 1000000 div nullif(wau7, 0) as long)").alias(
+                "stickiness_ppm"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_ROLLING_ACTIVE = """
+WITH ud AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+  FROM events WHERE ts IS NOT NULL
+), dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+), cover AS (
+  SELECT ud.day + CAST(t.x AS INTEGER) AS win_day, ud.user_id
+  FROM ud CROSS JOIN UNNEST(generate_series(0, 6)) AS t(x)
+), wau AS (
+  SELECT win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau7
+  FROM cover GROUP BY 1
+)
+SELECT d.day, d.dau, w.wau7,
+       CAST(d.dau * 1000000 // NULLIF(w.wau7, 0) AS BIGINT)
+         AS stickiness_ppm
+FROM dau d JOIN wau w ON d.day = w.win_day
+ORDER BY d.day
+"""
+
+QUERIES["rolling_active_users"] = rolling_active_users
+ORACLE["rolling_active_users"] = _SQL_ROLLING_ACTIVE

@@ -39,6 +39,23 @@ def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
     assert sorted(opdf.columns) == cols, (
         f"column sets diverge: spark={cols} oracle={sorted(opdf.columns)}"
     )
-    spdf = spdf[cols].sort_values(cols).reset_index(drop=True)
-    opdf = opdf[cols].sort_values(cols).reset_index(drop=True)
-    pd.testing.assert_frame_equal(spdf, opdf, check_dtype=False)
+
+    def _norm(df):
+        import datetime as dt
+
+        df = df[cols].copy()
+        for c in cols:
+            s = df[c]
+            # Spark DATE arrives as datetime.date objects, DuckDB DATE as
+            # datetime64 — same value, different carrier; unify
+            if pd.api.types.is_datetime64_any_dtype(s) or (
+                s.dtype == object
+                and s.dropna().map(
+                    lambda v: isinstance(v, (dt.date, dt.datetime))
+                ).all()
+                and len(s.dropna())
+            ):
+                df[c] = pd.to_datetime(s)
+        return df.sort_values(cols).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(_norm(spdf), _norm(opdf), check_dtype=False)

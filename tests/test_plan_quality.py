@@ -750,3 +750,20 @@ def test_corr_matrix_single_pass_no_expand(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 3
+
+
+def test_rolling_actives_no_window_operator(spark, sf_dir):
+    """The rolling distinct must come from the cover-explode decomposition
+    (COUNT DISTINCT does not decompose over overlapping range windows) —
+    no Window operator anywhere, membership deduped on (day, user) before
+    the ×7 fan-out, events scan pruned to 2 columns."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        rolling_active_users,
+    )
+
+    plan = _plan(rolling_active_users(spark, sf_dir))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"Exchange hashpartitioning\(day#[^)]*user_id", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2

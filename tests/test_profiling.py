@@ -335,3 +335,28 @@ def test_corr_matrix_degenerate_constant_and_tiny(spark, tmp_path):
     assert sp.loc[("l_quantity", "l_extendedprice"), "corr_micro"] == 1_000_000
     assert pd.isna(sp.loc[("l_quantity", "l_discount"), "corr_micro"])
     _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_CORR))
+
+
+def test_rolling_actives_exact_window_membership(spark, tmp_path):
+    """A user active on day D must count in windows D..D+6 and no other;
+    a user active twice in one day counts once. 3 fixture days with a
+    2-day gap pin the inner-join day domain (observed days only)."""
+    from bytewax_iceberg_connector_spark.plans import behavioral as B
+
+    day_us = 86_400_000_000
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, 1, "click", 1.0, "{}"),
+            (2, _TS0 + 1_000_000, 1, "view", 1.0, "{}"),  # same user+day
+            (3, _TS0, 2, "click", 1.0, "{}"),
+            (4, _TS0 + 3 * day_us, 2, "click", 1.0, "{}"),
+            (5, _TS0 + 9 * day_us, 3, "click", 1.0, "{}"),  # outside 7d of day 0
+        ],
+    )
+    sp = B.rolling_active_users(spark, d).toPandas().sort_values("day")
+    assert list(sp["dau"]) == [2, 1, 1]
+    # day 3's window [day-3..day3] sees users {1,2}; day 9's window
+    # [day3..day9] sees user 2 (day 3) + user 3 (day 9) → also 2
+    assert list(sp["wau7"]) == [2, 2, 2]
+    _diff(sp, _oracle(tmp_path, B._SQL_ROLLING_ACTIVE))
