@@ -499,7 +499,13 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact form as its oracle twin — the same exact/sketch pairing as
     distinct_exact/distinct_approx.
     """
-    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    # NULL users excluded up front: count(*) over the membership would
+    # keep a NULL row in dau while countDistinct drops it from wau7 —
+    # two different "active user" definitions in one report (and the
+    # sibling queries' convention: attribution/asof filter NULL users)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
     ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
     cover = ud.select(
@@ -528,7 +534,7 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ROLLING_ACTIVE = """
 WITH ud AS (
   SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
-  FROM events WHERE ts IS NOT NULL
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
 ), dau AS (
   SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
 ), cover AS (

@@ -464,69 +464,68 @@ ORDER BY prev_type, next_type
 # corr_matrix — deterministic Pearson correlations between fact measures
 # ---------------------------------------------------------------------------
 
-#: measure pairs and the decimal scale that represents each product
-#: exactly (quantity integral ×2-dp price → 2 dp; price × discount → 4 dp)
+#: measure pairs and each side's decimal scale (inputs are <=2-dp; the
+#: engines derive every product's exact scale as sx+sy themselves)
 _CORR_PAIRS = (
-    ("l_quantity", "l_discount", 0, 2, 2),
-    ("l_quantity", "l_extendedprice", 0, 2, 2),
-    ("l_extendedprice", "l_discount", 2, 2, 4),
+    ("l_quantity", "l_discount", 0, 2),
+    ("l_quantity", "l_extendedprice", 0, 2),
+    ("l_extendedprice", "l_discount", 2, 2),
 )
 
 
 def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pairwise Pearson correlations between the lineitem measures — the
-    engine's CORR/COVAR surface, made run-to-run deterministic: the
-    built-in ``corr()`` accumulates in floating point (order-dependent on
-    a cluster, and DuckDB's accumulation differs), so every moment here
-    is an EXACT decimal sum (inputs are ≤2-dp; every pairwise product is
-    ≤4-dp — representable exactly), the closed-form
-    ``(n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))`` is then one
-    identical double expression on both engines, quantized to
-    micro units.
+    """Pairwise-complete Pearson correlations between the lineitem
+    measures — the engine's CORR/COVAR surface, made run-to-run
+    deterministic: the built-in ``corr()`` accumulates in floating point
+    (order-dependent on a cluster, and DuckDB's accumulation differs), so
+    every moment here is an EXACT decimal sum (inputs are ≤2-dp; every
+    pairwise product is ≤4-dp — representable exactly), and the
+    closed-form ``(n·Σxy − Σx·Σy) / √((n·Σxx − Σx²)(n·Σyy − Σy²))`` is
+    one identical double expression on both engines, quantized to micro
+    units.
 
-    Scale: ONE scan, one 1-row map-side-combinable aggregate (all three
-    pairs' moments in the same pass), pivoted to rows JVM-side via
-    ``inline`` — `table_profile`'s shape with zero distincts, so no
-    Expand and no shuffle beyond the single-partition final combine.
+    PAIRWISE-COMPLETE like the built-in: every moment of pair (x, y) —
+    including n and the single-column sums — aggregates only rows where
+    BOTH x and y are non-NULL. Mixing a COUNT(*) n with NULL-skipping
+    sums is not Pearson at all (each pair's moments must describe one
+    common row set); this also means per-pair moments genuinely differ
+    and cannot be shared across pairs.
+
+    Scale: ONE scan, one 1-row map-side-combinable aggregate (all pairs'
+    moments in the same pass), pivoted to rows JVM-side via ``inline`` —
+    `table_profile`'s shape with zero distincts, so no Expand and no
+    shuffle beyond the single-partition final combine.
     """
+    from ..functions.numeric import dec
+
     li = load_table(spark, sf_dir, "lineitem")
-    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
-    for x, y, sx, sy, sp_ in _CORR_PAIRS:
+    aggs = []
+    for x, y, sx, sy in _CORR_PAIRS:
         k = f"{x}__{y}"
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        cx = F.when(both, dec(x, sx))
+        cy = F.when(both, dec(y, sy))
         aggs += [
-            F.sum(F.expr(f"cast({x} as decimal(18,{sx}))")).alias(f"{k}_sx"),
-            F.sum(F.expr(f"cast({y} as decimal(18,{sy}))")).alias(f"{k}_sy"),
-            F.sum(
-                F.expr(
-                    f"cast({x} as decimal(18,{sx}))"
-                    f" * cast({x} as decimal(18,{sx}))"
-                )
-            ).alias(f"{k}_sxx"),
-            F.sum(
-                F.expr(
-                    f"cast({y} as decimal(18,{sy}))"
-                    f" * cast({y} as decimal(18,{sy}))"
-                )
-            ).alias(f"{k}_syy"),
-            F.sum(
-                F.expr(
-                    f"cast({x} as decimal(18,{sx}))"
-                    f" * cast({y} as decimal(18,{sy}))"
-                )
-            ).alias(f"{k}_sxy"),
+            F.sum(both.cast("long")).cast("long").alias(f"{k}_n"),
+            F.sum(cx).alias(f"{k}_sx"),
+            F.sum(cy).alias(f"{k}_sy"),
+            F.sum(cx * dec(x, sx)).alias(f"{k}_sxx"),
+            F.sum(cy * dec(y, sy)).alias(f"{k}_syy"),
+            F.sum(cx * dec(y, sy)).alias(f"{k}_sxy"),
         ]
     wide = li.agg(*aggs)
     rows = []
     for x, y, *_ in _CORR_PAIRS:
         k = f"{x}__{y}"
-        num = f"(n * cast({k}_sxy as double) - cast({k}_sx as double) * cast({k}_sy as double))"
-        dx = f"(n * cast({k}_sxx as double) - cast({k}_sx as double) * cast({k}_sx as double))"
-        dy = f"(n * cast({k}_syy as double) - cast({k}_sy as double) * cast({k}_sy as double))"
+        n = f"{k}_n"
+        num = f"({n} * cast({k}_sxy as double) - cast({k}_sx as double) * cast({k}_sy as double))"
+        dx = f"({n} * cast({k}_sxx as double) - cast({k}_sx as double) * cast({k}_sx as double))"
+        dy = f"({n} * cast({k}_syy as double) - cast({k}_sy as double) * cast({k}_sy as double))"
         rows.append(
             F.struct(
                 F.lit(x).alias("x_col"),
                 F.lit(y).alias("y_col"),
-                F.col("n").alias("n"),
+                F.col(n).alias("n"),
                 F.expr(
                     f"cast(round({num} / nullif(sqrt({dx} * {dy}), 0)"
                     " * 1000000) as long)"
@@ -538,17 +537,22 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _corr_branch(x: str, y: str, sx: int, sy: int) -> str:
     cx, cy = f"CAST({x} AS DECIMAL(18,{sx}))", f"CAST({y} AS DECIMAL(18,{sy}))"
+    flt = f"FILTER (WHERE {x} IS NOT NULL AND {y} IS NOT NULL)"
+    n = f"COUNT(*) {flt}"
     return f"""
   SELECT '{x}' AS x_col, '{y}' AS y_col,
-         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST({n} AS BIGINT) AS n,
          CAST(ROUND(
-           (COUNT(*) * CAST(SUM({cx} * {cy}) AS DOUBLE)
-            - CAST(SUM({cx}) AS DOUBLE) * CAST(SUM({cy}) AS DOUBLE))
+           ({n} * CAST(SUM({cx} * {cy}) {flt} AS DOUBLE)
+            - CAST(SUM({cx}) {flt} AS DOUBLE)
+              * CAST(SUM({cy}) {flt} AS DOUBLE))
            / NULLIF(SQRT(
-               (COUNT(*) * CAST(SUM({cx} * {cx}) AS DOUBLE)
-                - CAST(SUM({cx}) AS DOUBLE) * CAST(SUM({cx}) AS DOUBLE))
-               * (COUNT(*) * CAST(SUM({cy} * {cy}) AS DOUBLE)
-                  - CAST(SUM({cy}) AS DOUBLE) * CAST(SUM({cy}) AS DOUBLE))
+               ({n} * CAST(SUM({cx} * {cx}) {flt} AS DOUBLE)
+                - CAST(SUM({cx}) {flt} AS DOUBLE)
+                  * CAST(SUM({cx}) {flt} AS DOUBLE))
+               * ({n} * CAST(SUM({cy} * {cy}) {flt} AS DOUBLE)
+                  - CAST(SUM({cy}) {flt} AS DOUBLE)
+                    * CAST(SUM({cy}) {flt} AS DOUBLE))
              ), 0)
            * 1000000) AS BIGINT) AS corr_micro
   FROM lineitem"""
@@ -556,7 +560,7 @@ def _corr_branch(x: str, y: str, sx: int, sy: int) -> str:
 
 _SQL_CORR = (
     "\nUNION ALL\n".join(
-        _corr_branch(x, y, sx, sy) for x, y, sx, sy, _ in _CORR_PAIRS
+        _corr_branch(x, y, sx, sy) for x, y, sx, sy in _CORR_PAIRS
     )
     + "\nORDER BY x_col, y_col"
 )

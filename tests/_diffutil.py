@@ -47,15 +47,23 @@ def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
         for c in cols:
             s = df[c]
             # Spark DATE arrives as datetime.date objects, DuckDB DATE as
-            # datetime64 — same value, different carrier; unify
-            if pd.api.types.is_datetime64_any_dtype(s) or (
-                s.dtype == object
-                and s.dropna().map(
-                    lambda v: isinstance(v, (dt.date, dt.datetime))
-                ).all()
-                and len(s.dropna())
-            ):
-                df[c] = pd.to_datetime(s)
+            # midnight datetime64 — same value, different carrier. Unify
+            # onto python date objects (never pd.to_datetime: its
+            # datetime64[ns] ceiling raises OutOfBoundsDatetime on
+            # sentinel dates like 9999-12-31 that adversarial fixtures
+            # legitimately use).
+            if pd.api.types.is_datetime64_any_dtype(s):
+                if s.dropna().dt.time.eq(dt.time()).all():
+                    df[c] = s.dt.date
+            elif s.dtype == object and len(s.dropna()) and s.dropna().map(
+                lambda v: isinstance(v, dt.datetime)
+            ).all():
+                if all(
+                    v.time() == dt.time() for v in s.dropna()
+                ):
+                    df[c] = s.map(
+                        lambda v: v.date() if isinstance(v, dt.datetime) else v
+                    )
         return df.sort_values(cols).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(_norm(spdf), _norm(opdf), check_dtype=False)

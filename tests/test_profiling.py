@@ -360,3 +360,50 @@ def test_rolling_actives_exact_window_membership(spark, tmp_path):
     # [day3..day9] sees user 2 (day 3) + user 3 (day 9) → also 2
     assert list(sp["wau7"]) == [2, 2, 2]
     _diff(sp, _oracle(tmp_path, B._SQL_ROLLING_ACTIVE))
+
+
+def test_corr_matrix_pairwise_complete_null_handling(spark, tmp_path):
+    """A NULL in one measure must drop that ROW from that pair's moments
+    entirely (built-in corr semantics): two non-NULL pairs that are
+    perfectly linear give exactly +1e6 even with a third NULL row, and n
+    reports the pairwise-complete count."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_quantity": pa.array([10.0, 20.0, 31.0], pa.float64()),
+                "l_extendedprice": pa.array([10.0, 20.0, 31.0], pa.float64()),
+                "l_discount": pa.array([0.01, None, 0.09], pa.float64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    sp = (
+        P.corr_matrix(spark, str(tmp_path))
+        .toPandas()
+        .set_index(["x_col", "y_col"])
+    )
+    row = sp.loc[("l_quantity", "l_discount")]
+    assert row["n"] == 2
+    assert row["corr_micro"] == 1_000_000  # (10,.01),(31,.09) are linear
+    assert sp.loc[("l_quantity", "l_extendedprice"), "n"] == 3
+    _diff(sp.reset_index(), _oracle(tmp_path, P._SQL_CORR))
+
+
+def test_rolling_actives_null_users_excluded(spark, tmp_path):
+    """NULL user_ids are not active users: previously dau counted them
+    (count(*) over membership) while wau7 dropped them (countDistinct),
+    making the two definitions disagree — both now exclude them."""
+    from bytewax_iceberg_connector_spark.plans import behavioral as B
+
+    d = _write_events(
+        tmp_path,
+        [
+            (1, _TS0, None, "click", 1.0, "{}"),
+            (2, _TS0, 7, "click", 1.0, "{}"),
+        ],
+    )
+    sp = B.rolling_active_users(spark, d).toPandas()
+    assert len(sp) == 1
+    assert (sp.loc[0, "dau"], sp.loc[0, "wau7"]) == (1, 1)
+    assert sp.loc[0, "stickiness_ppm"] == 1_000_000
+    _diff(sp, _oracle(tmp_path, B._SQL_ROLLING_ACTIVE))
