@@ -492,3 +492,78 @@ def test_ohlc_matches_python_reference(spark, rows):
             len(evs),
         )
         assert got[key] == want, (typ, hour_us)
+
+
+@given(rows=_event_stream())
+@settings(**_SETTINGS)
+def test_interarrival_matches_python_reference(spark, rows):
+    """Per-type gap statistics == an independent reference on arbitrary
+    streams (ties broken by event_id, singleton streams excluded)."""
+    import shutil
+    from collections import defaultdict
+
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        interarrival_stats,
+    )
+
+    d = _events_dir(rows)
+    try:
+        got = {
+            r.event_type: (r.n_gaps, r.min_gap_us, r.max_gap_us,
+                           r.sum_gap_us, r.mean_gap_us)
+            for r in interarrival_stats(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    streams = defaultdict(list)
+    for eid, t_us, user, typ, _ in rows:
+        streams[(user, typ)].append((t_us, eid))
+    gaps = defaultdict(list)
+    for (user, typ), evs in streams.items():
+        evs.sort()
+        gaps[typ].extend(b[0] - a[0] for a, b in zip(evs, evs[1:]))
+    want = {
+        t: (len(g), min(g), max(g), sum(g), sum(g) // len(g))
+        for t, g in gaps.items()
+        if g
+    }
+    assert got == want
+
+
+@given(rows=_event_stream())
+@settings(**_SETTINGS)
+def test_transition_matrix_matches_python_reference(spark, rows):
+    """Bigram transition counts and row-normalized ppm == a reference
+    walk of each user's (ts, event_id)-ordered stream."""
+    import shutil
+    from collections import Counter, defaultdict
+
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        event_transition_matrix,
+    )
+
+    d = _events_dir(rows)
+    try:
+        got = {
+            (r.prev_type, r.next_type): (r.n_trans, r.prob_ppm)
+            for r in event_transition_matrix(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+    streams = defaultdict(list)
+    for eid, t_us, user, typ, _ in rows:
+        streams[user].append((t_us, eid, typ))
+    counts = Counter()
+    for evs in streams.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            counts[(a, b)] += 1
+    row_tot = defaultdict(int)
+    for (a, _), n in counts.items():
+        row_tot[a] += n
+    want = {
+        k: (n, n * 1_000_000 // row_tot[k[0]]) for k, n in counts.items()
+    }
+    assert got == want
