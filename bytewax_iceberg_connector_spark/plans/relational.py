@@ -1801,3 +1801,99 @@ ORDER BY p.p_brand
 
 QUERIES["semi_reduced_join"] = semi_reduced_join
 ORACLE["semi_reduced_join"] = _SQL_SEMI_REDUCED
+
+
+# ---------------------------------------------------------------------------
+# copurchase_affinity — market-basket pair mining without a self-join
+# ---------------------------------------------------------------------------
+
+_AFFINITY_TOPK = 20
+
+
+def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the ``_AFFINITY_TOPK`` part pairs most
+    often bought in the SAME order, with exact order counts and support
+    in ppm of all orders — the classic co-purchase/recommendation
+    statistic (the frequent-itemset k=2 tier).
+
+    Scale: the pair space never rides a self-join — per-order distinct
+    part sets are bounded by order width (≤ 7 lines in this schema; tens
+    at worst in real baskets), so the JVM-side array fan-out
+    (``cooccurrence_pmi``/``source_overlap_matrix``'s construction)
+    emits O(width²) pairs per order into one map-side-combinable count;
+    one (orderkey) exchange for the basket build, one pair-count
+    exchange, TakeOrdered cut, rank window on ≤ k rows. The oracle
+    deliberately states the readable quadratic self-join — the green row
+    proves the fan-out loses nothing.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    total = li.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders_total")
+    )
+    pairs = (
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    "  transform(slice(ps, i + 2, size(ps)),"
+                    "            y -> struct(x as pa, y as pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), "pa", "pb")
+    return (
+        pairs.orderBy(F.desc("n_orders"), "pa", "pb")
+        .limit(_AFFINITY_TOPK)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "pa",
+            "pb",
+            "n_orders",
+            F.expr(
+                "cast(n_orders * 1000000 div nullif(n_orders_total, 0)"
+                " as long)"
+            ).alias("support_ppm"),
+        )
+        .orderBy("rnk")
+    )
+
+
+_SQL_AFFINITY = f"""
+WITH po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
+  FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), top AS (
+  SELECT pa, pb, n_orders FROM pairs
+  ORDER BY n_orders DESC, pa, pb LIMIT {_AFFINITY_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
+       pa, pb, n_orders,
+       CAST(n_orders * 1000000 // NULLIF(n_orders_total, 0) AS BIGINT)
+         AS support_ppm
+FROM top, tot
+WINDOW w AS (ORDER BY n_orders DESC, pa, pb)
+ORDER BY rnk
+"""
+
+QUERIES["copurchase_affinity"] = copurchase_affinity
+ORACLE["copurchase_affinity"] = _SQL_AFFINITY

@@ -767,3 +767,22 @@ def test_rolling_actives_no_window_operator(spark, sf_dir):
     assert re.search(r"Exchange hashpartitioning\(day#[^)]*user_id", plan)
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 2
+
+
+def test_copurchase_affinity_no_self_join_bounded_window(spark, sf_dir):
+    """Pair mining must ride the per-basket array fan-out (no lineitem
+    self-join on orderkey) and the rank window must run after the top-k
+    cut; lineitem scan pruned to the two key columns."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        copurchase_affinity,
+    )
+
+    plan = _plan(copurchase_affinity(spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+    win_pos = plan.index("Window")
+    lim_pos = max(plan.find("TakeOrderedAndProject"), plan.find("GlobalLimit"))
+    assert lim_pos > win_pos
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2
