@@ -53,8 +53,20 @@ def main() -> None:
     # (index tables etc.), and with 90+ queries x 2 passes the storage pool
     # otherwise accumulates until eviction thrash dominates the early
     # alphabet — each query pays its own persist cost, no cross-query noise.
+    # wall-clock budget guard: the external harness kills the process at
+    # ~600 s and a killed run records NOTHING, so stop-and-record beats a
+    # complete-but-lost run. Queries the budget cuts are counted in the
+    # final line (`queries_unrun`) — a capped run is visibly capped, never
+    # silently "complete".
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
+    t_start = time.perf_counter()
+
     timings: dict[str, float] = {}
+    unrun = 0
     for name in names:
+        if time.perf_counter() - t_start > budget:
+            unrun += 1
+            continue
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -65,7 +77,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(_final_line(total, timings, float(sf) if sf else None))
+    print(_final_line(total, timings, float(sf) if sf else None, unrun))
     spark.stop()
 
 
@@ -77,7 +89,9 @@ def main() -> None:
 _LINE_BUDGET = 1900
 
 
-def _final_line(total: float, timings: dict[str, float], sf) -> str:
+def _final_line(
+    total: float, timings: dict[str, float], sf, unrun: int = 0
+) -> str:
     def render(q: dict[str, float], omitted: int, omitted_sec: float) -> str:
         payload = {
             "metric": "headline_queries_total_sec",
@@ -89,6 +103,8 @@ def _final_line(total: float, timings: dict[str, float], sf) -> str:
         if omitted:
             payload["queries_omitted"] = omitted
             payload["omitted_sec"] = round(omitted_sec, 3)
+        if unrun:
+            payload["queries_unrun"] = unrun
         return json.dumps(payload, separators=(",", ":"))
 
     line = render(timings, 0, 0.0)

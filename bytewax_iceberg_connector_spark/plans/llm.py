@@ -168,6 +168,13 @@ def _minhash_band_index(spark: SparkSession, sf_dir: str):
     measured ~20% slower and is catastrophically wider at 100 TB). At
     cluster scale these two frames are the minhash index you'd write to
     the lake and amortize across runs.
+
+    Fusion was TRIED and rejected (r05): a single text→(sh, sig) kernel
+    — struct or flattened-array return — measured equal-or-slower than
+    this split form at sf0.1 (2.4 s / 1.78 s vs 1.63 s index build),
+    because the cost is the per-shingle md5 in Python, not the second
+    Arrow boundary. The honest standalone cost of the LSH path is
+    recorded in BASELINE.md's protocol table.
     """
     docs = load_table(spark, sf_dir, "documents")
     base = docs.select(

@@ -291,7 +291,8 @@ _SQL_INTERARRIVAL = """
 WITH g AS (
   SELECT event_type,
          EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER (
-           PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+           PARTITION BY user_id, event_type
+           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS gap_us
   FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type,
@@ -443,7 +444,8 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TRANSITION = """
 WITH pairs AS (
   SELECT lag(event_type) OVER (
-           PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           PARTITION BY user_id
+           ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS prev_type,
          event_type AS next_type
   FROM events WHERE ts IS NOT NULL
 ), counts AS (

@@ -324,12 +324,12 @@ SELECT user_id, event_id, ts, value,
        LAG(value, 1) OVER w AS prev_value,
        LEAD(event_type, 1) OVER w AS next_type,
        CAST(SUM(CAST(value AS DECIMAL(18,2)))
-            OVER (PARTITION BY user_id ORDER BY ts, event_id
+            OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
             AS DOUBLE) AS running_value,
        CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq
 FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 """
 
 def window_range_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1827,8 +1827,14 @@ def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the fan-out loses nothing.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # NULL basket keys: Spark's groupBy would pool every NULL l_orderkey
+    # into one phantom basket and emit pairs from it, while the oracle's
+    # equi-self-join drops NULL keys.  Filter symmetrically (mirrored in
+    # the oracle's po CTE) — the cooccurrence_pmi NULL-key fix applied to
+    # the basket build.
     baskets = (
         li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey").isNotNull())
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
     )
@@ -1873,6 +1879,7 @@ def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_AFFINITY = f"""
 WITH po AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL
 ), tot AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
   FROM lineitem

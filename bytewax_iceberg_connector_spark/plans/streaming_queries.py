@@ -100,10 +100,10 @@ WITH marked AS (
                 OR date_diff('second', LAG(ts) OVER w, ts) > 1800
               THEN 1 ELSE 0 END AS is_new
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), assigned AS (
   SELECT user_id, ts,
-         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
   FROM marked
 )
@@ -294,7 +294,7 @@ _SQL_UPSERT = """
 WITH latest AS (
   SELECT user_id, event_type, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id
-                            ORDER BY ts DESC, event_id DESC) AS rn
+                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
   FROM events
 )
 SELECT event_type,
@@ -371,7 +371,7 @@ def streaming_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_LATE = f"""
 WITH marked AS (
   SELECT event_type, ts,
-         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id
+         MAX(ts) OVER (PARTITION BY event_type ORDER BY event_id NULLS FIRST
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
            AS high_water
   FROM events

@@ -61,7 +61,8 @@ WITH p AS (
 ), c AS (
   SELECT user_id, ts, value FROM (
     SELECT user_id, ts, value,
-           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC NULLS LAST) AS rn
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )
@@ -110,7 +111,8 @@ WITH p AS (
 ), c AS (
   SELECT user_id, ts, value FROM (
     SELECT user_id, ts, value,
-           ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+           ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC NULLS LAST) AS rn
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )
@@ -324,9 +326,9 @@ WITH flagged AS (
                 OR LAG(event_type) OVER w <> event_type
               THEN 1 ELSE 0 END AS chg
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), runs0 AS (
-  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
               AS run_id
   FROM flagged
@@ -398,9 +400,9 @@ _SQL_OHLC = f"""
 WITH ranked AS (
   SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
          ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts, event_id) AS rn_a,
+                            ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn_a,
          ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
-                            ORDER BY ts DESC, event_id DESC) AS rn_d
+                            ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn_d
   FROM events WHERE ts IS NOT NULL
 )
 SELECT event_type, bar_hour,
@@ -495,7 +497,8 @@ WITH pairs AS (
           + lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w)
          * ((EPOCH_US(ts) - lag(EPOCH_US(ts)) OVER w) // 1000000) AS contrib2
   FROM events WHERE ts IS NOT NULL
-  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+  WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY ts NULLS FIRST, event_id NULLS FIRST)
 ), streams AS (
   SELECT user_id, event_type,
          CAST(SUM(contrib2) AS BIGINT) AS integral2,
@@ -587,7 +590,7 @@ WITH p AS (
     SELECT user_id, ts,
            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
            ROW_NUMBER() OVER (PARTITION BY user_id, ts
-                              ORDER BY event_id DESC) AS rn
+                              ORDER BY event_id DESC NULLS LAST) AS rn
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )

@@ -182,3 +182,142 @@ def test_asof_tolerance_drops_far_matches(spark):
         ).collect()
     }
     assert got == {1: 1.0, 2: None}
+
+
+# ---------------------------------------------------------------------------
+# round-5 ADVICE: NULL basket keys and NULL event_id window tie-breaks
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from _diffutil import assert_df_match as _diff
+from _diffutil import duck_oracle as _oracle
+
+
+def _write_lineitem_pairs(tmp_path, rows):
+    """rows: (l_orderkey, l_partkey) — the only columns copurchase touches."""
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    return str(tmp_path)
+
+
+def _write_events6(tmp_path, rows):
+    """rows: (event_id, ts_us, user_id, event_type, value, props)."""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    return str(tmp_path)
+
+
+_US0 = 1_700_000_000_000_000
+
+
+def test_copurchase_null_orderkey_forms_no_phantom_basket(spark, tmp_path):
+    """Rows with NULL l_orderkey must not pool into one phantom basket:
+    Spark's groupBy groups NULL keys together while the oracle's
+    equi-self-join drops them — both engines must now drop them."""
+    from bytewax_iceberg_connector_spark.plans import relational as R
+
+    d = _write_lineitem_pairs(
+        tmp_path,
+        [
+            (1, 10), (1, 20),          # real pair (10,20)
+            (None, 30), (None, 40),    # phantom basket if NULLs pooled
+            (2, 10), (2, 20),          # second order with same pair
+        ],
+    )
+    sp = R.copurchase_affinity(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, R._SQL_AFFINITY))
+    assert set(zip(sp["pa"], sp["pb"])) == {(10, 20)}
+
+
+def test_ohlc_null_event_id_tie_matches_oracle(spark, tmp_path):
+    """Tied ts with one NULL event_id: Spark's struct-min/max sorts the
+    NULL field first (ASC NULLS FIRST / DESC NULLS LAST), which the
+    oracle windows now pin explicitly."""
+    from bytewax_iceberg_connector_spark.plans import temporal as T
+
+    d = _write_events6(
+        tmp_path,
+        [
+            (None, _US0, 1, "tick", 5.0, "{}"),   # tied ts, NULL id
+            (7, _US0, 1, "tick", 9.0, "{}"),      # tied ts, real id
+            (8, _US0 + 1_000_000, 1, "tick", 2.0, "{}"),
+        ],
+    )
+    sp = T.ohlc_bars(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, T._SQL_OHLC))
+    # open = NULL-id row (NULLS FIRST), close = latest ts row
+    assert float(sp["open"].iloc[0]) == 5.0
+    assert float(sp["close"].iloc[0]) == 2.0
+
+
+def test_event_attribution_null_event_id_tie_matches_oracle(spark, tmp_path):
+    """Two same-ts clicks where one has NULL event_id: the as-of
+    tie-break (event_id DESC) must prefer the non-NULL id on both
+    engines (DESC NULLS LAST pinned in the oracle)."""
+    from bytewax_iceberg_connector_spark.plans import temporal as T
+
+    d = _write_events6(
+        tmp_path,
+        [
+            (None, _US0, 1, "click", 0.0, '{"k": 1}'),
+            (5, _US0, 1, "click", 0.0, '{"k": 2}'),
+            (9, _US0 + 5_000_000, 1, "purchase", 100.0, "{}"),
+        ],
+    )
+    sp = T.event_attribution(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, T._SQL_ATTRIBUTION))
+    assert list(sp["channel"]) == ["ch_2"]
+
+
+def test_interarrival_null_event_id_tie_matches_oracle(spark, tmp_path):
+    """Tied ts with a NULL event_id in the lag window: ASC NULLS FIRST
+    (Spark default) now pinned in the oracle window."""
+    from bytewax_iceberg_connector_spark.plans import profiling as P
+
+    d = _write_events6(
+        tmp_path,
+        [
+            (None, _US0, 1, "click", 1.0, "{}"),
+            (2, _US0, 1, "click", 1.0, "{}"),
+            (3, _US0 + 3_000_000, 1, "click", 1.0, "{}"),
+            (4, _US0 + 9_000_000, 1, "click", 1.0, "{}"),
+        ],
+    )
+    sp = P.interarrival_stats(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, P._SQL_INTERARRIVAL))
+
+
+def test_event_transition_null_event_id_tie_matches_oracle(spark, tmp_path):
+    """Tied ts with NULL event_id in the per-user transition order."""
+    from bytewax_iceberg_connector_spark.plans import profiling as P
+
+    d = _write_events6(
+        tmp_path,
+        [
+            (None, _US0, 1, "view", 1.0, "{}"),
+            (2, _US0, 1, "click", 1.0, "{}"),
+            (3, _US0 + 1_000_000, 1, "purchase", 1.0, "{}"),
+        ],
+    )
+    sp = P.event_transition_matrix(spark, d).toPandas()
+    _diff(sp, _oracle(tmp_path, P._SQL_TRANSITION))

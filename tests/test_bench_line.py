@@ -29,3 +29,10 @@ def test_oversized_result_keeps_slowest_and_fits():
     # the omitted total is accounted for, so value stays auditable
     assert abs(d["omitted_sec"] - sum(t[n] for n in omitted)) < 1e-6
     assert d["value"] == sum(t.values())
+
+
+def test_budget_capped_run_is_visibly_capped():
+    """A budget-cut run must carry queries_unrun in the final line."""
+    d = json.loads(_final_line(12.0, {"q1": 12.0}, 0.1, unrun=7))
+    assert d["queries_unrun"] == 7
+    assert "queries_unrun" not in json.loads(_final_line(12.0, {"q1": 12.0}, 0.1))
