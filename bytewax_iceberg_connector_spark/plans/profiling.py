@@ -163,36 +163,60 @@ def fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-NULL key has no parent. The lake admission check that catches a
     truncated dimension load before a fact join silently drops rows.
 
-    Scale: per edge, the child side reduces to its KEY column at the scan
-    (column pruning — payloads never move), orphans are a left ANTI join
-    against the parent's key column: provably tiny dimension parents
-    (nation/region) broadcast explicitly, fact-sized parents take the
-    shuffled anti-join where AQE upgrades to broadcast when the runtime
-    key set fits. Each edge's result is a 1-row aggregate; the union is
-    |edges| rows. Anti-join + count is the minimal data movement for
-    exact orphan accounting — no payload, no distinct-materialization of
-    the child side.
+    Scale — ONE pass over each child's key column (the r04 verdict's
+    fusion): the child pre-aggregates to (key, n) — a map-side-combinable
+    exchange whose join input is distinct-key-sized, not child-row-sized
+    — then LEFT-joins the parent's distinct keys as a matched flag, and
+    every statistic falls out of one PLAIN aggregate over that per-key
+    frame (child_rows = Σn, orphans = rows where the flag is absent). No
+    countDistinct anywhere, so nothing rides an Expand (the table_profile
+    trap); provably tiny dimension parents (nation/region) broadcast
+    explicitly, fact-sized parents let AQE upgrade when the runtime key
+    set fits. Each edge's result is a 1-row aggregate; the union is
+    |edges| rows.
+
+    Measured at sf0.1 (r05 A/B, warm): this form ≈2.4–2.7 s vs the old
+    2-pass/anti-join ≈2.0–2.6 s — local wall-clock is scheduler noise on
+    a 14-scan union DAG, NOT the discriminator. The form is chosen for
+    the 100 TB shape: the old form scanned every fact key column twice
+    (stats agg + anti-join) and rode countDistinct's Expand; this one
+    scans once, ships distinct-key-sized join inputs after the map-side
+    combine, and its parent `.distinct()` keeps counts exact even
+    against a corrupted parent with duplicate PKs (which is precisely
+    when an integrity audit must not lie).
     """
     frames = []
     for edge, child_t, ck, parent_t, pk, bcast in _FK_EDGES:
         child = load_table(spark, sf_dir, child_t).select(ck)
-        parent = load_table(spark, sf_dir, parent_t).select(pk)
+        # distinct-ing the parent key makes the matched-flag join safe
+        # even against a corrupted parent with duplicate PKs (the audit
+        # must not multiply counts exactly when the data is at its worst)
+        parent = (
+            load_table(spark, sf_dir, parent_t)
+            .select(F.col(pk).alias(ck))
+            .distinct()
+            .withColumn("_matched", F.lit(1))
+        )
         if bcast:
             parent = F.broadcast(parent)
-        orphans = child.where(F.col(ck).isNotNull()).join(
-            parent, on=F.col(ck) == F.col(pk), how="left_anti"
-        )
-        stats = child.agg(
-            F.count(F.lit(1)).cast("long").alias("child_rows"),
-            (F.count(F.lit(1)) - F.count(ck)).cast("long").alias("null_rows"),
-            F.countDistinct(ck).cast("long").alias("child_keys"),
-        )
-        ostats = orphans.agg(
-            F.count(F.lit(1)).cast("long").alias("orphan_rows"),
-            F.countDistinct(ck).cast("long").alias("orphan_keys"),
-        )
+        per_key = child.groupBy(ck).agg(F.count(F.lit(1)).alias("n"))
+        joined = per_key.join(parent, on=ck, how="left")
+        notnull = F.col(ck).isNotNull()
+        orphan = notnull & F.col("_matched").isNull()
         frames.append(
-            stats.crossJoin(ostats).select(
+            joined.agg(
+                F.coalesce(F.sum("n"), F.lit(0))
+                .cast("long")
+                .alias("child_rows"),
+                F.coalesce(F.sum(F.when(F.col(ck).isNull(), F.col("n"))), F.lit(0))
+                .cast("long")
+                .alias("null_rows"),
+                F.count(F.when(notnull, 1)).cast("long").alias("child_keys"),
+                F.coalesce(F.sum(F.when(orphan, F.col("n"))), F.lit(0))
+                .cast("long")
+                .alias("orphan_rows"),
+                F.count(F.when(orphan, 1)).cast("long").alias("orphan_keys"),
+            ).select(
                 F.lit(edge).alias("edge"),
                 "child_rows",
                 "null_rows",

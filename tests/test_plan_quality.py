@@ -594,18 +594,23 @@ def test_table_profile_splits_distincts_from_measures(spark, sf_dir):
         assert "gid" in m.group(1)  # only the distinct-group exchange
 
 
-def test_fk_integrity_prunes_to_keys_and_anti_joins(spark, sf_dir):
+def test_fk_integrity_single_pass_per_edge(spark, sf_dir):
     """Every child/parent scan must prune to its KEY column (payloads
-    never move — ReadSchema carries exactly one field per scan) and every
-    orphan probe must be a LEFT ANTI join, never an exists-subquery
-    rewrite into something wider."""
+    never move — ReadSchema carries exactly one field per scan); each
+    edge is ONE child pass — per-key pre-aggregation LEFT-joined to the
+    parent's distinct keys — with no countDistinct (no Expand) and no
+    anti-join second branch (the r04 fusion)."""
     from bytewax_iceberg_connector_spark.plans.profiling import fk_integrity
 
     plan = _plan(fk_integrity(spark, sf_dir))
-    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
+    assert "LeftAnti" not in plan
+    assert "Expand" not in plan
     assert "CartesianProduct" not in plan
     for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(m.group(1).split(",")) == 1, m.group(1)
+    # one scan per (edge x side): 7 edges x 2 = 14 parquet scans, not 21+
+    assert plan.count("Scan parquet") <= 14
 
 
 def test_interarrival_single_corpus_window_exchange(spark, sf_dir):
