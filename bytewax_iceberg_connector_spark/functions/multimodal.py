@@ -145,7 +145,17 @@ def extract_features(
     forward pass). The output column shape matches the ``embeddings`` test
     table exactly, so the whole multimodal → embed → dedup/ANN pipeline
     composes.
+
+    Digest material is CHAINED sha256 over hex strings (h₁ = sha256(data),
+    h₂ = sha256(hex(h₁)), …) and the centering/normalization is derived
+    from exact integer sums (mean = Σb/dim with dim a power of two — an
+    exact binary division; ‖v‖² = Σb² − (Σb)²/dim), so every embedding
+    value is one correctly-rounded IEEE expression over integers and the
+    DuckDB oracle (sha256 is VARCHAR-only there) reproduces it
+    bit-identically — the multimodal_video recipe applied to the embed
+    stage.
     """
+    assert dim & (dim - 1) == 0, "dim must be a power of two (exact mean)"
 
     def _embed(batches):
         import numpy as np
@@ -154,14 +164,17 @@ def extract_features(
             keys, vecs = [], []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                raw = hashlib.sha512(data).digest()
+                raw = hashlib.sha256(data).digest()
                 while len(raw) < dim:
-                    raw += hashlib.sha512(raw).digest()
-                v = np.frombuffer(raw[:dim], dtype=np.uint8).astype(np.float64)
-                v = v - v.mean()
-                norm = np.sqrt((v * v).sum()) or 1.0
+                    raw += hashlib.sha256(raw[-32:].hex().encode()).digest()
+                b = np.frombuffer(raw[:dim], dtype=np.uint8).astype(np.int64)
+                sb = int(b.sum())
+                sq = int((b * b).sum())
+                mean = sb / float(dim)  # exact: dim is a power of two
+                norm2 = sq - sb * sb / float(dim)  # exact for same reason
+                norm = float(np.sqrt(norm2)) or 1.0
                 keys.append(int(key))
-                vecs.append((v / norm).astype(np.float32))
+                vecs.append(((b - mean) / norm).astype(np.float32))
             yield pd.DataFrame({"key": keys, "embedding": vecs})
 
     return df.select(key_col, payload_col).mapInPandas(
@@ -232,11 +245,21 @@ def decode_audio_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFram
     exact-integer (the loudness-gate analogue of the text suite's ppm
     discipline).
 
+    Milli-unit math is IEEE-deterministic BY CONSTRUCTION so the DuckDB
+    oracle can restate it exactly (the r04 verdict's multimodal_video
+    recipe): the sum of squared samples is an exact INTEGER (Σb² over
+    int8 bytes), and ``rms_milli = floor(1000·sqrt(Σb²/(16384·n)))`` is
+    one correctly-rounded division + sqrt + multiply — bit-identical on
+    any IEEE-754 engine evaluating the same expression, unlike a
+    float-mean-then-banker's-round chain whose summation order leaks in.
+
     Scale: same rules as image decode — narrow projection into the
     kernel, ~10-100 MB of payload per batch, no shuffle in the stage.
     """
 
     def _decode(batches):
+        import math
+
         import numpy as np
 
         rates = (8000, 16000, 44100)
@@ -251,20 +274,38 @@ def decode_audio_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFram
 
                     x, rate = sf.read(io.BytesIO(data), dtype="float64")
                     x = x.ravel()
+                    n = len(x)
+                    rms_milli = (
+                        int(math.floor(1000.0 * math.sqrt((x * x).mean())))
+                        if n
+                        else 0
+                    )
+                    peak_milli = (
+                        int(math.floor(1000.0 * float(np.abs(x).max())))
+                        if n
+                        else 0
+                    )
                 else:
-                    x = np.frombuffer(data, dtype=np.int8).astype(np.float64) / 128.0
+                    v = np.frombuffer(data, dtype=np.int8).astype(np.int64)
                     rate = rates[hashlib.sha256(data).digest()[0] % 3]
-                n = len(x)
-                rms = float(np.sqrt((x * x).mean())) if n else 0.0
-                peak = float(np.abs(x).max()) if n else 0.0
+                    n = len(v)
+                    if n:
+                        sq = int((v * v).sum())  # exact integer
+                        mb = int(np.abs(v).max())
+                        rms_milli = int(
+                            math.floor(1000.0 * math.sqrt(sq / (16384.0 * n)))
+                        )
+                        peak_milli = int(math.floor(1000.0 * (mb / 128.0)))
+                    else:
+                        rms_milli = peak_milli = 0
                 rows.append(
                     {
                         "key": int(key),
                         "n_samples": n,
                         "sample_rate": int(rate),
                         "duration_ms": n * 1000 // int(rate),
-                        "rms_milli": int(round(rms * 1000)),
-                        "peak_milli": int(round(peak * 1000)),
+                        "rms_milli": rms_milli,
+                        "peak_milli": peak_milli,
                     }
                 )
             yield pd.DataFrame(

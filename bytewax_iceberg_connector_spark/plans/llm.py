@@ -433,7 +433,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One bigint per doc; a hamming-d near-dup shares ≥1 of 4 exact 16-bit
     bands when d < 4 — with d up to 12 the bands are a recall-y prefilter,
-    verified by exact popcount. rows-only check (engine-specific hashes).
+    verified by exact popcount.
+
+    DELIBERATELY rows-only (r05 decision, per the r04 verdict's ask): the
+    fingerprint IS deterministic (fixed-seed, md5-derived shingle hashes),
+    so a DuckDB restatement is possible in principle — but it would mean
+    re-implementing the md5-prefix shingle hash, the per-bit
+    majority-vote over 64 bit positions, and signed-long band slicing in
+    SQL: a ~100-line transliteration of the kernel with zero independent
+    check value (any bug would be copied faithfully into the oracle).
+    Instead the kernel twin (simhash64 expression form vs simhash64_np)
+    is pinned bit-identical in tests/test_llm.py and the query's row
+    count rides the weaker driver check.
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
@@ -1878,7 +1889,16 @@ def multimodal_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched decode stage over binary payloads (mapInPandas
     plumbing; deterministic fake decoder — see functions/multimodal.py).
-    rows-only check: the decode itself is engine-local by design."""
+
+    Oracle-checked (r05, the multimodal_video recipe): the stub decoder's
+    outputs are pure functions of the payload bytes — channels from the
+    sha256 digest's third byte, byte_len from the length, identity from
+    the digest — all of which DuckDB restates from ``sha256(text)`` /
+    ``octet_length(encode(text))`` (DuckDB's sha256 hashes the VARCHAR's
+    UTF-8 bytes, exactly the payload Spark hands the kernel). So the
+    decode PLUMBING — batch iteration, NULL→empty normalization, schema —
+    is differentially verified, not just row-counted.
+    """
     from ..functions.multimodal import decode_image_meta
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1888,12 +1908,47 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         meta.groupBy("channels")
         .agg(
-            F.count("*").alias("n_assets"),
-            F.sum("byte_len").alias("total_bytes"),
-            F.countDistinct("sha256").alias("n_distinct"),
+            F.count("*").cast("long").alias("n_assets"),
+            F.sum("byte_len").cast("long").alias("total_bytes"),
+            F.countDistinct("sha256").cast("long").alias("n_distinct"),
         )
         .orderBy("channels")
     )
+
+
+# hex-nibble value: DuckDB has no hex→int cast, so the oracle decodes a
+# hex character through a strpos lookup (1-indexed → −1)
+def _hv(expr: str) -> str:
+    return f"(strpos('0123456789abcdef', {expr}) - 1)"
+
+
+def _hexbyte(hexcol: str, i: str) -> str:
+    """Integer value of byte ``i`` (1-based) of a lowercase hex string."""
+    return (
+        f"(16 * {_hv(f'substr({hexcol}, 2*({i})-1, 1)')}"
+        f" + {_hv(f'substr({hexcol}, 2*({i}), 1)')})"
+    )
+
+
+_SQL_MM_DECODE = f"""
+WITH meta AS (
+  SELECT sha256(COALESCE(text, '')) AS h,
+         octet_length(encode(COALESCE(text, ''))) AS len
+  FROM documents
+), chan AS (
+  SELECT h, len,
+         CASE ({_hexbyte('h', '3')} % 3)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels
+  FROM meta
+)
+SELECT CAST(channels AS BIGINT) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       CAST(SUM(len) AS BIGINT) AS total_bytes,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct
+FROM chan
+GROUP BY channels
+ORDER BY channels
+"""
 
 
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1902,7 +1957,13 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-milli loudness; deterministic stub decoder, see
     functions/multimodal.py) → per-sample-rate loudness accounting, the
     loudness-gate shape an audio curation pipeline runs before training.
-    rows-only check: the decode is engine-local by design."""
+
+    Oracle-checked (r05): the stub's loudness math is IEEE-deterministic
+    by construction (exact integer Σb² → one division + sqrt + floor, see
+    decode_audio_meta), so DuckDB restates every output from the
+    payload's hex bytes — the decode plumbing, the int8 sign handling,
+    the empty-payload edge, and the integer-milli discipline are all
+    differentially verified."""
     from ..functions.multimodal import decode_audio_meta
 
     docs = load_table(spark, sf_dir, "documents").select(
@@ -1921,12 +1982,62 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full multimodal chain: payload → decode meta → resize → feature
-    extraction → per-channel accounting (rows-only: every stage is an
-    engine-local stub by design — see functions/multimodal.py).
+_SQL_MM_AUDIO = f"""
+WITH base AS (
+  SELECT doc_id,
+         sha256(COALESCE(text, '')) AS h,
+         lower(hex(encode(COALESCE(text, '')))) AS hx,
+         octet_length(encode(COALESCE(text, ''))) AS n
+  FROM documents
+), rated AS (
+  SELECT doc_id, hx, n,
+         CASE ({_hexbyte('h', '1')} % 3)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+  FROM base
+), bytes AS (
+  SELECT doc_id, {_hexbyte('hx', 'i')} AS b
+  FROM rated, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
+), sq AS (
+  SELECT doc_id,
+         SUM(CASE WHEN b > 127 THEN (b-256)*(b-256) ELSE b*b END) AS s,
+         MAX(CASE WHEN b > 127 THEN 256-b ELSE b END) AS mb
+  FROM bytes GROUP BY doc_id
+), clips AS (
+  SELECT r.rate,
+         r.n * 1000 // r.rate AS duration_ms,
+         CASE WHEN r.n = 0 THEN 0
+              ELSE CAST(FLOOR(1000.0 * SQRT(q.s / (16384.0 * r.n)))
+                        AS BIGINT) END AS rms_milli,
+         CASE WHEN r.n = 0 THEN 0
+              ELSE CAST(FLOOR(1000.0 * (q.mb / 128.0)) AS BIGINT)
+              END AS peak_milli
+  FROM rated r LEFT JOIN sq q USING (doc_id)
+)
+SELECT CAST(rate AS BIGINT) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_clips,
+       CAST(SUM(duration_ms) AS BIGINT) AS total_ms,
+       CAST(SUM(rms_milli) // COUNT(*) AS BIGINT) AS avg_rms_milli,
+       CAST(MAX(peak_milli) AS BIGINT) AS max_peak_milli
+FROM clips
+GROUP BY rate
+ORDER BY sample_rate
+"""
 
-    The shape to note for 100 TB: three Arrow-batched mapInPandas stages
+
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal chain: payload → decode meta → feature extraction
+    → per-channel accounting (stub kernels — see functions/multimodal.py).
+
+    Oracle-checked (r05): the embed stub derives every value from chained
+    sha256 digests with integer-exact centering (see extract_features),
+    so DuckDB reproduces each embedding bit-for-bit and the chain —
+    mapInPandas batching, the meta×features join, the float32 storage
+    type — is differentially verified. The per-group averages round to 6
+    decimals on both engines (each per-doc value is bit-identical; only
+    the cross-row accumulation order differs, which rounding absorbs —
+    the cosine_np precedent).
+
+    The shape to note for 100 TB: the Arrow-batched mapInPandas stages
     pipeline WITHOUT shuffles between them (narrow dependencies — one task
     chain per partition); the only exchange is the final 3-group aggregate.
     """
@@ -1941,7 +2052,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("channels")
         .agg(
-            F.count("*").alias("n_assets"),
+            F.count("*").cast("long").alias("n_assets"),
             F.round(F.avg(F.element_at("embedding", 1)), 6).alias("avg_dim1"),
             F.round(
                 F.avg(F.aggregate(
@@ -1954,6 +2065,49 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channels")
     )
+
+
+_SQL_MM_PIPELINE = f"""
+WITH base AS (
+  SELECT doc_id, sha256(COALESCE(text, '')) AS h1 FROM documents
+), hx AS (
+  SELECT doc_id, h1, h1 || sha256(h1) AS hh FROM base
+), bytes AS (
+  SELECT doc_id, i, {_hexbyte('hh', 'i')} AS b
+  FROM hx, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
+), st AS (
+  SELECT doc_id, SUM(b) AS sb, SUM(b*b) AS sq,
+         MAX(CASE WHEN i = 1 THEN b END) AS b1
+  FROM bytes GROUP BY doc_id
+), emb AS (
+  SELECT doc_id, b1, sb / 64.0 AS mean,
+         CASE WHEN sq - sb*sb/64.0 = 0 THEN 1.0
+              ELSE SQRT(sq - sb*sb/64.0) END AS nrm
+  FROM st
+), vals AS (
+  SELECT b.doc_id,
+         CAST(CAST((b.b - e.mean) / e.nrm AS REAL) AS DOUBLE) AS v,
+         b.i
+  FROM bytes b JOIN emb e USING (doc_id)
+), sqn AS (
+  SELECT doc_id,
+         MAX(CASE WHEN i = 1 THEN v END) AS d1,
+         SUM(v * v) AS s2
+  FROM vals GROUP BY doc_id
+), chan AS (
+  SELECT doc_id,
+         CASE ({_hexbyte('h1', '3')} % 3)
+           WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels
+  FROM base
+)
+SELECT CAST(channels AS BIGINT) AS channels,
+       CAST(COUNT(*) AS BIGINT) AS n_assets,
+       ROUND(AVG(d1), 6) AS avg_dim1,
+       ROUND(AVG(s2), 6) AS avg_sq_norm
+FROM chan JOIN sqn USING (doc_id)
+GROUP BY channels
+ORDER BY channels
+"""
 
 
 _SQL_MM_NESTED = """
@@ -2417,4 +2571,7 @@ ORACLE = {
     "multimodal_binary_meta": _SQL_MM_BINARY,
     "multimodal_nested": _SQL_MM_NESTED,
     "multimodal_video": _SQL_MM_VIDEO,
+    "multimodal_decode": _SQL_MM_DECODE,
+    "multimodal_audio": _SQL_MM_AUDIO,
+    "multimodal_pipeline": _SQL_MM_PIPELINE,
 }

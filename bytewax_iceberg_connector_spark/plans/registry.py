@@ -77,14 +77,15 @@ def _artifact_paths() -> list[Path]:
     return []
 
 
-def _driver_records() -> dict[str, tuple[int, bool]]:
-    """name -> (latest round with a record, that record was green).
+def _driver_records() -> dict[str, tuple]:
+    """name -> (latest round with a record, that record was green,
+    that record was the weak rows-only check).
 
     Green = rows+schema+hash all matched, or a rows-only query whose weaker
     check ran (err == "no_oracle" with a row count). Anything else —
     hash mismatch, canonicalizer crash, missing counts — is red.
     """
-    out: dict[str, tuple[int, bool]] = {}
+    out: dict[str, tuple] = {}
     for p in _artifact_paths():
         m = re.search(r"r(\d+)", p.name)
         rnd = int(m.group(1)) if m else 0
@@ -97,33 +98,48 @@ def _driver_records() -> dict[str, tuple[int, bool]]:
         for name, rec in recs.items():
             if not isinstance(rec, dict):
                 continue
-            green = (
+            weak = (
                 rec.get("err") == "no_oracle"
                 and rec.get("spark_rows") is not None
-            ) or bool(
+            )
+            green = weak or bool(
                 rec.get("rows_match")
                 and rec.get("schema_match")
                 and rec.get("hash_match")
             )
             prev = out.get(name)
             if prev is None or rnd >= prev[0]:
-                out[name] = (rnd, bool(green))
+                out[name] = (rnd, bool(green), weak)
     return out
 
 
-def _rank(recs: dict[str, tuple[int, bool]], name: str) -> tuple:
+def _rank(recs: dict, name: str, has_oracle: bool = False) -> tuple:
     rec = recs.get(name)
     if rec is None:
         return (1, 0, name)  # never driver-checked: right after the reds
-    rnd, green = rec
+    rnd, green, *rest = rec
+    weak = bool(rest[0]) if rest else False
     if not green:
         return (0, rnd, name)  # latest record red: front of the line
+    if weak and has_oracle:
+        # the query HAS an oracle now but its latest record is only the
+        # weak rows-only check (it was converted rows-only -> oracle-
+        # checked since): it has never actually been hash-verified, so it
+        # ranks with the never-checked tier instead of waiting out the
+        # stale-green rotation
+        return (1, rnd, name)
     return (2, rnd, name)  # green: stalest record rotates in first
 
 
 def _ordered(d: dict) -> dict:
     recs = _driver_records()
-    return {n: d[n] for n in sorted(d, key=lambda n: _rank(recs, n))}
+    oracles: set[str] = set()
+    for mod in _modules():
+        oracles.update(getattr(mod, "ORACLE", {}))
+    return {
+        n: d[n]
+        for n in sorted(d, key=lambda n: _rank(recs, n, n in oracles))
+    }
 
 
 def _modules():

@@ -174,3 +174,45 @@ def test_registry_rank_semantics():
         key=lambda n: registry._rank(recs, n),
     )
     assert order == ["red", "never", "old_green", "new_green"]
+
+
+def test_registry_rank_weak_record_with_oracle_reenters_window():
+    """A query converted rows-only -> oracle-checked has never been
+    hash-verified: its weak no_oracle record must rank with the
+    never-checked tier, not wait out the stale-green rotation."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    recs = {
+        "converted": (3, True, True),   # latest record weak, oracle now exists
+        "still_weak": (3, True, True),  # weak, still no oracle
+        "green": (1, True, False),
+    }
+    rank = lambda n, has: registry._rank(recs, n, has)
+    assert rank("converted", True)[0] == 1
+    assert rank("still_weak", False)[0] == 2
+    assert rank("green", True)[0] == 2
+    # legacy 2-tuple records (older tests / artifacts) still parse
+    assert registry._rank({"x": (2, True)}, "x", True)[0] == 2
+
+
+def test_rotation_keeps_every_oracle_query_fresh():
+    """With a 50-slot gate window and 146+ queries, a full regression
+    rotation takes ~3 rounds. If registration outpaces the window, some
+    oracle-checked query's latest driver record ages beyond that — this
+    contract catches rotation starvation the round it starts."""
+    import pytest
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    recs = registry._driver_records()
+    if not recs:
+        pytest.skip("no driver artifacts (fresh checkout)")
+    max_rnd = max(r[0] for r in recs.values())
+    stale = {
+        n: recs[n][0]
+        for n in registry.all_oracles()
+        if n in recs and recs[n][0] < max_rnd - 3
+    }
+    assert not stale, (
+        f"oracle-checked queries starved out of the gate rotation: {stale}"
+    )
