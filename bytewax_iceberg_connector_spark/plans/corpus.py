@@ -575,8 +575,156 @@ ORDER BY rnk
 """
 
 
+# ---------------------------------------------------------------------------
+# bpe_merges — BPE tokenizer training (iterative pair-merge fixpoint)
+# ---------------------------------------------------------------------------
+
+_BPE_VOCAB = 200   # train on the top-V word types (the standard recipe:
+                   # BPE learns from the word-frequency table, not the corpus)
+_BPE_MERGES = 8    # learned merge count (fixed so the oracle can unroll)
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): from the
+    ``vocab_build`` word-frequency substrate, learn ``_BPE_MERGES`` merge
+    rules — each iteration counts adjacent symbol pairs weighted by word
+    frequency, merges the most frequent pair (ties broken (freq DESC,
+    left, right)) into one symbol everywhere, and repeats. Output: the
+    ordered merge table (merge_idx, left_sym, right_sym, pair_freq) — the
+    artifact a tokenizer ships.
+
+    Engine-neutral representation trick: a word's symbol sequence is a
+    SPACE-JOINED STRING (``h e l l o``), so "merge pair (a,b)" is one
+    literal ``replace(' '‖repr‖' ', ' a b ', ' ab ')`` — and literal
+    replace's left-to-right non-overlapping scan IS the greedy BPE merge
+    semantics ('a a a' → 'aa a', not 'aa aa'), identically in Spark and
+    DuckDB, which is what makes the oracle an exact fixed-iteration
+    replay rather than a reimplementation.
+
+    Scale (the dedup_clusters iterative discipline): each of the N
+    iterations is ONE pair-count shuffle over the VOCABULARY (word types
+    × avg symbols — millions of rows at web scale, never the corpus) and
+    collects exactly ONE argmax row to the driver; the representation
+    frame is persisted per iteration and the predecessor unpersisted, so
+    lineage stays flat and no iteration replays the previous ones. The
+    corpus itself is touched once, by the initial word count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cur = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+        # one space-joined symbol per character to start
+        .select(
+            "freq",
+            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("repr"),
+        )
+        # V rows total: collapse to one partition so each of the N
+        # iteration jobs is a single task instead of 32 near-empty ones
+        .coalesce(1)
+        .persist()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for it in range(1, _BPE_MERGES + 1):
+            top = (
+                cur.select("freq", F.split("repr", " ").alias("s"))
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(slice(s, 1, greatest(size(s) - 1, 0)),"
+                            " (x, i) -> struct(x AS l, element_at(s, i + 2) AS r))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy("p.l", "p.r")
+                .agg(F.sum("freq").alias("pf"))
+                .orderBy(F.desc("pf"), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, pf = top[0]["l"], top[0]["r"], int(top[0]["pf"])
+            merges.append((it, l, r, pf))
+            nxt = cur.withColumn(
+                "repr",
+                F.trim(
+                    F.replace(
+                        F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
+                        F.lit(f" {l} {r} "),
+                        F.lit(f" {l}{r} "),
+                    )
+                ),
+            ).persist()
+            nxt.count()  # materialize before dropping the parent's cache
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_idx LONG, left_sym STRING, right_sym STRING, pair_freq LONG",
+    )
+
+
+def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
+    """Fixed-iteration unrolled replay of the merge loop (one CTE pair
+    per iteration — the oracle mirrors the Spark loop stage for stage)."""
+    parts = [
+        rf"""WITH w0 AS (
+  SELECT freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS repr
+  FROM (
+    SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    )
+    GROUP BY term
+    ORDER BY freq DESC, word
+    LIMIT {vocab}
+  )
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, SUM(freq) AS pf
+  FROM (SELECT freq, string_split(repr, ' ') AS s FROM w{k - 1}),
+       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
+  GROUP BY 1, 2
+  ORDER BY pf DESC, l, r
+  LIMIT 1
+), w{k} AS (
+  SELECT freq,
+         trim(replace(' ' || repr || ' ',
+                      ' ' || l || ' ' || r || ' ',
+                      ' ' || l || r || ' ')) AS repr
+  FROM w{k - 1}, p{k}
+)""")
+    unions = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_idx, l, r, pf FROM p{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"""
+SELECT CAST(merge_idx AS BIGINT) AS merge_idx,
+       l AS left_sym, r AS right_sym,
+       CAST(pf AS BIGINT) AS pair_freq
+FROM ({unions})
+ORDER BY merge_idx
+""")
+    return "".join(parts)
+
+
+_SQL_BPE = _bpe_sql()
+
+
 QUERIES = {
     "vocab_build": vocab_build,
+    "bpe_merges": bpe_merges,
     "span_dedup": span_dedup,
     "quality_adaptive_filter": quality_adaptive_filter,
     "source_overlap_matrix": source_overlap_matrix,
@@ -585,6 +733,7 @@ QUERIES = {
 
 ORACLE = {
     "vocab_build": _SQL_VOCAB,
+    "bpe_merges": _SQL_BPE,
     "span_dedup": _SQL_SPAN_DEDUP,
     "quality_adaptive_filter": _SQL_ADAPTIVE,
     "source_overlap_matrix": _SQL_OVERLAP,

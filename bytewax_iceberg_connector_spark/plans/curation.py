@@ -300,6 +300,104 @@ ORDER BY split
 
 
 # ---------------------------------------------------------------------------
+# stratified_sample — exact per-stratum hash-threshold sampling
+# ---------------------------------------------------------------------------
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified exact sampling: each (lang, source) stratum declares a
+    sampling rate in ppm and every document is admitted iff its salted
+    content-independent hash coordinate falls under the stratum's
+    threshold — the operator that EXECUTES a training-mix recipe (the
+    dataset_split / domain_mix_weights family's missing action stage),
+    with exact admitted-row/token accounting per stratum.
+
+    Determinism contract (the dataset_split discipline): the admission
+    coordinate is md5('samp:' ‖ doc_id)'s first 24 bits mod 10⁶ — salted
+    so it is independent of the train/val/test bucket, content-
+    independent, and GROWTH-STABLE: a document's fate never changes when
+    other documents come or go (tests/test_curation.py proves this on a
+    shrunken corpus). The declared rate is itself derived
+    deterministically from the stratum name (16 steps of 62 500 ppm), so
+    the whole recipe is reproducible from the schema alone.
+
+    Scale: admission is a codegen'd projection (two md5s per row, no
+    UDF) — at 100 TB it runs at scan speed exactly like dataset_split,
+    and the only exchange is the final |strata|-row rollup. The same
+    predicate materializes the sample without a second read.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    stratum = F.concat_ws(
+        "/", F.coalesce(F.col("lang"), F.lit("?")),
+        F.coalesce(F.col("source"), F.lit("?")),
+    )
+    rate_ppm = (
+        F.conv(F.substring(F.md5(stratum), 1, 6), 16, 10).cast("long") % 16
+        + 1
+    ) * 62500
+    coord = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000000
+    )
+    scored = docs.select(
+        "lang",
+        "source",
+        rate_ppm.cast("long").alias("rate_ppm"),
+        (coord < rate_ppm).cast("long").alias("admitted"),
+        X.token_count("text").alias("n_tokens"),
+    )
+    return (
+        scored.groupBy("lang", "source", "rate_ppm")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("admitted").cast("long").alias("n_admitted"),
+            F.expr("sum(admitted) * 1000000 div count(*)")
+            .cast("long")
+            .alias("admitted_ppm"),
+            F.sum(F.col("admitted") * F.col("n_tokens"))
+            .cast("long")
+            .alias("n_tokens_admitted"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_SQL_STRATIFIED = r"""
+WITH scored AS (
+  SELECT lang, source,
+         (('0x' || substr(md5(COALESCE(lang, '?') || '/' ||
+                              COALESCE(source, '?')), 1, 6))::BIGINT % 16
+          + 1) * 62500 AS rate_ppm,
+         CASE WHEN ('0x' || substr(md5('samp:' || CAST(doc_id AS VARCHAR)),
+                                   1, 6))::BIGINT % 1000000
+                   < (('0x' || substr(md5(COALESCE(lang, '?') || '/' ||
+                                          COALESCE(source, '?')), 1, 6))::BIGINT
+                      % 16 + 1) * 62500
+              THEN 1 ELSE 0 END AS admitted,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             x -> x <> '')) AS n_tokens
+  FROM documents
+)
+SELECT lang, source, CAST(rate_ppm AS BIGINT) AS rate_ppm,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(admitted) AS BIGINT) AS n_admitted,
+       CAST(SUM(admitted) * 1000000 // COUNT(*) AS BIGINT) AS admitted_ppm,
+       CAST(SUM(admitted * n_tokens) AS BIGINT) AS n_tokens_admitted
+FROM scored
+GROUP BY lang, source, rate_ppm
+ORDER BY lang, source
+"""
+
+
+# ---------------------------------------------------------------------------
 # Per-source token budget cap (domain mixing)
 # ---------------------------------------------------------------------------
 
@@ -1270,6 +1368,7 @@ QUERIES = {
     "repetition_ratio": repetition_ratio,
     "contamination_check": contamination_check,
     "dataset_split": dataset_split,
+    "stratified_sample": stratified_sample,
     "dsir_importance": dsir_importance,
     "shard_shuffle_manifest": shard_shuffle_manifest,
     "length_bucket_audit": length_bucket_audit,
@@ -1288,6 +1387,7 @@ ORACLE = {
     "repetition_ratio": _SQL_REPETITION,
     "contamination_check": _SQL_CONTAMINATION,
     "dataset_split": _SQL_SPLIT,
+    "stratified_sample": _SQL_STRATIFIED,
     "dsir_importance": _SQL_DSIR,
     "shard_shuffle_manifest": _SQL_SHUFFLE,
     "length_bucket_audit": _SQL_LENGTH_BUCKETS,

@@ -1726,6 +1726,132 @@ SELECT doc_id, score, n_terms_hit, rank FROM (
 
 
 # ---------------------------------------------------------------------------
+# hybrid_rank — reciprocal-rank fusion of BM25 and dense retrieval (RAG)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60        # the standard RRF damping constant (Cormack et al.)
+_HYBRID_TOPK = 10
+
+
+def hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 keyword arm
+    (``bm25_rank`` — fixed 3-term query) and a dense cosine arm (query =
+    the embedding of vec_id 0 against the rest of the corpus, top-10) —
+    the standard RAG retrieval shape. RRF contributions are exact
+    integers (``1000000 div (k + rank)`` micro-units, k = 60), so the
+    fusion is engine-neutral integer arithmetic over two already-proven
+    rank lists; a document missing from one arm contributes 0 from it.
+
+    Scale: both arms are the existing index shapes — the BM25 arm's tf
+    table is query-term-filtered before any join and the dense arm
+    broadcasts ONE query vector across the embedding scan (scores in
+    codegen via the sequential-fold dot; no UDF) — and the fusion itself
+    is a full-outer join of two ≤ top-k lists: driver-trivial at any
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    sparse = bm25_rank(spark, sf_dir).select(
+        "doc_id", F.col("rank").alias("sparse_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    v = F.col("embedding").cast("array<double>")
+    wd = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    dense = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(
+                S.dot(v, F.col("qv"))
+                / F.sqrt(S.dot(v, v) * S.dot(F.col("qv"), F.col("qv"))),
+                6,
+            ).alias("cos"),
+        )
+        .withColumn("dense_rank", F.row_number().over(wd).cast("long"))
+        .where(F.col("dense_rank") <= _HYBRID_TOPK)
+        .select("doc_id", "dense_rank")
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").withColumn(
+        "rrf_micro",
+        F.expr(
+            f"coalesce(1000000 div ({_RRF_K} + sparse_rank), 0)"
+            f" + coalesce(1000000 div ({_RRF_K} + dense_rank), 0)"
+        ).cast("long"),
+    )
+    wf = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id").asc())
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("fused_rank") <= _HYBRID_TOPK)
+        .select("doc_id", "sparse_rank", "dense_rank", "rrf_micro", "fused_rank")
+        .orderBy("fused_rank")
+    )
+
+
+_SQL_HYBRID = rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
+), tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('join', 'vector', 'scan') GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), bscored AS (
+  SELECT tf.doc_id,
+         ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         * (tf.tf * (1.2 + 1))
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+), sparse AS (
+  SELECT doc_id, rank AS sparse_rank FROM (
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM bscored GROUP BY doc_id
+  ) t WHERE rank <= 10
+), e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_dot_product(CAST(embedding AS DOUBLE[]),
+                          CAST(embedding AS DOUBLE[])) AS n2
+  FROM embeddings
+), q AS (SELECT v AS qv, n2 AS qn2 FROM e WHERE vec_id = 0),
+dense AS (
+  SELECT doc_id, dense_rank FROM (
+    SELECT e.vec_id AS doc_id,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY ROUND(list_dot_product(qv, e.v)
+                              / SQRT(qn2 * e.n2), 6) DESC,
+                        e.vec_id ASC) AS BIGINT) AS dense_rank
+    FROM e CROSS JOIN q WHERE e.vec_id <> 0
+  ) t WHERE dense_rank <= {_HYBRID_TOPK}
+), fused AS (
+  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+         s.sparse_rank, d.dense_rank,
+         COALESCE(1000000 // ({_RRF_K} + s.sparse_rank), 0)
+           + COALESCE(1000000 // ({_RRF_K} + d.dense_rank), 0) AS rrf_micro
+  FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, sparse_rank, dense_rank,
+       CAST(rrf_micro AS BIGINT) AS rrf_micro, fused_rank
+FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT) AS fused_rank
+  FROM fused
+) t WHERE fused_rank <= {_HYBRID_TOPK}
+ORDER BY fused_rank
+"""
+
+
+# ---------------------------------------------------------------------------
 # B19d: corpus curation — quality filter + deterministic stratified sample
 # ---------------------------------------------------------------------------
 
@@ -2529,6 +2655,7 @@ QUERIES = {
     "keyword_extract": keyword_extract,
     "inverted_index": inverted_index,
     "bm25_rank": bm25_rank,
+    "hybrid_rank": hybrid_rank,
     "heavy_hitters": heavy_hitters,
     "lang_id_heuristic": lang_id_heuristic,
     "doc_fingerprint": doc_fingerprint,
@@ -2565,6 +2692,7 @@ ORACLE = {
     "keyword_extract": _SQL_KEYWORDS,
     "inverted_index": _SQL_INVERTED_INDEX,
     "bm25_rank": _SQL_BM25,
+    "hybrid_rank": _SQL_HYBRID,
     "heavy_hitters": _SQL_HEAVY,
     "lang_id_heuristic": _SQL_LANG_ID,
     "doc_fingerprint": _SQL_FINGERPRINT,

@@ -143,3 +143,51 @@ def test_pmi_degenerate_corpora(spark, tmp_path):
     sp = C.cooccurrence_pmi(spark, d).toPandas()
     assert sp.empty
     _diff(sp, _oracle(tmp_path, C._SQL_PMI))
+
+
+# ---------------------------------------------------------------------------
+# bpe_merges (r05)
+# ---------------------------------------------------------------------------
+
+def test_bpe_merges_learns_expected_rules_and_matches_oracle(spark, tmp_path):
+    """Tiny corpus with a hand-checkable merge sequence: 'aaab' x3 + 'ab'.
+    Vocab: aaab(3), ab(1). Pairs r1: (a,a):6, (a,b):4 -> merge (a,a).
+    r2: reprs 'aa a b'(3), 'a b'(1): (aa,a):3, (a,b):4 -> merge (a,b).
+    r3: 'aa ab'(3), 'ab'(1): (aa,ab):3 -> merge. r4: no pairs -> stop."""
+    d = _docs_dir(
+        tmp_path,
+        [(0, "aaab aaab aaab ab", "en", "s0", 17)],
+    )
+    sp = C.bpe_merges(spark, d).toPandas()
+    got = [tuple(r) for r in sp.itertuples(index=False)]
+    assert got == [
+        (1, "a", "a", 6),
+        (2, "a", "b", 4),
+        (3, "aa", "ab", 3),
+    ]
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE))
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark, tmp_path):
+    """'aaa' must merge to ['aa','a'] not ['aa','aa'] — the literal-replace
+    left-to-right scan IS greedy BPE; pair counting stays overlapping
+    (Sennrich get_stats)."""
+    d = _docs_dir(tmp_path, [(0, "aaa aaa", "en", "s0", 7)])
+    sp = C.bpe_merges(spark, d).toPandas()
+    got = [tuple(r) for r in sp.itertuples(index=False)]
+    # r1: (a,a) counted overlapping: 2 per word x2 words = 4
+    # r2: reprs 'aa a': (aa,a): 2 -> merge
+    assert got[0] == (1, "a", "a", 4)
+    assert got[1] == (2, "aa", "a", 2)
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE))
+
+
+def test_bpe_empty_and_single_char_corpus(spark, tmp_path):
+    """Single-char words have no pairs: zero merges on both engines."""
+    d = _docs_dir(
+        tmp_path,
+        [(0, "a b c a b", "en", "s0", 9), (1, "   ", "en", "s0", 3)],
+    )
+    sp = C.bpe_merges(spark, d).toPandas()
+    assert len(sp) == 0
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE))

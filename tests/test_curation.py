@@ -167,3 +167,55 @@ def test_shard_shuffle_assignment_is_uniform():
     expected = 100000 / _SHUFFLE_SHARDS
     for shard, n in counts.items():
         assert abs(n - expected) < 0.05 * expected, (shard, n)
+
+
+def test_stratified_sample_growth_stable_and_rate_bounded(spark, sf_dir):
+    """stratified_sample (r05): a doc's admission is a pure function of
+    (doc_id, stratum) — shrinking the corpus never flips survivors'
+    fates — and each stratum's admitted_ppm is statistically near its
+    declared rate (binomial bound, loose)."""
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        stratified_sample,
+    )
+
+    full = {
+        (r.lang, r.source): r
+        for r in stratified_sample(spark, sf_dir).collect()
+    }
+    for (lang, source), r in full.items():
+        assert 0 <= r.n_admitted <= r.n_docs
+        assert r.admitted_ppm == r.n_admitted * 1000000 // r.n_docs
+        assert 62500 <= r.rate_ppm <= 1000000
+    # growth stability at the doc level: admission flag recomputed on a
+    # half corpus must agree with the full corpus for every shared doc
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stratum = F.concat_ws(
+        "/", F.coalesce(F.col("lang"), F.lit("?")),
+        F.coalesce(F.col("source"), F.lit("?")),
+    )
+    rate = (
+        F.conv(F.substring(F.md5(stratum), 1, 6), 16, 10).cast("long") % 16 + 1
+    ) * 62500
+    coord = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("samp:"), F.col("doc_id").cast("string"))),
+                1, 6,
+            ), 16, 10,
+        ).cast("long") % 1000000
+    )
+    adm = (coord < rate).alias("adm")
+    full_flags = {
+        r.doc_id: r.adm for r in docs.select("doc_id", adm).collect()
+    }
+    half_flags = {
+        r.doc_id: r.adm
+        for r in docs.where(F.col("doc_id") % 2 == 0)
+        .select("doc_id", adm)
+        .collect()
+    }
+    assert all(full_flags[d] == a for d, a in half_flags.items())

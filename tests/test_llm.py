@@ -260,3 +260,33 @@ def test_dedup_clusters_are_transitive(spark, sf_dir):
     for node in parent:
         want.setdefault(find(node), set()).add(node)
     assert clusters == {k: len(v) for k, v in want.items()}
+
+
+def test_hybrid_rank_rrf_arithmetic_consistent_with_arms(spark, sf_dir):
+    """Every fused row's rrf_micro must equal the exact integer RRF of its
+    arm ranks, sparse ranks must agree with bm25_rank's own output, and
+    the fused order must be (rrf desc, doc_id asc)."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _RRF_K,
+        bm25_rank,
+        hybrid_rank,
+    )
+
+    fused = hybrid_rank(spark, sf_dir).collect()
+    assert 0 < len(fused) <= 10
+    sparse = {r.doc_id: r.rank for r in bm25_rank(spark, sf_dir).collect()}
+    prev = None
+    for r in fused:
+        exp = 0
+        if r.sparse_rank is not None:
+            exp += 1000000 // (_RRF_K + r.sparse_rank)
+            assert sparse[r.doc_id] == r.sparse_rank
+        if r.dense_rank is not None:
+            exp += 1000000 // (_RRF_K + r.dense_rank)
+        assert r.rrf_micro == exp and exp > 0
+        if prev is not None:
+            assert (prev.rrf_micro, prev.doc_id) > (r.rrf_micro, -1) and (
+                prev.rrf_micro > r.rrf_micro
+                or (prev.rrf_micro == r.rrf_micro and prev.doc_id < r.doc_id)
+            )
+        prev = r

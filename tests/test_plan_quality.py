@@ -791,3 +791,58 @@ def test_copurchase_affinity_no_self_join_bounded_window(spark, sf_dir):
     assert lim_pos > win_pos
     m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 2
+
+
+def test_hybrid_rank_broadcasts_query_vector_and_stats(spark, sf_dir):
+    """The dense arm must broadcast the single query vector across the
+    embedding scan (BroadcastNestedLoopJoin on one row — never a
+    shuffled/cartesian product) and the BM25 arm must keep its stats
+    broadcasts; the fusion join runs on two <= top-k lists."""
+    from bytewax_iceberg_connector_spark.plans.llm import hybrid_rank
+
+    plan = _plan(hybrid_rank(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan  # score math stays in codegen
+
+
+def test_stratified_sample_is_scan_speed(spark, sf_dir):
+    """Admission must be a codegen'd projection: no UDF, no join, only the
+    final strata rollup exchanges; the documents scan prunes to the four
+    referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        stratified_sample,
+    )
+
+    plan = _plan(stratified_sample(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 4, m and m.group(1)
+
+
+def test_bpe_vocab_substrate_is_word_count_shaped(spark, sf_dir):
+    """The corpus is touched ONCE (the initial word count: one exchange of
+    map-side-combined term partials + TakeOrdered top-V); text never rides
+    a shuffle."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.functions import text as X
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        _BPE_VOCAB,
+    )
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(X.tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .orderBy(F.desc("freq"), "word")
+        .limit(_BPE_VOCAB)
+    )
+    plan = _plan(vocab)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).startswith("text"), m and m.group(1)
