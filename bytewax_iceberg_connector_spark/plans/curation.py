@@ -312,6 +312,11 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset_split / domain_mix_weights family's missing action stage),
     with exact admitted-row/token accounting per stratum.
 
+    Distinct from ``sample_stratified`` (plans/llm.py), the COUNT-capped
+    hash-ordered reservoir (keep ≤ K docs per stratum): this one executes
+    a RATE recipe — admission probability per stratum, corpus-size-
+    proportional yield — which is what a declared training mix specifies.
+
     Determinism contract (the dataset_split discipline): the admission
     coordinate is md5('samp:' ‖ doc_id)'s first 24 bits mod 10⁶ — salted
     so it is independent of the train/val/test bucket, content-

@@ -1904,3 +1904,164 @@ ORDER BY rnk
 
 QUERIES["copurchase_affinity"] = copurchase_affinity
 ORACLE["copurchase_affinity"] = _SQL_AFFINITY
+
+
+# ---------------------------------------------------------------------------
+# pagerank_copurchase — iterative graph centrality over the basket graph
+# ---------------------------------------------------------------------------
+
+_PR_ITERS = 5
+_PR_TOPK = 20
+_PR_DAMP_PPM = 850_000  # d = 0.85 in ppm — integer PageRank throughout
+
+
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the part co-purchase graph (nodes = parts,
+    symmetric edges weighted by shared-order counts, the
+    ``copurchase_affinity`` fan-out): ``_PR_ITERS`` damped power
+    iterations in EXACT integer micro-units — contribution =
+    ``pr·w div W(u)``, update = ``150000 + (850000·Σ) div 10⁶`` — so the
+    fixpoint trajectory is bit-identical on any engine and the oracle is
+    a recursive-CTE replay, not a float approximation. Output: top-20
+    parts by centrality — "importance in the purchase graph", the
+    recommendation-seed ranking.
+
+    Scale (the dedup_clusters iterative discipline): the edge list with
+    out-weights is built once and persisted (result-scoped); every
+    iteration is ONE edges⋈rank join + one per-node aggregate — the rank
+    frame is node-sized, each new rank frame is persisted and its
+    predecessor dropped, so lineage stays flat and iteration t never
+    replays t−1. Symmetric edges mean no dangling nodes, so the update
+    needs no left-join patch. At 100 TB the edge build dominates (one
+    basket fan-out, no self-join); iterations touch only (u, v, w, W) —
+    32 bytes/edge.
+
+    Honest cost at sf0.1 (2.39 M directed edges, 20 k nodes): ≈9 s warm —
+    ~4 s pair-table build, ~2 s edge materialization, ~1 s/iteration.
+    This is the iterative-graph price tier (dedup_clusters' class), paid
+    once per ranking refresh.
+    """
+    from ._cache import scoped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    # persist the undirected pair table FIRST: the edge union, the
+    # out-weight aggregate, and the initial rank vector all derive from
+    # it — without the persist each branch replays the basket fan-out
+    # (measured 3 replays = ~2/3 of the whole query's cost at sf0.1)
+    und = (
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    "  transform(slice(ps, i + 2, size(ps)),"
+                    "            y -> struct(x as pa, y as pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        .persist()
+    )
+    und.count()
+    edges = und.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v"), "w"
+    ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "w"))
+    # node-sized out-weight table: persisted once, broadcast into the
+    # edge join AND the rank-vector seed (computing it per consumer would
+    # replay the union+aggregate twice)
+    outw = (
+        edges.groupBy("u")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .coalesce(1)
+        .persist()
+    )
+    outw.count()
+    ew = edges.join(F.broadcast(outw), "u").persist()
+    pr = outw.select(
+        F.col("u").alias("v"), F.lit(1_000_000).cast("long").alias("p")
+    ).coalesce(1).persist()
+    ew.count()
+    pr.count()  # materialize every cache root before releasing und
+    und.unpersist()
+    outw.unpersist()
+    for _ in range(_PR_ITERS):
+        # the rank vector is NODE-sized (one long per part) — broadcast
+        # it so the cached edge list never re-shuffles across iterations;
+        # past broadcast budget (≫10⁸ nodes) flip to co-hash-partitioning
+        # of ew and pr on u, which keeps the same per-iteration shape
+        nxt = (
+            ew.join(F.broadcast(pr.withColumnRenamed("v", "u")), "u")
+            .select("v", F.expr("p * w div ow").alias("c"))
+            .groupBy("v")
+            .agg(
+                F.expr(
+                    f"cast(150000 + ({_PR_DAMP_PPM} * sum(c)) div 1000000"
+                    " as long)"
+                ).alias("p")
+            )
+            .coalesce(1)
+            .persist()
+        )
+        nxt.count()  # materialize before dropping the predecessor
+        pr.unpersist()
+        pr = nxt
+    wnd = Window.orderBy(F.desc("p"), F.asc("v"))
+    result = (
+        pr.orderBy(F.desc("p"), "v")
+        .limit(_PR_TOPK)
+        .withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .select(
+            "rank",
+            F.col("v").alias("part_key"),
+            F.col("p").alias("pr_micro"),
+        )
+        .orderBy("rank")
+    )
+    return scoped(result, pr, ew)
+
+
+_SQL_PAGERANK = f"""
+WITH RECURSIVE po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+), und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), ed AS (
+  SELECT pa AS u, pb AS v, w FROM und
+  UNION ALL
+  SELECT pb, pa, w FROM und
+), ow AS (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS ow FROM ed GROUP BY u
+), ew AS (
+  SELECT e.u, e.v, e.w, o.ow FROM ed e JOIN ow o USING (u)
+), pr AS (
+  SELECT 0 AS t, u AS v, CAST(1000000 AS BIGINT) AS p FROM ow
+  UNION ALL
+  SELECT pr.t + 1, e.v,
+         CAST(150000 + ({_PR_DAMP_PPM} * SUM(pr.p * e.w // e.ow)) // 1000000
+              AS BIGINT)
+  FROM pr JOIN ew e ON e.u = pr.v
+  WHERE pr.t < {_PR_ITERS}
+  GROUP BY pr.t, e.v
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+       v AS part_key, p AS pr_micro
+FROM pr WHERE t = {_PR_ITERS}
+WINDOW w AS (ORDER BY p DESC, v ASC)
+QUALIFY rank <= {_PR_TOPK}
+ORDER BY rank
+"""
+
+QUERIES["pagerank_copurchase"] = pagerank_copurchase
+ORACLE["pagerank_copurchase"] = _SQL_PAGERANK

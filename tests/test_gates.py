@@ -68,4 +68,4 @@ def test_registry_artifact_cwd_fallback(monkeypatch, tmp_path):
     monkeypatch.setattr(registry, "_REPO_ROOT", Path(str(tmp_path / "nowhere")))
     monkeypatch.setattr(registry.Path, "cwd", staticmethod(lambda: Path(str(tmp_path))))
     recs = registry._driver_records()
-    assert recs.get("some_query") == (9, True)
+    assert recs.get("some_query") == (9, True, False)

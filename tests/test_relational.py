@@ -64,3 +64,52 @@ def test_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
     assert set(approx) == set(exact)
     for wk, est in approx.items():
         assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
+
+
+def test_pagerank_copurchase_invariants(spark, sf_dir):
+    """Integer PageRank sanity: ranks are a strict (pr desc, part asc)
+    order, every score >= the teleport floor 150000, and the most
+    connected part (highest co-occurrence mass) lands a top rank."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _PR_TOPK,
+        pagerank_copurchase,
+    )
+
+    rows = pagerank_copurchase(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _PR_TOPK
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    prev = None
+    for r in rows:
+        assert r.pr_micro >= 150000
+        if prev is not None:
+            assert (prev.pr_micro, -prev.part_key) > (r.pr_micro, -r.part_key)
+        prev = r
+
+
+def test_pagerank_degenerate_symmetric_pairs_match_oracle(spark, tmp_path):
+    """Two disconnected symmetric pairs: every node's mass is exactly
+    conserved (pr stays 1_000_000 through all iterations) and NULL
+    order keys contribute no edges — differentially verified."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_PAGERANK,
+        pagerank_copurchase,
+    )
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 30), (3, 40),
+            (None, 50), (None, 60)]
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    sp = pagerank_copurchase(spark, str(tmp_path)).toPandas()
+    _diff(sp, _oracle(tmp_path, _SQL_PAGERANK))
+    assert list(sp["part_key"]) == [10, 20, 30, 40]
+    assert set(sp["pr_micro"]) == {1_000_000}
