@@ -609,6 +609,15 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage stays flat and no iteration replays the previous ones. The
     corpus itself is touched once, by the initial word count.
     """
+    return spark.createDataFrame(
+        _learn_bpe(spark, sf_dir),
+        "merge_idx LONG, left_sym STRING, right_sym STRING, pair_freq LONG",
+    )
+
+
+def _learn_bpe(spark: SparkSession, sf_dir: str) -> list:
+    """The training loop shared by ``bpe_merges`` (emits the merge table)
+    and ``bpe_encode`` (applies the merges to the corpus)."""
     docs = load_table(spark, sf_dir, "documents")
     cur = (
         docs.select(F.explode(X.tokens("text")).alias("word"))
@@ -665,17 +674,14 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = nxt
     finally:
         cur.unpersist()
-    return spark.createDataFrame(
-        merges,
-        "merge_idx LONG, left_sym STRING, right_sym STRING, pair_freq LONG",
-    )
+    return merges
 
 
 def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
     """Fixed-iteration unrolled replay of the merge loop (one CTE pair
     per iteration — the oracle mirrors the Spark loop stage for stage)."""
     parts = [
-        rf"""WITH w0 AS (
+        rf"""WITH w0 AS MATERIALIZED (
   SELECT freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS repr
   FROM (
     SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
@@ -691,14 +697,14 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
 )"""
     ]
     for k in range(1, n_merges + 1):
-        parts.append(f""", p{k} AS (
+        parts.append(f""", p{k} AS MATERIALIZED (
   SELECT s[i] AS l, s[i + 1] AS r, SUM(freq) AS pf
   FROM (SELECT freq, string_split(repr, ' ') AS s FROM w{k - 1}),
        LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
   GROUP BY 1, 2
   ORDER BY pf DESC, l, r
   LIMIT 1
-), w{k} AS (
+), w{k} AS MATERIALIZED (
   SELECT freq,
          trim(replace(' ' || repr || ' ',
                       ' ' || l || ' ' || r || ' ',
@@ -722,9 +728,112 @@ ORDER BY merge_idx
 _SQL_BPE = _bpe_sql()
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE tokenizer to the corpus — the inference side
+    of ``bpe_merges``: train the merge list (same loop), encode every
+    document by replaying the merges over its word symbol sequences, and
+    report per source the exact before/after symbol counts and the
+    compression in ppm — the "how much does my tokenizer save" accounting
+    a tokenizer rollout is judged by.
+
+    Encoding rides the same representation trick as training: each word
+    becomes space-joined characters, words join with a DOUBLE space, so
+    the single-space merge patterns can never span a word boundary, and
+    the N learned merges apply as N chained literal ``replace``s — a pure
+    codegen projection over the corpus, no UDF, no shuffle until the
+    |sources|-row rollup. tokens_before = character symbols, tokens_after
+    = symbols remaining after the merges.
+
+    Scale: training touches the vocabulary (see ``_learn_bpe``); encoding
+    is ONE corpus scan at expression speed with the merge list inlined as
+    literals (at 100 TB, the merge list is exactly the broadcast-nothing
+    artifact you want — it compiles INTO the plan).
+    """
+    merges = _learn_bpe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.concat_ws(
+        "  ",
+        F.transform(
+            X.tokens("text"),
+            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 ")),
+        ),
+    )
+    rep = F.concat(F.lit(" "), rep, F.lit(" "))
+    for _, l, r, _pf in merges:
+        rep = F.replace(rep, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+    n_after = F.size(
+        F.filter(F.split(F.trim(rep), " +"), lambda x: x != "")
+    ).cast("long")
+    n_before = F.aggregate(
+        F.transform(X.tokens("text"), F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        docs.select("source", n_before.alias("nb"), n_after.alias("na"))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nb").cast("long").alias("tokens_before"),
+            F.sum("na").cast("long").alias("tokens_after"),
+            F.expr(
+                "cast(sum(na) * 1000000 div nullif(sum(nb), 0) as long)"
+            ).alias("compression_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Training replay (the ``_bpe_sql`` stages) + N chained replaces
+    over per-document symbol strings. A missing merge k (tiny corpora
+    that dry up early) yields an empty p{k}; its scalar subquery goes
+    NULL and COALESCE turns the needle into '' — and ``replace(s,'',y)``
+    is the identity in DuckDB, so absent merges are no-ops on both
+    engines (Spark simply applies fewer replaces)."""
+    inner = "' ' || array_to_string(list_transform(" + _SQL_TOKS + \
+        r", w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), '  ') || ' '"
+    expr = inner
+    for k in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  COALESCE(' ' || (SELECT l FROM p{k}) || ' ' ||"
+            f" (SELECT r FROM p{k}) || ' ', ''),\n"
+            f"  COALESCE(' ' || (SELECT l FROM p{k}) ||"
+            f" (SELECT r FROM p{k}) || ' ', ''))"
+        )
+    # reuse the training CTE chain, swap the final SELECT for the encoder
+    train = _bpe_sql(n_merges)
+    head = train[: train.index("\nSELECT CAST(merge_idx")]
+    return head + f"""
+, enc AS (
+  SELECT source,
+         CAST(list_sum(list_transform({_SQL_TOKS}, w -> len(w))) AS BIGINT)
+           AS nb,
+         len(list_filter(string_split_regex(trim({expr}), ' +'),
+             x -> x <> '')) AS na
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nb) AS BIGINT) AS tokens_before,
+       CAST(SUM(na) AS BIGINT) AS tokens_after,
+       CAST(SUM(na) * 1000000 // NULLIF(SUM(nb), 0) AS BIGINT)
+         AS compression_ppm
+FROM enc
+GROUP BY source
+ORDER BY source
+"""
+
+
+_SQL_BPE_ENCODE = _bpe_encode_sql()
+
+
+
 QUERIES = {
     "vocab_build": vocab_build,
     "bpe_merges": bpe_merges,
+    "bpe_encode": bpe_encode,
     "span_dedup": span_dedup,
     "quality_adaptive_filter": quality_adaptive_filter,
     "source_overlap_matrix": source_overlap_matrix,
@@ -734,6 +843,7 @@ QUERIES = {
 ORACLE = {
     "vocab_build": _SQL_VOCAB,
     "bpe_merges": _SQL_BPE,
+    "bpe_encode": _SQL_BPE_ENCODE,
     "span_dedup": _SQL_SPAN_DEDUP,
     "quality_adaptive_filter": _SQL_ADAPTIVE,
     "source_overlap_matrix": _SQL_OVERLAP,

@@ -191,3 +191,28 @@ def test_bpe_empty_and_single_char_corpus(spark, tmp_path):
     sp = C.bpe_merges(spark, d).toPandas()
     assert len(sp) == 0
     _diff(sp, _oracle(tmp_path, C._SQL_BPE))
+
+
+def test_bpe_encode_compression_arithmetic(spark, tmp_path):
+    """Known corpus: 'aaab' x3 + 'ab' learns ((a,a),(a,b),(aa,ab)); the
+    encoded corpus is then 1 symbol per word. before = 14 chars,
+    after = 4 symbols, compression = 4e6 // 14."""
+    d = _docs_dir(tmp_path, [(0, "aaab aaab aaab ab", "en", "s0", 17)])
+    sp = C.bpe_encode(spark, d).toPandas()
+    assert len(sp) == 1
+    r = sp.iloc[0]
+    assert (r["tokens_before"], r["tokens_after"]) == (14, 4)
+    assert r["compression_ppm"] == 4 * 1000000 // 14
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE_ENCODE))
+
+
+def test_bpe_encode_fewer_merges_than_budget_is_noop_tail(spark, tmp_path):
+    """A corpus that dries up after 2 merges: the 6 absent merges must be
+    no-ops on BOTH engines (Spark applies fewer replaces; the oracle's
+    NULL scalar subqueries coalesce to the identity needle)."""
+    d = _docs_dir(tmp_path, [(0, "aaa aaa", "en", "s0", 7)])
+    sp = C.bpe_encode(spark, d).toPandas()
+    # 'aaa' -> merge1 (a,a) -> 'aa a' -> merge2 (aa,a) -> 'aaa': 1 symbol
+    r = sp.iloc[0]
+    assert (r["tokens_before"], r["tokens_after"]) == (6, 2)
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE_ENCODE))
