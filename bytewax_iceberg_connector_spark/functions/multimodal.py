@@ -56,7 +56,9 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 1024, 16 + d[1] % 1024, (1, 3, 4)[d[2] % 3]
 
 
-def decode_image_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFrame:
+def decode_image_meta(
+    df: DataFrame, payload_col: str, key_col: str, force_stub: bool = False
+) -> DataFrame:
     """binary payload → (dims, channels, digest) metadata rows.
 
     Real decode (PIL) when available; deterministic fake otherwise. One
@@ -69,7 +71,7 @@ def decode_image_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFram
             rows = []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if _HAS_PIL:  # pragma: no cover
+                if _HAS_PIL and not force_stub:  # pragma: no cover
                     import io
 
                     with Image.open(io.BytesIO(data)) as im:
@@ -232,7 +234,9 @@ except Exception:
     _HAS_SOUNDFILE = False
 
 
-def decode_audio_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFrame:
+def decode_audio_meta(
+    df: DataFrame, payload_col: str, key_col: str, force_stub: bool = False
+) -> DataFrame:
     """binary payload → audio metadata + loudness stats (the audio arm of
     the modality convention: payload stays opaque binary, decode runs
     Arrow-batched).
@@ -267,7 +271,7 @@ def decode_audio_meta(df: DataFrame, payload_col: str, key_col: str) -> DataFram
             rows = []
             for key, payload in zip(pdf[key_col], pdf[payload_col]):
                 data = bytes(payload) if payload is not None else b""
-                if _HAS_SOUNDFILE:  # pragma: no cover - real decoder path
+                if _HAS_SOUNDFILE and not force_stub:  # pragma: no cover - real decoder path
                     import io
 
                     import soundfile as sf

@@ -594,12 +594,17 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact a tokenizer ships.
 
     Engine-neutral representation trick: a word's symbol sequence is a
-    SPACE-JOINED STRING (``h e l l o``), so "merge pair (a,b)" is one
-    literal ``replace(' '‖repr‖' ', ' a b ', ' ab ')`` — and literal
-    replace's left-to-right non-overlapping scan IS the greedy BPE merge
-    semantics ('a a a' → 'aa a', not 'aa aa'), identically in Spark and
-    DuckDB, which is what makes the oracle an exact fixed-iteration
-    replay rather than a reimplementation.
+    string with TWO spaces between symbols (``h  e  l  l  o``), and
+    "merge pair (a,b)" is one literal
+    ``replace(' '‖repr‖' ', ' a  b ', ' ab ')``. The pattern's single
+    leading/trailing space takes only ONE space of each two-space
+    delimiter, so consecutive occurrences still match — literal
+    replace's left-to-right scan is then exactly the greedy
+    non-overlapping BPE merge (``a  a  a  a`` → ``aa  aa``; a
+    single-space delimiter would consume the shared boundary and skip
+    every second occurrence — the r05 review finding), identically in
+    Spark and DuckDB, which is what makes the oracle an exact
+    fixed-iteration replay rather than a reimplementation.
 
     Scale (the dedup_clusters iterative discipline): each of the N
     iterations is ONE pair-count shuffle over the VOCABULARY (word types
@@ -625,10 +630,14 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list:
         .agg(F.count("*").cast("long").alias("freq"))
         .orderBy(F.desc("freq"), "word")
         .limit(_BPE_VOCAB)
-        # one space-joined symbol per character to start
+        # one symbol per character to start; symbols are separated by
+        # TWO spaces so the single-trailing-space merge pattern leaves one
+        # space behind for the next match — literal replace() is then the
+        # TRUE greedy non-overlapping merge ('a  a  a  a' -> 'aa  aa',
+        # not the shared-delimiter skip 'aa  a  a'; r05 review finding)
         .select(
             "freq",
-            F.trim(F.regexp_replace("word", "(.)", "$1 ")).alias("repr"),
+            F.trim(F.regexp_replace("word", "(.)", "$1  ")).alias("repr"),
         )
         # V rows total: collapse to one partition so each of the N
         # iteration jobs is a single task instead of 32 near-empty ones
@@ -639,7 +648,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list:
     try:
         for it in range(1, _BPE_MERGES + 1):
             top = (
-                cur.select("freq", F.split("repr", " ").alias("s"))
+                cur.select("freq", F.split("repr", "  ").alias("s"))
                 .select(
                     "freq",
                     F.explode(
@@ -664,7 +673,7 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list:
                 F.trim(
                     F.replace(
                         F.concat(F.lit(" "), F.col("repr"), F.lit(" ")),
-                        F.lit(f" {l} {r} "),
+                        F.lit(f" {l}  {r} "),
                         F.lit(f" {l}{r} "),
                     )
                 ),
@@ -682,7 +691,7 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
     per iteration — the oracle mirrors the Spark loop stage for stage)."""
     parts = [
         rf"""WITH w0 AS MATERIALIZED (
-  SELECT freq, trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS repr
+  SELECT freq, trim(regexp_replace(word, '(.)', '\1  ', 'g')) AS repr
   FROM (
     SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
@@ -699,7 +708,7 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
     for k in range(1, n_merges + 1):
         parts.append(f""", p{k} AS MATERIALIZED (
   SELECT s[i] AS l, s[i + 1] AS r, SUM(freq) AS pf
-  FROM (SELECT freq, string_split(repr, ' ') AS s FROM w{k - 1}),
+  FROM (SELECT freq, string_split(repr, '  ') AS s FROM w{k - 1}),
        LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i)
   GROUP BY 1, 2
   ORDER BY pf DESC, l, r
@@ -707,7 +716,7 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
 ), w{k} AS MATERIALIZED (
   SELECT freq,
          trim(replace(' ' || repr || ' ',
-                      ' ' || l || ' ' || r || ' ',
+                      ' ' || l || '  ' || r || ' ',
                       ' ' || l || r || ' ')) AS repr
   FROM w{k - 1}, p{k}
 )""")
@@ -752,15 +761,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = _learn_bpe(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     rep = F.concat_ws(
-        "  ",
+        "    ",  # 4-space word joiner: 2-space merge patterns cannot span it
         F.transform(
             X.tokens("text"),
-            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1 ")),
+            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1  ")),
         ),
     )
     rep = F.concat(F.lit(" "), rep, F.lit(" "))
     for _, l, r, _pf in merges:
-        rep = F.replace(rep, F.lit(f" {l} {r} "), F.lit(f" {l}{r} "))
+        rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
     n_after = F.size(
         F.filter(F.split(F.trim(rep), " +"), lambda x: x != "")
     ).cast("long")
@@ -792,12 +801,12 @@ def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
     is the identity in DuckDB, so absent merges are no-ops on both
     engines (Spark simply applies fewer replaces)."""
     inner = "' ' || array_to_string(list_transform(" + _SQL_TOKS + \
-        r", w -> trim(regexp_replace(w, '(.)', '\1 ', 'g'))), '  ') || ' '"
+        r", w -> trim(regexp_replace(w, '(.)', '\1  ', 'g'))), '    ') || ' '"
     expr = inner
     for k in range(1, n_merges + 1):
         expr = (
             f"replace({expr},\n"
-            f"  COALESCE(' ' || (SELECT l FROM p{k}) || ' ' ||"
+            f"  COALESCE(' ' || (SELECT l FROM p{k}) || '  ' ||"
             f" (SELECT r FROM p{k}) || ' ', ''),\n"
             f"  COALESCE(' ' || (SELECT l FROM p{k}) ||"
             f" (SELECT r FROM p{k}) || ' ', ''))"

@@ -1690,8 +1690,10 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_BM25 = r"""
-WITH tok AS (
+#: shared BM25 CTE chain (tok→dl→stats→tf→dfq→bscored) — consumed by
+#: BOTH _SQL_BM25 and _SQL_HYBRID so the term list / k1 / b / dl>0 rules
+#: can never drift between the standalone ranking and the fusion oracle.
+_SQL_BM25_CORE = r"""tok AS (
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
   FROM documents
@@ -1702,25 +1704,25 @@ WITH tok AS (
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
   FROM tok WHERE term IN ('join', 'vector', 'scan') GROUP BY 1, 2
-), df AS (
+), dfq AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-), scored AS (
+), bscored AS (
   SELECT tf.doc_id,
-         ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+         ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
          * (tf.tf * (1.2 + 1))
          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
-  FROM tf
-  JOIN df USING (term)
-  JOIN dl USING (doc_id)
-  CROSS JOIN stats
-)
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+)"""
+
+_SQL_BM25 = f"""
+WITH {_SQL_BM25_CORE}
 SELECT doc_id, score, n_terms_hit, rank FROM (
   SELECT doc_id,
          ROUND(SUM(s), 6) AS score,
          CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
          CAST(ROW_NUMBER() OVER (
              ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC) AS BIGINT) AS rank
-  FROM scored GROUP BY doc_id
+  FROM bscored GROUP BY doc_id
 ) t WHERE rank <= 10 ORDER BY rank
 """
 
@@ -1792,26 +1794,7 @@ def hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_HYBRID = rf"""
-WITH tok AS (
-  SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-  FROM documents
-), dl AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
-), stats AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, AVG(dl) AS avgdl FROM dl
-), tf AS (
-  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-  FROM tok WHERE term IN ('join', 'vector', 'scan') GROUP BY 1, 2
-), dfq AS (
-  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-), bscored AS (
-  SELECT tf.doc_id,
-         ln((stats.n_docs - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
-         * (tf.tf * (1.2 + 1))
-         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS s
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-), sparse AS (
+WITH {_SQL_BM25_CORE}, sparse AS (
   SELECT doc_id, rank AS sparse_rank FROM (
     SELECT doc_id,
            CAST(ROW_NUMBER() OVER (
@@ -2030,7 +2013,10 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    meta = decode_image_meta(docs, "payload", "doc_id")
+    # force_stub: these queries are ORACLE-checked against the stub
+    # math; a codec library appearing in the environment must not
+    # silently flip them onto the real-decoder branch and go red
+    meta = decode_image_meta(docs, "payload", "doc_id", force_stub=True)
     return (
         meta.groupBy("channels")
         .agg(
@@ -2095,7 +2081,8 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    meta = decode_audio_meta(docs, "payload", "doc_id")
+    # force_stub: oracle restates the stub math (see multimodal_decode)
+    meta = decode_audio_meta(docs, "payload", "doc_id", force_stub=True)
     return (
         meta.groupBy("sample_rate")
         .agg(
@@ -2172,7 +2159,10 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    meta = decode_image_meta(docs, "payload", "doc_id")
+    # force_stub: these queries are ORACLE-checked against the stub
+    # math; a codec library appearing in the environment must not
+    # silently flip them onto the real-decoder branch and go red
+    meta = decode_image_meta(docs, "payload", "doc_id", force_stub=True)
     feats = extract_features(docs, "payload", "doc_id")
     joined = meta.select(F.col("key"), "channels").join(feats, "key")
     return (

@@ -131,11 +131,12 @@ def _rank(recs: dict, name: str, has_oracle: bool = False) -> tuple:
     return (2, rnd, name)  # green: stalest record rotates in first
 
 
-def _ordered(d: dict) -> dict:
+def _ordered(d: dict, oracles: set[str] | None = None) -> dict:
     recs = _driver_records()
-    oracles: set[str] = set()
-    for mod in _modules():
-        oracles.update(getattr(mod, "ORACLE", {}))
+    if oracles is None:
+        oracles = set()
+        for mod in _modules():
+            oracles.update(getattr(mod, "ORACLE", {}))
     return {
         n: d[n]
         for n in sorted(d, key=lambda n: _rank(recs, n, n in oracles))
@@ -163,4 +164,4 @@ def all_oracles() -> dict[str, str]:
     o: dict[str, str] = {}
     for mod in _modules():
         o.update(getattr(mod, "ORACLE", {}))
-    return _ordered(o)
+    return _ordered(o, oracles=set(o))

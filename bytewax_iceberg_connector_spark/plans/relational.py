@@ -1807,6 +1807,56 @@ ORACLE["semi_reduced_join"] = _SQL_SEMI_REDUCED
 # copurchase_affinity — market-basket pair mining without a self-join
 # ---------------------------------------------------------------------------
 
+
+def _basket_pairs(li: DataFrame) -> DataFrame:
+    """Undirected co-purchase pair table (pa < pb, w = shared-order
+    count) from lineitem — the ONE basket fan-out shared by
+    ``copurchase_affinity`` and ``pagerank_copurchase`` (and mirrored by
+    ``_SQL_BASKET_PAIRS``), so basket-key hygiene (the NULL-l_orderkey
+    phantom-basket fix) can never diverge between consumers.
+
+    NULL basket keys: Spark's groupBy would pool every NULL l_orderkey
+    into one phantom basket and emit pairs from it, while the oracles'
+    equi-self-joins drop NULL keys — filtered symmetrically here.
+    The pair space never rides a self-join: per-order distinct part sets
+    are bounded by order width, so the JVM-side array fan-out emits
+    O(width²) pairs per order into one map-side-combinable count.
+    """
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+    )
+    return (
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) ->"
+                    "  transform(slice(ps, i + 2, size(ps)),"
+                    "            y -> struct(x as pa, y as pb))))"
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+
+
+#: oracle twin of _basket_pairs — the readable quadratic self-join form
+_SQL_BASKET_PAIRS = """po AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+  WHERE l_orderkey IS NOT NULL
+), und AS (
+  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
+  FROM po a JOIN po b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)"""
+
+
 _AFFINITY_TOPK = 20
 
 
@@ -1827,35 +1877,10 @@ def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the fan-out loses nothing.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    # NULL basket keys: Spark's groupBy would pool every NULL l_orderkey
-    # into one phantom basket and emit pairs from it, while the oracle's
-    # equi-self-join drops NULL keys.  Filter symmetrically (mirrored in
-    # the oracle's po CTE) — the cooccurrence_pmi NULL-key fix applied to
-    # the basket build.
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .where(F.col("l_orderkey").isNotNull())
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-    )
     total = li.agg(
         F.countDistinct("l_orderkey").cast("long").alias("n_orders_total")
     )
-    pairs = (
-        baskets.where(F.size("ps") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    "  transform(slice(ps, i + 2, size(ps)),"
-                    "            y -> struct(x as pa, y as pb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.pa", "p.pb")
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
-    )
+    pairs = _basket_pairs(li).withColumnRenamed("w", "n_orders")
     w = Window.orderBy(F.desc("n_orders"), "pa", "pb")
     return (
         pairs.orderBy(F.desc("n_orders"), "pa", "pb")
@@ -1877,20 +1902,11 @@ def copurchase_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_AFFINITY = f"""
-WITH po AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL
-), tot AS (
+WITH {_SQL_BASKET_PAIRS}, tot AS (
   SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_total
   FROM lineitem
-), pairs AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM po a JOIN po b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
 ), top AS (
-  SELECT pa, pb, n_orders FROM pairs
+  SELECT pa, pb, w AS n_orders FROM und
   ORDER BY n_orders DESC, pa, pb LIMIT {_AFFINITY_TOPK}
 )
 SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rnk,
@@ -1944,32 +1960,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._cache import scoped
 
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = (
-        li.select("l_orderkey", "l_partkey")
-        .where(F.col("l_orderkey").isNotNull())
-        .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
-    )
     # persist the undirected pair table FIRST: the edge union, the
     # out-weight aggregate, and the initial rank vector all derive from
     # it — without the persist each branch replays the basket fan-out
     # (measured 3 replays = ~2/3 of the whole query's cost at sf0.1)
-    und = (
-        baskets.where(F.size("ps") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ps, (x, i) ->"
-                    "  transform(slice(ps, i + 2, size(ps)),"
-                    "            y -> struct(x as pa, y as pb))))"
-                )
-            ).alias("p")
-        )
-        .select("p.pa", "p.pb")
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).cast("long").alias("w"))
-        .persist()
-    )
+    und = _basket_pairs(li).persist()
     und.count()
     edges = und.select(
         F.col("pa").alias("u"), F.col("pb").alias("v"), "w"
@@ -2029,15 +2024,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_PAGERANK = f"""
-WITH RECURSIVE po AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-  WHERE l_orderkey IS NOT NULL
-), und AS (
-  SELECT a.l_partkey AS pa, b.l_partkey AS pb, CAST(COUNT(*) AS BIGINT) AS w
-  FROM po a JOIN po b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-), ed AS (
+WITH RECURSIVE {_SQL_BASKET_PAIRS}, ed AS (
   SELECT pa AS u, pb AS v, w FROM und
   UNION ALL
   SELECT pb, pa, w FROM und

@@ -216,3 +216,26 @@ def test_bpe_encode_fewer_merges_than_budget_is_noop_tail(spark, tmp_path):
     r = sp.iloc[0]
     assert (r["tokens_before"], r["tokens_after"]) == (6, 2)
     _diff(sp, _oracle(tmp_path, C._SQL_BPE_ENCODE))
+
+
+def test_bpe_merge_true_greedy_on_even_repeats(spark, tmp_path):
+    """The r05 review finding: 'aaaa' must merge to ('aa','aa'), not the
+    shared-delimiter skip ('aa','a','a') — pair (a,a) counted 3x per word
+    (overlapping), merged greedily left-to-right non-overlapping."""
+    d = _docs_dir(tmp_path, [(0, "aaaa aaaa abab", "en", "s0", 14)])
+    sp = C.bpe_merges(spark, d).toPandas()
+    got = [tuple(r) for r in sp.itertuples(index=False)]
+    # r1: (a,a): 3 per 'aaaa' x2 = 6; (a,b): 2, (b,a): 1 -> merge (a,a)
+    assert got[0] == (1, "a", "a", 6)
+    # r2: reprs 'aa  aa' x2, 'a  b  a  b': (aa,aa):2, (a,b):2, (b,a):1
+    #     tie on 2 -> lexicographic (a,b) wins over (aa,aa)
+    assert got[1] == (2, "a", "b", 2)
+    # r3: 'aa  aa' x2, 'ab  ab': (aa,aa):2, (ab,ab):1 -> (aa,aa)
+    assert got[2] == (3, "aa", "aa", 2)
+    # r4 continues: ('ab','ab') merges too (budget is 8)
+    assert tuple(got[3]) == (4, "ab", "ab", 1)
+    _diff(sp, _oracle(tmp_path, C._SQL_BPE))
+    enc = C.bpe_encode(spark, d).toPandas().iloc[0]
+    # encoded: 'aaaa' -> 1 symbol after r3, 'abab' -> 1 symbol after r4
+    assert (enc["tokens_before"], enc["tokens_after"]) == (12, 3)
+    _diff(C.bpe_encode(spark, d).toPandas(), _oracle(tmp_path, C._SQL_BPE_ENCODE))
