@@ -239,3 +239,57 @@ def test_bpe_merge_true_greedy_on_even_repeats(spark, tmp_path):
     # encoded: 'aaaa' -> 1 symbol after r3, 'abab' -> 1 symbol after r4
     assert (enc["tokens_before"], enc["tokens_after"]) == (12, 3)
     _diff(C.bpe_encode(spark, d).toPandas(), _oracle(tmp_path, C._SQL_BPE_ENCODE))
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Pure-Python Sennrich reference: overlapping pair counts, greedy
+    left-to-right non-overlapping merge, ties (count DESC, l, r ASC)."""
+    reprs = {w: tuple(w) for w in word_freqs}
+    merges = []
+    for it in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = reprs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((it, best[0], best[1], counts[best]))
+        for w, s in reprs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            reprs[w] = tuple(out)
+    return merges
+
+
+@pytest.mark.parametrize(
+    "text",
+    [
+        "aaaa aaaa abab",          # even repeats (the r05 delimiter bug)
+        "banana banana bandana",   # overlapping pair families
+        "aaa aa a aaaa aaaaa",     # mixed run lengths
+        "abcabc cabcab bcabca",    # rotations
+        "xy xy xy yx yx xxyy",     # 2-symbol ties
+    ],
+)
+def test_bpe_matches_pure_python_reference(spark, tmp_path, text):
+    """The engine's merge loop must agree with an independent pure-Python
+    Sennrich implementation — the oracle replays the same replace trick,
+    so only a third implementation with DIFFERENT mechanics can catch a
+    both-engines-wrong semantics bug (the r05 review finding's class)."""
+    d = _docs_dir(tmp_path, [(0, text, "en", "s0", len(text))])
+    got = [
+        tuple(r)
+        for r in C.bpe_merges(spark, d).toPandas().itertuples(index=False)
+    ]
+    freqs = {}
+    for w in text.split():
+        freqs[w] = freqs.get(w, 0) + 1
+    assert got == _ref_bpe(freqs, C._BPE_MERGES)
