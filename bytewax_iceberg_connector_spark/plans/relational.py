@@ -2050,5 +2050,90 @@ QUALIFY rank <= {_PR_TOPK}
 ORDER BY rank
 """
 
+# ---------------------------------------------------------------------------
+# copurchase_cosine — normalized item-item similarity (recsys scoring)
+# ---------------------------------------------------------------------------
+
+_COS_TOPK = 20
+
+
+def copurchase_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item cosine similarity over the co-purchase graph: for the
+    top-``_COS_TOPK`` part pairs, ``cos = w(i,j) / √(W(i)·W(j))`` where
+    ``W`` is a part's total co-occurrence mass — the normalization that
+    separates "popular with everything" from "specifically bought
+    together" (the item-item collaborative-filtering score;
+    ``copurchase_affinity`` reports the raw support this normalizes).
+
+    Determinism: w and W are exact integers from the shared
+    ``_basket_pairs`` build, and ``floor(10⁶·w/√(Wi·Wj))`` is one
+    correctly-rounded multiply+sqrt+divide — bit-identical on any IEEE
+    engine, so the micro-unit score is oracle-exact, not approximate.
+
+    Scale: the pair table is the one basket fan-out (no self-join); the
+    strength table is node-sized and broadcasts into the two joins; the
+    top-k cut is TakeOrdered. Ranking by the float score would tie
+    fragilely — the ORDER key is the integer micro score with (pa, pb)
+    tie-breaks on both engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _basket_pairs(li)
+    edges = und.select(F.col("pa").alias("u"), "w").unionByName(
+        und.select(F.col("pb").alias("u"), "w")
+    )
+    ow = edges.groupBy("u").agg(F.sum("w").cast("long").alias("ow"))
+    scored = (
+        und.join(
+            F.broadcast(ow.select(F.col("u").alias("pa"), F.col("ow").alias("wa"))),
+            "pa",
+        )
+        .join(
+            F.broadcast(ow.select(F.col("u").alias("pb"), F.col("ow").alias("wb"))),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "w",
+            F.expr(
+                "cast(floor(1000000.0 * w / sqrt(cast(wa as double)"
+                " * cast(wb as double))) as long)"
+            ).alias("cos_micro"),
+        )
+    )
+    wnd = Window.orderBy(F.desc("cos_micro"), "pa", "pb")
+    return (
+        scored.orderBy(F.desc("cos_micro"), "pa", "pb")
+        .limit(_COS_TOPK)
+        .withColumn("rank", F.row_number().over(wnd).cast("long"))
+        .select("rank", "pa", "pb", "w", "cos_micro")
+        .orderBy("rank")
+    )
+
+
+_SQL_COPURCHASE_COSINE = f"""
+WITH {_SQL_BASKET_PAIRS}, ed AS (
+  SELECT pa AS u, w FROM und UNION ALL SELECT pb, w FROM und
+), ow AS (
+  SELECT u, CAST(SUM(w) AS BIGINT) AS ow FROM ed GROUP BY u
+), scored AS (
+  SELECT und.pa, und.pb, und.w,
+         CAST(FLOOR(1000000.0 * und.w
+                    / SQRT(CAST(a.ow AS DOUBLE) * CAST(b.ow AS DOUBLE)))
+              AS BIGINT) AS cos_micro
+  FROM und JOIN ow a ON und.pa = a.u JOIN ow b ON und.pb = b.u
+), top AS (
+  SELECT * FROM scored ORDER BY cos_micro DESC, pa, pb LIMIT {_COS_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank, pa, pb, w, cos_micro
+FROM top
+WINDOW w AS (ORDER BY cos_micro DESC, pa, pb)
+ORDER BY rank
+"""
+
+QUERIES["copurchase_cosine"] = copurchase_cosine
+ORACLE["copurchase_cosine"] = _SQL_COPURCHASE_COSINE
+
+
 QUERIES["pagerank_copurchase"] = pagerank_copurchase
 ORACLE["pagerank_copurchase"] = _SQL_PAGERANK

@@ -846,3 +846,18 @@ def test_bpe_vocab_substrate_is_word_count_shaped(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and m.group(1).startswith("text"), m and m.group(1)
+
+
+def test_copurchase_cosine_broadcasts_strengths_no_selfjoin(spark, sf_dir):
+    """The strength table must broadcast into both joins (node-sized) and
+    the pair build must be the basket fan-out, never a lineitem
+    self-join; score math stays in codegen."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        copurchase_cosine,
+    )
+
+    plan = _plan(copurchase_cosine(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -113,3 +113,31 @@ def test_pagerank_degenerate_symmetric_pairs_match_oracle(spark, tmp_path):
     _diff(sp, _oracle(tmp_path, _SQL_PAGERANK))
     assert list(sp["part_key"]) == [10, 20, 30, 40]
     assert set(sp["pr_micro"]) == {1_000_000}
+
+
+def test_copurchase_cosine_perfect_pairs_score_one(spark, tmp_path):
+    """Exclusive pairs have cosine exactly 1.0 (1e6 micro) regardless of
+    raw support; NULL order keys contribute nothing — differential."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_COPURCHASE_COSINE,
+        copurchase_cosine,
+    )
+
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 30), (3, 40),
+            (None, 50), (None, 60)]
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    sp = copurchase_cosine(spark, str(tmp_path)).toPandas()
+    _diff(sp, _oracle(tmp_path, _SQL_COPURCHASE_COSINE))
+    assert set(sp["cos_micro"]) == {1_000_000}
+    assert set(zip(sp["pa"], sp["pb"])) == {(10, 20), (30, 40)}
