@@ -247,6 +247,123 @@ ORDER BY user_id, h
 """
 
 # ---------------------------------------------------------------------------
+# gapfill_linear — dense grid with exact-integer linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``time_bucket_gapfill`` + ``interpolate``: the same dense hourly
+    grid as ``gapfill_locf``, but missing hours take the LINEAR
+    interpolation between the surrounding observed hourly values — the
+    other TimescaleDB gapfill mode, the one dashboards chart.
+
+    Exact integer end-to-end: observed values in cents (the decimal sum
+    ×100), hour distances as integers, and
+    ``v = vp + (vn−vp)·Δ div span`` with both engines' integral division
+    truncating toward zero (verified: −7 div 2 = −3 on Spark AND DuckDB),
+    so negative slopes interpolate identically. The grid spans each
+    user's observed range, so a bracket always exists — observed rows
+    carry their own value (Δ = 0).
+
+    Scale: identical plan to gapfill_locf plus one mirrored window pair
+    (running last + running first) on the same (user_id) partitioning —
+    AQE runs all three on one exchange lineage; grid size is users ×
+    span-hours, never raw event volume.
+    """
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") < 10)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.expr("cast(sum(cast(value as decimal(18,2))) * 100 as long)").alias(
+            "cents"
+        ),
+    )
+    span = hourly.groupBy("user_id").agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
+    )
+    j = grid.join(hourly, ["user_id", "h"], "left").withColumn(
+        "hh", F.expr("unix_seconds(h) div 3600")
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("hh"))
+    withp = (
+        j.withColumn("vp", F.last("cents", ignorenulls=True).over(wb))
+        .withColumn("hp", F.last(obs_h, ignorenulls=True).over(wb))
+        .withColumn("vn", F.first("cents", ignorenulls=True).over(wf))
+        .withColumn("hn", F.first(obs_h, ignorenulls=True).over(wf))
+    )
+    return withp.select(
+        "user_id",
+        "h",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        # observed hours carry their own value (their bracket is 0-wide);
+        # only true gaps interpolate
+        F.expr(
+            "cast(coalesce(cents,"
+            " vp + ((vn - vp) * (hh - hp)) div nullif(hn - hp, 0))"
+            " as long)"
+        ).alias("value_lin_cents"),
+    ).orderBy("user_id", "h")
+
+
+_SQL_GAPFILL_LINEAR = """
+WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 10),
+hourly AS (
+  SELECT user_id, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+  FROM ev GROUP BY 1, 2
+),
+span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+grid AS (
+  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+  FROM span
+),
+j AS (
+  SELECT g.user_id, g.h, hourly.n_events, hourly.cents,
+         EPOCH(g.h)::BIGINT // 3600 AS hh,
+         CASE WHEN hourly.cents IS NOT NULL
+              THEN EPOCH(g.h)::BIGINT // 3600 END AS ohh
+  FROM grid g LEFT JOIN hourly USING (user_id, h)
+),
+br AS (
+  SELECT user_id, h, n_events, hh, cents,
+         LAST_VALUE(cents IGNORE NULLS) OVER wb AS vp,
+         LAST_VALUE(ohh IGNORE NULLS) OVER wb AS hp,
+         FIRST_VALUE(cents IGNORE NULLS) OVER wf AS vn,
+         FIRST_VALUE(ohh IGNORE NULLS) OVER wf AS hn
+  FROM j
+  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY user_id ORDER BY h
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, h,
+       COALESCE(n_events, 0) AS n_events,
+       CAST(COALESCE(cents,
+                     vp + ((vn - vp) * (hh - hp)) // NULLIF(hn - hp, 0))
+            AS BIGINT) AS value_lin_cents
+FROM br
+ORDER BY user_id, h
+"""
+
+# ---------------------------------------------------------------------------
 # SCD Type-2 dimension history (gaps-and-islands run collapse)
 # ---------------------------------------------------------------------------
 
@@ -610,6 +727,7 @@ QUERIES = {
     "asof_join_forward": asof_join_forward,
     "range_join_bands": range_join_bands,
     "gapfill_locf": gapfill_locf,
+    "gapfill_linear": gapfill_linear,
     "scd2_history": scd2_history,
     "ohlc_bars": ohlc_bars,
     "time_weighted_avg": time_weighted_avg,
@@ -621,6 +739,7 @@ ORACLE = {
     "asof_join_forward": _SQL_ASOF_FWD,
     "range_join_bands": _SQL_RANGE,
     "gapfill_locf": _SQL_GAPFILL,
+    "gapfill_linear": _SQL_GAPFILL_LINEAR,
     "scd2_history": _SQL_SCD2,
     "ohlc_bars": _SQL_OHLC,
     "time_weighted_avg": _SQL_TWA,

@@ -83,3 +83,46 @@ def test_gapfill_locf_fills_gaps_with_prior_value(spark, sf_dir):
         assert gaps, "fixture must contain empty hours"
         for i in gaps:
             assert series[i].value_locf == series[i - 1].value_locf
+
+
+def test_gapfill_linear_interpolates_exactly(spark, tmp_path):
+    """Hand-checked bracket: observations at hour 0 (100.00) and hour 3
+    (400.00) -> gap hours at 200.00 / 300.00 cents-exact; a negative
+    slope truncates toward zero identically on both engines."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_GAPFILL_LINEAR,
+        gapfill_linear,
+    )
+
+    base = 1_700_000_000_000_000  # epoch-us, hour-aligned? make it aligned:
+    base = (base // 3_600_000_000) * 3_600_000_000
+    rows = [
+        (1, base, 1, "tick", 100.0, "{}"),
+        (2, base + 3 * 3_600_000_000, 1, "tick", 400.0, "{}"),
+        # user 2: negative slope with a non-divisible span
+        (3, base, 2, "tick", 10.0, "{}"),
+        (4, base + 2 * 3_600_000_000, 2, "tick", 3.0, "{}"),
+    ]
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }),
+        tmp_path / "events.parquet",
+    )
+    sp = gapfill_linear(spark, str(tmp_path)).toPandas()
+    _diff(sp, _oracle(tmp_path, _SQL_GAPFILL_LINEAR))
+    u1 = sp[sp.user_id == 1]["value_lin_cents"].tolist()
+    assert u1 == [10000, 20000, 30000, 40000]
+    u2 = sp[sp.user_id == 2]["value_lin_cents"].tolist()
+    # 1000 -> 300 over 2h: midpoint 1000 + (-700 * 1) div 2 = 650
+    assert u2 == [1000, 650, 300]
