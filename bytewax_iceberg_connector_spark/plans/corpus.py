@@ -839,6 +839,91 @@ _SQL_BPE_ENCODE = _bpe_encode_sql()
 
 
 
+# ---------------------------------------------------------------------------
+# source_keywords — per-source TF-IDF characterization
+# ---------------------------------------------------------------------------
+
+_KEYWORDS_TOPK = 5
+
+
+def source_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What is each source ABOUT: the top-``_KEYWORDS_TOPK`` terms per
+    source by TF-IDF, with idf over source-level document frequency
+    (``ln(n_sources/df)``) — the corpus-exploration report a curation
+    run opens with, and the direct source-level analogue of
+    ``cooccurrence_pmi``'s micro-ln discipline (score =
+    ``tf · round(ln(ns/df)·10⁶)``, an exact integer product of an exact
+    count and an identically-rounded log on both engines).
+
+    Scale: ONE token pass → (source, term) counts (map-side combined,
+    vocabulary×sources-sized shuffle); source-level df derives from that
+    same table; n_sources is a 1-row broadcast; the top-k window runs per
+    source on the filtered candidate set. Terms present in EVERY source
+    get idf 0 and fall out of the ranking naturally.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(X.tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .persist()
+    )
+    sdf = tf.groupBy("term").agg(
+        F.count("*").cast("long").alias("df_sources")
+    )
+    ns = docs.agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    from ._cache import scoped
+
+    result = (
+        tf.join(sdf, "term")
+        .crossJoin(F.broadcast(ns))
+        .withColumn(
+            "score_micro",
+            F.expr(
+                "tf * cast(round(ln(cast(n_sources as double)"
+                " / cast(df_sources as double)) * 1000000) as long)"
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= _KEYWORDS_TOPK)
+        .select("source", "rnk", "term", "tf", "df_sources", "score_micro")
+        .orderBy("source", "rnk")
+    )
+    return scoped(result, tf)
+
+
+_SQL_SOURCE_KEYWORDS = rf"""
+WITH tok AS (
+  SELECT source, unnest({_SQL_TOKS}) AS term FROM documents
+), tf AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok GROUP BY 1, 2
+), sdf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_sources FROM tf GROUP BY 1
+), ns AS (
+  SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources FROM documents
+), scored AS (
+  SELECT tf.source, tf.term, tf.tf, sdf.df_sources,
+         tf.tf * CAST(ROUND(ln(CAST(ns.n_sources AS DOUBLE)
+                                / CAST(sdf.df_sources AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS score_micro
+  FROM tf JOIN sdf USING (term) CROSS JOIN ns
+)
+SELECT source, rnk, term, tf, df_sources, score_micro FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY score_micro DESC, term ASC) AS BIGINT)
+    AS rnk
+  FROM scored
+) t WHERE rnk <= {_KEYWORDS_TOPK}
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "vocab_build": vocab_build,
     "bpe_merges": bpe_merges,
@@ -847,6 +932,7 @@ QUERIES = {
     "quality_adaptive_filter": quality_adaptive_filter,
     "source_overlap_matrix": source_overlap_matrix,
     "cooccurrence_pmi": cooccurrence_pmi,
+    "source_keywords": source_keywords,
 }
 
 ORACLE = {
@@ -857,4 +943,5 @@ ORACLE = {
     "quality_adaptive_filter": _SQL_ADAPTIVE,
     "source_overlap_matrix": _SQL_OVERLAP,
     "cooccurrence_pmi": _SQL_PMI,
+    "source_keywords": _SQL_SOURCE_KEYWORDS,
 }

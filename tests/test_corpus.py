@@ -293,3 +293,47 @@ def test_bpe_matches_pure_python_reference(spark, tmp_path, text):
     for w in text.split():
         freqs[w] = freqs.get(w, 0) + 1
     assert got == _ref_bpe(freqs, C._BPE_MERGES)
+
+
+def test_source_keywords_degenerate_matches_oracle(spark, tmp_path):
+    """Blank docs, sub-topk vocabularies, a single-term source, and a
+    NULL-source row (the cooccurrence_pmi NULL-key class, here on the
+    GROUP BY side where both engines pool NULLs identically)."""
+    d = _docs_dir(
+        tmp_path,
+        DEGENERATE + [(5, "alpha beta omega", "en", None, 16)],
+    )
+    _diff(
+        C.source_keywords(spark, d).toPandas(),
+        _oracle(tmp_path, C._SQL_SOURCE_KEYWORDS),
+    )
+
+
+def test_source_keywords_single_source_all_idf_zero(spark, tmp_path):
+    """With one source every term's idf is ln(1/1)=0, so every score is
+    exactly 0 and the top-k is the deterministic term-asc head."""
+    d = _docs_dir(
+        tmp_path,
+        [(0, "delta charlie bravo alpha echo foxtrot golf", "en", "s0", 43)],
+    )
+    sp = C.source_keywords(spark, d).toPandas()
+    assert len(sp) == C._KEYWORDS_TOPK
+    assert (sp.score_micro == 0).all()
+    assert list(sp.term) == sorted(sp.term)
+    _diff(sp, _oracle(tmp_path, C._SQL_SOURCE_KEYWORDS))
+
+
+def test_source_keywords_discriminative_term_outranks_common(spark, tmp_path):
+    """A term unique to one source must outrank a higher-tf term shared
+    by every source (idf 0 zeroes the shared term's score)."""
+    d = _docs_dir(
+        tmp_path,
+        [
+            (0, "the the the the cat", "en", "s1", 19),
+            (1, "the the the the dog", "en", "s2", 19),
+        ],
+    )
+    sp = C.source_keywords(spark, d).toPandas()
+    top = sp[sp.rnk == 1].set_index("source").term
+    assert top["s1"] == "cat" and top["s2"] == "dog"
+    _diff(sp, _oracle(tmp_path, C._SQL_SOURCE_KEYWORDS))

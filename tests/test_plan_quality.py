@@ -861,3 +861,29 @@ def test_copurchase_cosine_broadcasts_strengths_no_selfjoin(spark, sf_dir):
     assert plan.count("BroadcastExchange") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_source_keywords_one_token_pass_topk_pruned(spark, sf_dir):
+    """TF-IDF must be ONE token pass: tf computed once and reused for the
+    source-level df (no second explode), df broadcast back (vocab-sized,
+    the cooccurrence_pmi precedent), and the per-source top-k pruned by
+    WindowGroupLimit BEFORE the source exchange so only ~k rows per
+    source per task ride the final shuffle."""
+    from bytewax_iceberg_connector_spark.plans.corpus import source_keywords
+
+    plan = _plan(source_keywords(spark, sf_dir))
+    # both the tf branch and the df branch read the SAME cached (source,
+    # term, tf) relation — the explode executes once even though the
+    # cached plan's text prints under each consumer
+    assert plan.count("InMemoryTableScan") == 2
+    assert plan.count("Generate") == plan.count("InMemoryRelation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # documents scan carries only the two referenced columns
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "text",
+        "source",
+    }, m and m.group(1)
