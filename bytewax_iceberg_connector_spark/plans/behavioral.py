@@ -553,3 +553,114 @@ ORDER BY d.day
 
 QUERIES["rolling_active_users"] = rolling_active_users
 ORACLE["rolling_active_users"] = _SQL_ROLLING_ACTIVE
+
+
+# ---------------------------------------------------------------------------
+# sessionize — batch gap-based session assignment + size/duration profile
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity boundary
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the offline twin of ``streaming_session``:
+    per-user event streams split at >30-min inactivity gaps (lag +
+    running-sum-of-boundaries, the textbook formulation), then rolled up
+    into a session-size profile: for every events-per-session value, how
+    many sessions, and exact integer min/max/sum/mean session duration in
+    microseconds. The report that tunes the session timeout itself and
+    sizes state for the streaming job.
+
+    Parity discipline: NULL-timestamp events are excluded on both engines
+    (unknowable placement — the interarrival_stats precedent); ordering
+    is ``(ts, event_id)`` with NULLS FIRST pinned in the oracle and an
+    explicit ROWS frame on the running sum so tied NULL event_ids cannot
+    pull RANGE-frame peers in.
+
+    Scale: ONE hash exchange on ``user_id`` feeds both stacked windows
+    (lag and the running boundary sum share the distribution); the
+    per-(user, session) aggregate reuses that same partitioning (user_id
+    is a subset of the grouping key — Catalyst plans no second exchange);
+    only the final |distinct session sizes|-row histogram shuffles again.
+    Per-row state is two 8-byte integers, payloads pruned at the scan.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = (
+        ev.select(
+            "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
+        )
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > F.lit(_SESSION_GAP_US)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("sess_idx", F.sum("is_new").over(run))
+        .groupBy("user_id", "sess_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("session_events"),
+            (F.max("us") - F.min("us")).cast("long").alias("dur_us"),
+        )
+    )
+    return (
+        sessions.groupBy("session_events")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.min("dur_us").cast("long").alias("min_dur_us"),
+            F.max("dur_us").cast("long").alias("max_dur_us"),
+            F.sum("dur_us").cast("long").alias("sum_dur_us"),
+            F.expr("cast(sum(dur_us) div count(*) as long)").alias(
+                "mean_dur_us"
+            ),
+        )
+        .orderBy("session_events")
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH e AS (
+  SELECT user_id, event_id, EPOCH_US(ts) AS us
+  FROM events WHERE ts IS NOT NULL
+), g AS (
+  SELECT user_id, event_id, us,
+         us - lag(us) OVER (
+           PARTITION BY user_id
+           ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS gap_us
+  FROM e
+), b AS (
+  SELECT user_id, event_id, us,
+         CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM g
+), s AS (
+  SELECT user_id, us,
+         SUM(is_new) OVER (
+           PARTITION BY user_id
+           ORDER BY us NULLS FIRST, event_id NULLS FIRST
+           ROWS UNBOUNDED PRECEDING) AS sess_idx
+  FROM b
+), sess AS (
+  SELECT user_id, sess_idx,
+         CAST(COUNT(*) AS BIGINT) AS session_events,
+         CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
+  FROM s GROUP BY 1, 2
+)
+SELECT session_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(MIN(dur_us) AS BIGINT) AS min_dur_us,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us,
+       CAST(SUM(dur_us) AS BIGINT) AS sum_dur_us,
+       CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS mean_dur_us
+FROM sess
+GROUP BY 1 ORDER BY 1
+"""
+
+QUERIES["sessionize"] = sessionize
+ORACLE["sessionize"] = _SQL_SESSIONIZE

@@ -184,3 +184,73 @@ def test_decayed_counts_oracle_survives_long_spans(spark, tmp_path):
     )
     want = set(map(tuple, con.execute(_SQL_DECAYED).fetchall()))
     assert got == want
+
+
+def test_sessionize_gap_boundary_semantics(spark, tmp_path):
+    """An exactly-30-min gap stays in-session (boundary is strictly >);
+    31 min splits; single-event sessions have zero duration — and the
+    crafted corpus (tied timestamps included) matches the oracle."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_SESSIONIZE,
+        sessionize,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        Row(event_id=1, ts=ts(0), user_id=1),
+        Row(event_id=2, ts=ts(10), user_id=1),   # 10-min gap: same
+        Row(event_id=3, ts=ts(40), user_id=1),   # exactly 30: same
+        Row(event_id=4, ts=ts(71), user_id=1),   # 31: new session
+        Row(event_id=5, ts=ts(0), user_id=2),    # lone event
+        Row(event_id=6, ts=ts(0), user_id=3),    # tied timestamps
+        Row(event_id=7, ts=ts(0), user_id=3),
+        Row(event_id=8, ts=None, user_id=3),     # NULL ts: excluded
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    got = {tuple(r) for r in sessionize(spark, sf_dir).collect()}
+    # sizes: 1-event x2 (u1 second sess, u2), 2-event x1 (u3, dur 0),
+    # 3-event x1 (u1 first sess, dur 40 min)
+    assert got == {
+        (1, 2, 0, 0, 0, 0),
+        (2, 1, 0, 0, 0, 0),
+        (3, 1, 2400_000_000, 2400_000_000, 2400_000_000, 2400_000_000),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    assert got == set(map(tuple, con.execute(_SQL_SESSIONIZE).fetchall()))
+
+
+def test_sessionize_single_user_exchange(spark, sf_dir):
+    """Both stacked windows AND the per-(user, session) aggregate must
+    ride ONE hashpartitioning(user_id) — the grouping key's user_id
+    prefix satisfies the distribution, so only the final histogram
+    rollup re-shuffles. Scan prunes to (event_id, ts, user_id) with the
+    ts IS NOT NULL filter pushed."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import sessionize
+
+    plan = _plan(sessionize(spark, sf_dir))
+    assert plan.count("Window ") == 2
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    assert len(hashes) == 2, hashes
+    assert sorted(h.split("#")[0] for h in hashes) == [
+        "session_events",
+        "user_id",
+    ]
+    assert "PushedFilters: [IsNotNull(ts)]" in plan
