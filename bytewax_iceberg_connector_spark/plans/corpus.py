@@ -737,6 +737,26 @@ ORDER BY merge_idx
 _SQL_BPE = _bpe_sql()
 
 
+def _bpe_symbol_count(merges: list):
+    """Post-merge symbol count of ``text`` as a codegen Column: each word
+    becomes space-joined characters, words join with a 4-space joiner (so
+    the single-space merge patterns cannot span a word boundary), and the
+    learned merges apply as chained literal ``replace``s."""
+    rep = F.concat_ws(
+        "    ",
+        F.transform(
+            X.tokens("text"),
+            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1  ")),
+        ),
+    )
+    rep = F.concat(F.lit(" "), rep, F.lit(" "))
+    for _, l, r, _pf in merges:
+        rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
+    return F.size(
+        F.filter(F.split(F.trim(rep), " +"), lambda x: x != "")
+    ).cast("long")
+
+
 def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE tokenizer to the corpus — the inference side
     of ``bpe_merges``: train the merge list (same loop), encode every
@@ -760,19 +780,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     merges = _learn_bpe(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    rep = F.concat_ws(
-        "    ",  # 4-space word joiner: 2-space merge patterns cannot span it
-        F.transform(
-            X.tokens("text"),
-            lambda w: F.trim(F.regexp_replace(w, "(.)", "$1  ")),
-        ),
-    )
-    rep = F.concat(F.lit(" "), rep, F.lit(" "))
-    for _, l, r, _pf in merges:
-        rep = F.replace(rep, F.lit(f" {l}  {r} "), F.lit(f" {l}{r} "))
-    n_after = F.size(
-        F.filter(F.split(F.trim(rep), " +"), lambda x: x != "")
-    ).cast("long")
+    n_after = _bpe_symbol_count(merges)
     n_before = F.aggregate(
         F.transform(X.tokens("text"), F.length),
         F.lit(0).cast("long"),
@@ -793,16 +801,18 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
-    """Training replay (the ``_bpe_sql`` stages) + N chained replaces
-    over per-document symbol strings. A missing merge k (tiny corpora
-    that dry up early) yields an empty p{k}; its scalar subquery goes
-    NULL and COALESCE turns the needle into '' — and ``replace(s,'',y)``
-    is the identity in DuckDB, so absent merges are no-ops on both
-    engines (Spark simply applies fewer replaces)."""
-    inner = "' ' || array_to_string(list_transform(" + _SQL_TOKS + \
-        r", w -> trim(regexp_replace(w, '(.)', '\1  ', 'g'))), '    ') || ' '"
-    expr = inner
+def _bpe_apply_sql_expr(n_merges: int = _BPE_MERGES) -> str:
+    """The oracle twin of ``_bpe_symbol_count``'s replace chain: the
+    per-document symbol string with all learned merges applied, as a
+    DuckDB expression referencing the training CTEs ``p1..pN``.
+
+    ``array_to_string([])`` is NULL in DuckDB where Spark's ``concat_ws``
+    yields ``''`` — COALESCE pins the empty-document case to the Spark
+    semantics (otherwise a group whose EVERY doc is empty reports NULL
+    symbol counts instead of 0)."""
+    expr = "' ' || COALESCE(array_to_string(list_transform(" + _SQL_TOKS + \
+        r", w -> trim(regexp_replace(w, '(.)', '\1  ', 'g'))), '    '), '')" \
+        " || ' '"
     for k in range(1, n_merges + 1):
         expr = (
             f"replace({expr},\n"
@@ -811,13 +821,24 @@ def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
             f"  COALESCE(' ' || (SELECT l FROM p{k}) ||"
             f" (SELECT r FROM p{k}) || ' ', ''))"
         )
+    return expr
+
+
+def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Training replay (the ``_bpe_sql`` stages) + N chained replaces
+    over per-document symbol strings. A missing merge k (tiny corpora
+    that dry up early) yields an empty p{k}; its scalar subquery goes
+    NULL and COALESCE turns the needle into '' — and ``replace(s,'',y)``
+    is the identity in DuckDB, so absent merges are no-ops on both
+    engines (Spark simply applies fewer replaces)."""
+    expr = _bpe_apply_sql_expr(n_merges)
     # reuse the training CTE chain, swap the final SELECT for the encoder
     train = _bpe_sql(n_merges)
     head = train[: train.index("\nSELECT CAST(merge_idx")]
     return head + f"""
 , enc AS (
   SELECT source,
-         CAST(list_sum(list_transform({_SQL_TOKS}, w -> len(w))) AS BIGINT)
+         CAST(COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0) AS BIGINT)
            AS nb,
          len(list_filter(string_split_regex(trim({expr}), ' +'),
              x -> x <> '')) AS na
@@ -836,6 +857,92 @@ ORDER BY source
 
 
 _SQL_BPE_ENCODE = _bpe_encode_sql()
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility — per-language tokens-per-word / chars-per-token
+# ---------------------------------------------------------------------------
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-LANGUAGE tokenizer-efficiency report — the standard fertility
+    table (tokens emitted per word, characters packed per token) a
+    tokenizer choice is judged by across languages: train the BPE merge
+    list once on the whole corpus (``_learn_bpe``), encode every document
+    (the ``bpe_encode`` replace-chain, shared via ``_bpe_symbol_count``),
+    and aggregate exact integer counts by ``lang``. High fertility on a
+    language means the shared vocabulary underserves it — the signal that
+    drives per-language vocab budgets.
+
+    fertility_milli = bpe_tokens·1000 div words;
+    chars_per_token_milli = chars·1000 div bpe_tokens — integer-exact on
+    both engines (the repo's ppm/milli division discipline).
+
+    Scale: encoding is ONE corpus scan at expression speed (the merge
+    list compiles into the plan as literals — nothing to broadcast); the
+    rollup is map-side-combinable into |langs| rows. Same 100 TB shape as
+    ``bpe_encode``; only the grouping axis and ratios differ.
+    """
+    merges = _learn_bpe(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.size(X.tokens("text")).cast("long").alias("nw"),
+            F.aggregate(
+                F.transform(X.tokens("text"), F.length),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("nc"),
+            _bpe_symbol_count(merges).alias("nt"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("nw").cast("long").alias("words"),
+            F.sum("nc").cast("long").alias("chars"),
+            F.sum("nt").cast("long").alias("bpe_tokens"),
+            F.expr(
+                "cast(sum(nt) * 1000 div nullif(sum(nw), 0) as long)"
+            ).alias("fertility_milli"),
+            F.expr(
+                "cast(sum(nc) * 1000 div nullif(sum(nt), 0) as long)"
+            ).alias("chars_per_token_milli"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _fertility_sql(n_merges: int = _BPE_MERGES) -> str:
+    """Training replay + shared encode expression, rolled up by lang."""
+    train = _bpe_sql(n_merges)
+    head = train[: train.index("\nSELECT CAST(merge_idx")]
+    return head + f"""
+, enc AS (
+  SELECT lang,
+         CAST(len({_SQL_TOKS}) AS BIGINT) AS nw,
+         CAST(COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0) AS BIGINT)
+           AS nc,
+         len(list_filter(string_split_regex(
+             trim({_bpe_apply_sql_expr(n_merges)}), ' +'), x -> x <> '')) AS nt
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(nw) AS BIGINT) AS words,
+       CAST(SUM(nc) AS BIGINT) AS chars,
+       CAST(SUM(nt) AS BIGINT) AS bpe_tokens,
+       CAST(SUM(nt) * 1000 // NULLIF(SUM(nw), 0) AS BIGINT)
+         AS fertility_milli,
+       CAST(SUM(nc) * 1000 // NULLIF(SUM(nt), 0) AS BIGINT)
+         AS chars_per_token_milli
+FROM enc
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+_SQL_FERTILITY = _fertility_sql()
 
 
 
@@ -928,6 +1035,7 @@ QUERIES = {
     "vocab_build": vocab_build,
     "bpe_merges": bpe_merges,
     "bpe_encode": bpe_encode,
+    "tokenizer_fertility": tokenizer_fertility,
     "span_dedup": span_dedup,
     "quality_adaptive_filter": quality_adaptive_filter,
     "source_overlap_matrix": source_overlap_matrix,
@@ -939,6 +1047,7 @@ ORACLE = {
     "vocab_build": _SQL_VOCAB,
     "bpe_merges": _SQL_BPE,
     "bpe_encode": _SQL_BPE_ENCODE,
+    "tokenizer_fertility": _SQL_FERTILITY,
     "span_dedup": _SQL_SPAN_DEDUP,
     "quality_adaptive_filter": _SQL_ADAPTIVE,
     "source_overlap_matrix": _SQL_OVERLAP,

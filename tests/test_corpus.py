@@ -337,3 +337,30 @@ def test_source_keywords_discriminative_term_outranks_common(spark, tmp_path):
     top = sp[sp.rnk == 1].set_index("source").term
     assert top["s1"] == "cat" and top["s2"] == "dog"
     _diff(sp, _oracle(tmp_path, C._SQL_SOURCE_KEYWORDS))
+
+
+def test_tokenizer_fertility_bounds_and_oracle(spark, tmp_path):
+    """BPE merges can only SHRINK a word's symbol string, never below one
+    symbol per word: words <= bpe_tokens <= chars, so fertility_milli and
+    chars_per_token_milli are both >= 1000 — and the crafted multi-lang
+    corpus (empty and whitespace-only docs included) matches the oracle."""
+    d = _docs_dir(
+        tmp_path,
+        [
+            (0, "aa aa aa aa bb", "en", "s0", 14),
+            (1, "aa bb aa bb aa", "en", "s0", 14),
+            (2, "cc dd cc dd cc", "de", "s1", 14),
+            (3, "", "de", "s1", 0),
+            (4, "   ", "fr", "s2", 3),
+        ],
+    )
+    sp = C.tokenizer_fertility(spark, d).toPandas()
+    nonzero = sp[sp.words > 0]
+    assert (nonzero.words <= nonzero.bpe_tokens).all()
+    assert (nonzero.bpe_tokens <= nonzero.chars).all()
+    assert (nonzero.fertility_milli >= 1000).all()
+    assert (nonzero.chars_per_token_milli >= 1000).all()
+    # 'fr' has only whitespace: all-zero counts, NULL ratios
+    fr = sp[sp.lang == "fr"].iloc[0]
+    assert fr.words == 0 and fr.bpe_tokens == 0
+    _diff(sp, _oracle(tmp_path, C._SQL_FERTILITY))

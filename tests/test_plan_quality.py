@@ -887,3 +887,22 @@ def test_source_keywords_one_token_pass_topk_pruned(spark, sf_dir):
         "text",
         "source",
     }, m and m.group(1)
+
+
+def test_tokenizer_fertility_is_pure_projection_rollup(spark, sf_dir):
+    """Encoding must stay a codegen projection (merge list inlined as
+    literals — no UDF, no join, no broadcast): the only exchanges are the
+    |langs|-row rollup and the output sort; scan prunes to (text, lang)."""
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        tokenizer_fertility,
+    )
+
+    plan = _plan(tokenizer_fertility(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "text",
+        "lang",
+    }, m and m.group(1)
