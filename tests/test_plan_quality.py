@@ -906,3 +906,20 @@ def test_tokenizer_fertility_is_pure_projection_rollup(spark, sf_dir):
         "text",
         "lang",
     }, m and m.group(1)
+
+
+def test_triangle_count_oriented_and_broadcast_degrees(spark, sf_dir):
+    """Degree tables are node-sized and must BROADCAST onto the edge list
+    for orientation (shuffling edges on node id twice would double the
+    exchange bill); no CartesianProduct anywhere; the persisted edge list
+    is read by all four consumers (degrees, both wedge sides, closure)
+    instead of replaying the basket fan-out."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        triangle_count,
+    )
+
+    plan = _plan(triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("InMemoryTableScan") >= 4

@@ -141,3 +141,66 @@ def test_copurchase_cosine_perfect_pairs_score_one(spark, tmp_path):
     _diff(sp, _oracle(tmp_path, _SQL_COPURCHASE_COSINE))
     assert set(sp["cos_micro"]) == {1_000_000}
     assert set(zip(sp["pa"], sp["pb"])) == {(10, 20), (30, 40)}
+
+
+def _li_graph(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_triangle_count_known_graphs_match_oracle(spark, tmp_path):
+    """One basket of 4 parts = K4 (4 triangles, 12 wedges, clustering
+    1.0); a disjoint 3-part path via two 2-part baskets adds 1 wedge and
+    0 triangles; NULL order keys add nothing — exact counts on a graph
+    small enough to verify by hand, then differentially vs the naive
+    3-way self-join oracle."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_TRIANGLES,
+        triangle_count,
+    )
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 40),   # K4
+        (2, 50), (2, 60), (3, 60), (3, 70),   # path 50-60-70
+        (None, 80), (None, 90),
+    ]
+    d = _li_graph(tmp_path, rows)
+    sp = triangle_count(spark, d).toPandas()
+    row = sp.iloc[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (
+        7, 8, 13, 4,
+    )
+    # K4 closure: 12 of 13 wedges close -> 3*4*1e6 // 13
+    assert row.global_clustering_ppm == 3 * 4 * 1_000_000 // 13
+    _diff(sp, _oracle(tmp_path, _SQL_TRIANGLES))
+
+
+def test_triangle_count_triangle_free_graph(spark, tmp_path):
+    """A star (one hub basket pairs with leaves via 2-part baskets) has
+    wedges but ZERO triangles — the clustering coefficient is exactly 0,
+    not NULL (regression guard for the div-by-nonzero path)."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_TRIANGLES,
+        triangle_count,
+    )
+
+    rows = [(1, 1), (1, 2), (2, 1), (2, 3), (3, 1), (3, 4)]
+    d = _li_graph(tmp_path, rows)
+    sp = triangle_count(spark, d).toPandas()
+    row = sp.iloc[0]
+    assert (row.n_triangles, row.global_clustering_ppm) == (0, 0)
+    assert row.n_wedges == 3  # hub degree 3 -> C(3,2)
+    _diff(sp, _oracle(tmp_path, _SQL_TRIANGLES))
