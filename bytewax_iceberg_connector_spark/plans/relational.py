@@ -2254,3 +2254,144 @@ FROM tri
 
 QUERIES["triangle_count"] = triangle_count
 ORACLE["triangle_count"] = _SQL_TRIANGLES
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #15: TPC-H Q4 shape (order-priority checking)
+# ---------------------------------------------------------------------------
+
+_Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 45 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def sql_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), lateness adapted to the
+    synthetic schema (no l_commitdate/l_receiptdate): an order counts
+    when ANY line shipped >45 days after the order date. The plan shape
+    is Q4's point and is unchanged: a correlated EXISTS against the fact
+    table that must decorrelate to a LEFT SEMI join on orderkey — the
+    lineitem side is touched once, never aggregated per order.
+
+    Scale: the one-quarter date filter pushes to the orders scan, so the
+    semi join's build side is a quarter's orders; lineitem streams
+    through the semi join without materializing per-order state; the
+    final agg is 5 rows. Same ANSI text runs on DuckDB (integral
+    timestamps + day intervals are engine-portable).
+    """
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_Q4_SQL)
+
+
+QUERIES["sql_order_priority"] = sql_order_priority
+ORACLE["sql_order_priority"] = _Q4_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #16: TPC-H Q21 shape (suppliers who kept orders waiting)
+# ---------------------------------------------------------------------------
+
+_Q21_SQL = """
+WITH late AS (
+  SELECT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o_orderkey
+  WHERE o.o_orderstatus = 'F'
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late t
+JOIN supplier ON s_suppkey = t.l_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = t.l_orderkey
+                AND l2.l_suppkey <> t.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = t.l_orderkey
+                    AND l3.l_suppkey <> t.l_suppkey)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def sql_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), lateness adapted as
+    in ``sql_order_priority``: on finished multi-supplier orders, blame
+    the supplier who was the ONLY late one. The signature plan shape is
+    intact — one EXISTS plus one NOT EXISTS, both correlated on the same
+    fact, that must decorrelate into a semi join AND an anti join on
+    orderkey with a same-order-different-supplier residual; the classic
+    stress test of correlated-subquery planning.
+
+    Scale: supplier broadcasts; the `late` build is filtered by order
+    status + lateness before any correlation; both decorrelated joins key
+    on orderkey (high-cardinality, skew-free). Spark and DuckDB both
+    inline the CTE into its two consumers — the double scan is the
+    honest Q21 cost (the original references lineitem three times).
+    """
+    register_views(spark, sf_dir, "lineitem", "orders", "supplier")
+    return spark.sql(_Q21_SQL)
+
+
+QUERIES["sql_late_supplier_blame"] = sql_late_supplier_blame
+ORACLE["sql_late_supplier_blame"] = _Q21_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface #17: TPC-H Q22 shape (lapsed high-balance customers)
+# ---------------------------------------------------------------------------
+
+_Q22_SQL = """
+WITH pos AS (
+  SELECT CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer WHERE c_acctbal > 0
+), thr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+         CAST(SUM(cents) AS BIGINT) AS sum_cents
+  FROM pos
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+CROSS JOIN thr
+WHERE CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) * n_pos
+        > sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def sql_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), phone-cntrycode swapped for
+    nation (no c_phone column): above-average-balance customers with no
+    RECENT orders, rolled up by nation. The two signature shapes are
+    intact: a scalar aggregate subquery gating the scan, and a NOT
+    EXISTS that must decorrelate to an anti join on custkey.
+
+    Float-determinism note: the "above average" comparison is multiplied
+    through — ``cents · n_pos > sum_cents`` in exact BIGINT cents — so no
+    engine ever divides (Spark's decimal AVG and DuckDB's double AVG
+    round differently at the boundary; the multiplied form cannot).
+
+    Scale: the 1-row threshold broadcasts via the cross join; the date
+    filter prunes the orders side of the anti join BEFORE the shuffle;
+    nation broadcasts; final agg is |nations| rows.
+    """
+    register_views(spark, sf_dir, "customer", "orders", "nation")
+    return spark.sql(_Q22_SQL)
+
+
+QUERIES["sql_idle_customer_balance"] = sql_idle_customer_balance
+ORACLE["sql_idle_customer_balance"] = _Q22_SQL

@@ -923,3 +923,45 @@ def test_triangle_count_oriented_and_broadcast_degrees(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("InMemoryTableScan") >= 4
+
+
+def test_sql_order_priority_semi_join_pushed_quarter(spark, sf_dir):
+    """Q4's correlated EXISTS must decorrelate to a LEFT SEMI on
+    orderkey (never a per-order aggregate), and the one-quarter date
+    range must reach the orders scan."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_order_priority,
+    )
+
+    plan = _plan(sql_order_priority(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_sql_late_supplier_blame_semi_plus_anti(spark, sf_dir):
+    """Q21's signature: the EXISTS and NOT EXISTS decorrelate to one
+    semi join AND one anti join on orderkey, each carrying the
+    different-supplier residual — no correlated re-execution, no
+    cartesian."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_late_supplier_blame,
+    )
+
+    plan = _plan(sql_late_supplier_blame(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("EqualTo(o_orderstatus,F)") == 2  # status pushed to both late builds
+
+
+def test_sql_idle_customer_balance_anti_join_pushed_date(spark, sf_dir):
+    """Q22's NOT EXISTS must become an anti join on custkey whose orders
+    side is pruned by the pushed recency filter BEFORE the join; the
+    1-row threshold rides a broadcast."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_idle_customer_balance,
+    )
+
+    plan = _plan(sql_idle_customer_balance(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in plan
+    assert "CartesianProduct" not in plan
