@@ -664,3 +664,121 @@ GROUP BY 1 ORDER BY 1
 
 QUERIES["sessionize"] = sessionize
 ORACLE["sessionize"] = _SQL_SESSIONIZE
+
+
+# ---------------------------------------------------------------------------
+# conversion_latency — signup→purchase time-to-convert distribution
+# ---------------------------------------------------------------------------
+
+
+def conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert: for every user whose first ``purchase`` lands at
+    or after their first ``signup``, the latency between the two — count,
+    conversion rate in ppm of signed-up users, and exact integer
+    min/median/max/mean microseconds. The funnel's missing time axis
+    (``event_funnel`` counts conversions; this measures how long they
+    take — the report that sets trial lengths and nurture cadences).
+
+    The median is discrete (percentile_disc semantics): the
+    ``(n+1) div 2``-th smallest latency under the unique
+    ``(latency, user_id)`` order — rank math, identical on both engines,
+    no interpolation.
+
+    Scale: ONE hash exchange on ``user_id`` feeds the first-signup
+    window AND the per-user aggregate (grouping-key prefix reuse, the
+    ``sessionize`` precedent); the latency table is ≤ one row per
+    converted user, so the median window and the final 1-row rollup run
+    on user-scale data, with the signup denominator riding a broadcast
+    1-row crossJoin.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    n_signup = ev.where(F.col("event_type") == "signup").agg(
+        F.countDistinct("user_id").cast("long").alias("n_signup_users")
+    )
+    w = Window.partitionBy("user_id")
+    lat = (
+        ev.select("user_id", "event_type", F.unix_micros("ts").alias("us"))
+        .withColumn(
+            "s_us",
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("us"))
+            ).over(w),
+        )
+        .where(
+            (F.col("event_type") == "purchase")
+            & F.col("s_us").isNotNull()
+            & (F.col("us") >= F.col("s_us"))
+        )
+        .groupBy("user_id")
+        .agg((F.min("us") - F.min("s_us")).cast("long").alias("latency_us"))
+    )
+    mw = Window.orderBy("latency_us", "user_id")
+    return (
+        lat.withColumn("rn", F.row_number().over(mw))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy()))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_converted"),
+            F.min("latency_us").cast("long").alias("min_latency_us"),
+            F.max(
+                F.when(
+                    F.col("rn") == F.expr("(n + 1) div 2"),
+                    F.col("latency_us"),
+                )
+            ).cast("long").alias("p50_latency_us"),
+            F.max("latency_us").cast("long").alias("max_latency_us"),
+            F.expr(
+                "cast(sum(latency_us) div count(*) as long)"
+            ).alias("mean_latency_us"),
+        )
+        .crossJoin(F.broadcast(n_signup))
+        .select(
+            "n_signup_users",
+            "n_converted",
+            F.expr(
+                "cast(n_converted * 1000000 div nullif(n_signup_users, 0)"
+                " as long)"
+            ).alias("conversion_ppm"),
+            "min_latency_us",
+            "p50_latency_us",
+            "max_latency_us",
+            "mean_latency_us",
+        )
+    )
+
+
+_SQL_CONVERSION_LATENCY = """
+WITH e AS (
+  SELECT user_id, event_type, EPOCH_US(ts) AS us
+  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+), s AS (
+  SELECT user_id, MIN(us) AS s_us FROM e
+  WHERE event_type = 'signup' GROUP BY 1
+), lat AS (
+  SELECT e.user_id,
+         CAST(MIN(e.us) - MIN(s.s_us) AS BIGINT) AS latency_us
+  FROM e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.us >= s.s_us
+  GROUP BY 1
+), r AS (
+  SELECT latency_us,
+         ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lat
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup_users,
+       CAST(COUNT(*) AS BIGINT) AS n_converted,
+       CAST(COUNT(*) * 1000000
+            // NULLIF((SELECT COUNT(*) FROM s), 0) AS BIGINT)
+         AS conversion_ppm,
+       CAST(MIN(latency_us) AS BIGINT) AS min_latency_us,
+       CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_us END) AS BIGINT)
+         AS p50_latency_us,
+       CAST(MAX(latency_us) AS BIGINT) AS max_latency_us,
+       CAST(SUM(latency_us) // COUNT(*) AS BIGINT) AS mean_latency_us
+FROM r
+"""
+
+QUERIES["conversion_latency"] = conversion_latency
+ORACLE["conversion_latency"] = _SQL_CONVERSION_LATENCY

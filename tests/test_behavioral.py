@@ -254,3 +254,57 @@ def test_sessionize_single_user_exchange(spark, sf_dir):
         "user_id",
     ]
     assert "PushedFilters: [IsNotNull(ts)]" in plan
+
+
+def test_conversion_latency_first_touch_semantics(spark, tmp_path):
+    """Purchases BEFORE the first signup don't convert (first purchase AT
+    or after it does, latency 0 on ties); never-signed-up purchasers are
+    excluded from the denominator; the discrete median picks rank
+    (n+1) div 2 — all pinned by hand, then vs the oracle."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_CONVERSION_LATENCY,
+        conversion_latency,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        Row(event_id=1, ts=ts(0), user_id=1, event_type="signup"),
+        Row(event_id=2, ts=ts(10), user_id=1, event_type="purchase"),
+        Row(event_id=3, ts=ts(0), user_id=2, event_type="purchase"),  # early
+        Row(event_id=4, ts=ts(5), user_id=2, event_type="signup"),
+        Row(event_id=5, ts=ts(20), user_id=2, event_type="purchase"),
+        Row(event_id=6, ts=ts(0), user_id=3, event_type="signup"),
+        Row(event_id=7, ts=ts(0), user_id=3, event_type="purchase"),  # tie
+        Row(event_id=8, ts=ts(0), user_id=4, event_type="signup"),    # never
+        Row(event_id=9, ts=ts(0), user_id=5, event_type="purchase"),  # no signup
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    got = conversion_latency(spark, sf_dir).collect()[0]
+    m = 60_000_000  # one minute in microseconds
+    assert (got.n_signup_users, got.n_converted) == (4, 3)
+    assert got.conversion_ppm == 3 * 1_000_000 // 4
+    # latencies: u3=0, u1=10m, u2=15m -> median rank 2 = 10m
+    assert (got.min_latency_us, got.p50_latency_us, got.max_latency_us) == (
+        0, 10 * m, 15 * m,
+    )
+    assert got.mean_latency_us == (0 + 10 * m + 15 * m) // 3
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    assert tuple(got) == con.execute(_SQL_CONVERSION_LATENCY).fetchone()

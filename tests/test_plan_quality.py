@@ -965,3 +965,18 @@ def test_sql_idle_customer_balance_anti_join_pushed_date(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate,1999-01-01" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_conversion_latency_one_user_exchange_per_branch(spark, sf_dir):
+    """The latency branch rides ONE hashpartitioning(user_id) (window +
+    per-user aggregate share it); single-partition exchanges appear only
+    AFTER reduction to user-scale latencies; the signup denominator
+    broadcasts."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        conversion_latency,
+    )
+
+    plan = _plan(conversion_latency(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 2
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
