@@ -2401,3 +2401,111 @@ def sql_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_idle_customer_balance"] = sql_idle_customer_balance
 ORACLE["sql_idle_customer_balance"] = _Q22_SQL
+
+
+# ---------------------------------------------------------------------------
+# basket_lift — association rules (support / confidence / lift) at k=2
+# ---------------------------------------------------------------------------
+
+_LIFT_TOPK = 20
+_LIFT_MIN_W = 2  # rules need >= 2 co-occurrences (1 is noise, and ties
+                 # at w=1 make the top-k cut fixture-fragile)
+
+
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining at k=2 (the Apriori confidence/lift tier
+    over ``copurchase_affinity``'s frequent pairs): for each directed
+    rule a→b with pair support ≥ ``_LIFT_MIN_W``, exact integer
+    support (shared orders), confidence_ppm = ``w·10⁶ div orders(a)``
+    and lift_milli = ``w·N·1000 div (orders(a)·orders(b))`` — lift > 1000
+    means b is genuinely MORE likely given a (the recommendation
+    signal); top-``_LIFT_TOPK`` rules by lift.
+
+    Every ratio is a single integer division of exact counts — no
+    engine-order float products (``w·N`` and ``ca·cb`` are BIGINT
+    products bounded far under 2⁶³ at any plausible catalog size).
+
+    Scale: ONE basket fan-out (the shared ``_basket_pairs`` shape) +
+    one per-item count aggregate; the item-count table is catalog-sized
+    and broadcasts into both rule directions, so nothing re-shuffles
+    after the pair build; TakeOrdered cuts to k before the rank window.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    und = _basket_pairs(li).where(F.col("w") >= _LIFT_MIN_W)
+    rules = und.select(
+        F.col("pa").alias("a"), F.col("pb").alias("b"), "w"
+    ).unionByName(
+        und.select(F.col("pb").alias("a"), F.col("pa").alias("b"), "w")
+    )
+    po = (
+        li.select("l_orderkey", "l_partkey")
+        .where(F.col("l_orderkey").isNotNull())
+        .distinct()
+    )
+    ic = po.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n_orders = li.where(F.col("l_orderkey").isNotNull()).agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    wnd = Window.orderBy(F.desc("lift_milli"), "a", "b")
+    return (
+        rules.join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("a"),
+                                  F.col("c").alias("ca"))), "a"
+        )
+        .join(
+            F.broadcast(ic.select(F.col("l_partkey").alias("b"),
+                                  F.col("c").alias("cb"))), "b"
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "a",
+            "b",
+            F.col("w").alias("support"),
+            F.expr("cast(w * 1000000 div ca as long)").alias(
+                "confidence_ppm"
+            ),
+            F.expr(
+                "cast((w * n_orders * 1000) div (ca * cb) as long)"
+            ).alias("lift_milli"),
+        )
+        .orderBy(F.desc("lift_milli"), "a", "b")
+        .limit(_LIFT_TOPK)
+        .withColumn("rnk", F.row_number().over(wnd).cast("long"))
+        .select("rnk", "a", "b", "support", "confidence_ppm", "lift_milli")
+        .orderBy("rnk")
+    )
+
+
+_SQL_BASKET_LIFT = f"""
+WITH {_SQL_BASKET_PAIRS}, rules AS (
+  SELECT pa AS a, pb AS b, w FROM und WHERE w >= {_LIFT_MIN_W}
+  UNION ALL
+  SELECT pb AS a, pa AS b, w FROM und WHERE w >= {_LIFT_MIN_W}
+), ic AS (
+  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS c FROM po GROUP BY 1
+), tot AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+), scored AS (
+  SELECT r.a, r.b, r.w AS support,
+         CAST(r.w * 1000000 // ia.c AS BIGINT) AS confidence_ppm,
+         CAST((r.w * tot.n_orders * 1000) // (ia.c * ib.c) AS BIGINT)
+           AS lift_milli
+  FROM rules r
+  JOIN ic ia ON ia.l_partkey = r.a
+  JOIN ic ib ON ib.l_partkey = r.b
+  CROSS JOIN tot
+), top AS (
+  SELECT * FROM scored ORDER BY lift_milli DESC, a, b LIMIT {_LIFT_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift_milli DESC, a, b) AS BIGINT)
+         AS rnk,
+       a, b, support, confidence_ppm, lift_milli
+FROM top
+ORDER BY rnk
+"""
+
+QUERIES["basket_lift"] = basket_lift
+ORACLE["basket_lift"] = _SQL_BASKET_LIFT

@@ -980,3 +980,22 @@ def test_conversion_latency_one_user_exchange_per_branch(spark, sf_dir):
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 2
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_basket_lift_broadcasts_item_counts(spark, sf_dir):
+    """The catalog-sized item-count table must broadcast into BOTH rule
+    directions and the 1-row total must broadcast — after the pair
+    build, nothing re-shuffles; the top-k cut is TakeOrdered, not a
+    global sort."""
+    from bytewax_iceberg_connector_spark.plans.relational import basket_lift
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(basket_lift(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan.split("TakeOrderedAndProject")[0]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -204,3 +204,47 @@ def test_triangle_count_triangle_free_graph(spark, tmp_path):
     assert (row.n_triangles, row.global_clustering_ppm) == (0, 0)
     assert row.n_wedges == 3  # hub degree 3 -> C(3,2)
     _diff(sp, _oracle(tmp_path, _SQL_TRIANGLES))
+
+
+def test_basket_lift_hand_computed_rules(spark, tmp_path):
+    """Parts 1,2 co-occur in 2 of 3 orders and never apart: both directed
+    rules have confidence 100% and lift = N/(ca·cb/w)·1000 = 1500; the
+    min-support gate drops w=1 pairs — verified by hand, then vs the
+    oracle."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_BASKET_LIFT,
+        basket_lift,
+    )
+
+    rows = [
+        (1, 10), (1, 20),           # basket {10,20}
+        (2, 10), (2, 20),           # basket {10,20} again -> w=2
+        (3, 30), (3, 40),           # w=1 pair: below min support
+    ]
+    d = _li_graph(tmp_path, rows)
+    sp = basket_lift(spark, d).toPandas()
+    assert len(sp) == 2  # only the w=2 pair survives, both directions
+    assert set(zip(sp.a, sp.b)) == {(10, 20), (20, 10)}
+    assert (sp.support == 2).all()
+    assert (sp.confidence_ppm == 1_000_000).all()
+    # lift = w*N*1000 // (ca*cb) = 2*3*1000 // (2*2)
+    assert (sp.lift_milli == 1500).all()
+    _diff(sp, _oracle(tmp_path, _SQL_BASKET_LIFT))
+
+
+def test_basket_lift_no_frequent_pairs_is_empty(spark, tmp_path):
+    """A corpus of only singleton co-occurrences yields zero rules on
+    both engines."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_BASKET_LIFT,
+        basket_lift,
+    )
+
+    d = _li_graph(tmp_path, [(1, 1), (1, 2), (2, 3), (2, 4)])
+    sp = basket_lift(spark, d).toPandas()
+    assert len(sp) == 0
+    _diff(sp, _oracle(tmp_path, _SQL_BASKET_LIFT))
