@@ -562,6 +562,34 @@ ORACLE["rolling_active_users"] = _SQL_ROLLING_ACTIVE
 _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-min inactivity boundary
 
 
+def _tag_sessions(ev: DataFrame, *extra: str) -> DataFrame:
+    """Tag every non-NULL-ts event with its per-user ``sess_idx`` (>30-min
+    gap boundary via lag + running sum — the textbook formulation),
+    carrying ``extra`` columns through. One user_id exchange feeds both
+    stacked windows; shared by ``sessionize`` and ``session_paths`` so
+    boundary semantics can never diverge between consumers."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "user_id", "event_id", "ts",
+            F.unix_micros("ts").alias("us"), *extra,
+        )
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > F.lit(_SESSION_GAP_US)),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .withColumn("sess_idx", F.sum("is_new").over(run))
+    )
+
+
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization — the offline twin of ``streaming_session``:
     per-user event streams split at >30-min inactivity gaps (lag +
@@ -585,24 +613,8 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-row state is two 8-byte integers, payloads pruned at the scan.
     """
     ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sessions = (
-        ev.select(
-            "user_id", "event_id", "ts", F.unix_micros("ts").alias("us")
-        )
-        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
-        .withColumn(
-            "is_new",
-            F.when(
-                F.col("gap_us").isNull()
-                | (F.col("gap_us") > F.lit(_SESSION_GAP_US)),
-                F.lit(1),
-            )
-            .otherwise(F.lit(0))
-            .cast("long"),
-        )
-        .withColumn("sess_idx", F.sum("is_new").over(run))
+        _tag_sessions(ev)
         .groupBy("user_id", "sess_idx")
         .agg(
             F.count(F.lit(1)).cast("long").alias("session_events"),
@@ -624,29 +636,35 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SESSIONIZE = f"""
-WITH e AS (
-  SELECT user_id, event_id, EPOCH_US(ts) AS us
+#: shared session-tagging CTE chain (oracle twin of ``_tag_sessions``) —
+#: tags every non-NULL-ts event with (user_id, event_id, event_type, us,
+#: sess_idx); used by both sessionize and session_paths.
+_SQL_SESSION_TAG = f"""e AS (
+  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us
   FROM events WHERE ts IS NOT NULL
 ), g AS (
-  SELECT user_id, event_id, us,
+  SELECT user_id, event_id, event_type, us,
          us - lag(us) OVER (
            PARTITION BY user_id
            ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS gap_us
   FROM e
 ), b AS (
-  SELECT user_id, event_id, us,
+  SELECT user_id, event_id, event_type, us,
          CASE WHEN gap_us IS NULL OR gap_us > {_SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
   FROM g
 ), s AS (
-  SELECT user_id, us,
+  SELECT user_id, event_id, event_type, us,
          SUM(is_new) OVER (
            PARTITION BY user_id
            ORDER BY us NULLS FIRST, event_id NULLS FIRST
            ROWS UNBOUNDED PRECEDING) AS sess_idx
   FROM b
-), sess AS (
+)"""
+
+
+_SQL_SESSIONIZE = f"""
+WITH {_SQL_SESSION_TAG}, sess AS (
   SELECT user_id, sess_idx,
          CAST(COUNT(*) AS BIGINT) AS session_events,
          CAST(MAX(us) - MIN(us) AS BIGINT) AS dur_us
@@ -782,3 +800,118 @@ FROM r
 
 QUERIES["conversion_latency"] = conversion_latency
 ORACLE["conversion_latency"] = _SQL_CONVERSION_LATENCY
+
+
+# ---------------------------------------------------------------------------
+# session_paths — top session-opening event-type paths (funnel DISCOVERY)
+# ---------------------------------------------------------------------------
+
+_PATH_STEPS = 3
+_PATH_TOPK = 20
+
+
+def session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis — funnel DISCOVERY, where ``event_funnel`` is funnel
+    measurement: the top-``_PATH_TOPK`` most common session-OPENING
+    event-type sequences (first ``_PATH_STEPS`` events of every
+    ``sessionize`` session, ``'>'``-joined), with session counts and
+    share in ppm of all sessions. The report that tells you which funnel
+    to define.
+
+    Determinism: step order is ``(ts, event_id)`` with the unique
+    event_id tie-break (NULLS FIRST pinned in the oracle); sessions
+    shorter than ``_PATH_STEPS`` emit their whole path (both engines'
+    ``concat_ws`` skips the NULL steps). Step extraction is
+    ``max(CASE WHEN rn = k)`` per session — deterministic, never an
+    unordered ``collect_list``.
+
+    Scale: the shared ``_tag_sessions`` exchange on user_id feeds the
+    boundary windows, the step-rank window AND the per-session pivot
+    (grouping-key prefix reuse — zero extra shuffles until the
+    |distinct paths|-sized count); path cardinality is bounded by
+    |event_types|^steps, so the count shuffle and top-k are tiny.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    tagged = _tag_sessions(ev, "event_type")
+    rw = Window.partitionBy("user_id", "sess_idx").orderBy("us", "event_id")
+    steps = [
+        F.max(
+            F.when(F.col("rn") == k, F.col("event_type"))
+        ).alias(f"s{k}")
+        for k in range(1, _PATH_STEPS + 1)
+    ]
+    per_sess = (
+        tagged.withColumn("rn", F.row_number().over(rw))
+        .where(F.col("rn") <= _PATH_STEPS)
+        .groupBy("user_id", "sess_idx")
+        .agg(*steps)
+        .select(
+            F.concat_ws(
+                ">", *[F.col(f"s{k}") for k in range(1, _PATH_STEPS + 1)]
+            ).alias("path")
+        )
+    )
+    from ._cache import scoped
+
+    # persist the (tiny, |event_types|^steps-bounded) path counts: both
+    # the top-k branch and the grand total consume them — without the
+    # persist the total branch replays the whole session pipeline
+    # (second user_id exchange) just to sum the counts
+    counts = per_sess.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    ).persist()
+    total = counts.agg(
+        F.sum("n_sessions").cast("long").alias("n_total")
+    )
+    wnd = Window.orderBy(F.desc("n_sessions"), "path")
+    result = (
+        counts.orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOPK)
+        .withColumn("rnk", F.row_number().over(wnd).cast("long"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rnk",
+            "path",
+            "n_sessions",
+            F.expr(
+                "cast(n_sessions * 1000000 div nullif(n_total, 0) as long)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("rnk")
+    )
+    return scoped(result, counts)
+
+
+_SQL_SESSION_PATHS = f"""
+WITH {_SQL_SESSION_TAG}, rr AS (
+  SELECT user_id, sess_idx, event_type,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id, sess_idx
+           ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS rn
+  FROM s
+), per_sess AS (
+  SELECT concat_ws('>',
+           MAX(CASE WHEN rn = 1 THEN event_type END),
+           MAX(CASE WHEN rn = 2 THEN event_type END),
+           MAX(CASE WHEN rn = 3 THEN event_type END)) AS path
+  FROM rr WHERE rn <= {_PATH_STEPS}
+  GROUP BY user_id, sess_idx
+), counts AS (
+  SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+  FROM per_sess GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_sessions) AS BIGINT) AS n_total FROM counts
+), top AS (
+  SELECT * FROM counts ORDER BY n_sessions DESC, path LIMIT {_PATH_TOPK}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_sessions DESC, path) AS BIGINT)
+         AS rnk,
+       path, n_sessions,
+       CAST(n_sessions * 1000000 // NULLIF(n_total, 0) AS BIGINT)
+         AS share_ppm
+FROM top CROSS JOIN tot
+ORDER BY rnk
+"""
+
+QUERIES["session_paths"] = session_paths
+ORACLE["session_paths"] = _SQL_SESSION_PATHS

@@ -207,14 +207,14 @@ def test_sessionize_gap_boundary_semantics(spark, tmp_path):
         return t0 + _dt.timedelta(minutes=m)
 
     rows = [
-        Row(event_id=1, ts=ts(0), user_id=1),
-        Row(event_id=2, ts=ts(10), user_id=1),   # 10-min gap: same
-        Row(event_id=3, ts=ts(40), user_id=1),   # exactly 30: same
-        Row(event_id=4, ts=ts(71), user_id=1),   # 31: new session
-        Row(event_id=5, ts=ts(0), user_id=2),    # lone event
-        Row(event_id=6, ts=ts(0), user_id=3),    # tied timestamps
-        Row(event_id=7, ts=ts(0), user_id=3),
-        Row(event_id=8, ts=None, user_id=3),     # NULL ts: excluded
+        Row(event_id=1, ts=ts(0), user_id=1, event_type="view"),
+        Row(event_id=2, ts=ts(10), user_id=1, event_type="view"),   # 10-min gap: same
+        Row(event_id=3, ts=ts(40), user_id=1, event_type="view"),   # exactly 30: same
+        Row(event_id=4, ts=ts(71), user_id=1, event_type="view"),   # 31: new session
+        Row(event_id=5, ts=ts(0), user_id=2, event_type="view"),    # lone event
+        Row(event_id=6, ts=ts(0), user_id=3, event_type="view"),    # tied timestamps
+        Row(event_id=7, ts=ts(0), user_id=3, event_type="view"),
+        Row(event_id=8, ts=None, user_id=3, event_type="view"),     # NULL ts: excluded
     ]
     sf_dir = str(tmp_path)
     spark.createDataFrame(rows).write.mode("overwrite").parquet(
@@ -308,3 +308,56 @@ def test_conversion_latency_first_touch_semantics(spark, tmp_path):
         )
     )
     assert tuple(got) == con.execute(_SQL_CONVERSION_LATENCY).fetchone()
+
+
+def test_session_paths_ordering_and_short_sessions(spark, tmp_path):
+    """Step order follows (ts, event_id) within the session; sessions
+    shorter than 3 steps emit their whole path (no trailing
+    separators); a >30-min gap splits one user's activity into two
+    counted paths — crafted corpus vs both hand values and the oracle."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_SESSION_PATHS,
+        session_paths,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        # u1 session 1: view > click > purchase (4th event ignored)
+        Row(event_id=1, ts=ts(0), user_id=1, event_type="view"),
+        Row(event_id=2, ts=ts(1), user_id=1, event_type="click"),
+        Row(event_id=3, ts=ts(2), user_id=1, event_type="purchase"),
+        Row(event_id=4, ts=ts(3), user_id=1, event_type="view"),
+        # u1 session 2 after a 31-min gap: single view
+        Row(event_id=5, ts=ts(34), user_id=1, event_type="view"),
+        # u2: tied ts resolved by event_id -> view > click
+        Row(event_id=7, ts=ts(0), user_id=2, event_type="click"),
+        Row(event_id=6, ts=ts(0), user_id=2, event_type="view"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    got = {(r.path, r.n_sessions) for r in session_paths(spark, sf_dir).collect()}
+    assert got == {
+        ("view>click>purchase", 1),
+        ("view", 1),
+        ("view>click", 1),
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    want = {(p, n) for _, p, n, _ in con.execute(_SQL_SESSION_PATHS).fetchall()}
+    assert got == want

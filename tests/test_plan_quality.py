@@ -999,3 +999,23 @@ def test_basket_lift_broadcasts_item_counts(spark, sf_dir):
     assert "SortMergeJoin" not in plan.split("TakeOrderedAndProject")[0]
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_session_paths_single_user_exchange_until_count(spark, sf_dir):
+    """The boundary windows, the step-rank window AND the per-session
+    pivot all ride ONE hashpartitioning(user_id); only the path count
+    (bounded by |event_types|^steps) and the final sort shuffle again."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import session_paths
+
+    plan = _plan(session_paths(spark, sf_dir))
+    # both the top-k branch and the grand total read the SAME cached
+    # path-count relation — the session pipeline (and its user_id
+    # exchange) executes once even though the cached plan's text prints
+    # under each consumer
+    assert plan.count("InMemoryTableScan") == 2
+    hashes = re.findall(r"Exchange hashpartitioning\(([^,)]*)", plan)
+    per_print = [h.split("#")[0] for h in hashes].count("user_id")
+    assert per_print == plan.count("InMemoryRelation"), hashes
+    assert "TakeOrderedAndProject" in plan
+    assert "WindowGroupLimit" in plan  # rank capped at 3 before the pivot
+    assert "BatchEvalPython" not in plan
