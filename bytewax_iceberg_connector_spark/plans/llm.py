@@ -2693,3 +2693,74 @@ ORACLE = {
     "multimodal_audio": _SQL_MM_AUDIO,
     "multimodal_pipeline": _SQL_MM_PIPELINE,
 }
+
+
+# ---------------------------------------------------------------------------
+# dup_family_histogram — duplicate family-size distribution per corpus
+# ---------------------------------------------------------------------------
+
+
+def dup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How is duplicate MASS distributed: for every exact-duplicate
+    family size k (``dedup_exact``'s normalized-text fingerprint
+    families), the number of families, the documents they hold, and
+    their share of the corpus in ppm — the report that decides whether
+    dedup should chase a few mega-families (crawl loops, boilerplate) or
+    a long tail of pairs, and sizes the expected row reduction before a
+    dedup job runs.
+
+    Scale: one fingerprint-keyed count shuffle (128-bit keys, never
+    text — the ``dedup_exact`` discipline), then a |distinct sizes|-row
+    histogram aggregate; the corpus total derives from the SAME family
+    table (result-scoped persist), so the scan runs once.
+    """
+    from ._cache import scoped
+
+    docs = load_table(spark, sf_dir, "documents")
+    fams = (
+        docs.select(X.fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+        .persist()
+    )
+    total = fams.agg(F.sum("k").cast("long").alias("n_total"))
+    result = (
+        fams.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_families"),
+            F.sum("k").cast("long").alias("n_docs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("k").alias("family_size"),
+            "n_families",
+            "n_docs",
+            F.expr(
+                "cast(n_docs * 1000000 div nullif(n_total, 0) as long)"
+            ).alias("corpus_share_ppm"),
+        )
+        .orderBy("family_size")
+    )
+    return scoped(result, fams)
+
+
+_SQL_DUP_FAMILY_HISTOGRAM = r"""
+WITH fams AS (
+  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         CAST(COUNT(*) AS BIGINT) AS k
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(k) AS BIGINT) AS n_total FROM fams
+)
+SELECT k AS family_size,
+       CAST(COUNT(*) AS BIGINT) AS n_families,
+       CAST(SUM(k) AS BIGINT) AS n_docs,
+       CAST(SUM(k) * 1000000 // NULLIF(n_total, 0) AS BIGINT)
+         AS corpus_share_ppm
+FROM fams CROSS JOIN tot
+GROUP BY k, n_total
+ORDER BY family_size
+"""
+
+QUERIES["dup_family_histogram"] = dup_family_histogram
+ORACLE["dup_family_histogram"] = _SQL_DUP_FAMILY_HISTOGRAM

@@ -290,3 +290,39 @@ def test_hybrid_rank_rrf_arithmetic_consistent_with_arms(spark, sf_dir):
                 or (prev.rrf_micro == r.rrf_micro and prev.doc_id < r.doc_id)
             )
         prev = r
+
+
+def test_dup_family_histogram_known_families(spark, tmp_path):
+    """Families of size 1/2/3 (one pair differing only in whitespace and
+    case — the dedup_exact normalization) produce the exact histogram
+    rows, shares summing to 10^6 — hand-checked, then vs the oracle."""
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _SQL_DUP_FAMILY_HISTOGRAM,
+        dup_family_histogram,
+    )
+
+    rows = [
+        (0, "unique one", "en", "s", 10),
+        (1, "pair  TEXT here", "en", "s", 15),
+        (2, "pair text  HERE", "en", "s", 15),   # same after normalize
+        (3, "tri same", "en", "s", 8),
+        (4, "tri same", "en", "s", 8),
+        (5, "TRI  SAME", "en", "s", 9),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        tmp_path / "documents.parquet"
+    )
+    sp = dup_family_histogram(spark, str(tmp_path)).toPandas()
+    got = {tuple(r) for r in sp.itertuples(index=False)}
+    assert got == {
+        (1, 1, 1, 1_000_000 // 6),
+        (2, 1, 2, 2_000_000 // 6),
+        (3, 1, 3, 3_000_000 // 6),
+    }
+    _diff(sp, _oracle(tmp_path, _SQL_DUP_FAMILY_HISTOGRAM))

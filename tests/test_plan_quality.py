@@ -1019,3 +1019,16 @@ def test_session_paths_single_user_exchange_until_count(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "WindowGroupLimit" in plan  # rank capped at 3 before the pivot
     assert "BatchEvalPython" not in plan
+
+
+def test_dup_family_histogram_shuffles_fingerprints_once(spark, sf_dir):
+    """The family build hash-partitions on the 128-bit fingerprint (never
+    text); the histogram and the corpus total both read the SAME cached
+    family table (one scan), and the total broadcasts."""
+    from bytewax_iceberg_connector_spark.plans.llm import dup_family_histogram
+
+    plan = _plan(dup_family_histogram(spark, sf_dir))
+    assert re.search(r"Exchange hashpartitioning\(fp", plan)
+    assert not re.search(r"Exchange hashpartitioning\(text", plan)
+    assert plan.count("InMemoryTableScan") == 2
+    assert "BatchEvalPython" not in plan
