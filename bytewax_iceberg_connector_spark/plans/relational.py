@@ -2509,3 +2509,108 @@ ORDER BY rnk
 
 QUERIES["basket_lift"] = basket_lift
 ORACLE["basket_lift"] = _SQL_BASKET_LIFT
+
+
+# ---------------------------------------------------------------------------
+# supplier_share_trend — year-over-year supplier revenue share + rank moves
+# ---------------------------------------------------------------------------
+
+_TREND_TOPK = 10
+
+
+def supplier_share_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year market structure: each ship-year's
+    top-``_TREND_TOPK`` suppliers by discounted revenue, with exact
+    revenue cents, share of the year's total in ppm, and the supplier's
+    rank MOVEMENT vs the previous year (NULL for first appearance) — the
+    "who is gaining" trend report built from two stacked windows.
+
+    Revenue is exact integer cents — FLOOR(decimal sum × 100), floored
+    explicitly because Spark's decimal→bigint cast truncates where
+    DuckDB's rounds — so ranks and shares cannot drift between engines;
+    rank ties break on suppkey.
+
+    Scale: ONE (year, suppkey) aggregate shuffles the fact table once
+    (map-side combined to |years|·|suppliers| rows — everything after
+    runs on that reduced table): year totals via a window over it, the
+    in-year rank window partitions by year (|suppliers| rows per
+    partition), the YoY lag partitions by supplier (|years| rows), and
+    the top-k filter applies LAST so rank deltas see the full field.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    from ..functions.numeric import dec
+
+    ys = (
+        li.where(F.col("l_shipdate").isNotNull())
+        .groupBy(
+            F.year("l_shipdate").cast("long").alias("yr"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            ).alias("rev_dec")
+        )
+        .select(
+            "yr",
+            "suppkey",
+            F.expr("cast(floor(rev_dec * 100) as bigint)").alias("rev_cents"),
+        )
+    )
+    wy = Window.partitionBy("yr")
+    wr = Window.partitionBy("yr").orderBy(F.desc("rev_cents"), "suppkey")
+    wl = Window.partitionBy("suppkey").orderBy("yr")
+    return (
+        ys.withColumn(
+            "year_cents", F.sum("rev_cents").over(wy).cast("long")
+        )
+        .withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .withColumn("prev_rnk", F.lag("rnk").over(wl).cast("long"))
+        .where(F.col("rnk") <= _TREND_TOPK)
+        .select(
+            "yr",
+            "rnk",
+            "suppkey",
+            "rev_cents",
+            F.expr(
+                "cast(rev_cents * 1000000 div nullif(year_cents, 0) as long)"
+            ).alias("share_ppm"),
+            "prev_rnk",
+            F.expr("cast(prev_rnk - rnk as long)").alias("rank_gain"),
+        )
+        .orderBy("yr", "rnk")
+    )
+
+
+_SQL_SUPPLIER_TREND = f"""
+WITH ys AS (
+  SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+         l_suppkey AS suppkey,
+         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l_discount AS DECIMAL(18,2)))) * 100)
+              AS BIGINT) AS rev_cents
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+  GROUP BY 1, 2
+), r AS (
+  SELECT yr, suppkey, rev_cents,
+         CAST(SUM(rev_cents) OVER (PARTITION BY yr) AS BIGINT) AS year_cents,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY yr ORDER BY rev_cents DESC, suppkey) AS BIGINT)
+           AS rnk
+  FROM ys
+), d AS (
+  SELECT *, CAST(lag(rnk) OVER (
+              PARTITION BY suppkey ORDER BY yr) AS BIGINT) AS prev_rnk
+  FROM r
+)
+SELECT yr, rnk, suppkey, rev_cents,
+       CAST(rev_cents * 1000000 // NULLIF(year_cents, 0) AS BIGINT)
+         AS share_ppm,
+       prev_rnk,
+       CAST(prev_rnk - rnk AS BIGINT) AS rank_gain
+FROM d WHERE rnk <= {_TREND_TOPK}
+ORDER BY yr, rnk
+"""
+
+QUERIES["supplier_share_trend"] = supplier_share_trend
+ORACLE["supplier_share_trend"] = _SQL_SUPPLIER_TREND

@@ -1032,3 +1032,24 @@ def test_dup_family_histogram_shuffles_fingerprints_once(spark, sf_dir):
     assert not re.search(r"Exchange hashpartitioning\(text", plan)
     assert plan.count("InMemoryTableScan") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_supplier_share_trend_one_fact_shuffle(spark, sf_dir):
+    """The fact table shuffles ONCE — the (year, suppkey) aggregate; the
+    year-total, in-year rank, and YoY lag windows all run over the
+    reduced |years|x|suppliers| table (their exchanges carry only that);
+    the scan prunes to the four referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        supplier_share_trend,
+    )
+
+    plan = _plan(supplier_share_trend(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the fact shuffle
+    assert plan.count("Window ") >= 2
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "l_suppkey",
+        "l_shipdate",
+        "l_extendedprice",
+        "l_discount",
+    }, m and m.group(1)

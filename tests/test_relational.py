@@ -248,3 +248,46 @@ def test_basket_lift_no_frequent_pairs_is_empty(spark, tmp_path):
     sp = basket_lift(spark, d).toPandas()
     assert len(sp) == 0
     _diff(sp, _oracle(tmp_path, _SQL_BASKET_LIFT))
+
+
+def test_supplier_share_trend_rank_moves(spark, tmp_path):
+    """Two years, two suppliers swapping the lead: rank_gain is +1 for
+    the riser, -1 for the faller, NULL prev_rank in year one; shares
+    are exact ppm of each year's cents — hand-checked, then vs the
+    oracle."""
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_SUPPLIER_TREND,
+        supplier_share_trend,
+    )
+
+    rows = [
+        # (suppkey, shipdate, extendedprice, discount)
+        (1, "1995-06-01", 300.0, 0.0),
+        (2, "1995-06-01", 100.0, 0.0),
+        (1, "1996-06-01", 100.0, 0.0),
+        (2, "1996-06-01", 300.0, 0.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+    )
+    # micros, not pandas' default ns — real lineitem fixtures are micros
+    pdf["l_shipdate"] = pd.to_datetime(pdf["l_shipdate"]).astype(
+        "datetime64[us]"
+    )
+    pdf["l_suppkey"] = pdf["l_suppkey"].astype("int64")
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+    sp = supplier_share_trend(spark, str(tmp_path)).toPandas()
+    got = {
+        (r.yr, r.rnk, r.suppkey, r.rev_cents, r.share_ppm): (
+            r.prev_rnk, r.rank_gain
+        )
+        for r in sp.itertuples(index=False)
+    }
+    assert all(pd.isna(v) for v in got[(1995, 1, 1, 30000, 750000)])
+    assert got[(1996, 1, 2, 30000, 750000)] == (2, 1)
+    assert got[(1996, 2, 1, 10000, 250000)] == (1, -1)
+    _diff(sp, _oracle(tmp_path, _SQL_SUPPLIER_TREND))
