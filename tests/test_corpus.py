@@ -364,3 +364,19 @@ def test_tokenizer_fertility_bounds_and_oracle(spark, tmp_path):
     fr = sp[sp.lang == "fr"].iloc[0]
     assert fr.words == 0 and fr.bpe_tokens == 0
     _diff(sp, _oracle(tmp_path, C._SQL_FERTILITY))
+
+
+def test_bpe_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The per-process merge memo must hit on an identical corpus stamp
+    and RETRAIN when the file is rewritten (different mtime) —
+    staleness across fixtures would poison every BPE consumer."""
+    d = _docs_dir(tmp_path, [(0, "aa aa bb", "en", "s", 8)])
+    m1 = C._learn_bpe(spark, d)
+    assert C._learn_bpe(spark, d) is m1  # stamp hit: same object
+    import time
+
+    time.sleep(0.01)  # ensure distinguishable mtime_ns
+    d = _docs_dir(tmp_path, [(0, "cc cc dd", "en", "s", 8)])
+    m2 = C._learn_bpe(spark, d)
+    assert m2 is not m1
+    assert m2 != m1  # different corpus -> different merges
