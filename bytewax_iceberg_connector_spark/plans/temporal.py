@@ -720,6 +720,76 @@ GROUP BY 1
 ORDER BY 1
 """
 
+
+# ---------------------------------------------------------------------------
+# weekly_growth — week-over-week volume growth per event type
+# ---------------------------------------------------------------------------
+
+
+def weekly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth: per (event_type, Monday-start ISO week),
+    the event count, the previous OBSERVED week's count, and growth in
+    ppm of the previous week (NULL on each type's first week) — the KPI
+    trend line every dashboard opens with. Growth is vs the previous
+    observed week; strict calendar densification is ``gapfill_locf``'s
+    territory.
+
+    Parity: the week bucket is ``to_date(date_trunc('week', ts))`` on
+    Spark vs DuckDB's already-DATE ``date_trunc`` — both Monday-start.
+    Growth is the first SIGNED ratio in the battery; both engines'
+    integer division truncates toward zero (Spark ``div`` and DuckDB
+    ``//`` give −5·10⁶ div 6 = −833333 alike — verified, NOT floor), so
+    the plain div is already engine-identical and declines round toward
+    zero by definition.
+
+    Scale: ONE map-side-combinable count shuffle to
+    |event_types|·|weeks| rows; the lag window and everything after run
+    on that reduced table.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    wk = (
+        ev.groupBy(
+            "event_type",
+            F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    return (
+        wk.withColumn("prev_events", F.lag("n_events").over(w).cast("long"))
+        .select(
+            "event_type",
+            "week",
+            "n_events",
+            "prev_events",
+            F.expr(
+                "cast((n_events - prev_events) * 1000000"
+                " div nullif(prev_events, 0) as long)"
+            ).alias("growth_ppm"),
+        )
+        .orderBy("event_type", "week")
+    )
+
+
+_SQL_WEEKLY_GROWTH = """
+WITH wk AS (
+  SELECT event_type, date_trunc('week', ts) AS week,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT event_type, week, n_events,
+       CAST(lag(n_events) OVER (
+         PARTITION BY event_type ORDER BY week) AS BIGINT) AS prev_events,
+       CAST((n_events - lag(n_events) OVER (
+         PARTITION BY event_type ORDER BY week)) * 1000000
+         // NULLIF(lag(n_events) OVER (
+              PARTITION BY event_type ORDER BY week), 0) AS BIGINT)
+         AS growth_ppm
+FROM wk
+ORDER BY event_type, week
+"""
+
 # ---------------------------------------------------------------------------
 
 QUERIES = {
@@ -732,6 +802,7 @@ QUERIES = {
     "ohlc_bars": ohlc_bars,
     "time_weighted_avg": time_weighted_avg,
     "event_attribution": event_attribution,
+    "weekly_growth": weekly_growth,
 }
 
 ORACLE = {
@@ -744,4 +815,5 @@ ORACLE = {
     "ohlc_bars": _SQL_OHLC,
     "time_weighted_avg": _SQL_TWA,
     "event_attribution": _SQL_ATTRIBUTION,
+    "weekly_growth": _SQL_WEEKLY_GROWTH,
 }

@@ -1053,3 +1053,19 @@ def test_supplier_share_trend_one_fact_shuffle(spark, sf_dir):
         "l_extendedprice",
         "l_discount",
     }, m and m.group(1)
+
+
+def test_weekly_growth_single_count_shuffle(spark, sf_dir):
+    """The fact table reduces map-side into the (type, week) count before
+    its one exchange; the lag window runs over the reduced table; scan
+    prunes to (ts, event_type) with the NULL filter pushed."""
+    from bytewax_iceberg_connector_spark.plans.temporal import weekly_growth
+
+    plan = _plan(weekly_growth(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "Join" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "ts",
+        "event_type",
+    }, m and m.group(1)

@@ -126,3 +126,57 @@ def test_gapfill_linear_interpolates_exactly(spark, tmp_path):
     u2 = sp[sp.user_id == 2]["value_lin_cents"].tolist()
     # 1000 -> 300 over 2h: midpoint 1000 + (-700 * 1) div 2 = 650
     assert u2 == [1000, 650, 300]
+
+
+def test_weekly_growth_observed_week_semantics(spark, tmp_path):
+    """Growth compares consecutive OBSERVED weeks (a skipped calendar
+    week does not insert a zero row); the first week's growth is NULL;
+    negative growth truncates toward zero under both engines' integer
+    div — crafted corpus vs hand values and the oracle."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_WEEKLY_GROWTH,
+        weekly_growth,
+    )
+
+    def monday(w, d=0):
+        return _dt.datetime(2024, 1, 1) + _dt.timedelta(weeks=w, days=d)
+
+    rows = (
+        [Row(event_id=i, ts=monday(0, i % 3), user_id=1, event_type="view")
+         for i in range(4)]            # week 0: 4 events
+        + [Row(event_id=10 + i, ts=monday(1), user_id=1, event_type="view")
+           for i in range(6)]          # week 1: 6 events -> +50%
+        + [Row(event_id=20, ts=monday(3), user_id=1, event_type="view")]
+        # week 3 (week 2 skipped): 1 event -> growth vs week 1 = -833334
+    )
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    got = {
+        (r.week.isoformat(), r.n_events): (r.prev_events, r.growth_ppm)
+        for r in weekly_growth(spark, sf_dir).collect()
+    }
+    assert got[("2024-01-01", 4)] == (None, None)
+    assert got[("2024-01-08", 6)] == (4, 500_000)
+    # BOTH engines truncate integer division toward zero (Spark div and
+    # DuckDB // alike): -5000000/6 -> -833333, not floor's -833334
+    assert got[("2024-01-22", 1)] == (6, -833_333)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    want = {
+        (w.isoformat() if hasattr(w, "isoformat") else str(w), n): (p, g)
+        for _, w, n, p, g in con.execute(_SQL_WEEKLY_GROWTH).fetchall()
+    }
+    want = {(k[0][:10], k[1]): v for k, v in want.items()}
+    assert got == want
