@@ -915,3 +915,119 @@ ORDER BY rnk
 
 QUERIES["session_paths"] = session_paths
 ORACLE["session_paths"] = _SQL_SESSION_PATHS
+
+
+# ---------------------------------------------------------------------------
+# ab_test_eval — deterministic hash-bucket experiment readout
+# ---------------------------------------------------------------------------
+
+
+def ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment analysis over a deterministic 50/50 user split: users
+    hash into arm A/B via the last md5 hex byte of their id (portable —
+    Spark ``conv(substring(md5(..)))`` and DuckDB ``'0x'||substr(..)``
+    produce the identical bucket, unlike engine-specific xxhash/hash()),
+    then per event type: per-arm n and mean value, the mean lift, and
+    Welch's z — the readout every experimentation platform computes.
+
+    Float discipline (the ``anomaly_zscore`` precedent): per-arm count /
+    sum / sum-of-squares accumulate as EXACT decimals in ONE pass
+    (CASE-split aggregates — no second scan, no join); the z statistic
+    is then a fixed sequence of IEEE ops on exact operands, bit-identical
+    on both engines. NULL users hash to NULL and belong to neither arm;
+    NULL values are excluded symmetrically.
+
+    Scale: one map-side-combinable aggregate to |event_types| rows —
+    nothing else moves. The bucket expression composes into the scan
+    projection (codegen), so assignment costs zero extra passes.
+    """
+    from ..functions.numeric import dec
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.expr(
+                "pmod(conv(substring(md5(cast(user_id as string)), 31, 2),"
+                " 16, 10), 2)"
+            ).alias("arm"),
+        )
+    )
+    a = F.col("arm") == 0
+    b = F.col("arm") == 1
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.when(a, 1)).cast("long").alias("n_a"),
+        F.count(F.when(b, 1)).cast("long").alias("n_b"),
+        F.sum(F.when(a, dec("value"))).cast("double").alias("s1a"),
+        F.sum(F.when(b, dec("value"))).cast("double").alias("s1b"),
+        F.sum(F.when(a, dec("value") * dec("value")))
+        .cast("double")
+        .alias("s2a"),
+        F.sum(F.when(b, dec("value") * dec("value")))
+        .cast("double")
+        .alias("s2b"),
+    )
+    mean_a = F.col("s1a") / F.col("n_a")
+    mean_b = F.col("s1b") / F.col("n_b")
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+        F.col("n_a") - 1
+    )
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (
+        F.col("n_b") - 1
+    )
+    z = (mean_b - mean_a) / F.sqrt(
+        var_a / F.col("n_a") + var_b / F.col("n_b")
+    )
+    return stats.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round(z, 6).alias("z_stat"),
+    ).orderBy("event_type")
+
+
+_SQL_AB_TEST = """
+WITH e AS (
+  SELECT event_type, value,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 31, 2))::BIGINT % 2
+           AS arm
+  FROM events WHERE value IS NOT NULL
+), s AS (
+  SELECT event_type,
+         CAST(COUNT(CASE WHEN arm = 0 THEN 1 END) AS BIGINT) AS n_a,
+         CAST(COUNT(CASE WHEN arm = 1 THEN 1 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 0
+                       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s1a,
+         CAST(SUM(CASE WHEN arm = 1
+                       THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s1b,
+         CAST(SUM(CASE WHEN arm = 0
+                       THEN CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s2a,
+         CAST(SUM(CASE WHEN arm = 1
+                       THEN CAST(value AS DECIMAL(18,2))
+                            * CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+           AS s2b
+  FROM e GROUP BY 1
+)
+SELECT event_type, n_a, n_b,
+       ROUND(s1a / n_a, 6) AS mean_a,
+       ROUND(s1b / n_b, 6) AS mean_b,
+       ROUND(s1b / n_b - s1a / n_a, 6) AS lift,
+       ROUND((s1b / n_b - s1a / n_a)
+             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
+                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b), 6)
+         AS z_stat
+FROM s
+ORDER BY event_type
+"""
+
+QUERIES["ab_test_eval"] = ab_test_eval
+ORACLE["ab_test_eval"] = _SQL_AB_TEST

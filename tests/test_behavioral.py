@@ -361,3 +361,62 @@ def test_session_paths_ordering_and_short_sessions(spark, tmp_path):
     )
     want = {(p, n) for _, p, n, _ in con.execute(_SQL_SESSION_PATHS).fetchall()}
     assert got == want
+
+
+def test_ab_test_eval_balanced_null_and_known_z(spark, tmp_path):
+    """Arm assignment is a pure function of user_id (same user always
+    lands the same arm); NULL users/values join neither arm; a crafted
+    A/B with known means yields the hand-computed Welch z on both
+    engines."""
+    import math
+    import os as _os
+
+    import duckdb
+    import pandas as pd
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_AB_TEST,
+        ab_test_eval,
+    )
+
+    # find user ids for each arm from the md5 rule itself
+    import hashlib
+
+    def arm(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[30:32], 16) % 2
+
+    a_users = [u for u in range(100) if arm(u) == 0][:2]
+    b_users = [u for u in range(100) if arm(u) == 1][:2]
+    rows = []
+    eid = 0
+    for u, vals in zip(a_users, ([1.0, 2.0], [3.0, 4.0])):
+        for v in vals:
+            rows.append((eid, pd.Timestamp("2024-01-01"), u, "view", v))
+            eid += 1
+    for u, vals in zip(b_users, ([5.0, 6.0], [7.0, 8.0])):
+        for v in vals:
+            rows.append((eid, pd.Timestamp("2024-01-01"), u, "view", v))
+            eid += 1
+    rows.append((eid, pd.Timestamp("2024-01-01"), None, "view", 99.0))
+    rows.append((eid + 1, pd.Timestamp("2024-01-01"), a_users[0], "view", None))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf["user_id"] = pdf["user_id"].astype("Int64")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    sf_dir = str(tmp_path)
+    pdf.to_parquet(_os.path.join(sf_dir, "events.parquet"))
+    got = ab_test_eval(spark, sf_dir).collect()[0]
+    assert (got.n_a, got.n_b) == (4, 4)
+    assert (got.mean_a, got.mean_b, got.lift) == (2.5, 6.5, 4.0)
+    # var both arms = 5/3; z = 4 / sqrt(2*(5/3)/4)
+    z = 4.0 / math.sqrt(2 * (5.0 / 3.0) / 4.0)
+    assert abs(got.z_stat - round(z, 6)) < 1e-9
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet")  # single file (pandas)
+        )
+    )
+    assert tuple(got) == con.execute(_SQL_AB_TEST).fetchone()

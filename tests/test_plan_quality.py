@@ -1069,3 +1069,16 @@ def test_weekly_growth_single_count_shuffle(spark, sf_dir):
         "ts",
         "event_type",
     }, m and m.group(1)
+
+
+def test_ab_test_eval_single_pass_no_join(spark, sf_dir):
+    """Arm assignment composes into the scan projection and both arms'
+    moments accumulate in ONE CASE-split aggregate — no join, no second
+    scan, one exchange to |event_types| rows."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import ab_test_eval
+
+    plan = _plan(ab_test_eval(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "BatchEvalPython" not in plan
