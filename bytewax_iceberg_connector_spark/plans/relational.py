@@ -2614,3 +2614,95 @@ ORDER BY yr, rnk
 
 QUERIES["supplier_share_trend"] = supplier_share_trend
 ORACLE["supplier_share_trend"] = _SQL_SUPPLIER_TREND
+
+
+# ---------------------------------------------------------------------------
+# skyline_pareto — Pareto-optimal frontier (minimize price AND size)
+# ---------------------------------------------------------------------------
+
+
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline operator: parts not DOMINATED on (retail price, size)
+    — x dominates y iff x is ≤ on both dimensions and < on at least one.
+    The classic multi-criteria "best tradeoffs" query (cheapest for its
+    size class), exact, with duplicates of an optimal point all kept.
+
+    Algorithm — the distributive two-phase sweep: the 2-D skyline test
+    reduces to window minima (a point survives iff no strictly-cheaper
+    point has size ≤ its own — a RANGE-frame running min over price —
+    and no same-price point is strictly smaller — a per-price min).
+    Phase 1 applies that test WITHIN each input partition
+    (``spark_partition_id`` keys the windows, so the sweep runs in
+    parallel with no global sort); domination within a partition implies
+    global domination, so pruning is lossless, and the true skyline is a
+    subset of every partition's survivors. Phase 2 re-runs the identical
+    test globally on the surviving fraction (skyline-of-skylines =
+    skyline) — the single-partition window touches only survivors, never
+    the catalog. The oracle states the quadratic NOT EXISTS definition;
+    the green row proves the sweep equals it.
+
+    Price is exact integer cents (FLOOR(decimal × 100), the
+    supplier_share_trend pinning); NULL price/size rows are excluded on
+    both engines (unknown coordinates cannot be ranked).
+    """
+    part = load_table(spark, sf_dir, "part")
+    from ..functions.numeric import dec
+
+    pts = part.where(
+        F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+    ).select(
+        "p_partkey",
+        F.expr(
+            "cast(floor(cast(p_retailprice as decimal(18,2)) * 100)"
+            " as bigint)"
+        ).alias("price_cents"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+    def survivors(df, *extra_keys):
+        wc = (
+            Window.partitionBy(*[F.col(k) for k in extra_keys])
+            .orderBy("price_cents")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        wp = Window.partitionBy(*extra_keys, "price_cents")
+        return (
+            df.withColumn("m_cheaper", F.min("size").over(wc))
+            .withColumn("m_same", F.min("size").over(wp))
+            .where(
+                (F.col("m_cheaper").isNull()
+                 | (F.col("m_cheaper") > F.col("size")))
+                & (F.col("m_same") == F.col("size"))
+            )
+            .drop("m_cheaper", "m_same")
+        )
+
+    local = survivors(
+        pts.withColumn("pid", F.spark_partition_id()), "pid"
+    ).drop("pid")
+    return survivors(local).select(
+        "p_partkey", "price_cents", "size"
+    ).orderBy("price_cents", "size", "p_partkey")
+
+
+_SQL_SKYLINE = """
+WITH pts AS (
+  SELECT p_partkey,
+         CAST(FLOOR(CAST(p_retailprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT p_partkey, price_cents, size
+FROM pts y
+WHERE NOT EXISTS (
+  SELECT 1 FROM pts x
+  WHERE x.price_cents <= y.price_cents AND x.size <= y.size
+    AND (x.price_cents < y.price_cents OR x.size < y.size)
+)
+ORDER BY price_cents, size, p_partkey
+"""
+
+QUERIES["skyline_pareto"] = skyline_pareto
+ORACLE["skyline_pareto"] = _SQL_SKYLINE

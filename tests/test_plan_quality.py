@@ -1082,3 +1082,25 @@ def test_ab_test_eval_single_pass_no_join(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan or "partial_sum" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_skyline_pareto_prunes_before_global_sweep(spark, sf_dir):
+    """Phase 1's windows key on spark_partition_id (parallel sweep, no
+    global sort of the catalog); only the PRUNED survivors reach the
+    single-partition phase-2 window; no join anywhere; scan pruned to
+    the three referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        skyline_pareto,
+    )
+
+    plan = _plan(skyline_pareto(spark, sf_dir))
+    assert "Join" not in plan
+    assert "SPARK_PARTITION_ID" in plan or "spark_partition_id" in plan
+    # exactly one single-partition exchange (phase 2), after filtering
+    assert plan.count("Exchange SinglePartition") == 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+    }, m and m.group(1)

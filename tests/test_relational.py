@@ -291,3 +291,52 @@ def test_supplier_share_trend_rank_moves(spark, tmp_path):
     assert got[(1996, 1, 2, 30000, 750000)] == (2, 1)
     assert got[(1996, 2, 1, 10000, 250000)] == (1, -1)
     _diff(sp, _oracle(tmp_path, _SQL_SUPPLIER_TREND))
+
+
+def test_skyline_pareto_semantics_and_partition_invariance(spark, tmp_path):
+    """Domination semantics by hand: equal-on-one-dimension points
+    dominate when strictly better on the other; duplicates of an optimal
+    point ALL survive; and the two-phase result is identical when the
+    input is split across 4 files (partition-local pruning is lossless)
+    — both layouts vs the quadratic oracle."""
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_SKYLINE,
+        skyline_pareto,
+    )
+
+    rows = [
+        # (partkey, retailprice, size)
+        (1, 10.00, 5),   # skyline
+        (2, 10.00, 5),   # duplicate of an optimum: survives too
+        (3, 10.00, 7),   # same price, bigger: dominated by 1
+        (4, 12.00, 5),   # pricier, same size: dominated by 1
+        (5, 12.00, 3),   # skyline (smaller than anything cheaper)
+        (6, 15.00, 3),   # dominated by 5 (pricier, equal size)
+        (7, 20.00, 1),   # skyline
+        (8, None, 2),    # NULL price: excluded
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["p_partkey", "p_retailprice", "p_size"]
+    )
+    pdf["p_partkey"] = pdf["p_partkey"].astype("int64")
+    pdf["p_size"] = pdf["p_size"].astype("Int64")
+
+    pdf.to_parquet(tmp_path / "part.parquet")
+    sp = skyline_pareto(spark, str(tmp_path)).toPandas()
+    assert list(sp.p_partkey) == [1, 2, 5, 7]
+    _diff(sp, _oracle(tmp_path, _SQL_SKYLINE))
+
+    # 4-file layout: phase-1 windows see different pid splits; result
+    # must be layout-invariant (the oracle can't read a directory — the
+    # single-file diff above already anchors the values)
+    (tmp_path / "part.parquet").unlink()
+    spark.createDataFrame(pdf).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "part.parquet"))
+    sp4 = skyline_pareto(spark, str(tmp_path)).toPandas()
+    assert list(sp4.p_partkey) == [1, 2, 5, 7]
+    assert sp4.equals(sp)
