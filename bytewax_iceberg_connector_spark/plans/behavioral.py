@@ -1031,3 +1031,112 @@ ORDER BY event_type
 
 QUERIES["ab_test_eval"] = ab_test_eval
 ORACLE["ab_test_eval"] = _SQL_AB_TEST
+
+
+# ---------------------------------------------------------------------------
+# followed_by_within — CEP-lite sequential pattern: view → purchase ≤ T
+# ---------------------------------------------------------------------------
+
+_FOLLOW_WINDOW_US = 60 * 60 * 1_000_000  # 1-hour deadline
+_FOLLOW_A = "view"
+_FOLLOW_B = "purchase"
+
+
+def followed_by_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sequential-pattern primitive (CEP's ``A FOLLOWED BY B WITHIN
+    T``, batch form): purchases preceded by the same user's view within
+    one hour — per-pattern match count, share of all purchases in ppm,
+    and exact integer min/mean/max view→purchase gaps. The operator
+    behind "did the recommendation view convert".
+
+    Implementation: ONE running window per user — each event carries the
+    latest STRICTLY-PRECEDING view time (running max over a rows frame
+    ending 1 before current, so a purchase tied to a view's timestamp
+    matches only via the unique (ts, event_id) order, identically pinned
+    in the oracle); a purchase matches iff that time is within the
+    deadline. No event-to-event join, no candidate explosion — the
+    100 TB shape is the same single user_id exchange as every window in
+    this module.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull())
+        .where(F.col("event_type").isin(_FOLLOW_A, _FOLLOW_B))
+        .select(
+            "user_id", "event_id", "event_type", "ts",
+            F.unix_micros("ts").alias("us"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    matched = (
+        ev.withColumn(
+            "last_a_us",
+            F.max(
+                F.when(F.col("event_type") == _FOLLOW_A, F.col("us"))
+            ).over(w),
+        )
+        .where(F.col("event_type") == _FOLLOW_B)
+        .withColumn("gap_us", F.col("us") - F.col("last_a_us"))
+        .withColumn(
+            "hit",
+            (
+                F.col("gap_us").isNotNull()
+                & (F.col("gap_us") <= F.lit(_FOLLOW_WINDOW_US))
+            ).cast("long"),
+        )
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_b_events"),
+        F.sum("hit").cast("long").alias("n_matched"),
+        F.expr(
+            "cast(sum(hit) * 1000000 div nullif(count(*), 0) as long)"
+        ).alias("match_ppm"),
+        F.min(F.when(F.col("hit") == 1, F.col("gap_us")))
+        .cast("long")
+        .alias("min_gap_us"),
+        F.expr(
+            "cast(sum(case when hit = 1 then gap_us end)"
+            " div nullif(sum(hit), 0) as long)"
+        ).alias("mean_gap_us"),
+        F.max(F.when(F.col("hit") == 1, F.col("gap_us")))
+        .cast("long")
+        .alias("max_gap_us"),
+    )
+
+
+_SQL_FOLLOWED_BY = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, EPOCH_US(ts) AS us
+  FROM events
+  WHERE ts IS NOT NULL AND event_type IN ('{_FOLLOW_A}', '{_FOLLOW_B}')
+), m AS (
+  SELECT event_type, us,
+         MAX(CASE WHEN event_type = '{_FOLLOW_A}' THEN us END) OVER (
+           PARTITION BY user_id
+           ORDER BY us NULLS FIRST, event_id NULLS FIRST
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_a_us
+  FROM e
+), b AS (
+  SELECT us - last_a_us AS gap_us,
+         CASE WHEN last_a_us IS NOT NULL
+                   AND us - last_a_us <= {_FOLLOW_WINDOW_US}
+              THEN 1 ELSE 0 END AS hit
+  FROM m WHERE event_type = '{_FOLLOW_B}'
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_b_events,
+       CAST(SUM(hit) AS BIGINT) AS n_matched,
+       CAST(SUM(hit) * 1000000 // NULLIF(COUNT(*), 0) AS BIGINT)
+         AS match_ppm,
+       CAST(MIN(CASE WHEN hit = 1 THEN gap_us END) AS BIGINT) AS min_gap_us,
+       CAST(SUM(CASE WHEN hit = 1 THEN gap_us END)
+            // NULLIF(SUM(hit), 0) AS BIGINT) AS mean_gap_us,
+       CAST(MAX(CASE WHEN hit = 1 THEN gap_us END) AS BIGINT) AS max_gap_us
+FROM b
+"""
+
+QUERIES["followed_by_within"] = followed_by_within
+ORACLE["followed_by_within"] = _SQL_FOLLOWED_BY

@@ -420,3 +420,60 @@ def test_ab_test_eval_balanced_null_and_known_z(spark, tmp_path):
         )
     )
     assert tuple(got) == con.execute(_SQL_AB_TEST).fetchone()
+
+
+def test_followed_by_within_deadline_and_tie_semantics(spark, tmp_path):
+    """A purchase 59 min after a view matches, 61 min does not; a
+    purchase with NO preceding view never matches; a view at the SAME
+    timestamp as the purchase matches via the (ts, event_id) order only
+    when its event_id sorts first — crafted corpus vs hand values and
+    the oracle."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_FOLLOWED_BY,
+        followed_by_within,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + _dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: view then purchase 59 min later -> hit (gap 59m)
+        Row(event_id=1, ts=ts(0), user_id=1, event_type="view"),
+        Row(event_id=2, ts=ts(59), user_id=1, event_type="purchase"),
+        # u2: view then purchase 61 min later -> miss
+        Row(event_id=3, ts=ts(0), user_id=2, event_type="view"),
+        Row(event_id=4, ts=ts(61), user_id=2, event_type="purchase"),
+        # u3: purchase with no view at all -> miss
+        Row(event_id=5, ts=ts(0), user_id=3, event_type="purchase"),
+        # u4: tied ts, view's event_id sorts first -> hit with gap 0
+        Row(event_id=6, ts=ts(0), user_id=4, event_type="view"),
+        Row(event_id=7, ts=ts(0), user_id=4, event_type="purchase"),
+        # u5: tied ts, PURCHASE sorts first -> its view is not preceding
+        Row(event_id=9, ts=ts(0), user_id=5, event_type="view"),
+        Row(event_id=8, ts=ts(0), user_id=5, event_type="purchase"),
+    ]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(sf_dir, "events.parquet")
+    )
+    got = followed_by_within(spark, sf_dir).collect()[0]
+    m = 60_000_000
+    assert (got.n_b_events, got.n_matched) == (5, 2)
+    assert got.match_ppm == 2 * 1_000_000 // 5
+    assert (got.min_gap_us, got.max_gap_us) == (0, 59 * m)
+    assert got.mean_gap_us == (0 + 59 * m) // 2
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(sf_dir, "events.parquet", "*.parquet")
+        )
+    )
+    assert tuple(got) == con.execute(_SQL_FOLLOWED_BY).fetchone()

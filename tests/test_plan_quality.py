@@ -1104,3 +1104,17 @@ def test_skyline_pareto_prunes_before_global_sweep(spark, sf_dir):
         "p_retailprice",
         "p_size",
     }, m and m.group(1)
+
+
+def test_followed_by_within_no_event_join(spark, sf_dir):
+    """The sequential pattern must be ONE running window per user — no
+    event-to-event join, no candidate explosion; the two-type filter
+    pushes to the scan."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        followed_by_within,
+    )
+
+    plan = _plan(followed_by_within(spark, sf_dir))
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
+    assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
