@@ -592,6 +592,214 @@ _SQL_CORR = (
 )
 
 
+
+# ---------------------------------------------------------------------------
+# benford_check — first-significant-digit law audit on order totals
+# ---------------------------------------------------------------------------
+
+
+def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit on ``o_totalprice`` — the standard
+    fabricated-data / fraud screen: per leading significant digit, the
+    observed count and share (ppm) against the Benford expectation
+    ``log10(1 + 1/d)`` in ppm, and the signed deviation. Synthetic or
+    manipulated amounts show up as a flat (or truncated-band) profile —
+    which this corpus's generator indeed produces; the query measures,
+    it does not assume.
+
+    Parity: the leading digit is extracted from the DIGIT STRING of the
+    exact cents integer (``substr(cast(cents as string), 1, 1)``) —
+    never via float log10, whose power-of-ten boundaries round
+    differently across engines. The only transcendental is the Benford
+    constant itself, computed as an identically-rounded micro-log on
+    both engines (the cooccurrence_pmi ln discipline).
+
+    Scale: one map-side-combinable 9-group aggregate over a single
+    pruned column; the total rides the same 9-row frame via a window.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (
+        orders.where(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.expr(
+                    "cast(cast(floor(cast(o_totalprice as decimal(18,2))"
+                    " * 100) as bigint) as string)"
+                ),
+                1,
+                1,
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    wall = Window.partitionBy()
+    return (
+        digits.withColumn("total", F.sum("n").over(wall).cast("long"))
+        .select(
+            "digit",
+            "n",
+            F.expr("cast(n * 1000000 div nullif(total, 0) as long)").alias(
+                "share_ppm"
+            ),
+            F.expr(
+                "cast(round(log10(1d + 1d / cast(digit as double))"
+                " * 1000000) as long)"
+            ).alias("benford_ppm"),
+            F.expr(
+                "cast(n * 1000000 div nullif(total, 0)"
+                " - cast(round(log10(1d + 1d / cast(digit as double))"
+                "       * 1000000) as long) as long)"
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+_SQL_BENFORD = """
+WITH d AS (
+  SELECT substr(CAST(CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                     AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+), t AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total FROM d
+)
+SELECT digit, n,
+       CAST(n * 1000000 // NULLIF(total, 0) AS BIGINT) AS share_ppm,
+       CAST(ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1000000) AS BIGINT)
+         AS benford_ppm,
+       CAST(n * 1000000 // NULLIF(total, 0)
+            - CAST(ROUND(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS BIGINT) AS delta_ppm
+FROM d CROSS JOIN t
+ORDER BY digit
+"""
+
+
+# ---------------------------------------------------------------------------
+# order_reconciliation — header totals vs line-item sums (value integrity)
+# ---------------------------------------------------------------------------
+
+_RECON_TOL_CENTS = 1
+
+
+def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level referential integrity — ``fk_integrity``'s sibling at
+    the MEASURE level: does each order header's total equal its lines'
+    ``Σ price·(1−discount)·(1+tax)``? Reports orders-with-lines,
+    exactly-reconciled count (|Δ| ≤ 1 cent), reconciliation ppm, exact
+    integer mean/max absolute delta, and headless/lineless counts — the
+    audit every finance pipeline runs. (This corpus's generator draws
+    header totals independently of lines; the report states that
+    honestly rather than assuming consistency.)
+
+    Parity: both sides are FLOOR(decimal × 100) exact cents (the
+    supplier_share_trend truncate-vs-round pinning).
+
+    Scale: one orderkey-grouped aggregate over lineitem (map-side
+    combined), one equi-join against the header on the same key (AQE
+    picks broadcast vs shuffle by size), then a 1-row rollup. A full
+    outer join carries the lineless/headless tails.
+    """
+    from ..functions.numeric import dec
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "cast(floor(cast(o_totalprice as decimal(18,2)) * 100)"
+            " as bigint)"
+        ).alias("head_cents"),
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey").isNotNull())
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(l_extendedprice as decimal(18,2))"
+                " * (1 - cast(l_discount as decimal(18,2)))"
+                " * (1 + cast(l_tax as decimal(18,2)))) * 100) as bigint)"
+            ).alias("line_cents")
+        )
+    )
+    j = orders.join(lines, "o_orderkey", "full_outer").select(
+        "head_cents",
+        "line_cents",
+        F.abs(F.col("head_cents") - F.col("line_cents")).alias("d_cents"),
+    )
+    return j.agg(
+        F.count(F.when(F.col("d_cents").isNotNull(), 1))
+        .cast("long")
+        .alias("n_with_both"),
+        F.sum(
+            F.when(F.col("d_cents") <= _RECON_TOL_CENTS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reconciled"),
+        F.expr(
+            "cast(sum(case when d_cents <= {tol} then 1 else 0 end)"
+            " * 1000000 div nullif(count(d_cents), 0) as long)".format(
+                tol=_RECON_TOL_CENTS
+            )
+        ).alias("reconciled_ppm"),
+        F.expr("cast(sum(d_cents) div nullif(count(d_cents), 0) as long)")
+        .alias("mean_abs_delta_cents"),
+        F.max("d_cents").cast("long").alias("max_abs_delta_cents"),
+        F.count(
+            F.when(
+                F.col("line_cents").isNull() & F.col("head_cents").isNotNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_lineless_orders"),
+        F.count(
+            F.when(
+                F.col("head_cents").isNull() & F.col("line_cents").isNotNull(),
+                1,
+            )
+        )
+        .cast("long")
+        .alias("n_headless_lines"),
+    )
+
+
+_SQL_RECONCILIATION = f"""
+WITH heads AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS head_cents
+  FROM orders
+), ls AS (
+  SELECT l_orderkey AS o_orderkey,
+         CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+              * (1 - CAST(l_discount AS DECIMAL(18,2)))
+              * (1 + CAST(l_tax AS DECIMAL(18,2)))) * 100) AS BIGINT)
+           AS line_cents
+  FROM lineitem WHERE l_orderkey IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT head_cents, line_cents, ABS(head_cents - line_cents) AS d_cents
+  FROM heads FULL OUTER JOIN ls USING (o_orderkey)
+)
+SELECT CAST(COUNT(d_cents) AS BIGINT) AS n_with_both,
+       CAST(SUM(CASE WHEN d_cents <= {_RECON_TOL_CENTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_reconciled,
+       CAST(SUM(CASE WHEN d_cents <= {_RECON_TOL_CENTS} THEN 1 ELSE 0 END)
+            * 1000000 // NULLIF(COUNT(d_cents), 0) AS BIGINT)
+         AS reconciled_ppm,
+       CAST(SUM(d_cents) // NULLIF(COUNT(d_cents), 0) AS BIGINT)
+         AS mean_abs_delta_cents,
+       CAST(MAX(d_cents) AS BIGINT) AS max_abs_delta_cents,
+       CAST(COUNT(CASE WHEN line_cents IS NULL AND head_cents IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_lineless_orders,
+       CAST(COUNT(CASE WHEN head_cents IS NULL AND line_cents IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n_headless_lines
+FROM j
+"""
+
 QUERIES = {
     "table_profile": table_profile,
     "fk_integrity": fk_integrity,
@@ -599,6 +807,8 @@ QUERIES = {
     "key_skew_report": key_skew_report,
     "event_transition_matrix": event_transition_matrix,
     "corr_matrix": corr_matrix,
+    "benford_check": benford_check,
+    "order_reconciliation": order_reconciliation,
 }
 
 ORACLE = {
@@ -608,4 +818,6 @@ ORACLE = {
     "key_skew_report": _SQL_SKEW,
     "event_transition_matrix": _SQL_TRANSITION,
     "corr_matrix": _SQL_CORR,
+    "benford_check": _SQL_BENFORD,
+    "order_reconciliation": _SQL_RECONCILIATION,
 }

@@ -1118,3 +1118,31 @@ def test_followed_by_within_no_event_join(spark, sf_dir):
     assert "Join" not in plan
     assert len(re.findall(r"Exchange hashpartitioning\(user_id", plan)) == 1
     assert re.search(r"PushedFilters: \[[^\]]*event_type", plan)
+
+
+def test_benford_single_column_nine_groups(spark, sf_dir):
+    """Digit extraction rides the scan projection; one 9-group combine;
+    scan reads ONLY o_totalprice with the positivity filter pushed."""
+    from bytewax_iceberg_connector_spark.plans.profiling import benford_check
+
+    plan = _plan(benford_check(spark, sf_dir))
+    assert "Join" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*o_totalprice", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and m.group(1).split(":")[0] == "o_totalprice", m.group(1)
+
+
+def test_order_reconciliation_combines_lines_before_join(spark, sf_dir):
+    """Lineitem must reduce to per-order cents (map-side partial sum)
+    BEFORE meeting the header — the join carries |orders| rows, never
+    raw lines; both scans prune to key + money columns."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        order_reconciliation,
+    )
+
+    plan = _plan(order_reconciliation(spark, sf_dir))
+    assert "partial_sum" in plan
+    first_join = plan.find("Join")
+    assert first_join != -1 and "partial_sum" in plan[first_join:]
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 4, mm.group(1)

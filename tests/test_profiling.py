@@ -407,3 +407,77 @@ def test_rolling_actives_null_users_excluded(spark, tmp_path):
     assert (sp.loc[0, "dau"], sp.loc[0, "wau7"]) == (1, 1)
     assert sp.loc[0, "stickiness_ppm"] == 1_000_000
     _diff(sp, _oracle(tmp_path, B._SQL_ROLLING_ACTIVE))
+
+
+def test_benford_conforming_corpus_near_zero_delta(spark, tmp_path):
+    """A corpus drawn AS Benford (counts proportional to log10(1+1/d))
+    lands each digit's share within 1 ppm-rounding of the expectation;
+    shares sum to ~1e6 — then differential vs the oracle."""
+    import math
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_BENFORD,
+        benford_check,
+    )
+
+    rows = []
+    key = 0
+    # 10^6-scaled Benford counts, one representative price per digit
+    for d in range(1, 10):
+        n = round(math.log10(1 + 1 / d) * 10000)
+        for _ in range(n):
+            rows.append((key, float(d) * 1.11))  # leading digit d
+            key += 1
+    pdf = pd.DataFrame(rows, columns=["o_orderkey", "o_totalprice"])
+    pdf["o_orderkey"] = pdf["o_orderkey"].astype("int64")
+    pdf.to_parquet(_os.path.join(str(tmp_path), "orders.parquet"))
+    sp = benford_check(spark, str(tmp_path)).toPandas()
+    assert list(sp.digit) == [str(d) for d in range(1, 10)]
+    assert abs(int(sp.share_ppm.sum()) - 1_000_000) < 10
+    assert (sp.delta_ppm.abs() < 200).all()  # 10^4 draws: <0.02% off
+    _diff(sp, _oracle(tmp_path, _SQL_BENFORD))
+
+
+def test_order_reconciliation_delta_accounting(spark, tmp_path):
+    """Exact reconciliation within 1 cent; a 2-cent discrepancy counts
+    as unreconciled with its delta in the mean/max; lineless orders and
+    headless lines land in their tails — hand values, then the oracle."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_RECONCILIATION,
+        order_reconciliation,
+    )
+
+    d = str(tmp_path)
+    orders = pd.DataFrame(
+        [(1, 110.0), (2, 110.02), (3, 50.0)],
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    orders["o_orderkey"] = orders["o_orderkey"].astype("int64")
+    orders.to_parquet(_os.path.join(d, "orders.parquet"))
+    # one line per order: 100 * (1-0) * (1+0.10) = 110.00 exactly
+    lines = pd.DataFrame(
+        [(1, 100.0, 0.0, 0.10), (2, 100.0, 0.0, 0.10), (4, 10.0, 0.0, 0.0)],
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    lines["l_orderkey"] = lines["l_orderkey"].astype("int64")
+    lines.to_parquet(_os.path.join(d, "lineitem.parquet"))
+    got = order_reconciliation(spark, d).collect()[0]
+    assert (got.n_with_both, got.n_reconciled) == (2, 1)
+    assert got.reconciled_ppm == 500_000
+    assert (got.mean_abs_delta_cents, got.max_abs_delta_cents) == (1, 2)
+    assert (got.n_lineless_orders, got.n_headless_lines) == (1, 1)
+    _diff(
+        order_reconciliation(spark, d).toPandas(),
+        _oracle(tmp_path, _SQL_RECONCILIATION),
+    )
