@@ -821,3 +821,108 @@ ORACLE = {
     "benford_check": _SQL_BENFORD,
     "order_reconciliation": _SQL_RECONCILIATION,
 }
+
+
+# ---------------------------------------------------------------------------
+# revenue_gini_by_nation — exact revenue-concentration (Gini) per market
+# ---------------------------------------------------------------------------
+
+
+def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per nation: the exact Gini coefficient of
+    per-customer order totals — ``(2·Σi·xᵢ − (n+1)·Σxᵢ) div (n·Σxᵢ)``
+    over each nation's customers sorted ascending — in ppm, plus the
+    top-decile revenue share. The "how dependent is this market on its
+    whales" report (Gini 0 = equal books, → 1 = one customer is the
+    market).
+
+    Exactness: xᵢ are exact order cents; every term of the Gini formula
+    is a BIGINT product/sum with ONE final integer division, so the
+    coefficient is engine-identical (rank ties break on custkey).
+
+    Scale: one custkey aggregate over orders (map-side combined), one
+    broadcast of the customer dimension's (custkey → nation) columns,
+    then ALL windows partition by nation — the sort is per-market and
+    parallel, never global (the skyline/percentiles contrast: Gini needs
+    a full in-group sort, so the group key IS the parallelism).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    per_cust = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents")
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+    )
+    w = Window.partitionBy("n_name").orderBy("cents", "o_custkey")
+    wn = Window.partitionBy("n_name")
+    ranked = (
+        per_cust.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wn).cast("long"))
+        .withColumn("tot", F.sum("cents").over(wn).cast("long"))
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            F.max("tot").cast("long").alias("total_cents"),
+            F.expr(
+                "cast((2 * sum(i * cents) - (max(n) + 1) * max(tot))"
+                " * 1000000 div nullif(max(n) * max(tot), 0) as long)"
+            ).alias("gini_ppm"),
+            F.expr(
+                "cast(sum(case when i > n - n div 10 then cents"
+                "         else 0 end) * 1000000"
+                " div nullif(max(tot), 0) as long)"
+            ).alias("top_decile_share_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_GINI = """
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT n_name, pc.o_custkey, pc.cents
+  FROM pc
+  JOIN customer ON c_custkey = pc.o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+), r AS (
+  SELECT n_name, cents,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY n_name ORDER BY cents, o_custkey) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY n_name) AS BIGINT) AS n,
+         CAST(SUM(cents) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+  FROM j
+)
+SELECT n_name,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(MAX(tot) AS BIGINT) AS total_cents,
+       CAST((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot)) * 1000000
+            // NULLIF(MAX(n) * MAX(tot), 0) AS BIGINT) AS gini_ppm,
+       CAST(SUM(CASE WHEN i > n - n // 10 THEN cents
+                     ELSE 0 END) * 1000000
+            // NULLIF(MAX(tot), 0) AS BIGINT) AS top_decile_share_ppm
+FROM r
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+QUERIES["revenue_gini_by_nation"] = revenue_gini_by_nation
+ORACLE["revenue_gini_by_nation"] = _SQL_GINI

@@ -1146,3 +1146,23 @@ def test_order_reconciliation_combines_lines_before_join(spark, sf_dir):
     assert first_join != -1 and "partial_sum" in plan[first_join:]
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(mm.group(1).split(",")) <= 4, mm.group(1)
+
+
+def test_revenue_gini_partitioned_sort_broadcast_dims(spark, sf_dir):
+    """The in-group Gini sort partitions by nation (parallel, never a
+    global sort); customer/nation broadcast onto the per-customer cents
+    aggregate; the fact table shuffles once on custkey."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        revenue_gini_by_nation,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(revenue_gini_by_nation(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"Exchange hashpartitioning\(o_custkey", plan)

@@ -481,3 +481,55 @@ def test_order_reconciliation_delta_accounting(spark, tmp_path):
         order_reconciliation(spark, d).toPandas(),
         _oracle(tmp_path, _SQL_RECONCILIATION),
     )
+
+
+def test_revenue_gini_known_distributions(spark, tmp_path):
+    """Perfect equality gives Gini 0 exactly; a 4-customer market where
+    one holds (almost) everything approaches (n-1)/n; the top-decile
+    share is exact — hand values, then the oracle."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_GINI,
+        revenue_gini_by_nation,
+    )
+
+    d = str(tmp_path)
+    # nation 0 "EQ": 4 customers x 100.00 -> gini 0
+    # nation 1 "WHALE": 0.01,0.01,0.01,999.99
+    orders = []
+    custs = []
+    k = 0
+    for nk, vals in ((0, [100.0] * 4), (1, [0.01, 0.01, 0.01, 999.99])):
+        for v in vals:
+            orders.append((k, k, v))
+            custs.append((k, nk))
+            k += 1
+    op = pd.DataFrame(orders, columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    for c in ("o_orderkey", "o_custkey"):
+        op[c] = op[c].astype("int64")
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    cp = pd.DataFrame(custs, columns=["c_custkey", "c_nationkey"])
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    np_ = pd.DataFrame(
+        [(0, "EQ"), (1, "WHALE")], columns=["n_nationkey", "n_name"]
+    )
+    np_["n_nationkey"] = np_["n_nationkey"].astype("int32")
+    np_.to_parquet(_os.path.join(d, "nation.parquet"))
+    sp = revenue_gini_by_nation(spark, d).toPandas().set_index("n_name")
+    assert sp.loc["EQ"].gini_ppm == 0
+    # WHALE: cents [1,1,1,99999], tot=100002, sum(i*x)=1+2+3+4*99999
+    tot, sixi, n = 100_002, 1 + 2 + 3 + 4 * 99_999, 4
+    want = (2 * sixi - (n + 1) * tot) * 1_000_000 // (n * tot)
+    assert sp.loc["WHALE"].gini_ppm == want
+    assert sp.loc["WHALE"].top_decile_share_ppm == 0  # n div 10 = 0 -> none
+    _diff(
+        revenue_gini_by_nation(spark, d).toPandas(),
+        _oracle(tmp_path, _SQL_GINI),
+    )
