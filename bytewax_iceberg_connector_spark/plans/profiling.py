@@ -836,9 +836,14 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     whales" report (Gini 0 = equal books, → 1 = one customer is the
     market).
 
-    Exactness: xᵢ are exact order cents; every term of the Gini formula
-    is a BIGINT product/sum with ONE final integer division, so the
-    coefficient is engine-identical (rank ties break on custkey).
+    Exactness: xᵢ are exact order cents; the ppm scaling uses the exact
+    TWO-STAGE floor decomposition — with q₁ = (A·10³) div B and r₁ =
+    (A·10³) mod B, ``floor(A·10⁶/B) = q₁·10³ + (r₁·10³) div B`` — so
+    (since A ≤ B for a Gini numerator and the decile mass) no
+    intermediate exceeds B·10³. The naive ``A·10⁶ div B`` AND the
+    one-stage remainder form both overflowed BIGINT at sf0.1 (caught
+    live under ANSI mode; both engines' div/% agree on non-negative
+    operands, and neither has a portable 128-bit integral division).
 
     Scale: one custkey aggregate over orders (map-side combined), one
     broadcast of the customer dimension's (custkey → nation) columns,
@@ -878,13 +883,10 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("n_customers"),
             F.max("tot").cast("long").alias("total_cents"),
             F.expr(
-                "cast((2 * sum(i * cents) - (max(n) + 1) * max(tot))"
-                " * 1000000 div nullif(max(n) * max(tot), 0) as long)"
+                "cast((((2 * sum(i * cents) - (max(n) + 1) * max(tot))) * 1000 div NULLIF((max(n) * max(tot)), 0)) * 1000 + ((((2 * sum(i * cents) - (max(n) + 1) * max(tot))) * 1000) % NULLIF((max(n) * max(tot)), 0)) * 1000 div NULLIF((max(n) * max(tot)), 0) as long)"
             ).alias("gini_ppm"),
             F.expr(
-                "cast(sum(case when i > n - n div 10 then cents"
-                "         else 0 end) * 1000000"
-                " div nullif(max(tot), 0) as long)"
+                "cast(((sum(case when i > n - n div 10 then cents else 0 end)) * 1000 div NULLIF(max(tot), 0)) * 1000 + (((sum(case when i > n - n div 10 then cents else 0 end)) * 1000) % NULLIF(max(tot), 0)) * 1000 div NULLIF(max(tot), 0) as long)"
             ).alias("top_decile_share_ppm"),
         )
         .orderBy("n_name")
@@ -914,11 +916,8 @@ WITH pc AS (
 SELECT n_name,
        CAST(MAX(n) AS BIGINT) AS n_customers,
        CAST(MAX(tot) AS BIGINT) AS total_cents,
-       CAST((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot)) * 1000000
-            // NULLIF(MAX(n) * MAX(tot), 0) AS BIGINT) AS gini_ppm,
-       CAST(SUM(CASE WHEN i > n - n // 10 THEN cents
-                     ELSE 0 END) * 1000000
-            // NULLIF(MAX(tot), 0) AS BIGINT) AS top_decile_share_ppm
+       CAST((((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot))) * 1000 // NULLIF((MAX(n) * MAX(tot)), 0)) * 1000 + ((((2 * SUM(i * cents) - (MAX(n) + 1) * MAX(tot))) * 1000) % NULLIF((MAX(n) * MAX(tot)), 0)) * 1000 // NULLIF((MAX(n) * MAX(tot)), 0) AS BIGINT) AS gini_ppm,
+       CAST(((SUM(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)) * 1000 // NULLIF(MAX(tot), 0)) * 1000 + (((SUM(CASE WHEN i > n - n // 10 THEN cents ELSE 0 END)) * 1000) % NULLIF(MAX(tot), 0)) * 1000 // NULLIF(MAX(tot), 0) AS BIGINT) AS top_decile_share_ppm
 FROM r
 GROUP BY n_name
 ORDER BY n_name
