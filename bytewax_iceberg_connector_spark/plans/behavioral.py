@@ -1140,3 +1140,195 @@ FROM b
 
 QUERIES["followed_by_within"] = followed_by_within
 ORACLE["followed_by_within"] = _SQL_FOLLOWED_BY
+
+
+# ---------------------------------------------------------------------------
+# rfm_segmentation — segment-relative RFM customer scoring
+# ---------------------------------------------------------------------------
+
+
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation, the
+    standard CRM scoring matrix: per customer, days since last order
+    (vs the corpus max order date), order count, and lifetime cents;
+    each dimension quartiled with NTILE(4) *within the customer's market
+    segment* (segment-relative scoring — a whale in MACHINERY is scored
+    against MACHINERY whales), then rolled up to segment x (r,f,m) cells
+    with exact customer counts and monetary mass.
+
+    Determinism: NTILE follows the SQL-standard fill (first ``n mod k``
+    tiles one larger) identically on both engines; every quartile window
+    orders by (metric, c_custkey) so ties are uniquely broken; NULL
+    recency (customer with all-NULL order dates) is pinned NULLS FIRST
+    on the oracle side to match Spark's ASC default. Monetary cents are
+    exact FLOOR(decimal x 100) bigints.
+
+    Scale: one custkey aggregate over orders (map-side combined), one
+    broadcast of the customer dim, then all three NTILE windows partition
+    by c_mktsegment and SHARE that one exchange (same partition key) —
+    the sort is per-segment, never global. The rollup emits <= |segments|
+    x 64 rows. At 100 TB the per-segment sort is the honest cost of exact
+    quantile scoring; a coarser hash-sharded approximate scorer would
+    trade that for cut-value lookups.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("corpus_max"))
+    per_cust = (
+        orders.where(F.col("o_custkey").isNotNull())
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents"),
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .crossJoin(F.broadcast(maxd))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("corpus_max"), F.col("last_order")).cast("long"),
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    scored = (
+        per_cust.withColumn(
+            "r_q", F.ntile(4).over(seg.orderBy("recency_days", "o_custkey"))
+        )
+        .withColumn("f_q", F.ntile(4).over(seg.orderBy("n_orders", "o_custkey")))
+        .withColumn("m_q", F.ntile(4).over(seg.orderBy("cents", "o_custkey")))
+    )
+    return (
+        scored.groupBy("c_mktsegment", "r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.expr("sum(cents) div count(1)").cast("long").alias(
+                "avg_cents"
+            ),
+        )
+        .orderBy("c_mktsegment", "r_q", "f_q", "m_q")
+    )
+
+
+_SQL_RFM = """
+WITH maxd AS (
+  SELECT MAX(o_orderdate) AS corpus_max FROM orders
+), pc AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_custkey IS NOT NULL
+  GROUP BY 1
+), j AS (
+  SELECT c_mktsegment, pc.o_custkey, pc.n_orders, pc.cents,
+         CAST(DATE_DIFF('day', CAST(last_order AS DATE),
+                        CAST(corpus_max AS DATE)) AS BIGINT) AS recency_days
+  FROM pc
+  JOIN customer ON c_custkey = pc.o_custkey
+  CROSS JOIN maxd
+), s AS (
+  SELECT c_mktsegment,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY recency_days NULLS FIRST, o_custkey) AS r_q,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY n_orders, o_custkey) AS f_q,
+         NTILE(4) OVER (PARTITION BY c_mktsegment
+                        ORDER BY cents, o_custkey) AS m_q,
+         cents
+  FROM j
+)
+SELECT c_mktsegment, r_q, f_q, m_q,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(cents) AS BIGINT) AS total_cents,
+       CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+FROM s
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+"""
+
+QUERIES["rfm_segmentation"] = rfm_segmentation
+ORACLE["rfm_segmentation"] = _SQL_RFM
+
+
+# ---------------------------------------------------------------------------
+# quantile_bins — exact equi-depth deciles of order value per year
+# ---------------------------------------------------------------------------
+
+
+def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth (equal-count) decile binning of order value
+    within each order year: NTILE(10) over exact cents, then per-bin
+    count / min / max / sum — the equi-DEPTH complement to
+    ``value_histogram``'s equi-WIDTH bins, and the exact version of what
+    approx_percentile-based binning estimates. Bin edges (min/max per
+    bin) double as an exact decile table.
+
+    Determinism: NTILE ordering pinned by (cents, o_orderkey) — unique;
+    both engines fill tiles with the SQL-standard first-(n mod k)-larger
+    rule. NULL order dates form their own partition on both engines
+    (PARTITION BY groups NULLs together in Spark and DuckDB alike).
+
+    Scale: the NTILE window partitions by year, so the sort is per-year
+    and parallel; at 100 TB the partition key would tighten to
+    (year, month) — same plan shape, more parallelism — the choice is a
+    bucketing knob, not a structural change. One shuffle on the year
+    key, one rollup on (year, decile).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_year").orderBy("cents", "o_orderkey")
+    binned = (
+        orders.select(
+            "o_orderkey",
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            F.expr(
+                "cast(floor(cast(o_totalprice as decimal(18,2)) * 100)"
+                " as bigint)"
+            ).alias("cents"),
+        )
+        .withColumn("decile", F.ntile(10).over(w).cast("long"))
+    )
+    return (
+        binned.groupBy("o_year", "decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("cents").cast("long").alias("lo_cents"),
+            F.max("cents").cast("long").alias("hi_cents"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("o_year", "decile")
+    )
+
+
+_SQL_QUANTILE_BINS = """
+WITH b AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+              AS BIGINT) AS cents,
+         o_orderkey
+  FROM orders
+), t AS (
+  SELECT o_year, cents,
+         CAST(NTILE(10) OVER (PARTITION BY o_year
+                              ORDER BY cents NULLS FIRST, o_orderkey)
+              AS BIGINT) AS decile
+  FROM b
+)
+SELECT o_year, decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM t
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["quantile_bins"] = quantile_bins
+ORACLE["quantile_bins"] = _SQL_QUANTILE_BINS

@@ -477,3 +477,89 @@ def test_followed_by_within_deadline_and_tie_semantics(spark, tmp_path):
         )
     )
     assert tuple(got) == con.execute(_SQL_FOLLOWED_BY).fetchone()
+
+
+def test_rfm_segmentation_null_date_and_singleton_segment(spark, tmp_path):
+    """NULL-recency customers sort NULLS FIRST into r_q=1 on both
+    engines; a singleton segment gets (1,1,1); NULL o_custkey orders are
+    dropped symmetrically. Full-frame oracle diff on the same fixture."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_RFM,
+        rfm_segmentation,
+    )
+
+    d = str(tmp_path)
+    orders = []
+    custs = []
+    for k in range(1, 9):  # segment S: 8 customers, 1 order each
+        orders.append((k, k, k * 100.0, f"2024-01-{k:02d}"))
+        custs.append((k, "S"))
+    orders.append((9, 9, 50.0, None))  # NULL date -> NULL recency
+    custs.append((9, "S"))
+    orders.append((10, 10, 7.0, "2024-02-01"))  # singleton segment T
+    custs.append((10, "T"))
+    orders.append((11, None, 99.0, "2024-02-02"))  # NULL custkey: dropped
+    op = pd.DataFrame(
+        orders, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("Int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype("datetime64[us]")
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    cp = pd.DataFrame(custs, columns=["c_custkey", "c_mktsegment"])
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+
+    got = rfm_segmentation(spark, d).toPandas()
+    assert int(got.n_customers.sum()) == 10
+    t = got[got.c_mktsegment == "T"]
+    assert len(t) == 1 and tuple(t.iloc[0][["r_q", "f_q", "m_q"]]) == (1, 1, 1)
+    # NULL-date customer 9: NULLS FIRST -> tile 1 of the recency ntile;
+    # cents 5000 is the 2nd-smallest of S -> m_q = 1 as well
+    s_cells = got[(got.c_mktsegment == "S") & (got.r_q == 1)]
+    assert int(s_cells.n_customers.sum()) == 3  # 9 customers -> 3,2,2,2
+    _diff(got, _oracle(tmp_path, _SQL_RFM))
+
+
+def test_quantile_bins_fill_rule_and_null_year(spark, tmp_path):
+    """25 rows -> decile sizes 3,3,3,3,3,2,2,2,2,2 (SQL-standard NTILE
+    fill); a NULL order date forms its own year partition on both
+    engines; bin edges are the exact sorted cents."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_QUANTILE_BINS,
+        quantile_bins,
+    )
+
+    d = str(tmp_path)
+    rows = [(k, 1, float(k), "2023-03-01") for k in range(1, 26)]
+    rows.append((100, 1, 42.0, None))
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype("datetime64[us]")
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+
+    got = quantile_bins(spark, d).toPandas()
+    y = got[got.o_year == 2023].sort_values("decile")
+    assert list(y.n_orders) == [3, 3, 3, 3, 3, 2, 2, 2, 2, 2]
+    assert list(y.lo_cents) == [100, 400, 700, 1000, 1300, 1600, 1800,
+                                2000, 2200, 2400]
+    assert list(y.hi_cents) == [300, 600, 900, 1200, 1500, 1700, 1900,
+                                2100, 2300, 2500]
+    nully = got[got.o_year.isna()]
+    assert len(nully) == 1 and int(nully.iloc[0].n_orders) == 1
+    _diff(got, _oracle(tmp_path, _SQL_QUANTILE_BINS))

@@ -1166,3 +1166,39 @@ def test_revenue_gini_partitioned_sort_broadcast_dims(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "Exchange SinglePartition" not in plan
     assert re.search(r"Exchange hashpartitioning\(o_custkey", plan)
+
+
+def test_rfm_three_ntiles_share_one_segment_exchange(spark, sf_dir):
+    """All three RFM quartile windows partition by c_mktsegment and must
+    share ONE hash exchange (same distribution, different sort keys);
+    the customer dim broadcasts onto the per-custkey aggregate even with
+    size-based auto-broadcast off; orders scans stay pruned."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        rfm_segmentation,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(rfm_segmentation(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("Exchange hashpartitioning(c_mktsegment") == 1
+    assert plan.count("ntile(4)") >= 3
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 3, mm.group(1)
+
+
+def test_quantile_bins_single_hash_exchange(spark, sf_dir):
+    """The per-year NTILE sort and the (year, decile) rollup share one
+    hash exchange (grouping-key prefix reuse); the orders scan reads only
+    the three referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import quantile_bins
+
+    plan = _plan(quantile_bins(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange SinglePartition" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)
