@@ -2706,3 +2706,194 @@ ORDER BY price_cents, size, p_partkey
 
 QUERIES["skyline_pareto"] = skyline_pareto
 ORACLE["skyline_pareto"] = _SQL_SKYLINE
+
+
+# ---------------------------------------------------------------------------
+# graph_degree_profile — degree histogram + neighbor-degree assortativity
+# ---------------------------------------------------------------------------
+
+
+def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree profile of the part co-purchase graph: for each degree
+    value, the node count and the exact mean NEIGHBOR degree in milli
+    (the k → knn(k) assortativity curve — rising = assortative hubs
+    cluster with hubs, falling = disassortative hub-and-spoke). The
+    fourth member of the basket-graph family (affinity = edges, pagerank
+    = centrality, triangles = closure, this = topology shape).
+
+    Exactness: all integers; mean neighbor degree is ``sum(nbr_deg) *
+    1000 div (deg * n_nodes)`` — the denominator is exactly the number of
+    (node, neighbor) incidences at that degree, so the division is a
+    single floor at the end.
+
+    Scale: one basket fan-out (shared with the siblings), a node-sized
+    degree table that BROADCASTS back onto the directed incidence list
+    (graph dimension vs fact-edge asymmetry — part-node cardinality is
+    dimension-sized even at 100 TB), one shuffle on the degree key for
+    the histogram. No self-joins.
+    """
+    from ._cache import scoped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _basket_pairs(li).select("pa", "pb").persist()
+    directed = edges.unionAll(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).toDF("node", "nbr")
+    deg = (
+        directed.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .persist()
+    )
+    nbr_deg = F.broadcast(
+        deg.select(F.col("node").alias("nbr"), F.col("deg").alias("nbr_deg"))
+    )
+    result = (
+        directed.join(F.broadcast(deg), "node")
+        .join(nbr_deg, "nbr")
+        .groupBy("deg")
+        .agg(
+            F.expr("count(1) div deg").cast("long").alias("n_nodes"),
+            F.sum("nbr_deg").cast("long").alias("sum_nbr_deg"),
+            F.expr("sum(nbr_deg) * 1000 div count(1)").cast("long").alias(
+                "mean_nbr_deg_milli"
+            ),
+        )
+        .orderBy("deg")
+    )
+    return scoped(result, edges, deg)
+
+
+_SQL_DEGREE_PROFILE = f"""
+WITH {_SQL_BASKET_PAIRS}, e AS (
+  SELECT pa, pb FROM und
+), d AS (
+  SELECT pa AS node, pb AS nbr FROM e
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM e
+), deg AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM d GROUP BY 1
+)
+SELECT dn.deg,
+       CAST(COUNT(*) // dn.deg AS BIGINT) AS n_nodes,
+       CAST(SUM(dnb.deg) AS BIGINT) AS sum_nbr_deg,
+       CAST(SUM(dnb.deg) * 1000 // COUNT(*) AS BIGINT)
+         AS mean_nbr_deg_milli
+FROM d
+JOIN deg dn ON dn.node = d.node
+JOIN deg dnb ON dnb.node = d.nbr
+GROUP BY dn.deg
+ORDER BY dn.deg
+"""
+
+QUERIES["graph_degree_profile"] = graph_degree_profile
+ORACLE["graph_degree_profile"] = _SQL_DEGREE_PROFILE
+
+
+# ---------------------------------------------------------------------------
+# bfs_reach — 3-hop shortest-distance frontiers from the top hub
+# ---------------------------------------------------------------------------
+
+
+def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first reach from the co-purchase graph's top hub (highest
+    degree, smallest part id on ties): exact shortest-distance frontier
+    sizes at hops 0..3 — the "how much of the catalog is within k
+    recommendation steps of the flagship product" reachability report.
+
+    Algorithm: fixed-depth BFS as three hash joins on the directed
+    incidence list, each frontier anti-joined against the union of all
+    closer frontiers (shortest distance, not mere reachability). The
+    3-hop bound makes the plan STATIC — no driver loop, no fixpoint;
+    for unbounded reach the dedup_clusters checkpointed-fixpoint pattern
+    applies instead (plans/llm.py).
+
+    Scale: frontiers are node-sized and broadcast onto the edge list
+    (dimension-vs-fact asymmetry as in graph_degree_profile); each hop is
+    one broadcast join + one distinct over the new frontier. The root
+    pick is a 1-row aggregate.
+    """
+    from ._cache import scoped
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = _basket_pairs(li).select("pa", "pb")
+    directed = edges.unionAll(
+        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).toDF("node", "nbr").persist()
+    deg = directed.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    root = (
+        deg.orderBy(F.col("deg").desc(), F.col("node"))
+        .limit(1)
+        .select("node")
+        .persist()
+    )
+    f1 = (
+        directed.join(F.broadcast(root), "node")
+        .select(F.col("nbr").alias("node"))
+        .distinct()
+        .join(F.broadcast(root), "node", "left_anti")
+        .persist()
+    )
+    seen1 = root.unionAll(f1)
+    f2 = (
+        directed.join(F.broadcast(f1), "node")
+        .select(F.col("nbr").alias("node"))
+        .distinct()
+        .join(F.broadcast(seen1), "node", "left_anti")
+        .persist()
+    )
+    seen2 = seen1.unionAll(f2)
+    f3 = (
+        directed.join(F.broadcast(f2), "node")
+        .select(F.col("nbr").alias("node"))
+        .distinct()
+        .join(F.broadcast(seen2), "node", "left_anti")
+    )
+    counts = None
+    for hop, fr in ((0, root), (1, f1), (2, f2), (3, f3)):
+        c = fr.agg(
+            F.lit(hop).cast("long").alias("hop"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+        counts = c if counts is None else counts.unionAll(c)
+    return scoped(counts.orderBy("hop"), directed, root, f1, f2)
+
+
+_SQL_BFS = f"""
+WITH {_SQL_BASKET_PAIRS}, e AS (
+  SELECT pa, pb FROM und
+), d AS (
+  SELECT pa AS node, pb AS nbr FROM e
+  UNION ALL
+  SELECT pb AS node, pa AS nbr FROM e
+), root AS (
+  SELECT node FROM (
+    SELECT node, COUNT(*) AS deg FROM d GROUP BY 1
+  ) ORDER BY deg DESC, node LIMIT 1
+), f1 AS (
+  SELECT DISTINCT d.nbr AS node FROM d JOIN root ON d.node = root.node
+  WHERE d.nbr NOT IN (SELECT node FROM root)
+), f2 AS (
+  SELECT DISTINCT d.nbr AS node FROM d JOIN f1 ON d.node = f1.node
+  WHERE d.nbr NOT IN (SELECT node FROM root UNION ALL SELECT node FROM f1)
+), f3 AS (
+  SELECT DISTINCT d.nbr AS node FROM d JOIN f2 ON d.node = f2.node
+  WHERE d.nbr NOT IN (SELECT node FROM root UNION ALL SELECT node FROM f1
+                      UNION ALL SELECT node FROM f2)
+)
+SELECT * FROM (
+  SELECT CAST(0 AS BIGINT) AS hop,
+         CAST((SELECT COUNT(*) FROM root) AS BIGINT) AS n_nodes
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), CAST((SELECT COUNT(*) FROM f1) AS BIGINT)
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), CAST((SELECT COUNT(*) FROM f2) AS BIGINT)
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), CAST((SELECT COUNT(*) FROM f3) AS BIGINT)
+)
+ORDER BY hop
+"""
+
+QUERIES["bfs_reach"] = bfs_reach
+ORACLE["bfs_reach"] = _SQL_BFS

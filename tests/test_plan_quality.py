@@ -1202,3 +1202,43 @@ def test_quantile_bins_single_hash_exchange(spark, sf_dir):
     assert "Exchange SinglePartition" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)
+
+
+def test_graph_degree_profile_broadcasts_node_dim(spark, sf_dir):
+    """The node-sized degree table broadcasts onto the incidence list
+    twice (node side + neighbor side) even with size-based auto-broadcast
+    off; no sort-merge join, no cartesian product; the lineitem scan
+    reads only the two basket columns."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        graph_degree_profile,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(graph_degree_profile(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_bfs_reach_static_three_hop_broadcast_frontiers(spark, sf_dir):
+    """Fixed-depth BFS: every frontier join (expand + shortest-distance
+    anti) is a broadcast join; the plan is static (no driver loop) and
+    cartesian-free."""
+    from bytewax_iceberg_connector_spark.plans.relational import bfs_reach
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bfs_reach(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

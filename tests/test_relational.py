@@ -340,3 +340,76 @@ def test_skyline_pareto_semantics_and_partition_invariance(spark, tmp_path):
     sp4 = skyline_pareto(spark, str(tmp_path)).toPandas()
     assert list(sp4.p_partkey) == [1, 2, 5, 7]
     assert sp4.equals(sp)
+
+
+def test_graph_degree_profile_star_chain(spark, tmp_path):
+    """Hub 1-{2,3,4} plus chain 4-5-6-7: knn(k) curve hand-computed
+    (deg-1 nodes average 2666 milli, deg-2 2000, deg-3 1333); duplicate
+    lineitem rows and NULL partkeys change nothing on either engine."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_DEGREE_PROFILE,
+        graph_degree_profile,
+    )
+
+    rows = [
+        (10, 1), (10, 2), (10, 2),       # edge 1-2 (dup row collapses)
+        (11, 1), (11, 3),
+        (12, 1), (12, 4),
+        (13, 4), (13, 5),
+        (14, 5), (14, 6),
+        (15, 6), (15, 7),
+        (16, None), (16, 9),             # NULL partkey: no pair emitted
+    ]
+    d = _li_graph_nullable(tmp_path, rows)
+    sp = graph_degree_profile(spark, d).toPandas().set_index("deg")
+    assert list(sp.index) == [1, 2, 3]
+    assert list(sp.n_nodes) == [3, 3, 1]
+    assert list(sp.sum_nbr_deg) == [8, 12, 4]
+    assert list(sp.mean_nbr_deg_milli) == [2666, 2000, 1333]
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_DEGREE_PROFILE))
+
+
+def _li_graph_nullable(tmp_path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        }),
+        tmp_path / "lineitem.parquet",
+    )
+    return str(tmp_path)
+
+
+def test_bfs_reach_frontiers_exact_shortest_distance(spark, tmp_path):
+    """Same star+chain graph: root is hub 1 (deg 3, smallest id wins any
+    tie); frontiers are SHORTEST-distance sets {2,3,4} / {5} / {6} —
+    node 7 at distance 4 stays out; a disconnected component never
+    appears."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_BFS,
+        bfs_reach,
+    )
+
+    rows = [
+        (10, 1), (10, 2),
+        (11, 1), (11, 3),
+        (12, 1), (12, 4),
+        (13, 4), (13, 5),
+        (14, 5), (14, 6),
+        (15, 6), (15, 7),
+        (17, 100), (17, 101),            # disconnected edge
+        # back-edge 2-4 makes 4 reachable at hop 1 AND 2: must count once
+        (18, 2), (18, 4),
+    ]
+    d = _li_graph_nullable(tmp_path, rows)
+    sp = bfs_reach(spark, d).toPandas()
+    assert list(sp.hop) == [0, 1, 2, 3]
+    assert list(sp.n_nodes) == [1, 3, 1, 1]
+    _diff(sp, _oracle(tmp_path, _SQL_BFS))
