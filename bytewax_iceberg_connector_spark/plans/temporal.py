@@ -817,3 +817,267 @@ ORACLE = {
     "event_attribution": _SQL_ATTRIBUTION,
     "weekly_growth": _SQL_WEEKLY_GROWTH,
 }
+
+# ---------------------------------------------------------------------------
+# seasonal_anomaly — weekday-median baseline spike detection
+# ---------------------------------------------------------------------------
+
+
+def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware spike detection on daily order revenue: each day
+    is compared to the exact MEDIAN revenue of its own weekday (a Monday
+    is judged against Mondays), flagging days above 2x their weekday
+    median — the deseasonalized twin of ``anomaly_zscore``.
+
+    Exactness: the median rides as ``med2_cents`` = the SUM of the two
+    middle elements of the per-weekday sort (positions (n+1)//2 and
+    (n+2)//2; the odd case doubles the single middle) — an INTEGER even
+    for even n, so the 2x-median flag is the pure-integer comparison
+    ``cents > med2`` (cents > 2 x median) and the peak ratio pays ONE
+    overflow-safe two-stage floored ppm division at the end
+    (revenue_gini's decomposition, ratio vs the HALF-median base so the
+    reported number is vs the median itself). No float median
+    interpolation on either engine. Weekday is Spark ``dayofweek``
+    (1=Sunday); the oracle pins ``EXTRACT(dow) + 1`` to the same frame.
+    NULL order dates drop symmetrically.
+
+    Scale: one (day) aggregate over orders — map-side combined — then
+    every window partitions by weekday and shares one 7-key exchange,
+    and the final rollup reuses it (grouping-key prefix). Day cardinality
+    is bounded (years x 366), so the per-weekday sort is trivially small
+    at any fact-table size: total cost is ONE scan + one day-key shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents")
+        )
+        .withColumn("dow", F.dayofweek("day").cast("long"))
+    )
+    wd = Window.partitionBy("dow")
+    ws = wd.orderBy("cents", "day")
+    ranked = (
+        daily.withColumn("i", F.row_number().over(ws).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wd).cast("long"))
+    )
+    med = ranked.withColumn(
+        "med_part",
+        F.expr(
+            "case when i = (n + 1) div 2 or i = (n + 2) div 2 then"
+            " case when n % 2 = 0 then cents else cents * 2 end"
+            " else 0 end"
+        ),
+    ).withColumn("med2", F.sum("med_part").over(wd).cast("long"))
+    return (
+        med.groupBy("dow")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.max("med2").cast("long").alias("med2_cents"),
+            F.sum(F.expr("case when cents > med2 then 1 else 0 end"))
+            .cast("long")
+            .alias("n_anomalies"),
+            F.expr(
+                "cast(((max(cents) * 2 * 1000) div nullif(max(med2), 0))"
+                " * 1000 + ((max(cents) * 2 * 1000) % nullif(max(med2), 0))"
+                " * 1000 div nullif(max(med2), 0) as long)"
+            ).alias("max_ratio_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+_SQL_SEASONAL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+), d2 AS (
+  SELECT day, cents,
+         CAST(EXTRACT(dow FROM day) + 1 AS BIGINT) AS dow
+  FROM daily
+), r AS (
+  SELECT dow, day, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY dow ORDER BY cents, day)
+              AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY dow) AS BIGINT) AS n
+  FROM d2
+), m AS (
+  SELECT dow, day, cents, n,
+         CASE WHEN i = (n + 1) // 2 OR i = (n + 2) // 2 THEN
+           CASE WHEN n % 2 = 0 THEN cents ELSE cents * 2 END
+         ELSE 0 END AS med_part
+  FROM r
+), w AS (
+  SELECT dow, day, cents, n,
+         CAST(SUM(med_part) OVER (PARTITION BY dow) AS BIGINT) AS med2
+  FROM m
+)
+SELECT dow,
+       CAST(MAX(n) AS BIGINT) AS n_days,
+       CAST(MAX(med2) AS BIGINT) AS med2_cents,
+       CAST(SUM(CASE WHEN cents > med2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_anomalies,
+       CAST(((MAX(cents) * 2 * 1000) // NULLIF(MAX(med2), 0)) * 1000
+            + ((MAX(cents) * 2 * 1000) % NULLIF(MAX(med2), 0)) * 1000
+              // NULLIF(MAX(med2), 0) AS BIGINT) AS max_ratio_ppm
+FROM w
+GROUP BY dow
+ORDER BY dow
+"""
+
+QUERIES["seasonal_anomaly"] = seasonal_anomaly
+ORACLE["seasonal_anomaly"] = _SQL_SEASONAL
+
+
+# ---------------------------------------------------------------------------
+# cusum_drift — per-market CUSUM change detection on daily revenue
+# ---------------------------------------------------------------------------
+
+#: breach threshold: CUSUM above ``_CUSUM_H_MULT x k`` (k = the nation's
+#: mean daily cents, the CUSUM drift allowance) counts as a breach day.
+_CUSUM_H_MULT = 2
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the shared Spark
+    ``div`` / DuckDB ``//`` semantics (Python's ``//`` floors instead)."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation CUSUM (cumulative-sum) level-shift detection over daily
+    order revenue: ``S_i = max(0, S_{i-1} + x_i - k)`` with drift
+    allowance k = the nation's mean daily cents, reporting the peak CUSUM
+    mass, the first day it peaked, and the count of breach days
+    (S > ``_CUSUM_H_MULT``·k) — the classic "did this market's run-rate
+    shift upward, and when" monitor.
+
+    CUSUM is inherently SEQUENTIAL (each S depends on its predecessor
+    through a clamp, so no prefix-sum window expresses it). The Spark
+    shape: the heavy work — fact-table scan + (nation, day) aggregate —
+    is fully distributed and map-side combined; the recurrence then runs
+    per-nation in an Arrow-batched ``applyInPandas`` kernel over the
+    BOUNDED daily series (years x 366 rows per group, regardless of
+    fact-table size). One nation = one group = one kernel call, the same
+    parallelism the per-market Gini sort uses. The oracle replays the
+    recurrence as a recursive CTE over the day-indexed series.
+
+    Exactness: pure integer cents; k truncates toward zero on both
+    engines (``_trunc_div`` mirrors div / ``//``); the peak day is the
+    FIRST day attaining the max (strictly-greater update = MIN(day)
+    among maxima). NULL order dates drop symmetrically (no position in a
+    sequence); NULL custkeys drop with the inner dimension join.
+    """
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    daily = (
+        orders.where(
+            F.col("o_orderdate").isNotNull() & F.col("o_custkey").isNotNull()
+        )
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents")
+        )
+    )
+
+    def _kernel(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day")
+        xs = [int(v) for v in pdf["cents"]]
+        days = list(pdf["day"])
+        n = len(xs)
+        k = _trunc_div(sum(xs), n)
+        h = _CUSUM_H_MULT * k
+        s, mx, peak, breaches = 0, 0, days[0], 0
+        for xi, day in zip(xs, days):
+            s = max(0, s + xi - k)
+            if s > mx:
+                mx, peak = s, day
+            if s > h:
+                breaches += 1
+        return pd.DataFrame(
+            [[pdf["n_name"].iloc[0], n, k, mx, peak, breaches]],
+            columns=[
+                "n_name", "n_days", "k_cents", "max_cusum_cents",
+                "peak_day", "n_breaches",
+            ],
+        )
+
+    return (
+        daily.groupBy("n_name")
+        .applyInPandas(
+            _kernel,
+            "n_name string, n_days bigint, k_cents bigint,"
+            " max_cusum_cents bigint, peak_day date, n_breaches bigint",
+        )
+        .orderBy("n_name")
+    )
+
+
+_SQL_CUSUM = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT n_name, CAST(o_orderdate AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+  WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY 1, 2
+), s AS MATERIALIZED (
+  SELECT n_name, day, cents,
+         CAST(ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY day)
+              AS BIGINT) AS i
+  FROM daily
+), k AS MATERIALIZED (
+  SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) // COUNT(*) AS BIGINT) AS k
+  FROM s GROUP BY 1
+), r AS (
+  SELECT s.n_name, s.i, s.day,
+         GREATEST(0, s.cents - k.k) AS cusum
+  FROM s JOIN k USING (n_name) WHERE s.i = 1
+  UNION ALL
+  SELECT s.n_name, s.i, s.day,
+         GREATEST(0, r.cusum + s.cents - k.k)
+  FROM r
+  JOIN s ON s.n_name = r.n_name AND s.i = r.i + 1
+  JOIN k ON k.n_name = s.n_name
+), m AS (
+  SELECT n_name, MAX(cusum) AS mx FROM r GROUP BY 1
+)
+SELECT r.n_name,
+       CAST(k.n AS BIGINT) AS n_days,
+       CAST(k.k AS BIGINT) AS k_cents,
+       CAST(MAX(r.cusum) AS BIGINT) AS max_cusum_cents,
+       MIN(CASE WHEN r.cusum = m.mx THEN r.day END) AS peak_day,
+       CAST(SUM(CASE WHEN r.cusum > {_CUSUM_H_MULT} * k.k THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_breaches
+FROM r
+JOIN k USING (n_name)
+JOIN m USING (n_name)
+GROUP BY r.n_name, k.n, k.k
+ORDER BY r.n_name
+"""
+
+QUERIES["cusum_drift"] = cusum_drift
+ORACLE["cusum_drift"] = _SQL_CUSUM

@@ -1242,3 +1242,38 @@ def test_bfs_reach_static_three_hop_broadcast_frontiers(spark, sf_dir):
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_anomaly_two_exchanges_day_then_dow(spark, sf_dir):
+    """The daily aggregate shuffles on the day key; every weekday window
+    and the final rollup share ONE dow exchange; the orders scan reads
+    only the two referenced columns and pushes the NULL-date filter."""
+    from bytewax_iceberg_connector_spark.plans.temporal import seasonal_anomaly
+
+    plan = _plan(seasonal_anomaly(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(dow") == 1
+    assert "Exchange SinglePartition" not in plan
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(o_orderdate", plan)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_cusum_drift_distributed_agg_feeds_bounded_kernel(spark, sf_dir):
+    """The fact scan aggregates (nation, day) BEFORE the Python kernel:
+    exactly one FlatMapGroupsInPandas over the bounded daily series, the
+    dims broadcast, and no row-at-a-time Python UDF anywhere."""
+    from bytewax_iceberg_connector_spark.plans.temporal import cusum_drift
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(cusum_drift(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    # the (n_name, day) aggregate must sit BELOW the pandas kernel
+    kernel = plan.find("FlatMapGroupsInPandas")
+    assert "HashAggregate" in plan[kernel:]

@@ -180,3 +180,114 @@ def test_weekly_growth_observed_week_semantics(spark, tmp_path):
     }
     want = {(k[0][:10], k[1]): v for k, v in want.items()}
     assert got == want
+
+
+def _orders_nation_fixture(tmp_path, rows):
+    """rows: (o_orderkey, o_custkey, o_totalprice, o_orderdate-str|None).
+    One nation per custkey (nation key = custkey) named N<custkey>."""
+    import os as _os
+
+    import pandas as pd
+
+    d = str(tmp_path)
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("Int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    keys = sorted({r[1] for r in rows if r[1] is not None})
+    cp = pd.DataFrame(
+        {"c_custkey": keys, "c_nationkey": keys}
+    )
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    np_ = pd.DataFrame(
+        {"n_nationkey": keys, "n_name": [f"N{k}" for k in keys]}
+    )
+    np_["n_nationkey"] = np_["n_nationkey"].astype("int32")
+    np_.to_parquet(_os.path.join(d, "nation.parquet"))
+    return d
+
+
+def test_cusum_drift_recurrence_and_trunc_div(spark, tmp_path):
+    """Hand-replayed CUSUM: breach counting, FIRST-day peak on ties, and
+    truncate-toward-zero k on a negative odd sum (Python floor would
+    give -101); full-frame oracle diff replays the recursive CTE."""
+    import datetime as _dt
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_CUSUM,
+        cusum_drift,
+    )
+
+    rows = []
+    # N1: [0,0,0,500,500] -> k=200 h=400: S=[0,0,0,300,600] peak d5 1 breach
+    for i, v in enumerate([0.0, 0.0, 0.0, 500.0, 500.0]):
+        rows.append((100 + i, 1, v, f"2024-01-{i + 1:02d}"))
+    # N2: [300,0,300,0] -> k=150: S=[150,0,150,0] peak = FIRST max day (d1)
+    for i, v in enumerate([300.0, 0.0, 300.0, 0.0]):
+        rows.append((200 + i, 2, v, f"2024-02-{i + 1:02d}"))
+    # N3: [-100,-101] -> k = trunc(-201/2) = -100
+    rows.append((300, 3, -100.0, "2024-03-01"))
+    rows.append((301, 3, -101.0, "2024-03-02"))
+    rows.append((400, None, 99.0, "2024-03-03"))   # NULL custkey drops
+    rows.append((401, 1, 77.0, None))              # NULL date drops
+    d = _orders_nation_fixture(tmp_path, rows)
+    sp = cusum_drift(spark, d).toPandas().set_index("n_name")
+    n1 = sp.loc["N1"]
+    assert (n1.k_cents, n1.max_cusum_cents, n1.n_breaches) == (
+        20000, 60000, 1
+    )
+    assert n1.peak_day == _dt.date(2024, 1, 5)
+    n2 = sp.loc["N2"]
+    assert n2.max_cusum_cents == 15000
+    assert n2.peak_day == _dt.date(2024, 2, 1)
+    assert sp.loc["N3"].k_cents == -10050
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_CUSUM))
+
+
+def test_seasonal_anomaly_weekday_median_parity(spark, tmp_path):
+    """Mondays [100,200,1000] cents: med2=400, one 2x-median anomaly,
+    peak ratio 5000000 ppm; Tuesdays [100..400]: even-n med2=500, zero
+    anomalies. Weekday frames agree across engines (dayofweek vs dow+1)."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_SEASONAL,
+        seasonal_anomaly,
+    )
+
+    rows = []
+    for i, (day, v) in enumerate(
+        [("2024-01-01", 1.0), ("2024-01-08", 2.0), ("2024-01-15", 10.0),
+         ("2024-01-02", 1.0), ("2024-01-09", 2.0), ("2024-01-16", 3.0),
+         ("2024-01-23", 4.0)]
+    ):
+        rows.append((i, 1, v, day))
+    d = str(tmp_path)
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    sp = seasonal_anomaly(spark, d).toPandas().set_index("dow")
+    mon, tue = sp.loc[2], sp.loc[3]  # Spark dayofweek: Mon=2, Tue=3
+    assert (mon.n_days, mon.med2_cents, mon.n_anomalies) == (3, 400, 1)
+    assert mon.max_ratio_ppm == 5_000_000
+    assert (tue.n_days, tue.med2_cents, tue.n_anomalies) == (4, 500, 0)
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_SEASONAL))
