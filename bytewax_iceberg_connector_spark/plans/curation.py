@@ -1746,3 +1746,142 @@ ORDER BY source
 
 QUERIES["hapax_ratio"] = hapax_ratio
 ORACLE["hapax_ratio"] = _SQL_HAPAX
+
+
+# ---------------------------------------------------------------------------
+# bigram_perplexity — conditional-LM surprise (the unigram_surprise sequel)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_FLAG_MICRONATS = 7_000_000  # docs with mean surprise > 7 nats
+
+
+def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean BIGRAM surprise −ln p(w₂|w₁) under the corpus's
+    own Laplace-smoothed bigram LM — p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁·)+V) —
+    rolled up per (lang, source): the conditional-context sequel to
+    ``unigram_surprise`` (word-order-scrambled text scores identically
+    there but lights up here). V is the vocabulary of bigram-position
+    tokens (|{w₁}∪{w₂}|), so the LM derives from ONE bigram pass — no
+    second corpus-wide token explode.
+
+    Determinism (the unigram recipe): the single float op — ln of the
+    smoothed ratio — is computed once per DISTINCT bigram and quantized
+    to integer micro-nats before any accumulation; per-doc means are
+    bigint ``div``. Docs with <2 tokens have no bigram and drop on both
+    engines.
+
+    Scale: bigram fan-out is word-count shape (size-1 structs per
+    token); the LM is bigram-VOCABULARY-sized — bigger than the unigram
+    LM but still corpus-sublinear — so the score join-back runs as a
+    hash join on the (w₁,w₂) key, NOT a forced broadcast (at 100 TB the
+    bigram table outgrows an executor; AQE may still elect broadcast at
+    small SF). Context counts and V fold from the bigram-count table,
+    never re-scanning the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = (
+        docs.select("doc_id", "lang", "source",
+                    X.tokens("text").alias("t"))
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id", "lang", "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1), i ->"
+                    " struct(element_at(t, i) as w1,"
+                    "        element_at(t, i + 1) as w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "source", "p.w1", "p.w2")
+    )
+    from ._cache import scoped
+
+    # tf feeds the LM build AND the score join-back; cbg feeds counts,
+    # contexts, and V — both persist result-scoped or the bigram fan-out
+    # (the query's expensive stage) replays once per consumer branch
+    tf = bg.groupBy("doc_id", "lang", "source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    ).persist()
+    cbg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg")).persist()
+    cw1 = cbg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vocab = (
+        cbg.select(F.col("w1").alias("w"))
+        .unionAll(cbg.select(F.col("w2").alias("w")))
+        .agg(F.countDistinct("w").cast("long").alias("v"))
+    )
+    lm = (
+        cbg.join(cw1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1", "w2",
+            F.expr(
+                "cast(round(-ln((cbg + 1) / (cw1 + v)) * 1000000) as long)"
+            ).alias("surprise_micro"),
+        )
+    )
+    per_doc = (
+        tf.join(lm, ["w1", "w2"])
+        .groupBy("doc_id", "lang", "source")
+        .agg(F.expr("sum(tf * surprise_micro) div sum(tf)").alias("mean_micro"))
+    )
+    result = (
+        per_doc.groupBy("lang", "source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("mean_micro").cast("long").alias("max_mean_micronats"),
+            F.sum(
+                (F.col("mean_micro") > _BIGRAM_FLAG_MICRONATS).cast("long")
+            ).alias("n_flagged"),
+        )
+        .orderBy("lang", "source")
+    )
+    return scoped(result, tf, cbg)
+
+
+_SQL_BIGRAM = rf"""
+WITH tok AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS ts
+  FROM documents
+), pos AS (
+  SELECT doc_id, lang, source, ts,
+         unnest(generate_series(1, len(ts) - 1)) AS i
+  FROM tok WHERE len(ts) >= 2
+), bg AS (
+  SELECT doc_id, lang, source, ts[i] AS w1, ts[i + 1] AS w2 FROM pos
+), tf AS (
+  SELECT doc_id, lang, source, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM bg GROUP BY 1, 2, 3, 4, 5
+), cbg AS (
+  SELECT w1, w2, SUM(tf) AS cbg FROM tf GROUP BY 1, 2
+), cw1 AS (
+  SELECT w1, SUM(cbg) AS cw1 FROM cbg GROUP BY 1
+), voc AS (
+  SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+    SELECT w1 AS w FROM cbg UNION ALL SELECT w2 AS w FROM cbg
+  )
+), lm AS (
+  SELECT w1, w2,
+         CAST(ROUND(-ln((cbg + 1) / (cw1 + v)) * 1000000) AS BIGINT)
+           AS surprise_micro
+  FROM cbg JOIN cw1 USING (w1) CROSS JOIN voc
+), per_doc AS (
+  SELECT tf.doc_id, tf.lang, tf.source,
+         SUM(tf.tf * lm.surprise_micro) // SUM(tf.tf) AS mean_micro
+  FROM tf JOIN lm USING (w1, w2)
+  GROUP BY 1, 2, 3
+)
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MAX(mean_micro) AS BIGINT) AS max_mean_micronats,
+       CAST(SUM(CASE WHEN mean_micro > {_BIGRAM_FLAG_MICRONATS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+FROM per_doc
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+QUERIES["bigram_perplexity"] = bigram_perplexity
+ORACLE["bigram_perplexity"] = _SQL_BIGRAM

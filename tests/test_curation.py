@@ -219,3 +219,35 @@ def test_stratified_sample_growth_stable_and_rate_bounded(spark, sf_dir):
         .collect()
     }
     assert all(full_flags[d] == a for d, a in half_flags.items())
+
+
+def test_bigram_perplexity_hand_lm_and_short_doc_drop(spark, tmp_path):
+    """One real doc 'A b a b': Laplace LM p(b|a)=3/4, p(a|b)=2/3; doc
+    mean = (2*287682 + 405465) div 3 = 326943 micro-nats (case-folded);
+    1-token and empty docs drop on both engines."""
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        _SQL_BIGRAM,
+        bigram_perplexity,
+    )
+
+    rows = [
+        (0, "A b a b", "en", "web", 7),
+        (1, "z", "en", "web", 1),        # no bigram: drops
+        (2, "   ", "en", "web", 3),      # whitespace-only: drops
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    d = str(tmp_path)
+    sp = bigram_perplexity(spark, d).toPandas()
+    assert len(sp) == 1
+    row = sp.iloc[0]
+    assert (row.n_docs, row.max_mean_micronats, row.n_flagged) == (1, 326943, 0)
+    _diff(sp, _oracle(tmp_path, _SQL_BIGRAM))

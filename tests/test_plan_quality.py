@@ -1277,3 +1277,23 @@ def test_cusum_drift_distributed_agg_feeds_bounded_kernel(spark, sf_dir):
     # the (n_name, day) aggregate must sit BELOW the pandas kernel
     kernel = plan.find("FlatMapGroupsInPandas")
     assert "HashAggregate" in plan[kernel:]
+
+
+def test_bigram_perplexity_word_count_shape_no_python(spark, sf_dir):
+    """Bigram fan-out stays JVM-side (transform+explode, no Python UDF);
+    the LM folds from the bigram-count table (no second corpus token
+    explode — exactly one Generate over documents); the documents scan
+    prunes to the four referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.curation import (
+        bigram_perplexity,
+    )
+
+    plan = _plan(bigram_perplexity(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # tf and cbg persist: consumers read the caches (plan text replays a
+    # cached subtree under each InMemoryTableScan, so gate on the cache
+    # reads, not on the Generate count)
+    assert plan.count("InMemoryTableScan") >= 3
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 4, mm.group(1)
