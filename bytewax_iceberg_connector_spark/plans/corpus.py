@@ -1099,3 +1099,77 @@ ORACLE = {
     "cooccurrence_pmi": _SQL_PMI,
     "source_keywords": _SQL_SOURCE_KEYWORDS,
 }
+
+
+# ---------------------------------------------------------------------------
+# boilerplate_prefixes — repeated-prefix (template) detection per source
+# ---------------------------------------------------------------------------
+
+_PREFIX_CHARS = 32
+_PREFIX_TOPK = 5
+_PREFIX_MIN_FAMILY = 2
+
+
+def boilerplate_prefixes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/template detection: per source, the top
+    ``_PREFIX_TOPK`` repeated ``_PREFIX_CHARS``-char lowercase document
+    prefixes with at least ``_PREFIX_MIN_FAMILY`` members — the cheap
+    first-pass screen for scraped template families (cookie banners,
+    licence headers, forum scaffolding) that near-dup passes then
+    confirm; prefix-grouping is how production curation pipelines triage
+    boilerplate BEFORE paying shingle costs.
+
+    Determinism: character-based ``substring`` on both engines (short
+    docs contribute their whole text); empty/NULL texts drop
+    symmetrically; ranking pinned by (n_docs DESC, prefix ASC).
+
+    Scale: word-count shape — one shuffle keyed on (source, prefix), a
+    per-source top-k window over the SURVIVING families only (the
+    ``>= _PREFIX_MIN_FAMILY`` filter runs before the rank, so the sort
+    sees family heads, not the corpus).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    fams = (
+        docs.where(F.col("text").isNotNull() & (F.length("text") > 0))
+        .groupBy(
+            "source",
+            F.expr(f"substring(lower(text), 1, {_PREFIX_CHARS})").alias(
+                "prefix"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .where(F.col("n_docs") >= _PREFIX_MIN_FAMILY)
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_docs").desc(), F.col("prefix")
+    )
+    return (
+        fams.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _PREFIX_TOPK)
+        .orderBy("source", "rank")
+    )
+
+
+_SQL_BOILERPLATE = f"""
+WITH fams AS (
+  SELECT source, substr(lower(text), 1, {_PREFIX_CHARS}) AS prefix,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) > 0
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {_PREFIX_MIN_FAMILY}
+)
+SELECT source, prefix, n_docs,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT source, prefix, n_docs,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY n_docs DESC, prefix) AS rank
+  FROM fams
+)
+WHERE rank <= {_PREFIX_TOPK}
+ORDER BY source, rank
+"""
+
+QUERIES["boilerplate_prefixes"] = boilerplate_prefixes
+ORACLE["boilerplate_prefixes"] = _SQL_BOILERPLATE

@@ -925,3 +925,88 @@ ORDER BY n_name
 
 QUERIES["revenue_gini_by_nation"] = revenue_gini_by_nation
 ORACLE["revenue_gini_by_nation"] = _SQL_GINI
+
+
+# ---------------------------------------------------------------------------
+# crosstab_deviation — chi-square-style contingency-cell audit
+# ---------------------------------------------------------------------------
+
+_CROSSTAB_TOPK = 20
+
+
+def crosstab_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation x market-segment contingency audit: for every cell, the
+    observed customer count against the independence expectation,
+    reported as the exact INTEGER deviation ``dev = obs*N - row_tot *
+    col_tot`` (the chi-square numerator scaled by N — positive =
+    over-represented pairing), top ``_CROSSTAB_TOPK`` cells by |dev|.
+    The "which market segments cluster in which geographies" screen, in
+    the integer-exact idiom (a float chi-square statistic would hit the
+    engines' division/rounding divergence; the scaled numerator ranks
+    cells identically).
+
+    Scale: one customer scan -> one (nation, segment) cell aggregate
+    (map-side combined; cell space is |nations| x |segments|, tiny);
+    row/col totals fold FROM the cell table and broadcast back. Global
+    top-k over a bounded cell table is a TakeOrdered, not a sort.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cells = (
+        cust.join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+        .persist()
+    )
+    row_tot = cells.groupBy("n_name").agg(F.sum("obs").alias("row_tot"))
+    col_tot = cells.groupBy("c_mktsegment").agg(F.sum("obs").alias("col_tot"))
+    n_tot = cells.agg(F.sum("obs").alias("n_tot"))
+    from ._cache import scoped
+
+    result = (
+        cells.join(F.broadcast(row_tot), "n_name")
+        .join(F.broadcast(col_tot), "c_mktsegment")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "n_name", "c_mktsegment", "obs",
+            F.col("row_tot").cast("long").alias("row_tot"),
+            F.col("col_tot").cast("long").alias("col_tot"),
+            (F.col("obs") * F.col("n_tot")
+             - F.col("row_tot") * F.col("col_tot"))
+            .cast("long")
+            .alias("dev"),
+        )
+        .orderBy(F.abs(F.col("dev")).desc(), "n_name", "c_mktsegment")
+        .limit(_CROSSTAB_TOPK)
+    )
+    return scoped(result, cells)
+
+
+_SQL_CROSSTAB = f"""
+WITH cells AS (
+  SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS obs
+  FROM customer JOIN nation ON n_nationkey = c_nationkey
+  GROUP BY 1, 2
+), rt AS (
+  SELECT n_name, SUM(obs) AS row_tot FROM cells GROUP BY 1
+), ct AS (
+  SELECT c_mktsegment, SUM(obs) AS col_tot FROM cells GROUP BY 1
+), nt AS (
+  SELECT SUM(obs) AS n_tot FROM cells
+)
+SELECT cells.n_name, cells.c_mktsegment, obs,
+       CAST(row_tot AS BIGINT) AS row_tot,
+       CAST(col_tot AS BIGINT) AS col_tot,
+       CAST(obs * n_tot - row_tot * col_tot AS BIGINT) AS dev
+FROM cells
+JOIN rt USING (n_name)
+JOIN ct USING (c_mktsegment)
+CROSS JOIN nt
+ORDER BY ABS(obs * n_tot - row_tot * col_tot) DESC, n_name, c_mktsegment
+LIMIT {_CROSSTAB_TOPK}
+"""
+
+QUERIES["crosstab_deviation"] = crosstab_deviation
+ORACLE["crosstab_deviation"] = _SQL_CROSSTAB

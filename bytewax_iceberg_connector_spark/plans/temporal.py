@@ -1081,3 +1081,85 @@ ORDER BY r.n_name
 
 QUERIES["cusum_drift"] = cusum_drift
 ORACLE["cusum_drift"] = _SQL_CUSUM
+
+
+# ---------------------------------------------------------------------------
+# rolling_median_revenue — exact 7-day trailing median (robust trendline)
+# ---------------------------------------------------------------------------
+
+
+def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing 7-DAY (range, not rows — gaps in the calendar
+    shrink the window) median of daily order revenue: the robust
+    trendline ops dashboards draw instead of a mean that one flash-sale
+    day drags. Median rides as ``med2`` = sum of the two middle elements
+    of the sorted in-window list (integer even for even windows — the
+    seasonal_anomaly discipline, per-row over a sliding frame).
+
+    Exactness: collect-sort-pick is pure integer JVM work; both engines
+    pick positions (n+1)//2 and (n+2)//2 of the sorted window. A RANGE
+    frame over the day NUMBER makes calendar gaps first-class: both
+    engines see the same membership.
+
+    Scale: the sliding window runs over the DAILY aggregate — bounded at
+    years x 366 rows no matter the fact-table size — so the
+    single-partition window sort is a constant-size epilogue to one
+    distributed scan + day-key shuffle (the skyline/sweep precedent:
+    global order over a provably bounded frame). The 7-element in-window
+    lists are constant-size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents")
+        )
+        .withColumn("day_num", F.datediff("day", F.lit("1970-01-01")).cast("long"))
+    )
+    w7 = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.withColumn("s", F.sort_array(F.collect_list("cents").over(w7)))
+        .select(
+            "day",
+            "cents",
+            F.size("s").cast("long").alias("n_window"),
+            F.expr(
+                "element_at(s, cast((size(s) + 1) div 2 as int))"
+                " + element_at(s, cast((size(s) + 2) div 2 as int))"
+            ).cast("long").alias("med2_cents"),
+        )
+        .orderBy("day")
+    )
+
+
+_SQL_ROLLING_MEDIAN = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY 1
+), n AS (
+  SELECT day, cents,
+         CAST(DATE_DIFF('day', DATE '1970-01-01', day) AS BIGINT) AS day_num
+  FROM daily
+), w AS (
+  SELECT day, cents,
+         list_sort(list(cents) OVER (
+           ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS s
+  FROM n
+)
+SELECT day, cents,
+       CAST(len(s) AS BIGINT) AS n_window,
+       CAST(s[CAST((len(s) + 1) // 2 AS INT)]
+            + s[CAST((len(s) + 2) // 2 AS INT)] AS BIGINT) AS med2_cents
+FROM w
+ORDER BY day
+"""
+
+QUERIES["rolling_median_revenue"] = rolling_median_revenue
+ORACLE["rolling_median_revenue"] = _SQL_ROLLING_MEDIAN

@@ -380,3 +380,34 @@ def test_bpe_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
     m2 = C._learn_bpe(spark, d)
     assert m2 is not m1
     assert m2 != m1  # different corpus -> different merges
+
+
+def test_boilerplate_prefixes_families_and_folding(spark, tmp_path):
+    """A 3-doc template family (one member UPPERCASED — case folds), a
+    2-doc short-text family (whole text = prefix), a singleton (dropped),
+    and an empty doc (dropped); tie families rank by prefix ASC."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        _SQL_BOILERPLATE,
+        boilerplate_prefixes,
+    )
+
+    tpl = "cookie consent banner text here!" + "~"  # 32 chars + tail marker
+    assert len(tpl) == 33
+    rows = [
+        (0, tpl + " page one", "en", "web", 40),
+        (1, tpl.upper() + " page two", "en", "web", 40),
+        (2, tpl + " page three", "en", "web", 40),
+        (3, "short", "en", "web", 5),
+        (4, "short", "en", "web", 5),
+        (5, "a lone document prefix nobody shares", "en", "web", 36),
+        (6, "", "en", "web", 0),
+    ]
+    d = _docs_dir(tmp_path, rows)
+    sp = boilerplate_prefixes(spark, d).toPandas()
+    assert list(sp.n_docs) == [3, 2]
+    assert sp.iloc[0].prefix == tpl[:32]
+    assert sp.iloc[1].prefix == "short"
+    assert list(sp["rank"]) == [1, 2]
+    _diff(sp, _oracle(tmp_path, _SQL_BOILERPLATE))

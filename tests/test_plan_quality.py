@@ -1297,3 +1297,56 @@ def test_bigram_perplexity_word_count_shape_no_python(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 3
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(mm.group(1).split(",")) <= 4, mm.group(1)
+
+
+def test_crosstab_deviation_folds_totals_from_cells(spark, sf_dir):
+    """Row/col/N totals fold from the persisted cell table (3 cache
+    reads), never re-scanning customer: exactly one customer scan; the
+    bounded top-k is a TakeOrdered, not a global sort."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        crosstab_deviation,
+    )
+
+    plan = _plan(crosstab_deviation(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 3
+    assert plan.count("customer.parquet") <= plan.count("InMemoryTableScan")
+    assert "TakeOrdered" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_boilerplate_prefixes_filters_before_rank(spark, sf_dir):
+    """The min-family filter must run BEFORE the per-source rank window
+    (the sort sees family heads only), and the (source, prefix) agg and
+    the rank window share work on one exchange chain; documents scan
+    prunes to (source, text)."""
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        boilerplate_prefixes,
+    )
+
+    plan = _plan(boilerplate_prefixes(spark, sf_dir))
+    win = plan.find("RunningWindowFunction")
+    if win == -1:
+        win = plan.find("Window")
+    filt = plan.find("n_docs")
+    assert win != -1
+    # the HAVING filter on n_docs appears below (after, in printed order)
+    # the window operator
+    assert re.search(r"Filter.*n_docs#\d+L >= 2", plan[win:])
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_rolling_median_bounded_epilogue(spark, sf_dir):
+    """The sliding median runs over the DAILY aggregate: the plan must
+    aggregate (day) before the single-partition range window, and the
+    orders scan reads only the two referenced columns."""
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        rolling_median_revenue,
+    )
+
+    plan = _plan(rolling_median_revenue(spark, sf_dir))
+    win = plan.find("Window")
+    assert win != -1
+    assert "HashAggregate" in plan[win:]  # daily agg sits below the window
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)

@@ -533,3 +533,40 @@ def test_revenue_gini_known_distributions(spark, tmp_path):
         revenue_gini_by_nation(spark, d).toPandas(),
         _oracle(tmp_path, _SQL_GINI),
     )
+
+
+def test_crosstab_deviation_known_contingency(spark, tmp_path):
+    """2x2 contingency with counts 3/1/1/3: every cell deviates by |8|
+    (obs*N - row*col), ordered by the (nation, segment) tie-break; the
+    oracle replays cell-for-cell."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_CROSSTAB,
+        crosstab_deviation,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    k = 0
+    for nk, seg, cnt in ((0, "X", 3), (0, "Y", 1), (1, "X", 1), (1, "Y", 3)):
+        for _ in range(cnt):
+            rows.append((k, nk, seg))
+            k += 1
+    cp = pd.DataFrame(rows, columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    np_ = pd.DataFrame([(0, "A"), (1, "B")], columns=["n_nationkey", "n_name"])
+    np_["n_nationkey"] = np_["n_nationkey"].astype("int32")
+    np_.to_parquet(_os.path.join(d, "nation.parquet"))
+    sp = crosstab_deviation(spark, d).toPandas()
+    assert list(zip(sp.n_name, sp.c_mktsegment)) == [
+        ("A", "X"), ("A", "Y"), ("B", "X"), ("B", "Y")
+    ]
+    assert list(sp.dev) == [8, -8, -8, 8]
+    _diff(sp, _oracle(tmp_path, _SQL_CROSSTAB))

@@ -291,3 +291,27 @@ def test_seasonal_anomaly_weekday_median_parity(spark, tmp_path):
     assert mon.max_ratio_ppm == 5_000_000
     assert (tue.n_days, tue.med2_cents, tue.n_anomalies) == (4, 500, 0)
     _diff(sp.reset_index(), _oracle(tmp_path, _SQL_SEASONAL))
+
+
+def test_rolling_median_range_frame_calendar_gaps(spark, tmp_path):
+    """RANGE (not ROWS) framing: a calendar gap shrinks the window to
+    the days actually within 6 days; even/odd windows use the twice-
+    median integer picks."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_ROLLING_MEDIAN,
+        rolling_median_revenue,
+    )
+
+    rows = [
+        (0, 1, 1.0, "2024-01-01"),
+        (1, 1, 3.0, "2024-01-02"),
+        (2, 1, 2.0, "2024-01-03"),
+        (3, 1, 4.0, "2024-01-10"),  # 7-day gap: window = itself only
+    ]
+    d = _orders_nation_fixture(tmp_path, rows)
+    sp = rolling_median_revenue(spark, d).toPandas()
+    assert list(sp.n_window) == [1, 2, 3, 1]
+    assert list(sp.med2_cents) == [200, 400, 400, 800]
+    _diff(sp, _oracle(tmp_path, _SQL_ROLLING_MEDIAN))
