@@ -1332,3 +1332,133 @@ ORDER BY 1, 2
 
 QUERIES["quantile_bins"] = quantile_bins
 ORACLE["quantile_bins"] = _SQL_QUANTILE_BINS
+
+
+# ---------------------------------------------------------------------------
+# mad_outliers — robust (median/MAD) outlier audit per event type
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit per event type: median absolute deviation
+    instead of ``anomaly_zscore``'s mean/stddev — the estimator that
+    does NOT break down when the outliers it hunts contaminate the
+    statistic (one flash value can drag a z-score's own mean; the median
+    shrugs). Flags values with |x − median| > 3·MAD.
+
+    Exactness (double twice-median): values quantize to floored micros
+    once; the median rides as ``med2`` = sum of the two middle micros;
+    deviations ride PRE-DOUBLED (``dev = |2x − med2|`` = 2|x−med|, an
+    integer); the MAD rides as ``mad4`` = twice-median of dev = 4·MAD.
+    The flag |x−med| > 3·MAD is then the pure-integer comparison
+    ``2·dev > 3·mad4`` — no halving, no floats anywhere past the initial
+    quantization. Both positional sorts pin (value, event_id) with NULLS
+    FIRST parity on the oracle. NULL values drop symmetrically.
+
+    Scale: both median windows and the final rollup partition by
+    event_type and share ONE exchange (same key; two in-partition sorts
+    are the honest cost of two exact medians). One events scan, two
+    columns.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.where(F.col("value").isNotNull()).select(
+        "event_type", "event_id",
+        F.expr("cast(floor(value * 1000000) as bigint)").alias("micro"),
+    )
+    wt = Window.partitionBy("event_type")
+    w1 = wt.orderBy("micro", "event_id")
+    r1 = (
+        vals.withColumn("i", F.row_number().over(w1).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wt).cast("long"))
+        .withColumn(
+            "med_part",
+            F.expr(
+                "case when i = (n + 1) div 2 or i = (n + 2) div 2 then"
+                " case when n % 2 = 0 then micro else micro * 2 end"
+                " else 0 end"
+            ),
+        )
+        .withColumn("med2", F.sum("med_part").over(wt).cast("long"))
+        .withColumn("dev", F.expr("abs(2 * micro - med2)"))
+    )
+    w2 = wt.orderBy("dev", "event_id")
+    r2 = (
+        r1.withColumn("j", F.row_number().over(w2).cast("long"))
+        .withColumn(
+            "mad_part",
+            F.expr(
+                "case when j = (n + 1) div 2 or j = (n + 2) div 2 then"
+                " case when n % 2 = 0 then dev else dev * 2 end"
+                " else 0 end"
+            ),
+        )
+        .withColumn("mad4", F.sum("mad_part").over(wt).cast("long"))
+    )
+    return (
+        r2.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_values"),
+            F.max("med2").cast("long").alias("med2_micro"),
+            F.max("mad4").cast("long").alias("mad4_micro"),
+            F.sum(
+                F.expr("case when 2 * dev > 3 * mad4 then 1 else 0 end")
+            ).cast("long").alias("n_outliers"),
+            F.expr(
+                "cast(max(dev) * 2 * 1000 div nullif(3 * max(mad4), 0)"
+                " as long)"
+            ).alias("max_dev_ratio_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_MAD = """
+WITH v AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * 1000000) AS BIGINT) AS micro
+  FROM events WHERE value IS NOT NULL
+), r1 AS (
+  SELECT event_type, event_id, micro,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY micro, event_id NULLS FIRST) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM v
+), m1 AS (
+  SELECT event_type, event_id, micro, i, n,
+         CAST(SUM(CASE WHEN i = (n + 1) // 2 OR i = (n + 2) // 2 THEN
+                    CASE WHEN n % 2 = 0 THEN micro ELSE micro * 2 END
+                  ELSE 0 END) OVER (PARTITION BY event_type) AS BIGINT)
+           AS med2
+  FROM r1
+), d AS (
+  SELECT event_type, event_id, n, med2,
+         ABS(2 * micro - med2) AS dev
+  FROM m1
+), r2 AS (
+  SELECT event_type, n, med2, dev,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                ORDER BY dev, event_id NULLS FIRST) AS BIGINT) AS j
+  FROM d
+), m2 AS (
+  SELECT event_type, n, med2, dev,
+         CAST(SUM(CASE WHEN j = (n + 1) // 2 OR j = (n + 2) // 2 THEN
+                    CASE WHEN n % 2 = 0 THEN dev ELSE dev * 2 END
+                  ELSE 0 END) OVER (PARTITION BY event_type) AS BIGINT)
+           AS mad4
+  FROM r2
+)
+SELECT event_type,
+       CAST(MAX(n) AS BIGINT) AS n_values,
+       CAST(MAX(med2) AS BIGINT) AS med2_micro,
+       CAST(MAX(mad4) AS BIGINT) AS mad4_micro,
+       CAST(SUM(CASE WHEN 2 * dev > 3 * mad4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       CAST(MAX(dev) * 2 * 1000 // NULLIF(3 * MAX(mad4), 0) AS BIGINT)
+         AS max_dev_ratio_milli
+FROM m2
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+QUERIES["mad_outliers"] = mad_outliers
+ORACLE["mad_outliers"] = _SQL_MAD

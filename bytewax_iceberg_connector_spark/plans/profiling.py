@@ -1010,3 +1010,86 @@ LIMIT {_CROSSTAB_TOPK}
 
 QUERIES["crosstab_deviation"] = crosstab_deviation
 ORACLE["crosstab_deviation"] = _SQL_CROSSTAB
+
+
+# ---------------------------------------------------------------------------
+# k_anonymity_audit — re-identification risk profile over quasi-identifiers
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit of the customer table under the quasi-identifier
+    (nation, market segment, account-balance-to-the-hundred): the
+    equivalence-class size histogram — singleton classes are directly
+    re-identifying, classes under k=``_K_ANON`` violate the release
+    threshold — the standard privacy pre-release screen (Sweeney's
+    k-anonymity), the PII-risk complement to ``pii_scrub``'s
+    content-level scan.
+
+    Exactness: the balance bucket is exact integer cents div 10000
+    (floored decimal cents first — the supplier_share_trend cast-parity
+    rule); class sizes and histogram bounds are pure counts. Bucket
+    labels pin lexicographically-stable strings on both engines.
+
+    Scale: one customer scan -> one QI-key aggregate (map-side
+    combined) -> one histogram aggregate over class sizes (bounded by
+    distinct sizes). No joins, no windows: the audit costs one shuffle
+    at any table size.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    classes = (
+        cust.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "cast(floor(cast(c_acctbal as decimal(18,2)) * 100)"
+                " as bigint) div 10000"
+            ).alias("bal_bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+    )
+    bucket = F.expr(
+        "case when class_size = 1 then '1: singleton'"
+        f" when class_size < {_K_ANON} then '2: under_k'"
+        " when class_size < 10 then '3: 5-9'"
+        " else '4: 10+' end"
+    )
+    return (
+        classes.groupBy(bucket.alias("size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("class_size").cast("long").alias("n_rows"),
+            F.max(
+                (F.col("class_size") < _K_ANON).cast("long")
+            ).alias("violates_k"),
+        )
+        .orderBy("size_bucket")
+    )
+
+
+_SQL_K_ANON = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(FLOOR(CAST(c_acctbal AS DECIMAL(18,2)) * 100) AS BIGINT)
+           // 10000 AS bal_bucket,
+         CAST(COUNT(*) AS BIGINT) AS class_size
+  FROM customer
+  GROUP BY 1, 2, 3
+)
+SELECT CASE WHEN class_size = 1 THEN '1: singleton'
+            WHEN class_size < {_K_ANON} THEN '2: under_k'
+            WHEN class_size < 10 THEN '3: 5-9'
+            ELSE '4: 10+' END AS size_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(class_size) AS BIGINT) AS n_rows,
+       CAST(MAX(CASE WHEN class_size < {_K_ANON} THEN 1 ELSE 0 END)
+            AS BIGINT) AS violates_k
+FROM classes
+GROUP BY 1
+ORDER BY 1
+"""
+
+QUERIES["k_anonymity_audit"] = k_anonymity_audit
+ORACLE["k_anonymity_audit"] = _SQL_K_ANON

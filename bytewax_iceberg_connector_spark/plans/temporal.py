@@ -1163,3 +1163,103 @@ ORDER BY day
 
 QUERIES["rolling_median_revenue"] = rolling_median_revenue
 ORACLE["rolling_median_revenue"] = _SQL_ROLLING_MEDIAN
+
+
+# ---------------------------------------------------------------------------
+# shipping_delay_profile — exact monthly fulfilment-latency percentiles
+# ---------------------------------------------------------------------------
+
+
+def shipping_delay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly fulfilment-latency profile: for each order month, the
+    exact median (as ``med2`` = twice-median integer), the exact
+    nearest-rank p90, and the max of ``l_shipdate - o_orderdate`` in
+    days across line items — the ops-SLA percentile board, done with
+    positional picks instead of float interpolation.
+
+    Exactness: delays are integer days; p50 uses the twice-median sum of
+    the two middle positions; p90 is the SQL nearest-rank element at
+    position ceil(0.9 n) = (9n+9) div 10; the sort is uniquely pinned by
+    (delay, l_orderkey, l_linenumber). NULL ship/order dates drop
+    symmetrically before ranking.
+
+    Scale: ONE fact-fact hash join on orderkey (orders prunes to two
+    columns; no broadcast — both sides are fact-sized at 100 TB), then
+    every window partitions by month and the rollup reuses that exchange.
+    Months bound the partition count; within-month sorts are the honest
+    cost of exact percentiles (the quantile_bins contrast: approx
+    sketches trade exactly this sort away).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull() & F.col("l_orderkey").isNotNull()
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_orderdate")
+    delays = li.select("l_orderkey", "l_linenumber", "l_shipdate").join(
+        orders, "l_orderkey"
+    ).select(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("delay"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wm = Window.partitionBy("month")
+    ws = wm.orderBy("delay", "l_orderkey", "l_linenumber")
+    ranked = (
+        delays.withColumn("i", F.row_number().over(ws).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wm).cast("long"))
+    )
+    return (
+        ranked.groupBy("month")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            F.sum(
+                F.expr(
+                    "case when i = (n + 1) div 2 or i = (n + 2) div 2 then"
+                    " case when n % 2 = 0 then delay else delay * 2 end"
+                    " else 0 end"
+                )
+            ).cast("long").alias("med2_delay_days"),
+            F.sum(
+                F.expr(
+                    "case when i = (9 * n + 9) div 10 then delay else 0 end"
+                )
+            ).cast("long").alias("p90_delay_days"),
+            F.max("delay").cast("long").alias("max_delay_days"),
+        )
+        .orderBy("month")
+    )
+
+
+_SQL_SHIP_DELAY = """
+WITH d AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+         CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) AS BIGINT) AS delay,
+         l_orderkey, l_linenumber
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate IS NOT NULL AND o_orderdate IS NOT NULL
+    AND l_orderkey IS NOT NULL
+), r AS (
+  SELECT month, delay,
+         CAST(ROW_NUMBER() OVER (PARTITION BY month
+                ORDER BY delay, l_orderkey, l_linenumber) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER (PARTITION BY month) AS BIGINT) AS n
+  FROM d
+)
+SELECT month,
+       CAST(MAX(n) AS BIGINT) AS n_lines,
+       CAST(SUM(CASE WHEN i = (n + 1) // 2 OR i = (n + 2) // 2 THEN
+                  CASE WHEN n % 2 = 0 THEN delay ELSE delay * 2 END
+                ELSE 0 END) AS BIGINT) AS med2_delay_days,
+       CAST(SUM(CASE WHEN i = (9 * n + 9) // 10 THEN delay ELSE 0 END)
+            AS BIGINT) AS p90_delay_days,
+       CAST(MAX(delay) AS BIGINT) AS max_delay_days
+FROM r
+GROUP BY month
+ORDER BY month
+"""
+
+QUERIES["shipping_delay_profile"] = shipping_delay_profile
+ORACLE["shipping_delay_profile"] = _SQL_SHIP_DELAY

@@ -563,3 +563,41 @@ def test_quantile_bins_fill_rule_and_null_year(spark, tmp_path):
     nully = got[got.o_year.isna()]
     assert len(nully) == 1 and int(nully.iloc[0].n_orders) == 1
     _diff(got, _oracle(tmp_path, _SQL_QUANTILE_BINS))
+
+
+def test_mad_outliers_robust_vs_contamination(spark, tmp_path):
+    """Values [1..9, 1000]: median-based stats shrug at the outlier
+    (med2=11, MAD*4=10) and flag exactly the one value with
+    2*dev > 3*mad4; negative values floor symmetrically on both
+    engines; NULL values drop."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_MAD,
+        mad_outliers,
+    )
+
+    d = str(tmp_path)
+    rows = [(k, "buy", float(k)) for k in range(1, 10)]
+    rows.append((10, "buy", 1000.0))
+    rows.append((11, "buy", None))
+    rows.append((12, "neg", -1.5))   # floor(-1.5e6) both engines
+    rows.append((13, "neg", -0.5))
+    ev = pd.DataFrame(rows, columns=["event_id", "event_type", "value"])
+    ev["event_id"] = ev["event_id"].astype("int64")
+    ev.to_parquet(_os.path.join(d, "events.parquet"))
+    sp = mad_outliers(spark, d).toPandas().set_index("event_type")
+    buy = sp.loc["buy"]
+    # micros 1e6..9e6, 1e9; n=10; med2 = 5e6+6e6 = 11e6
+    assert buy.med2_micro == 11_000_000
+    # devs |2x-med2|: [9,7,5,3,1,1,3,5,7,1989]e6; sorted
+    # [1,1,3,3,5,5,7,7,9,1989]e6 -> middle pair 5,5
+    assert buy.mad4_micro == 10_000_000
+    assert buy.n_outliers == 1  # only 1000.0: 2*1989e6 > 3*8e6
+    neg = sp.loc["neg"]
+    assert neg.med2_micro == -2_000_000  # floor(-1.5e6)+floor(-0.5e6)
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_MAD))

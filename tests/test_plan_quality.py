@@ -1350,3 +1350,46 @@ def test_rolling_median_bounded_epilogue(spark, sf_dir):
     assert "HashAggregate" in plan[win:]  # daily agg sits below the window
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_shipping_delay_profile_one_fact_join_month_windows(spark, sf_dir):
+    """Fact-fact shuffle join on orderkey (NO broadcast of either fact),
+    month windows + rollup share one month exchange; both scans prune to
+    the referenced columns and push the NULL-date filters."""
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        shipping_delay_profile,
+    )
+
+    plan = _plan(shipping_delay_profile(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(month") == 1
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(l_shipdate", plan)
+    assert re.search(r"PushedFilters: \[[^\]]*IsNotNull\(o_orderdate", plan)
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 3, mm.group(1)
+
+
+def test_mad_outliers_one_event_type_exchange(spark, sf_dir):
+    """Both median windows and the rollup share ONE event_type exchange
+    (two in-partition sorts, one shuffle); the events scan reads only
+    the three referenced columns and pushes the NULL filter."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import mad_outliers
+
+    plan = _plan(mad_outliers(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(event_type") == 1
+    assert "Exchange SinglePartition" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)
+
+
+def test_k_anonymity_audit_two_aggregates_no_joins(spark, sf_dir):
+    """Two stacked aggregates (QI classes -> histogram), no joins, no
+    windows; customer scan prunes to the three QI columns."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        k_anonymity_audit,
+    )
+
+    plan = _plan(k_anonymity_audit(spark, sf_dir))
+    assert "Join" not in plan
+    assert "Window" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)

@@ -570,3 +570,48 @@ def test_crosstab_deviation_known_contingency(spark, tmp_path):
     ]
     assert list(sp.dev) == [8, -8, -8, 8]
     _diff(sp, _oracle(tmp_path, _SQL_CROSSTAB))
+
+
+def test_k_anonymity_audit_class_histogram(spark, tmp_path):
+    """QI classes of sizes 1/3/7/12 land in the four labelled buckets
+    with exact class and row counts; the balance bucket is exact
+    cents div 10000 (409.99 and 401.00 share bucket 4, 399.99 does
+    not)."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_K_ANON,
+        k_anonymity_audit,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    k = 0
+    # class A: size 1 (singleton); B: 3 (under k); C: 7 (5-9); D: 12 (10+)
+    for seg, bal, cnt in (
+        ("A", 100.0, 1), ("B", 200.0, 3), ("C", 300.0, 7), ("D", 500.0, 12)
+    ):
+        for _ in range(cnt):
+            rows.append((k, 0, seg, bal))
+            k += 1
+    # bucket-edge pair: 409.99 and 401.00 share bucket 4; 399.99 is bucket 3
+    rows += [(k, 1, "E", 409.99), (k + 1, 1, "E", 401.00),
+             (k + 2, 1, "E", 399.99)]
+    cp = pd.DataFrame(
+        rows, columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    )
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    sp = k_anonymity_audit(spark, d).toPandas().set_index("size_bucket")
+    assert sp.loc["1: singleton"].n_classes == 2  # A + the 399.99 lone row
+    assert sp.loc["2: under_k"].n_classes == 2    # B + the E-pair
+    assert (sp.loc["2: under_k"].n_rows) == 5
+    assert sp.loc["3: 5-9"].n_rows == 7
+    assert sp.loc["4: 10+"].n_rows == 12
+    assert list(sp.violates_k) == [1, 1, 0, 0]
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_K_ANON))

@@ -315,3 +315,49 @@ def test_rolling_median_range_frame_calendar_gaps(spark, tmp_path):
     assert list(sp.n_window) == [1, 2, 3, 1]
     assert list(sp.med2_cents) == [200, 400, 400, 800]
     _diff(sp, _oracle(tmp_path, _SQL_ROLLING_MEDIAN))
+
+
+def test_shipping_delay_profile_exact_percentile_picks(spark, tmp_path):
+    """Month with delays 1..10: med2 = 11, nearest-rank p90 = element 9;
+    month with [2,4,6]: odd-n med2 doubles the middle (8), p90 = last.
+    NULL dates drop symmetrically."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_SHIP_DELAY,
+        shipping_delay_profile,
+    )
+
+    d = str(tmp_path)
+    li_rows, o_rows = [], []
+    for k in range(1, 11):  # month 2024-01: order day 1, ship day 1+k
+        o_rows.append((k, "2024-01-01"))
+        li_rows.append((k, 1, f"2024-01-{1 + k:02d}"))
+    for j, delay in enumerate([2, 4, 6]):  # month 2024-02
+        o_rows.append((100 + j, "2024-02-01"))
+        li_rows.append((100 + j, 1, f"2024-02-{1 + delay:02d}"))
+    o_rows.append((999, None))          # NULL order date drops
+    li_rows.append((999, 1, "2024-03-01"))
+    o_rows.append((998, "2024-03-01"))
+    li_rows.append((998, 1, None))      # NULL ship date drops
+    li = pd.DataFrame(li_rows, columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    li["l_orderkey"] = li["l_orderkey"].astype("int64")
+    li["l_linenumber"] = li["l_linenumber"].astype("int32")
+    li["l_shipdate"] = pd.to_datetime(li["l_shipdate"]).astype("datetime64[us]")
+    li.to_parquet(_os.path.join(d, "lineitem.parquet"))
+    op = pd.DataFrame(o_rows, columns=["o_orderkey", "o_orderdate"])
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype("datetime64[us]")
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    sp = shipping_delay_profile(spark, d).toPandas()
+    assert len(sp) == 2
+    jan, feb = sp.iloc[0], sp.iloc[1]
+    assert (jan.n_lines, jan.med2_delay_days, jan.p90_delay_days,
+            jan.max_delay_days) == (10, 11, 9, 10)
+    assert (feb.n_lines, feb.med2_delay_days, feb.p90_delay_days,
+            feb.max_delay_days) == (3, 8, 6, 6)
+    _diff(sp, _oracle(tmp_path, _SQL_SHIP_DELAY))
