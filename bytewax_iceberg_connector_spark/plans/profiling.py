@@ -1093,3 +1093,112 @@ ORDER BY 1
 
 QUERIES["k_anonymity_audit"] = k_anonymity_audit
 ORACLE["k_anonymity_audit"] = _SQL_K_ANON
+
+
+# ---------------------------------------------------------------------------
+# return_rate_outliers — over-returning customers vs the corpus base rate
+# ---------------------------------------------------------------------------
+
+_RETURN_TOPK = 15
+_RETURN_MIN_LINES = 5
+
+
+def return_rate_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-abuse screen: customers whose line-item return share
+    (``l_returnflag = 'R'``) exceeds 1.5x the corpus base rate, with at
+    least ``_RETURN_MIN_LINES`` lines (small-sample singletons are
+    noise, not signal), top ``_RETURN_TOPK`` by exceedance. The
+    value-level sibling of ``order_reconciliation``'s totals audit.
+
+    Exactness: the rate comparison is multiplied through — ``2 *
+    returned * base_n > 3 * base_returned * n`` — so no engine ever
+    divides; reported rates are floored ppm; ranking pins (rate DESC,
+    n_lines DESC, custkey).
+
+    Scale: one lineitem⋈orders fact join on orderkey (both sides fact-
+    sized: hash join, no broadcast), one per-customer aggregate, the
+    1-row corpus rate broadcast back, bounded TakeOrdered top-k.
+    Overflow: returned ≤ n ≤ base_n ≈ 6e11 lines at 100 TB —
+    returned*base_n ≈ 3.6e23 exceeds BIGINT, so both engines compute the
+    comparison in DECIMAL(38,0) exactly (no rounding: products of
+    integers).
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey").isNotNull()
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_custkey").isNotNull()
+    ).select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey")
+    per_cust = (
+        li.select("l_orderkey", "l_returnflag")
+        .join(orders, "l_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.expr("case when l_returnflag = 'R' then 1 else 0 end")
+            ).cast("long").alias("n_returned"),
+        )
+        .persist()
+    )
+    base = per_cust.agg(
+        F.sum("n_lines").cast("long").alias("base_n"),
+        F.sum("n_returned").cast("long").alias("base_returned"),
+    )
+    from ._cache import scoped
+
+    result = (
+        per_cust.where(F.col("n_lines") >= _RETURN_MIN_LINES)
+        .crossJoin(F.broadcast(base))
+        .withColumn(
+            "exceed",
+            F.expr(
+                "2 * cast(n_returned as decimal(38,0)) * base_n"
+                " - 3 * cast(base_returned as decimal(38,0)) * n_lines"
+            ),
+        )
+        .where(F.col("exceed") > 0)
+        .select(
+            "o_custkey", "n_lines", "n_returned",
+            F.expr("n_returned * 1000000 div n_lines").cast("long").alias(
+                "rate_ppm"
+            ),
+            F.expr("base_returned * 1000000 div base_n").cast("long").alias(
+                "base_rate_ppm"
+            ),
+        )
+        .orderBy(
+            F.expr("n_returned * 1000000 div n_lines").desc(),
+            F.col("n_lines").desc(),
+            "o_custkey",
+        )
+        .limit(_RETURN_TOPK)
+    )
+    return scoped(result, per_cust)
+
+
+_SQL_RETURN_OUTLIERS = f"""
+WITH pc AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_returned
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+  GROUP BY 1
+), base AS (
+  SELECT SUM(n_lines) AS base_n, SUM(n_returned) AS base_returned FROM pc
+)
+SELECT o_custkey, n_lines, n_returned,
+       CAST(n_returned * 1000000 // n_lines AS BIGINT) AS rate_ppm,
+       CAST(base_returned * 1000000 // base_n AS BIGINT) AS base_rate_ppm
+FROM pc CROSS JOIN base
+WHERE n_lines >= {_RETURN_MIN_LINES}
+  AND 2 * CAST(n_returned AS DECIMAL(38,0)) * base_n
+      - 3 * CAST(base_returned AS DECIMAL(38,0)) * n_lines > 0
+ORDER BY n_returned * 1000000 // n_lines DESC, n_lines DESC, o_custkey
+LIMIT {_RETURN_TOPK}
+"""
+
+QUERIES["return_rate_outliers"] = return_rate_outliers
+ORACLE["return_rate_outliers"] = _SQL_RETURN_OUTLIERS

@@ -1393,3 +1393,18 @@ def test_k_anonymity_audit_two_aggregates_no_joins(spark, sf_dir):
     assert "Window" not in plan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)
+
+
+def test_return_rate_outliers_single_fact_join_takeordered(spark, sf_dir):
+    """One fact-fact join on orderkey, per-customer agg persisted and
+    reused for the base rate (cache reads, no second lineitem scan),
+    bounded TakeOrdered; scans prune to two columns each."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        return_rate_outliers,
+    )
+
+    plan = _plan(return_rate_outliers(spark, sf_dir))
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "TakeOrdered" in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 2, mm.group(1)

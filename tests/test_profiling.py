@@ -615,3 +615,46 @@ def test_k_anonymity_audit_class_histogram(spark, tmp_path):
     assert sp.loc["4: 10+"].n_rows == 12
     assert list(sp.violates_k) == [1, 1, 0, 0]
     _diff(sp.reset_index(), _oracle(tmp_path, _SQL_K_ANON))
+
+
+def test_return_rate_outliers_threshold_and_min_lines(spark, tmp_path):
+    """Base rate 25%: a 5-line customer with 2 returns (40% > 1.5x base)
+    flags; one with 1 return (20%) does not; a 100%-returning 2-line
+    customer is excluded by the min-lines gate. Multiply-through
+    comparison — no divisions — matches the oracle."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_RETURN_OUTLIERS,
+        return_rate_outliers,
+    )
+
+    d = str(tmp_path)
+    li_rows, o_rows = [], []
+
+    def add_cust(ck, flags):
+        ok = ck * 100
+        o_rows.append((ok, ck))
+        for f in flags:
+            li_rows.append((ok, f))
+
+    add_cust(1, "RNNNN")        # 1/5 = 20%: under
+    add_cust(2, "RRNNN")        # 2/5 = 40%: over 1.5 x base
+    add_cust(3, "RR")           # 100% but only 2 lines: min-lines gate
+    add_cust(4, "NNNNNNNN")     # 0%: drags base rate down
+    li = pd.DataFrame(li_rows, columns=["l_orderkey", "l_returnflag"])
+    li["l_orderkey"] = li["l_orderkey"].astype("int64")
+    li.to_parquet(_os.path.join(d, "lineitem.parquet"))
+    op = pd.DataFrame(o_rows, columns=["o_orderkey", "o_custkey"])
+    for c in op.columns:
+        op[c] = op[c].astype("int64")
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    # base: 5 returns / 20 lines = 25%
+    sp = return_rate_outliers(spark, d).toPandas()
+    assert list(sp.o_custkey) == [2]
+    assert (sp.iloc[0].rate_ppm, sp.iloc[0].base_rate_ppm) == (400_000, 250_000)
+    _diff(sp, _oracle(tmp_path, _SQL_RETURN_OUTLIERS))
