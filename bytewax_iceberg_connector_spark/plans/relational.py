@@ -2735,10 +2735,21 @@ def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._cache import scoped
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _basket_pairs(li).select("pa", "pb").persist()
-    directed = edges.unionAll(
-        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).toDF("node", "nbr")
+    # both orientations in ONE pass over the basket fan-out (a unionAll
+    # of the un-persisted pair frame would run the fan-out twice)
+    directed = (
+        _basket_pairs(li)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(pa as node, pb as nbr),"
+                    "      struct(pb as node, pa as nbr))"
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
+        .persist()
+    )
     deg = (
         directed.groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
@@ -2760,7 +2771,7 @@ def graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("deg")
     )
-    return scoped(result, edges, deg)
+    return scoped(result, directed, deg)
 
 
 _SQL_DEGREE_PROFILE = f"""
@@ -2815,10 +2826,22 @@ def bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._cache import scoped
 
     li = load_table(spark, sf_dir, "lineitem")
-    edges = _basket_pairs(li).select("pa", "pb")
-    directed = edges.unionAll(
-        edges.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).toDF("node", "nbr").persist()
+    # one-pass double orientation (graph_degree_profile's shape): a
+    # unionAll over the un-persisted pair frame would pay the basket
+    # fan-out twice
+    directed = (
+        _basket_pairs(li)
+        .select(
+            F.explode(
+                F.expr(
+                    "array(struct(pa as node, pb as nbr),"
+                    "      struct(pb as node, pa as nbr))"
+                )
+            ).alias("e")
+        )
+        .select("e.node", "e.nbr")
+        .persist()
+    )
     deg = directed.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("deg")
     )
