@@ -395,6 +395,53 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# B21g: stream-static dimension enrichment
+# ---------------------------------------------------------------------------
+
+def streaming_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly revenue per market segment from the event stream enriched
+    with the STATIC customer dimension — the canonical stream-static
+    join (no state, no watermark on the dim side: Spark re-reads the
+    lookup table per micro-batch, exactly the slowly-changing-dimension
+    contract). Mode-agnostic expressions: this batch replay IS the
+    per-micro-batch computation, and the streaming execution path of the
+    same join shape is exercised in
+    tests/test_streaming.py::test_stream_static_join_matches_batch.
+
+    Semantics: LEFT join — stream rows whose user has no dimension row
+    survive as segment 'unknown' (dropping facts on a dim miss is how
+    enrichment silently loses data; the A13 enrich stage keeps them).
+
+    Scale: the dimension prunes to two columns and BROADCASTS under the
+    stream-static contract (the stream side can never be the build
+    side); one tumbling aggregate per (window, segment) on top — the
+    same single-exchange shape as streaming_tumbling.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("unknown"))
+    )
+    return tumbling_agg(enriched, "ts", "1 hour", ("segment",)).orderBy(
+        "window_start", "segment"
+    )
+
+
+_SQL_ENRICH_DIM = f"""
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       COALESCE(c_mktsegment, 'unknown') AS segment,
+       COUNT(*) AS n_events,
+       {sql_dsum('value')} AS total_value
+FROM events
+LEFT JOIN customer ON c_custkey = user_id
+GROUP BY window_start, segment
+ORDER BY window_start, segment
+"""
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_upsert": streaming_upsert,
@@ -404,6 +451,7 @@ QUERIES = {
     "streaming_interval_join": streaming_interval_join,
     "streaming_topk": streaming_topk,
     "streaming_dedup": streaming_dedup,
+    "streaming_enrich_dim": streaming_enrich_dim,
 }
 
 ORACLE = {
@@ -415,4 +463,5 @@ ORACLE = {
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
     "streaming_topk": _SQL_TOPK,
     "streaming_dedup": _SQL_DEDUP_FIRST_SEEN,
+    "streaming_enrich_dim": _SQL_ENRICH_DIM,
 }

@@ -1408,3 +1408,22 @@ def test_return_rate_outliers_single_fact_join_takeordered(spark, sf_dir):
     assert "TakeOrdered" in plan
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(mm.group(1).split(",")) <= 2, mm.group(1)
+
+
+def test_streaming_enrich_dim_broadcast_and_one_exchange(spark, sf_dir):
+    """The static dim broadcasts (the stream side can never build a
+    shuffle join) and the windowed aggregate is the only hash exchange;
+    the dim scan prunes to two columns."""
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        streaming_enrich_dim,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(streaming_enrich_dim(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -351,3 +351,53 @@ def test_stream_merge_builds_latest_state(spark, sf_dir, tmp_path):
     assert got == want
     # replayed batch ids are recorded for crash dedup
     assert sink._log.committed_batch_ids()
+
+
+def test_streaming_enrich_dim_unknown_segment(spark, tmp_path):
+    """A stream row whose user has NO dimension row survives the LEFT
+    enrichment as segment 'unknown' (dim misses must not drop facts);
+    matched users fold into their segment's hourly window. Oracle diff
+    on the same fixture."""
+    import datetime as _dt
+    import os as _os
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import Row
+
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        _SQL_ENRICH_DIM,
+        streaming_enrich_dim,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 10, 15)
+    rows = [
+        Row(event_id=1, ts=t0, user_id=1, event_type="a", value=1.0),
+        Row(event_id=2, ts=t0, user_id=1, event_type="a", value=2.0),
+        Row(event_id=3, ts=t0, user_id=999, event_type="a", value=4.0),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows).write.mode("overwrite").parquet(
+        _os.path.join(d, "events.parquet")
+    )
+    cp = pd.DataFrame({"c_custkey": [1], "c_mktsegment": ["BUILDING"]})
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    sp = streaming_enrich_dim(spark, d).toPandas()
+    assert list(sp.segment) == ["BUILDING", "unknown"]
+    assert list(sp.n_events) == [2, 1]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(d, "events.parquet", "*.parquet")
+        )
+    )
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM read_parquet('{}')".format(
+            _os.path.join(d, "customer.parquet")
+        )
+    )
+    want = con.execute(_SQL_ENRICH_DIM).df()
+    assert list(want.segment) == list(sp.segment)
+    assert [int(x) for x in want.n_events] == list(sp.n_events)
+    assert [int(x) for x in want.total_value] == [int(x) for x in sp.total_value]
