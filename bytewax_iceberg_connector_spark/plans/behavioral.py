@@ -1462,3 +1462,125 @@ ORDER BY event_type
 
 QUERIES["mad_outliers"] = mad_outliers
 ORACLE["mad_outliers"] = _SQL_MAD
+
+
+# ---------------------------------------------------------------------------
+# psi_drift — population stability index between time halves
+# ---------------------------------------------------------------------------
+
+
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    first calendar half vs second half — THE production ML-monitoring
+    drift score (PSI < 0.1 stable, > 0.25 shifted), over the same fixed
+    bins as ``value_histogram``. The parametric complement to
+    ``ks_drift``'s sup-gap statistic.
+
+    Determinism: the halves split on the exact integer twice-midpoint of
+    the day span (``2·day ≤ min+max``); each bin's PSI term
+    (p−q)·ln(p/q) is computed once per BIN from integer counts in one
+    fixed double expression and quantized to micro before the sum (the
+    LM-surprise recipe). Bins empty on either side can't take a log —
+    they are counted out separately (``n_degenerate_bins``), the
+    standard epsilon-free treatment.
+
+    Scale: one orders scan -> one (half, bin) aggregate (map-side
+    combined, ≤ 2x``_HIST_BINS`` cells), a 1-row total broadcast, and a
+    bounded final fold. Constant-size state at any fact size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(F.col("o_orderdate").isNotNull()).select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("dn"),
+        F.least(
+            F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+            F.lit(_HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    span = base.agg(
+        (F.min("dn") + F.max("dn")).alias("mid2")
+    )
+    cells = (
+        base.crossJoin(F.broadcast(span))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.expr("case when 2 * dn <= mid2 then 1 else 0 end"))
+            .cast("long")
+            .alias("c"),
+            F.sum(F.expr("case when 2 * dn > mid2 then 1 else 0 end"))
+            .cast("long")
+            .alias("d"),
+        )
+        .persist()
+    )
+    tot = cells.agg(
+        F.sum("c").cast("long").alias("tc"), F.sum("d").cast("long").alias("td")
+    )
+    from pyspark.sql import functions as _F  # noqa: F401
+    from bytewax_iceberg_connector_spark.plans._cache import scoped
+
+    result = (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "term_micro",
+            F.expr(
+                "case when c > 0 and d > 0 then"
+                " cast(round((c / tc - d / td)"
+                "   * ln((c * td) / (d * tc)) * 1000000) as long)"
+                " else null end"
+            ),
+        )
+        .agg(
+            F.sum(F.expr("case when term_micro is not null then 1 else 0 end"))
+            .cast("long")
+            .alias("n_bins_used"),
+            F.sum(F.expr("case when term_micro is null then 1 else 0 end"))
+            .cast("long")
+            .alias("n_degenerate_bins"),
+            F.max("tc").alias("n_first_half"),
+            F.max("td").alias("n_second_half"),
+            F.sum("term_micro").cast("long").alias("psi_micro"),
+        )
+    )
+    return scoped(result, cells)
+
+
+_SQL_PSI = f"""
+WITH base AS (
+  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS dn,
+         LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+               {_HIST_BINS - 1}) AS bin
+  FROM orders WHERE o_orderdate IS NOT NULL
+), span AS (
+  SELECT MIN(dn) + MAX(dn) AS mid2 FROM base
+), cells AS (
+  SELECT bin,
+         CAST(SUM(CASE WHEN 2 * dn <= mid2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c,
+         CAST(SUM(CASE WHEN 2 * dn > mid2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS d
+  FROM base CROSS JOIN span
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS tc, SUM(d) AS td FROM cells
+), terms AS (
+  SELECT CASE WHEN c > 0 AND d > 0 THEN
+           CAST(ROUND((c / tc - d / td)
+                * ln((c * td) / (d * tc)) * 1000000) AS BIGINT)
+         ELSE NULL END AS term_micro
+  FROM cells CROSS JOIN tot
+)
+SELECT CAST(SUM(CASE WHEN term_micro IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_bins_used,
+       CAST(SUM(CASE WHEN term_micro IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate_bins,
+       CAST((SELECT tc FROM tot) AS BIGINT) AS n_first_half,
+       CAST((SELECT td FROM tot) AS BIGINT) AS n_second_half,
+       CAST(SUM(term_micro) AS BIGINT) AS psi_micro
+FROM terms
+"""
+
+QUERIES["psi_drift"] = psi_drift
+ORACLE["psi_drift"] = _SQL_PSI

@@ -1263,3 +1263,107 @@ ORDER BY month
 
 QUERIES["shipping_delay_profile"] = shipping_delay_profile
 ORACLE["shipping_delay_profile"] = _SQL_SHIP_DELAY
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_trend — robust pairwise-slope trend of daily revenue
+# ---------------------------------------------------------------------------
+
+
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen estimator over daily order revenue: the MEDIAN of all
+    pairwise slopes (c₂−c₁)/(d₂−d₁) — the robust trendline whose
+    breakdown point (~29%) shrugs at the outlier days that drag
+    ``zipf_fit``-style OLS; the standard robust-regression companion to
+    ``rolling_median_revenue``'s level smoothing.
+
+    Exactness: each pair's slope quantizes ONCE to truncated
+    micro-cents-per-day (``div`` = ``//`` toward-zero parity on negative
+    slopes), then the median rides as ``slope2`` = the twice-median of
+    the quantized slopes — integer end-to-end, tie-broken by (slope,
+    d1, d2).
+
+    Scale: the pair fan-out and its sort are DAY-BOUNDED — n days means
+    n(n−1)/2 pairs (years×366 → ~3M pairs) regardless of fact-table
+    size, so the single-partition median sort is a constant-cost
+    epilogue to one distributed daily aggregate (the rolling-median
+    precedent, squared). The self-join broadcasts the bounded daily
+    frame.
+    """
+    from ._cache import scoped
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.where(F.col("o_orderdate").isNotNull())
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.expr(
+                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                " as bigint)"
+            ).alias("cents")
+        )
+        .select(
+            F.datediff("day", F.lit("1970-01-01")).cast("long").alias("d"),
+            "cents",
+        )
+        .persist()
+    )
+    a = daily.select(F.col("d").alias("d1"), F.col("cents").alias("c1"))
+    b = daily.select(F.col("d").alias("d2"), F.col("cents").alias("c2"))
+    slopes = (
+        a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
+        .select(
+            "d1", "d2",
+            F.expr("(c2 - c1) * 1000000 div (d2 - d1)").alias("slope"),
+        )
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    wall = Window.partitionBy(F.lit(1))
+    ranked = (
+        slopes.withColumn("i", F.row_number().over(w).cast("long"))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    )
+    result = ranked.agg(
+        F.expr("cast(count(1) as long)").alias("n_pairs"),
+        F.sum(
+            F.expr(
+                "case when i = (n + 1) div 2 or i = (n + 2) div 2 then"
+                " case when n % 2 = 0 then slope else slope * 2 end"
+                " else 0 end"
+            )
+        ).cast("long").alias("med2_slope_micro"),
+        F.min("slope").cast("long").alias("min_slope_micro"),
+        F.max("slope").cast("long").alias("max_slope_micro"),
+    )
+    return scoped(result, daily)
+
+
+_SQL_THEIL_SEN = """
+WITH daily AS (
+  SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+              AS BIGINT) AS d,
+         CAST(FLOOR(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100)
+              AS BIGINT) AS cents
+  FROM orders WHERE o_orderdate IS NOT NULL
+  GROUP BY CAST(o_orderdate AS DATE)
+), s AS (
+  SELECT a.d AS d1, b.d AS d2,
+         (b.cents - a.cents) * 1000000 // (b.d - a.d) AS slope
+  FROM daily a JOIN daily b ON a.d < b.d
+), r AS (
+  SELECT slope,
+         CAST(ROW_NUMBER() OVER (ORDER BY slope, d1, d2) AS BIGINT) AS i,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM s
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN i = (n + 1) // 2 OR i = (n + 2) // 2 THEN
+                  CASE WHEN n % 2 = 0 THEN slope ELSE slope * 2 END
+                ELSE 0 END) AS BIGINT) AS med2_slope_micro,
+       CAST(MIN(slope) AS BIGINT) AS min_slope_micro,
+       CAST(MAX(slope) AS BIGINT) AS max_slope_micro
+FROM r
+"""
+
+QUERIES["theil_sen_trend"] = theil_sen_trend
+ORACLE["theil_sen_trend"] = _SQL_THEIL_SEN

@@ -601,3 +601,49 @@ def test_mad_outliers_robust_vs_contamination(spark, tmp_path):
     neg = sp.loc["neg"]
     assert neg.med2_micro == -2_000_000  # floor(-1.5e6)+floor(-0.5e6)
     _diff(sp.reset_index(), _oracle(tmp_path, _SQL_MAD))
+
+
+def test_psi_drift_hand_terms_and_degenerate_bin(spark, tmp_path):
+    """First half 3xbin0+1xbin1, second half 1xbin0+3xbin1+1xbin2:
+    bin2 is one-sided (degenerate, excluded from the log), the two used
+    bins' micro terms match an independent Python computation within
+    rounding, and the oracle agrees exactly."""
+    import math
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_PSI,
+        psi_drift,
+    )
+
+    d = str(tmp_path)
+    rows = []
+    k = 0
+    # first half: days around 2024-01-01..05 (dn small)
+    for price in (100.0, 100.0, 100.0, 30000.0):
+        rows.append((k, 1, price, f"2024-01-{(k % 5) + 1:02d}")); k += 1
+    # second half: days 2024-03-01.. (dn large)
+    for price in (100.0, 30000.0, 30000.0, 30000.0, 60000.0):
+        rows.append((k, 1, price, f"2024-03-{(k % 5) + 1:02d}")); k += 1
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    sp = psi_drift(spark, d).toPandas()
+    row = sp.iloc[0]
+    assert (row.n_bins_used, row.n_degenerate_bins) == (2, 1)
+    assert (row.n_first_half, row.n_second_half) == (4, 5)
+    want = round((3 / 4 - 1 / 5) * math.log((3 * 5) / (1 * 4)) * 1e6) + round(
+        (1 / 4 - 3 / 5) * math.log((1 * 5) / (3 * 4)) * 1e6
+    )
+    assert abs(int(row.psi_micro) - want) <= 2
+    _diff(sp, _oracle(tmp_path, _SQL_PSI))

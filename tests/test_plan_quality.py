@@ -1427,3 +1427,32 @@ def test_streaming_enrich_dim_broadcast_and_one_exchange(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_theil_sen_bounded_broadcast_self_join(spark, sf_dir):
+    """The pair fan-out self-joins the BOUNDED daily aggregate via
+    broadcast (never a shuffled fact self-join); the orders scan reads
+    two columns; no cartesian product (the d1 < d2 predicate rides the
+    broadcast nested loop, which is fine on a day-bounded frame)."""
+    from bytewax_iceberg_connector_spark.plans.temporal import theil_sen_trend
+
+    plan = _plan(theil_sen_trend(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 2, mm.group(1)
+
+
+def test_psi_drift_constant_state_no_joins_on_facts(spark, sf_dir):
+    """One (half, bin) cell aggregate over the fact scan; totals fold
+    from the persisted cell table; the only joins are 1-row broadcasts;
+    orders scan prunes to two columns."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import psi_drift
+
+    plan = _plan(psi_drift(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("InMemoryTableScan") >= 2
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 2, mm.group(1)

@@ -361,3 +361,31 @@ def test_shipping_delay_profile_exact_percentile_picks(spark, tmp_path):
     assert (feb.n_lines, feb.med2_delay_days, feb.p90_delay_days,
             feb.max_delay_days) == (3, 8, 6, 6)
     _diff(sp, _oracle(tmp_path, _SQL_SHIP_DELAY))
+
+
+def test_theil_sen_trend_outlier_resistant_median_slope(spark, tmp_path):
+    """Daily cents 100/200/300/1000: the six pairwise slopes are
+    [1,1,1,3,4,7]e8 micro/day — med2 = 4e8 (median 2e8) while OLS would
+    chase the outlier; truncation parity on the slope division."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_THEIL_SEN,
+        theil_sen_trend,
+    )
+
+    rows = [
+        (0, 1, 1.0, "2024-01-01"),
+        (1, 1, 2.0, "2024-01-02"),
+        (2, 1, 3.0, "2024-01-03"),
+        (3, 1, 10.0, "2024-01-04"),
+    ]
+    d = _orders_nation_fixture(tmp_path, rows)
+    sp = theil_sen_trend(spark, d).toPandas()
+    row = sp.iloc[0]
+    assert row.n_pairs == 6
+    assert row.med2_slope_micro == 400_000_000
+    assert (row.min_slope_micro, row.max_slope_micro) == (
+        100_000_000, 700_000_000
+    )
+    _diff(sp, _oracle(tmp_path, _SQL_THEIL_SEN))
