@@ -1584,3 +1584,96 @@ FROM terms
 
 QUERIES["psi_drift"] = psi_drift
 ORACLE["psi_drift"] = _SQL_PSI
+
+
+# ---------------------------------------------------------------------------
+# cohort_revenue_ltv — cumulative revenue by signup cohort x age
+# ---------------------------------------------------------------------------
+
+
+def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: customers grouped by FIRST-order month, revenue
+    accumulated by month offset since that cohort month — the revenue
+    sibling of ``retention_cohorts``' activity curve, and the table
+    every "payback period" chart is drawn from.
+
+    Exactness: months ride as the integer ``year*12 + month − 1`` so
+    offsets are pure subtraction (no calendar arithmetic divergence);
+    revenue is exact floored cents; the cumulative sum is an integer
+    running window ordered by the offset (unique per cohort, no
+    tie-break needed).
+
+    Scale: ONE custkey exchange carries the first-order window; the
+    (cohort, offset) rollup and its cumulative window operate on a
+    BOUNDED frame (months² / 2 cells at any fact size). The cohort
+    label decodes from the month number JVM-side.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.where(
+        F.col("o_custkey").isNotNull() & F.col("o_orderdate").isNotNull()
+    ).select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1"
+        ).cast("long").alias("m"),
+        F.expr(
+            "cast(floor(cast(o_totalprice as decimal(18,2)) * 100) as bigint)"
+        ).alias("cents"),
+    )
+    wc = Window.partitionBy("o_custkey")
+    offs = base.withColumn("cohort", F.min("m").over(wc)).withColumn(
+        "offset", (F.col("m") - F.col("cohort")).cast("long")
+    )
+    cells = offs.groupBy("cohort", "offset").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
+    wcum = (
+        Window.partitionBy("cohort")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_cents", F.sum("cents").over(wcum).cast("long"))
+        .select(
+            F.expr(
+                "concat(cast(cohort div 12 as string), '-',"
+                " lpad(cast(cohort % 12 + 1 as string), 2, '0'))"
+            ).alias("cohort_month"),
+            "offset", "n_orders", "cents", "cum_cents",
+        )
+        .orderBy("cohort_month", "offset")
+    )
+
+
+_SQL_COHORT_LTV = """
+WITH base AS (
+  SELECT o_custkey,
+         CAST(EXTRACT(year FROM o_orderdate) * 12
+              + EXTRACT(month FROM o_orderdate) - 1 AS BIGINT) AS m,
+         CAST(FLOOR(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+), offs AS (
+  SELECT m - MIN(m) OVER (PARTITION BY o_custkey) AS "offset",
+         MIN(m) OVER (PARTITION BY o_custkey) AS cohort,
+         cents
+  FROM base
+), cells AS (
+  SELECT cohort, "offset",
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+  FROM offs GROUP BY 1, 2
+)
+SELECT CAST(cohort // 12 AS VARCHAR) || '-'
+         || lpad(CAST(cohort % 12 + 1 AS VARCHAR), 2, '0') AS cohort_month,
+       "offset", n_orders, cents,
+       CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY "offset"
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+FROM cells
+ORDER BY cohort_month, "offset"
+"""
+
+QUERIES["cohort_revenue_ltv"] = cohort_revenue_ltv
+ORACLE["cohort_revenue_ltv"] = _SQL_COHORT_LTV

@@ -1202,3 +1202,109 @@ LIMIT {_RETURN_TOPK}
 
 QUERIES["return_rate_outliers"] = return_rate_outliers
 ORACLE["return_rate_outliers"] = _SQL_RETURN_OUTLIERS
+
+
+# ---------------------------------------------------------------------------
+# blocking_efficiency — entity-resolution blocking-strategy evaluation
+# ---------------------------------------------------------------------------
+
+
+def blocking_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking audit over the customer table: for
+    each candidate blocking strategy (nation / segment / nation+segment)
+    the block count, the largest block, the candidate-pair mass
+    Σ C(size, 2), and the reduction ratio vs the unblocked C(N, 2) cross
+    product — the standard ER planning report that decides whether a
+    blocking key tames the quadratic match step (the dedup families'
+    LSH-band tables are exactly such blocks; this measures the
+    dimension-key alternatives).
+
+    Exactness: pure BIGINT counts — C(N,2) fits to ~3e9 customers, and
+    the reduction ratio uses the two-stage floored ppm decomposition
+    (revenue_gini's recipe) so no intermediate exceeds cross_pairs·10³.
+    NOTE a new parity class found here: DuckDB's ``//`` on DECIMAL
+    operands ROUNDS to scale where Spark's decimal ``div`` truncates —
+    integer ``//`` vs ``div`` agree, so ratios must stay in BIGINT.
+    Strategy labels are pinned strings.
+
+    Scale: one customer scan per strategy aggregate (three map-side
+    combined aggregates over the same scan — Spark caches nothing here;
+    at 100 TB you'd reuse one scan via a persisted projection, which the
+    bounded 3-strategy union makes a single job anyway); block tables
+    are dimension-key-sized.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    n_tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+        "n", F.expr("n * (n - 1) div 2").cast("long").alias("cross_pairs")
+    )
+    out = None
+    for label, keys in (
+        ("1: nation", ["c_nationkey"]),
+        ("2: segment", ["c_mktsegment"]),
+        ("3: nation+segment", ["c_nationkey", "c_mktsegment"]),
+    ):
+        blocks = (
+            cust.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+            .agg(
+                F.lit(label).alias("strategy"),
+                F.count(F.lit(1)).cast("long").alias("n_blocks"),
+                F.max("sz").cast("long").alias("max_block"),
+                F.sum(F.expr("sz * (sz - 1) div 2"))
+                .cast("long")
+                .alias("pairs_dec"),
+            )
+        )
+        out = blocks if out is None else out.unionAll(blocks)
+    return (
+        out.crossJoin(F.broadcast(n_tot))
+        .select(
+            "strategy", "n_blocks", "max_block",
+            F.col("pairs_dec").cast("long").alias("candidate_pairs"),
+            F.expr(
+                "cast((((cross_pairs - pairs_dec) * 1000)"
+                " div nullif(cross_pairs, 0)) * 1000"
+                " + (((cross_pairs - pairs_dec) * 1000) % nullif(cross_pairs, 0))"
+                " * 1000 div nullif(cross_pairs, 0) as long)"
+            ).alias("reduction_ppm"),
+        )
+        .orderBy("strategy")
+    )
+
+
+_SQL_BLOCKING = """
+WITH tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS cross_pairs
+  FROM customer
+), s1 AS (
+  SELECT '1: nation' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(MAX(sz) AS BIGINT) AS max_block,
+         CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pairs_dec
+  FROM (SELECT COUNT(*) AS sz FROM customer GROUP BY c_nationkey)
+), s2 AS (
+  SELECT '2: segment', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(sz) AS BIGINT),
+         CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+  FROM (SELECT COUNT(*) AS sz FROM customer GROUP BY c_mktsegment)
+), s3 AS (
+  SELECT '3: nation+segment', CAST(COUNT(*) AS BIGINT),
+         CAST(MAX(sz) AS BIGINT),
+         CAST(SUM(sz * (sz - 1) // 2) AS BIGINT)
+  FROM (SELECT COUNT(*) AS sz FROM customer
+        GROUP BY c_nationkey, c_mktsegment)
+), u AS (
+  SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+)
+SELECT strategy, n_blocks, max_block,
+       CAST(pairs_dec AS BIGINT) AS candidate_pairs,
+       CAST((((cross_pairs - pairs_dec) * 1000)
+             // NULLIF(cross_pairs, 0)) * 1000
+            + (((cross_pairs - pairs_dec) * 1000) % NULLIF(cross_pairs, 0))
+              * 1000 // NULLIF(cross_pairs, 0) AS BIGINT) AS reduction_ppm
+FROM u CROSS JOIN tot
+ORDER BY strategy
+"""
+
+QUERIES["blocking_efficiency"] = blocking_efficiency
+ORACLE["blocking_efficiency"] = _SQL_BLOCKING

@@ -647,3 +647,43 @@ def test_psi_drift_hand_terms_and_degenerate_bin(spark, tmp_path):
     )
     assert abs(int(row.psi_micro) - want) <= 2
     _diff(sp, _oracle(tmp_path, _SQL_PSI))
+
+
+def test_cohort_revenue_ltv_offsets_and_cumulation(spark, tmp_path):
+    """Customer signed up 2023-11 buying across a year boundary: offsets
+    are pure month-number subtraction (Nov->Feb = 3); cumulative cents
+    accumulate within the cohort; a second cohort stays independent."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_COHORT_LTV,
+        cohort_revenue_ltv,
+    )
+
+    d = str(tmp_path)
+    rows = [
+        (1, 1, 1.0, "2023-11-05"),
+        (2, 1, 2.0, "2023-11-20"),   # same cohort month, offset 0
+        (3, 1, 4.0, "2024-02-01"),   # offset 3 across the year boundary
+        (4, 2, 8.0, "2024-01-15"),   # separate cohort
+    ]
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    sp = cohort_revenue_ltv(spark, d).toPandas()
+    assert list(zip(sp.cohort_month, sp["offset"])) == [
+        ("2023-11", 0), ("2023-11", 3), ("2024-01", 0)
+    ]
+    assert list(sp.cents) == [300, 400, 800]
+    assert list(sp.cum_cents) == [300, 700, 800]
+    _diff(sp, _oracle(tmp_path, _SQL_COHORT_LTV))

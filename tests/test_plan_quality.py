@@ -1456,3 +1456,46 @@ def test_psi_drift_constant_state_no_joins_on_facts(spark, sf_dir):
     assert plan.count("InMemoryTableScan") >= 2
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(mm.group(1).split(",")) <= 2, mm.group(1)
+
+
+def test_basket_triples_linear_fanout_no_self_join(spark, sf_dir):
+    """The triple space comes from the per-basket array fan-out (one
+    Generate), NEVER a 3-way table self-join: exactly one lineitem scan,
+    no join operator at all, bounded TakeOrdered."""
+    from bytewax_iceberg_connector_spark.plans.relational import basket_triples
+
+    plan = _plan(basket_triples(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Generate") == 1
+    assert "TakeOrdered" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_blocking_efficiency_aggregates_only(spark, sf_dir):
+    """Three stacked block-size aggregates + a 1-row broadcast: no
+    sort-merge joins, no windows over fact data; customer scans prune
+    to the two QI columns."""
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        blocking_efficiency,
+    )
+
+    plan = _plan(blocking_efficiency(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 2, mm.group(1)
+
+
+def test_cohort_revenue_ltv_custkey_window_then_bounded_rollup(spark, sf_dir):
+    """One custkey exchange feeds the first-order window; the (cohort,
+    offset) rollup and its cumulative window run on the bounded cell
+    frame; orders scan prunes to three columns."""
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        cohort_revenue_ltv,
+    )
+
+    plan = _plan(cohort_revenue_ltv(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(o_custkey") == 1
+    assert plan.count("Exchange hashpartitioning(cohort") >= 1
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 3, m and m.group(1)

@@ -658,3 +658,37 @@ def test_return_rate_outliers_threshold_and_min_lines(spark, tmp_path):
     assert list(sp.o_custkey) == [2]
     assert (sp.iloc[0].rate_ppm, sp.iloc[0].base_rate_ppm) == (400_000, 250_000)
     _diff(sp, _oracle(tmp_path, _SQL_RETURN_OUTLIERS))
+
+
+def test_blocking_efficiency_hand_counts(spark, tmp_path):
+    """4 customers in 2 nations x 2 segments: cross pairs C(4,2)=6;
+    nation blocking -> 2 blocks of 2 = 2 pairs (reduction 666666 ppm);
+    the compound key -> 4 singletons = 0 pairs (full reduction)."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.profiling import (
+        _SQL_BLOCKING,
+        blocking_efficiency,
+    )
+
+    d = str(tmp_path)
+    cp = pd.DataFrame(
+        [(1, 0, "X"), (2, 0, "Y"), (3, 1, "X"), (4, 1, "Y")],
+        columns=["c_custkey", "c_nationkey", "c_mktsegment"],
+    )
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    sp = blocking_efficiency(spark, d).toPandas().set_index("strategy")
+    nat = sp.loc["1: nation"]
+    assert (nat.n_blocks, nat.max_block, nat.candidate_pairs) == (2, 2, 2)
+    assert nat.reduction_ppm == 666_666
+    both = sp.loc["3: nation+segment"]
+    assert (both.n_blocks, both.candidate_pairs, both.reduction_ppm) == (
+        4, 0, 1_000_000
+    )
+    _diff(sp.reset_index(), _oracle(tmp_path, _SQL_BLOCKING))

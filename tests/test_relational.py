@@ -413,3 +413,28 @@ def test_bfs_reach_frontiers_exact_shortest_distance(spark, tmp_path):
     assert list(sp.hop) == [0, 1, 2, 3]
     assert list(sp.n_nodes) == [1, 3, 1, 1]
     _diff(sp, _oracle(tmp_path, _SQL_BFS))
+
+
+def test_basket_triples_fanout_equals_self_join(spark, tmp_path):
+    """A 4-part basket emits its C(4,3)=4 canonical triples; support
+    counts across baskets; min-support drops singles; duplicate lines
+    and NULL parts are hygiene-filtered — against the 3-way-join
+    oracle."""
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_BASKET_TRIPLES,
+        basket_triples,
+    )
+
+    rows = [
+        (1, 10), (1, 20), (1, 30), (1, 40),   # C(4,3) = 4 triples
+        (2, 10), (2, 20), (2, 30), (2, 30),   # {10,20,30} again -> support 2
+        (3, 50), (3, 60), (3, 70),            # support-1 triple: dropped
+        (4, None), (4, 80), (4, 90),          # NULL part: only a pair left
+    ]
+    d = _li_graph_nullable(tmp_path, rows)
+    sp = basket_triples(spark, d).toPandas()
+    assert len(sp) == 1
+    assert tuple(sp.iloc[0]) == (10, 20, 30, 2)
+    _diff(sp, _oracle(tmp_path, _SQL_BASKET_TRIPLES))
