@@ -567,3 +567,97 @@ def test_transition_matrix_matches_python_reference(spark, rows):
         k: (n, n * 1_000_000 // row_tot[k[0]]) for k, n in counts.items()
     }
     assert got == want
+
+
+@given(
+    vals=st.lists(
+        st.integers(-10_000, 10_000), min_size=1, max_size=30
+    )
+)
+@settings(**_SETTINGS)
+def test_mad_outliers_matches_python_reference(spark, tmp_path_factory, vals):
+    """mad_outliers' double twice-median pipeline == a direct Python
+    median/MAD computation on arbitrary integer-cent value sets (ties,
+    negatives, singletons)."""
+    import os as _os
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import mad_outliers
+
+    d = str(tmp_path_factory.mktemp("mad"))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "event_type": ["t"] * len(vals),
+            "value": [v / 1000.0 for v in vals],
+        }
+    )
+    pdf["event_id"] = pdf["event_id"].astype("int64")
+    pdf.to_parquet(_os.path.join(d, "events.parquet"))
+    row = mad_outliers(spark, d).collect()[0]
+
+    import math
+
+    micros = sorted(math.floor(v / 1000.0 * 1_000_000) for v in vals)
+    n = len(micros)
+    med2 = micros[(n + 1) // 2 - 1] + micros[(n + 2) // 2 - 1]
+    devs = sorted(abs(2 * m - med2) for m in micros)
+    mad4 = devs[(n + 1) // 2 - 1] + devs[(n + 2) // 2 - 1]
+    n_out = sum(1 for m in micros if 2 * abs(2 * m - med2) > 3 * mad4)
+    assert (row.n_values, row.med2_micro, row.mad4_micro, row.n_outliers) == (
+        n, med2, mad4, n_out
+    )
+
+
+@given(
+    days=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(1, 500)),
+        min_size=2,
+        max_size=15,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_theil_sen_bucket_selection_is_lossless(spark, tmp_path_factory, days):
+    """The distributed bucket-selection median == a naive Python median
+    of all pairwise truncated slopes, on arbitrary (day, cents) series —
+    the selection must be exactly the global-sort answer, including tie
+    pileups that land many equal slopes in one bucket."""
+    import datetime as _dt
+    import os as _os
+
+    from bytewax_iceberg_connector_spark.plans.temporal import theil_sen_trend
+
+    d = str(tmp_path_factory.mktemp("ts"))
+    base = _dt.date(2024, 1, 1)
+    rows = []
+    for i, (dn, dollars) in enumerate(days):
+        rows.append(
+            (i, 1, float(dollars), (base + _dt.timedelta(days=dn)).isoformat())
+        )
+    pdf = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    pdf["o_orderkey"] = pdf["o_orderkey"].astype("int64")
+    pdf["o_custkey"] = pdf["o_custkey"].astype("int64")
+    pdf["o_orderdate"] = pd.to_datetime(pdf["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    pdf.to_parquet(_os.path.join(d, "orders.parquet"))
+    row = theil_sen_trend(spark, d).collect()[0]
+
+    def trunc_div(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    daily = sorted((dn, dollars * 100) for dn, dollars in days)
+    slopes = sorted(
+        trunc_div((c2 - c1) * 1_000_000, d2 - d1)
+        for i, (d1, c1) in enumerate(daily)
+        for (d2, c2) in daily[i + 1:]
+    )
+    n = len(slopes)
+    want = slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]
+    assert row.n_pairs == n
+    assert row.med2_slope_micro == want
+    assert row.min_slope_micro == slopes[0]
+    assert row.max_slope_micro == slopes[-1]
