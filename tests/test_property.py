@@ -661,3 +661,63 @@ def test_theil_sen_bucket_selection_is_lossless(spark, tmp_path_factory, days):
     assert row.med2_slope_micro == want
     assert row.min_slope_micro == slopes[0]
     assert row.max_slope_micro == slopes[-1]
+
+
+@given(
+    series=st.lists(
+        st.integers(-500, 2000), min_size=1, max_size=20
+    )
+)
+@settings(**_SETTINGS)
+def test_cusum_drift_matches_python_replay(spark, tmp_path_factory, series):
+    """cusum_drift's Arrow kernel == a direct Python replay of the
+    clamped recurrence on arbitrary daily series (negative revenues,
+    all-equal days, single-day nations)."""
+    import datetime as _dt
+    import os as _os
+
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _CUSUM_H_MULT,
+        _trunc_div,
+        cusum_drift,
+    )
+
+    d = str(tmp_path_factory.mktemp("cusum"))
+    base = _dt.date(2024, 1, 1)
+    rows = [
+        (i, 1, float(v), (base + _dt.timedelta(days=i)).isoformat())
+        for i, v in enumerate(series)
+    ]
+    op = pd.DataFrame(
+        rows, columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    )
+    op["o_orderkey"] = op["o_orderkey"].astype("int64")
+    op["o_custkey"] = op["o_custkey"].astype("int64")
+    op["o_orderdate"] = pd.to_datetime(op["o_orderdate"]).astype(
+        "datetime64[us]"
+    )
+    op.to_parquet(_os.path.join(d, "orders.parquet"))
+    cp = pd.DataFrame({"c_custkey": [1], "c_nationkey": [0]})
+    cp["c_custkey"] = cp["c_custkey"].astype("int64")
+    cp["c_nationkey"] = cp["c_nationkey"].astype("int32")
+    cp.to_parquet(_os.path.join(d, "customer.parquet"))
+    np_ = pd.DataFrame({"n_nationkey": [0], "n_name": ["N"]})
+    np_["n_nationkey"] = np_["n_nationkey"].astype("int32")
+    np_.to_parquet(_os.path.join(d, "nation.parquet"))
+
+    row = cusum_drift(spark, d).collect()[0]
+    cents = [v * 100 for v in series]
+    k = _trunc_div(sum(cents), len(cents))
+    h = _CUSUM_H_MULT * k
+    s = mx = breaches = 0
+    peak = base
+    for i, x in enumerate(cents):
+        s = max(0, s + x - k)
+        if s > mx:
+            mx, peak = s, base + _dt.timedelta(days=i)
+        if s > h:
+            breaches += 1
+    assert (row.n_days, row.k_cents, row.max_cusum_cents, row.n_breaches) == (
+        len(series), k, mx, breaches
+    )
+    assert row.peak_day == peak
