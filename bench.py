@@ -63,10 +63,10 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     unrun = 0
-    for name in names:
+    for i, name in enumerate(names):
         if time.perf_counter() - t_start > budget:
-            unrun += 1
-            continue
+            unrun = len(names) - i  # everything from here on is unrun
+            break
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

@@ -636,10 +636,19 @@ def _corpus_stamp(sf_dir: str):
     path = os.path.join(sf_dir, "documents.parquet")
     stats = []
     if os.path.isdir(path):
+        # os.walk yields DIRECTORIES in arbitrary order — collect
+        # (relpath, size, mtime) for the whole tree and sort the list,
+        # so multi-directory parquet datasets stamp identically across
+        # processes (an unsorted stamp only costs a memo miss, but an
+        # intermittent miss retrains BPE for nothing — round-5 ADVICE)
         for root, _, files in os.walk(path):
-            for fn in sorted(files):
-                st = os.stat(os.path.join(root, fn))
-                stats.append((fn, st.st_size, st.st_mtime_ns))
+            for fn in files:
+                fp = os.path.join(root, fn)
+                st = os.stat(fp)
+                stats.append(
+                    (os.path.relpath(fp, path), st.st_size, st.st_mtime_ns)
+                )
+        stats.sort()
     else:
         st = os.stat(path)
         stats.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
@@ -811,8 +820,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a tokenizer rollout is judged by.
 
     Encoding rides the same representation trick as training: each word
-    becomes space-joined characters, words join with a DOUBLE space, so
-    the single-space merge patterns can never span a word boundary, and
+    becomes DOUBLE-space-joined characters, words join with FOUR spaces
+    (``_bpe_symbol_count``/``_bpe_apply_sql_expr``), so a merge needle
+    ``' l  r '`` — which carries one leading/trailing space and a double
+    interior space — can never span a word boundary (with only a double
+    space between words it WOULD match across them), and
     the N learned merges apply as N chained literal ``replace``s — a pure
     codegen projection over the corpus, no UDF, no shuffle until the
     |sources|-row rollup. tokens_before = character symbols, tokens_after

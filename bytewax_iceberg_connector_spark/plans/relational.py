@@ -1931,6 +1931,79 @@ _PR_TOPK = 20
 _PR_DAMP_PPM = 850_000  # d = 0.85 in ppm — integer PageRank throughout
 
 
+def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple:
+    """PageRank build phase: returns ``(ew, pr)`` — the out-weighted edge
+    table cached hashpartitioned by DESTINATION node, and the uniform
+    rank seed — both persisted and materialized (caller unpersists).
+    Node-sized frames get a width DERIVED from the node count (~50k
+    nodes/partition) instead of a hard coalesce(1): a single-task reduce
+    doesn't survive graphs past ~10^6 nodes (round-5 verdict/ADVICE)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # persist the undirected pair table FIRST: the edge union, the
+    # out-weight aggregate, and the initial rank vector all derive from
+    # it — without the persist each branch replays the basket fan-out
+    # (measured 3 replays = ~2/3 of the whole query's cost at sf0.1)
+    und = _basket_pairs(li).persist()
+    und.count()
+    edges = und.select(
+        F.col("pa").alias("u"), F.col("pb").alias("v"), "w"
+    ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "w"))
+    # node-sized out-weight table: persisted once, broadcast into the
+    # edge join AND the rank-vector seed (computing it per consumer would
+    # replay the union+aggregate twice)
+    outw = (
+        edges.groupBy("u")
+        .agg(F.sum("w").cast("long").alias("ow"))
+        .persist()
+    )
+    n_nodes = outw.count()
+    node_width = max(
+        1,
+        min(
+            spark.sparkContext.defaultParallelism,
+            (n_nodes + 49_999) // 50_000,
+        ),
+    )
+    # pre-partition the cached edge table by the DESTINATION node: the
+    # per-iteration broadcast join on u preserves this partitioning, so
+    # every iteration's groupBy(v) aggregates exchange-free — one shuffle
+    # at build time replaces _PR_ITERS shuffles of the contribution table
+    ew = edges.join(F.broadcast(outw), "u").repartition("v").persist()
+    pr = outw.select(
+        F.col("u").alias("v"), F.lit(1_000_000).cast("long").alias("p")
+    ).coalesce(node_width).persist()
+    ew.count()
+    pr.count()  # materialize every cache root before releasing und
+    und.unpersist()
+    outw.unpersist()
+    return ew, pr
+
+
+def _pr_step(ew: DataFrame, pr: DataFrame) -> DataFrame:
+    """One damped power iteration: edges⋈rank broadcast join + per-node
+    integer aggregate. The rank vector is NODE-sized (one long per part)
+    — broadcast it so the cached edge list never re-shuffles across
+    iterations; past broadcast budget (≫10⁸ nodes) flip to co-hash-
+    partitioning of ew and pr on u, which keeps the same per-iteration
+    shape. Deliberately NO coalesce on the aggregate: a post-aggregate
+    coalesce is a narrow dependency that would collapse the whole
+    exchange-free iteration stage (cached-edge scan → broadcast join →
+    agg) to that width — the single-task regression round-5 ADVICE
+    flagged. Plan gate: tests/test_plan_quality.py::
+    test_pagerank_iteration_parallel_and_exchange_free."""
+    return (
+        ew.join(F.broadcast(pr.withColumnRenamed("v", "u")), "u")
+        .select("v", F.expr("p * w div ow").alias("c"))
+        .groupBy("v")
+        .agg(
+            F.expr(
+                f"cast(150000 + ({_PR_DAMP_PPM} * sum(c)) div 1000000"
+                " as long)"
+            ).alias("p")
+        )
+    )
+
+
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the part co-purchase graph (nodes = parts,
     symmetric edges weighted by shared-order counts, the
@@ -1961,56 +2034,9 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ._cache import scoped
 
-    li = load_table(spark, sf_dir, "lineitem")
-    # persist the undirected pair table FIRST: the edge union, the
-    # out-weight aggregate, and the initial rank vector all derive from
-    # it — without the persist each branch replays the basket fan-out
-    # (measured 3 replays = ~2/3 of the whole query's cost at sf0.1)
-    und = _basket_pairs(li).persist()
-    und.count()
-    edges = und.select(
-        F.col("pa").alias("u"), F.col("pb").alias("v"), "w"
-    ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "w"))
-    # node-sized out-weight table: persisted once, broadcast into the
-    # edge join AND the rank-vector seed (computing it per consumer would
-    # replay the union+aggregate twice)
-    outw = (
-        edges.groupBy("u")
-        .agg(F.sum("w").cast("long").alias("ow"))
-        .coalesce(1)
-        .persist()
-    )
-    outw.count()
-    # pre-partition the cached edge table by the DESTINATION node: the
-    # per-iteration broadcast join on u preserves this partitioning, so
-    # every iteration's groupBy(v) aggregates exchange-free — one shuffle
-    # at build time replaces _PR_ITERS shuffles of the contribution table
-    ew = edges.join(F.broadcast(outw), "u").repartition("v").persist()
-    pr = outw.select(
-        F.col("u").alias("v"), F.lit(1_000_000).cast("long").alias("p")
-    ).coalesce(1).persist()
-    ew.count()
-    pr.count()  # materialize every cache root before releasing und
-    und.unpersist()
-    outw.unpersist()
+    ew, pr = _pr_graph(spark, sf_dir)
     for _ in range(_PR_ITERS):
-        # the rank vector is NODE-sized (one long per part) — broadcast
-        # it so the cached edge list never re-shuffles across iterations;
-        # past broadcast budget (≫10⁸ nodes) flip to co-hash-partitioning
-        # of ew and pr on u, which keeps the same per-iteration shape
-        nxt = (
-            ew.join(F.broadcast(pr.withColumnRenamed("v", "u")), "u")
-            .select("v", F.expr("p * w div ow").alias("c"))
-            .groupBy("v")
-            .agg(
-                F.expr(
-                    f"cast(150000 + ({_PR_DAMP_PPM} * sum(c)) div 1000000"
-                    " as long)"
-                ).alias("p")
-            )
-            .coalesce(1)
-            .persist()
-        )
+        nxt = _pr_step(ew, pr).persist()
         nxt.count()  # materialize before dropping the predecessor
         pr.unpersist()
         pr = nxt

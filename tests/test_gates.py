@@ -69,3 +69,38 @@ def test_registry_artifact_cwd_fallback(monkeypatch, tmp_path):
     monkeypatch.setattr(registry.Path, "cwd", staticmethod(lambda: Path(str(tmp_path))))
     recs = registry._driver_records()
     assert recs.get("some_query") == (9, True, False)
+
+
+def test_explain_audit_exchange_counting_rule():
+    """Round-6 contract (r05 verdict #2): the audit counts shuffle-
+    exchange NODES in the physical tree only — skipping (a) everything
+    indented under an InMemoryTableScan (plan text replays the cached
+    build plan under every cache reference; those exchanges already ran
+    once) and (b) the formatted per-node detail section (which repeats
+    every node name). BroadcastExchange never counts."""
+    from tools.explain_audit import count_executed_exchanges
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- HashAggregate (8)
+   +- Exchange (7)
+      +- HashAggregate (6)
+         +- BroadcastHashJoin (5)
+            :- InMemoryTableScan (1)
+            :     +- InMemoryRelation (2)
+            :           +- Exchange hashpartitioning(v, 32)
+            :              +- Scan parquet (3)
+            +- BroadcastExchange (4)
+               +- InMemoryTableScan (10)
+                     +- InMemoryRelation (11)
+                           +- Exchange hashpartitioning(u, 32)
+                              +- Scan parquet (12)
+
+(7) Exchange
+Arguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS
+
+(4) BroadcastExchange
+"""
+    n_ex, n_imts = count_executed_exchanges(plan)
+    assert n_ex == 1  # only node (7): cached + broadcast + details skipped
+    assert n_imts == 2

@@ -667,3 +667,45 @@ def test_scoped_cache_unpersists_on_result_gc(spark):
     del result
     gc.collect()
     assert not cached.is_cached
+
+
+def _kafka_source_available(spark) -> bool:
+    """True when spark-sql-kafka is genuinely deployable (registry probe,
+    same pattern as the avro/iceberg capability gates)."""
+    jvm = spark._jvm
+    try:
+        jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "kafka", jvm.org.apache.spark.sql.internal.SQLConf.get()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def test_kafka_admission_contract_gated(spark):
+    """A4 negative contract (round-6 verdict #6): ``batch_size`` compiles
+    to ``maxOffsetsPerTrigger`` — an EXACT per-trigger record cap — only
+    for kafka, and this container cannot prove that end-to-end (no
+    spark-sql-kafka jar, no broker, no network). The option compile is
+    pinned by test_source_admission_options_compile; THIS gated twin
+    proves, on any cluster with the kafka source on the classpath, that
+    the real source accepts the compiled options at stream-definition
+    time. Skipping here is the visible record of the semantic gap: file
+    sources are behavior-tested (test_streaming_batch_cap_and_exactly_once),
+    the kafka record cap is emitted-but-unproven in this container."""
+    if not _kafka_source_available(spark):
+        pytest.skip(
+            "spark-sql-kafka not on classpath (no jar/network in this "
+            "container) — A4 kafka record-cap options emitted but "
+            "unprovable here"
+        )
+    cfg = IcebergSinkConfig(table_name="db.t", batch_size=5000)
+    reader = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", "localhost:9092")
+        .option("subscribe", "bic_admission_probe")
+    )
+    for k, v in cfg.source_admission_options("kafka").items():
+        reader = reader.option(k, v)
+    df = reader.load()  # definition-time only; no broker contact
+    assert df.isStreaming and "value" in df.columns
