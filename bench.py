@@ -67,8 +67,15 @@ def main() -> None:
         if time.perf_counter() - t_start > budget:
             unrun = len(names) - i  # everything from here on is unrun
             break
-        best = float("inf")
-        for _ in range(2):
+        t0 = time.perf_counter()
+        _force(qs[name](spark, sf_dir))
+        best = time.perf_counter() - t0
+        # second (warm/steady-state) pass only while clearly inside the
+        # wall budget: at 190+ queries the doubled wall can cross the
+        # harness cap, and COVERAGE (every query timed once) beats
+        # best-of-2 stability for the tail — a single-pass tail number is
+        # cold-biased but recorded; an unrun query is a hole
+        if time.perf_counter() - t_start < budget * 0.85:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)

@@ -1741,6 +1741,91 @@ ORACLE["percentile_rollup"] = _PCTL_SQL
 
 
 # ---------------------------------------------------------------------------
+# percentile_approx_check — approx-vs-exact differential (distinct_approx
+# pattern, made oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_PCTL_APPROX_ACCURACY = 1000  # rank error ≤ n/accuracy per the Spark contract
+
+
+def percentile_approx_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-percentile CONTRACT audit: per priority, the exact
+    discrete p50/p90 of order totalprice (integer cents) alongside a
+    0/1 flag asserting Spark's ``approx_percentile(·, q, 1000)`` landed
+    inside the exact value band ``[percentile_disc(q−2ε),
+    percentile_disc(q+2ε)]`` with ε = 1/accuracy — the rank-error
+    guarantee the sketch documents, converted to a value interval (if
+    rank(v) ∈ [lo, hi] then v lies between the values AT lo and hi; the
+    2ε width absorbs the ceil/floor slack of rank→position rounding).
+
+    The differential trick (``distinct_approx``'s pattern, upgraded from
+    rows-only to ORACLE-CHECKED): the approx estimate itself never
+    appears in the output — only exact order statistics and the contract
+    flags, which the DuckDB oracle states as literal 1s. A sketch that
+    ever violates its bound flips a flag to 0 and the driver's hash
+    compare fails loudly. Empirically the band holds at sf 0.001/0.01/0.1
+    (probed all three before registration).
+
+    Scale: one groupBy over |priorities| groups. The exact percentiles
+    are the non-mergeable half (full per-group value sets, see
+    ``percentile_rollup``'s honesty note); the approx half is the
+    mergeable scale path being audited — at 100 TB you'd sample or
+    per-partition-audit the exact side, and this query IS that audit.
+    """
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_PCTL_APPROX_SPARK)
+
+
+_PCTL_APPROX_CENTS = """
+  SELECT o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+"""
+
+_PCTL_APPROX_SPARK = f"""
+WITH c AS ({_PCTL_APPROX_CENTS})
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+         AS p50_exact_cents,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+         AS p90_exact_cents,
+       CAST(CASE WHEN approx_percentile(cents, 0.5, {_PCTL_APPROX_ACCURACY})
+                 BETWEEN percentile_disc(0.498) WITHIN GROUP (ORDER BY cents)
+                     AND percentile_disc(0.502) WITHIN GROUP (ORDER BY cents)
+            THEN 1 ELSE 0 END AS BIGINT) AS p50_approx_ok,
+       CAST(CASE WHEN approx_percentile(cents, 0.9, {_PCTL_APPROX_ACCURACY})
+                 BETWEEN percentile_disc(0.898) WITHIN GROUP (ORDER BY cents)
+                     AND percentile_disc(0.902) WITHIN GROUP (ORDER BY cents)
+            THEN 1 ELSE 0 END AS BIGINT) AS p90_approx_ok
+FROM c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+# oracle: exact order statistics verbatim; the contract flags are literal
+# 1 — the Spark side must EARN them (a violated sketch bound flips the
+# Spark flag to 0 and the value-hash compare fails)
+_SQL_PCTL_APPROX = f"""
+WITH c AS ({_PCTL_APPROX_CENTS})
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+         AS p50_exact_cents,
+       CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+         AS p90_exact_cents,
+       CAST(1 AS BIGINT) AS p50_approx_ok,
+       CAST(1 AS BIGINT) AS p90_approx_ok
+FROM c
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+QUERIES["percentile_approx_check"] = percentile_approx_check
+ORACLE["percentile_approx_check"] = _SQL_PCTL_APPROX
+
+
+# ---------------------------------------------------------------------------
 # semi_reduced_join — the semi-join reduction pattern, pinned as a plan shape
 # ---------------------------------------------------------------------------
 

@@ -442,6 +442,157 @@ ORDER BY window_start, segment
 """
 
 
+# ---------------------------------------------------------------------------
+# B21c: watermark-scoped streaming dedup (dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+_DDW_DELTA_US = 7_200 * 1_000_000  # 2-hour dedup window, integer µs
+
+
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-SCOPED dedup, batch-replayable form — the state-TTL'd
+    twin of ``streaming_dedup``: ``dropDuplicatesWithinWatermark(key)``
+    suppresses a duplicate only while the key's state is alive (first
+    kept occurrence + delta); once the watermark expires the state, the
+    next occurrence is EMITTED AGAIN. Batch contract = the event-time-
+    ordered greedy replay: per key, keep a row iff it is the first or
+    its gap from the LAST KEPT row is ≥ delta. This is a genuinely
+    sequential recurrence (the chain resets on every keep — no window
+    function expresses gap-from-last-kept), so it runs as the
+    ``cusum_drift``-class kernel: one hash shuffle on the key, sort
+    within partitions, one Arrow-batched ``mapInPandas`` scan carrying
+    two scalars of state across batches. The streaming-mode execution of
+    the built-in is exercised in tests/test_streaming.py::
+    test_drop_duplicates_within_watermark; THIS entry puts the batch
+    equivalence under the differential oracle (recursive-CTE replay).
+
+    Input construction (both engines, integer µs): each event appears 3×
+    — at ts, at ts + (id%150 + 1) min (sometimes inside the 2 h window,
+    sometimes out), and at ts + (180 + id%120) min (beyond the window
+    from BASE, but possibly within it from a kept first echo — the case
+    that forces the recurrence). Output: per event_type, kept/suppressed
+    counts and an id-checksum over kept rows.
+
+    Scale: the shuffle moves 3n skinny rows (key, type, µs ≈ 24 bytes);
+    kernel state is O(1) per partition; at 100 TB this is one narrow
+    exchange + a linear scan — the same footprint the streaming operator
+    carries as its state store.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    base = ev.select(
+        "event_id", "event_type", F.unix_micros("ts").alias("tsu")
+    )
+    dup = (
+        base.unionByName(
+            base.select(
+                "event_id",
+                "event_type",
+                (
+                    F.col("tsu")
+                    + (F.col("event_id") % 150 + 1) * F.lit(60_000_000)
+                ).alias("tsu"),
+            )
+        ).unionByName(
+            base.select(
+                "event_id",
+                "event_type",
+                (
+                    F.col("tsu")
+                    + (F.col("event_id") % 120 + 180) * F.lit(60_000_000)
+                ).alias("tsu"),
+            )
+        )
+    )
+
+    def _greedy(batches):
+        """Per-key greedy keep-chain over (event_id, tsu)-sorted rows;
+        state (last key, last kept µs) carries across Arrow batches
+        within the partition."""
+        import pandas as pd
+
+        last_key = None
+        last_kept = 0
+        for pdf in batches:
+            keys = pdf["event_id"].to_numpy()
+            tss = pdf["tsu"].to_numpy()
+            kept = [0] * len(pdf)
+            for i in range(len(pdf)):
+                k = keys[i]
+                t = tss[i]
+                if k != last_key:
+                    last_key = k
+                    last_kept = t
+                    kept[i] = 1
+                elif t - last_kept >= _DDW_DELTA_US:
+                    last_kept = t
+                    kept[i] = 1
+            yield pd.DataFrame(
+                {
+                    "event_type": pdf["event_type"],
+                    "kept": pd.Series(kept, dtype="int64"),
+                    "idmod": (pdf["event_id"] % 1000).astype("int64"),
+                }
+            )
+
+    scanned = (
+        dup.repartition("event_id")
+        .sortWithinPartitions("event_id", "tsu")
+        .mapInPandas(_greedy, "event_type string, kept long, idmod long")
+    )
+    return (
+        scanned.groupBy("event_type")
+        .agg(
+            F.sum("kept").cast("long").alias("n_kept"),
+            (F.count("*") - F.sum("kept")).cast("long").alias("n_suppressed"),
+            F.sum(F.col("kept") * F.col("idmod"))
+            .cast("long")
+            .alias("kept_id_checksum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_DEDUP_WATERMARK = f"""
+WITH RECURSIVE dup AS MATERIALIZED (
+  SELECT event_id, event_type, epoch_us(ts) AS tsu
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT event_id, event_type,
+         epoch_us(ts) + ((event_id % 150) + 1) * 60000000
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+  UNION ALL
+  SELECT event_id, event_type,
+         epoch_us(ts) + ((event_id % 120) + 180) * 60000000
+  FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
+), seq AS MATERIALIZED (
+  SELECT event_id, event_type, tsu,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY tsu)
+              AS BIGINT) AS rn
+  FROM dup
+), walk AS (
+  SELECT event_id, event_type, tsu, rn, TRUE AS kept, tsu AS last_kept
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.event_id, s.event_type, s.tsu, s.rn,
+         s.tsu - w.last_kept >= {_DDW_DELTA_US},
+         CASE WHEN s.tsu - w.last_kept >= {_DDW_DELTA_US}
+              THEN s.tsu ELSE w.last_kept END
+  FROM walk w JOIN seq s ON s.event_id = w.event_id AND s.rn = w.rn + 1
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_suppressed,
+       CAST(SUM(CASE WHEN kept THEN event_id % 1000 ELSE 0 END) AS BIGINT)
+         AS kept_id_checksum
+FROM walk
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES = {
     "streaming_tumbling": streaming_tumbling,
     "streaming_upsert": streaming_upsert,
@@ -451,6 +602,7 @@ QUERIES = {
     "streaming_interval_join": streaming_interval_join,
     "streaming_topk": streaming_topk,
     "streaming_dedup": streaming_dedup,
+    "streaming_dedup_watermark": streaming_dedup_watermark,
     "streaming_enrich_dim": streaming_enrich_dim,
 }
 
@@ -463,5 +615,6 @@ ORACLE = {
     "streaming_interval_join": _SQL_INTERVAL_JOIN,
     "streaming_topk": _SQL_TOPK,
     "streaming_dedup": _SQL_DEDUP_FIRST_SEEN,
+    "streaming_dedup_watermark": _SQL_DEDUP_WATERMARK,
     "streaming_enrich_dim": _SQL_ENRICH_DIM,
 }

@@ -1531,3 +1531,37 @@ def test_pagerank_iteration_parallel_and_exchange_free(spark, sf_dir):
     finally:
         ew.unpersist()
         pr.unpersist()
+
+
+def test_percentile_approx_check_single_pass_two_columns(spark, sf_dir):
+    """The approx-vs-exact differential runs as ONE grouped aggregate —
+    both percentile families (sketch + disc) in the same pass, one hash
+    exchange on the 2-column orders projection, no join, no Python."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        percentile_approx_check,
+    )
+
+    plan = _plan(percentile_approx_check(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "Join" not in plan and "BatchEvalPython" not in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and len(m.group(1).split(",")) <= 2, m and m.group(1)
+
+
+def test_streaming_dedup_watermark_one_key_exchange_arrow_kernel(spark, sf_dir):
+    """The greedy keep-chain kernel: exactly one hash exchange on the
+    dedup key feeding a within-partition sort + ONE Arrow-batched
+    MapInPandas (never row-at-a-time Python); the events scan prunes to
+    the 3 ridden columns; the final rollup exchanges |event_type| rows."""
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        streaming_dedup_watermark,
+    )
+
+    plan = _plan(streaming_dedup_watermark(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(event_id") == 1
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+    # the key sort is partition-local (global=false), not a global sort
+    assert re.search(r"Sort \[event_id.*\], false", plan), plan[:2000]
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        assert len(mm.group(1).split(",")) <= 3, mm.group(1)

@@ -438,3 +438,33 @@ def test_basket_triples_fanout_equals_self_join(spark, tmp_path):
     assert len(sp) == 1
     assert tuple(sp.iloc[0]) == (10, 20, 30, 2)
     _diff(sp, _oracle(tmp_path, _SQL_BASKET_TRIPLES))
+
+
+def test_percentile_approx_check_flags_and_exact_values(spark, tmp_path):
+    """4-row group: exact disc p50 = 2nd value, p90 = 4th; both contract
+    flags must be earned (1) — the oracle states them as literals, so a
+    sketch-bound violation would hash-mismatch. Full-frame oracle diff."""
+    import os as _os
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_PCTL_APPROX,
+        percentile_approx_check,
+    )
+
+    import pandas as pd
+
+    rows = [("1-URGENT", p) for p in (10.00, 20.00, 30.00, 40.00)]
+    rows += [("2-HIGH", p) for p in (5.50, 7.25)]
+    op = pd.DataFrame(rows, columns=["o_orderpriority", "o_totalprice"])
+    op.to_parquet(_os.path.join(str(tmp_path), "orders.parquet"))
+
+    sp = percentile_approx_check(spark, str(tmp_path)).toPandas()
+    by = sp.set_index("o_orderpriority")
+    u = by.loc["1-URGENT"]
+    assert (u.n_orders, u.p50_exact_cents, u.p90_exact_cents) == (4, 2000, 4000)
+    h = by.loc["2-HIGH"]
+    assert (h.n_orders, h.p50_exact_cents, h.p90_exact_cents) == (2, 550, 725)
+    assert (sp.p50_approx_ok == 1).all() and (sp.p90_approx_ok == 1).all()
+    _diff(sp, _oracle(tmp_path, _SQL_PCTL_APPROX))

@@ -401,3 +401,53 @@ def test_streaming_enrich_dim_unknown_segment(spark, tmp_path):
     assert list(want.segment) == list(sp.segment)
     assert [int(x) for x in want.n_events] == list(sp.n_events)
     assert [int(x) for x in want.total_value] == [int(x) for x in sp.total_value]
+
+
+def test_streaming_dedup_watermark_greedy_recurrence(spark, tmp_path):
+    """Hand-replayed greedy keep-chain: the case that forces the
+    recurrence is id=149 — its far echo (+209 min from base) would be
+    KEPT measured from the base row, but the first echo (+150 min) was
+    itself kept and resets the chain, so the far echo lands 59 min after
+    the last KEPT row and must be suppressed. NULL key/ts rows drop on
+    both engines; full-frame oracle diff replays the recursive CTE."""
+    import datetime as _dt
+    import os as _os
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        _SQL_DEDUP_WATERMARK,
+        streaming_dedup_watermark,
+    )
+
+    import pandas as pd
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # id=0 'a': echo1 +1min suppressed; echo2 +180min >= 2h kept
+        (0, t0, "a"),
+        # id=119 'b': echo1 +120min == 2h exactly -> kept (>= contract);
+        # echo2 +299min, 179min after the kept echo1 -> kept
+        (119, t0, "b"),
+        # id=149 'c': echo1 +150min kept; echo2 +209min is only 59min
+        # after the KEPT echo1 -> suppressed (recurrence, not base-gap)
+        (149, t0, "c"),
+        (None, t0, "x"),  # NULL key drops
+        (7, None, "x"),   # NULL ts drops
+    ]
+    ev = pd.DataFrame(rows, columns=["event_id", "ts", "event_type"])
+    ev["event_id"] = ev["event_id"].astype("Int64")
+    ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]")
+    ev.to_parquet(_os.path.join(str(tmp_path), "events.parquet"))
+
+    sp = streaming_dedup_watermark(spark, str(tmp_path)).toPandas()
+    got = {
+        (r.event_type, r.n_kept, r.n_suppressed, r.kept_id_checksum)
+        for r in sp.itertuples()
+    }
+    assert got == {
+        ("a", 2, 1, 0),        # idmod 0
+        ("b", 3, 0, 3 * 119),
+        ("c", 2, 1, 2 * 149),
+    }
+    _diff(sp, _oracle(tmp_path, _SQL_DEDUP_WATERMARK))
