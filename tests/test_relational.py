@@ -472,3 +472,33 @@ def test_percentile_approx_check_flags_and_exact_values(spark, tmp_path):
     assert (h.n_orders, h.p50_exact_cents, h.p90_exact_cents) == (2, 550, 725)
     assert (sp.p50_approx_ok == 1).all() and (sp.p90_approx_ok == 1).all()
     _diff(sp, _oracle(tmp_path, _SQL_PCTL_APPROX))
+
+
+def test_distinct_approx_null_users_drop_symmetrically(spark, tmp_path):
+    """The twostage pair pre-aggregate must not turn NULL users into a
+    phantom distinct, and an event_type whose users are ALL NULL must
+    drop on both engines (the oracle carries the same pre-filter)."""
+    import os as _os
+
+    import pandas as pd
+
+    from _diffutil import assert_df_match as _diff
+    from _diffutil import duck_oracle as _oracle
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        _SQL_DISTINCT_APPROX,
+        distinct_approx,
+    )
+
+    ev = pd.DataFrame(
+        {
+            "event_type": ["a", "a", "a", "a", "b", "b"],
+            "user_id": [1, 1, 2, None, None, None],
+        }
+    )
+    ev["user_id"] = ev["user_id"].astype("Int64")
+    ev.to_parquet(_os.path.join(str(tmp_path), "events.parquet"))
+
+    sp = distinct_approx(spark, str(tmp_path)).toPandas()
+    assert list(sp.event_type) == ["a"]  # 'b' (all-NULL users) drops
+    assert sp.n_users_exact.tolist() == [2] and sp.approx_ok.tolist() == [1]
+    _diff(sp, _oracle(tmp_path, _SQL_DISTINCT_APPROX))
