@@ -721,3 +721,79 @@ def test_cusum_drift_matches_python_replay(spark, tmp_path_factory, series):
         len(series), k, mx, breaches
     )
     assert row.peak_day == peak
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 100_000)),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_streaming_dedup_watermark_matches_python_replay(
+    spark, tmp_path_factory, rows
+):
+    """The greedy keep-chain kernel == a direct Python replay of the
+    per-key recurrence on arbitrary id/timestamp patterns — run with
+    Arrow batches capped at 3 rows so keys SPLIT across batches and the
+    kernel's carry state (last key, last kept µs) is actually exercised
+    (production batch sizes never split the small fixtures). Duplicate
+    base ids merge into one 6-occurrence key; event_type is a function
+    of the id so tie-order inside a key can't flip per-type counts."""
+    import datetime as _dt
+    import os as _os
+
+    from bytewax_iceberg_connector_spark.plans.streaming_queries import (
+        _DDW_DELTA_US,
+        streaming_dedup_watermark,
+    )
+
+    d = str(tmp_path_factory.mktemp("ddw"))
+    t0 = _dt.datetime(2024, 1, 1)
+    ev = pd.DataFrame(
+        {
+            "event_id": [eid for eid, _ in rows],
+            "ts": [t0 + _dt.timedelta(minutes=m) for _, m in rows],
+            "event_type": ["ab"[eid % 2] for eid, _ in rows],
+        }
+    )
+    ev["event_id"] = ev["event_id"].astype("int64")
+    ev["ts"] = pd.to_datetime(ev["ts"]).astype("datetime64[us]")
+    ev.to_parquet(_os.path.join(d, "events.parquet"))
+
+    # python replay of the full pipeline (echo fan-out + greedy chain)
+    base_us = int(t0.timestamp()) * 1_000_000
+    occ: dict[int, list[int]] = {}
+    for eid, m in rows:
+        tsu = base_us + m * 60_000_000
+        occ.setdefault(eid, []).extend(
+            (
+                tsu,
+                tsu + (eid % 150 + 1) * 60_000_000,
+                tsu + (eid % 120 + 180) * 60_000_000,
+            )
+        )
+    want: dict[str, list[int]] = {}
+    for eid, tss in occ.items():
+        typ = "ab"[eid % 2]
+        agg = want.setdefault(typ, [0, 0, 0])  # kept, suppressed, checksum
+        last_kept = None
+        for t in sorted(tss):
+            if last_kept is None or t - last_kept >= _DDW_DELTA_US:
+                last_kept = t
+                agg[0] += 1
+                agg[2] += eid % 1000
+            else:
+                agg[1] += 1
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        got = {
+            r.event_type: [r.n_kept, r.n_suppressed, r.kept_id_checksum]
+            for r in streaming_dedup_watermark(spark, d).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == want, (got, want)
