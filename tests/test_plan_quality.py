@@ -1565,3 +1565,24 @@ def test_streaming_dedup_watermark_one_key_exchange_arrow_kernel(spark, sf_dir):
     assert re.search(r"Sort \[event_id.*\], false", plan), plan[:2000]
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         assert len(mm.group(1).split(",")) <= 3, mm.group(1)
+
+
+def test_sketch_audits_two_stage_no_expand(spark, sf_dir):
+    """The converted sketch contract audits must keep the explicit
+    two-stage distinct shape: no Expand (the countDistinct+plain-aggs
+    trap), no join wider than the week/type-keyed audit join, scans
+    pruned to the ridden columns."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        distinct_approx,
+        sketch_rollup,
+    )
+
+    for fn, max_cols in ((distinct_approx, 2), (sketch_rollup, 2)):
+        plan = _plan(fn(spark, sf_dir))
+        assert "Expand" not in plan, fn.__name__
+        assert "BatchEvalPython" not in plan, fn.__name__
+        for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+            assert len(mm.group(1).split(",")) <= max_cols, (
+                fn.__name__,
+                mm.group(1),
+            )
