@@ -40,12 +40,12 @@ def test_ann_recall_floor(spark, sf_dir):
     """Sign-LSH ANN top-5 must overlap the exact top-5 (recall ≥ 0.2 on
     random-ish embeddings; buckets trade recall for the pruned cross join)."""
     from bytewax_iceberg_connector_spark.plans.llm import (
-        similarity_ann_lsh,
+        _ann_lsh_topk,
         similarity_topk,
     )
 
     exact = {(r.q_id, r.neighbor_id) for r in similarity_topk(spark, sf_dir).collect()}
-    ann = {(r.q_id, r.neighbor_id) for r in similarity_ann_lsh(spark, sf_dir).collect()}
+    ann = {(r.q_id, r.neighbor_id) for r in _ann_lsh_topk(spark, sf_dir).collect()}
     assert ann  # buckets must produce candidates
     # measured 0.72 on the round-3 corpus (deterministic); 0.4 leaves
     # headroom for generator drift while still catching quality breaks
@@ -57,13 +57,13 @@ def test_ivf_recall_floor(spark, sf_dir):
     random floor (3 probes of ~N/61-sized cells on weakly-clustered
     vectors)."""
     from bytewax_iceberg_connector_spark.plans.llm import (
-        similarity_ivf,
+        _ivf_topk,
         similarity_topk,
     )
 
     exact_rows = similarity_topk(spark, sf_dir).collect()
     exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
-    ivf_rows = similarity_ivf(spark, sf_dir).collect()
+    ivf_rows = _ivf_topk(spark, sf_dir).collect()
     ivf = {(r.q_id, r.neighbor_id) for r in ivf_rows}
     assert {r.q_id for r in ivf_rows} == {r.q_id for r in exact_rows}
     # measured 0.50 on the round-3 corpus (deterministic); see ann note
@@ -77,17 +77,17 @@ def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
     query must still be answered with a full top-k."""
     from bytewax_iceberg_connector_spark.plans.llm import (
         _TOPK,
-        similarity_ivf,
-        similarity_ivf_pq,
+        _ivf_pq_topk,
+        _ivf_topk,
         similarity_topk,
     )
 
     exact_rows = similarity_topk(spark, sf_dir).collect()
     exact = {(r.q_id, r.neighbor_id) for r in exact_rows}
     ivf = {
-        (r.q_id, r.neighbor_id) for r in similarity_ivf(spark, sf_dir).collect()
+        (r.q_id, r.neighbor_id) for r in _ivf_topk(spark, sf_dir).collect()
     }
-    pq_rows = similarity_ivf_pq(spark, sf_dir).collect()
+    pq_rows = _ivf_pq_topk(spark, sf_dir).collect()
     pq = {(r.q_id, r.neighbor_id) for r in pq_rows}
     assert {r.q_id for r in pq_rows} == {r.q_id for r in exact_rows}
     per_q = {}
@@ -97,6 +97,26 @@ def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
     ceiling = len(ivf & exact) / len(exact)
     recall = len(pq & exact) / len(exact)
     assert recall >= 0.7 * ceiling, (recall, ceiling)
+
+
+def test_ann_audits_flags_all_green(spark, sf_dir):
+    """The three registered ANN contract audits (oracle-checked form since
+    r06) must produce one row per query with BOTH flags = 1 — the exact
+    stats are covered by the DuckDB differential; this pins the flag
+    calibration (recall floors probed across sf 0.001/0.01/0.1 in
+    scratch/probe2.py) against kernel or parameter drift."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        similarity_ann_lsh,
+        similarity_ivf,
+        similarity_ivf_pq,
+    )
+
+    for fn in (similarity_ann_lsh, similarity_ivf, similarity_ivf_pq):
+        rows = fn(spark, sf_dir).collect()
+        assert rows, fn.__name__
+        assert all(r.ann_bounded == 1 for r in rows), fn.__name__
+        assert all(r.recall_ok == 1 for r in rows), fn.__name__
+        assert all(1 <= r.n_exact <= 5 for r in rows), fn.__name__
 
 
 def test_topk_query_chunking_is_lossless(spark, sf_dir, monkeypatch):

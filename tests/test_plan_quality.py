@@ -303,9 +303,9 @@ def test_ivf_pq_candidate_shuffle_is_narrow(spark, sf_dir):
     """The cell-id candidate join must shuffle ids/codes only — the
     full-precision embedding array enters the plan solely via the scan
     and the bounded refine join, never the cell Exchange."""
-    from bytewax_iceberg_connector_spark.plans.llm import similarity_ivf_pq
+    from bytewax_iceberg_connector_spark.plans.llm import _ivf_pq_topk
 
-    plan = _plan(similarity_ivf_pq(spark, sf_dir))
+    plan = _plan(_ivf_pq_topk(spark, sf_dir))
     import re as _re
 
     for m in _re.finditer(r"Exchange hashpartitioning\(cell#\d+L[^)]*\)", plan):
@@ -381,9 +381,9 @@ def test_ivf_pq_has_no_dedup_shuffle_and_broadcasts_refine(spark, sf_dir):
     (q, neighbor) pairs by construction (no dropDuplicates exchange), and
     the exact-refine fetch joins a broadcast of the survivor set — the
     corpus is never shuffled for the refine."""
-    from bytewax_iceberg_connector_spark.plans.llm import similarity_ivf_pq
+    from bytewax_iceberg_connector_spark.plans.llm import _ivf_pq_topk
 
-    plan = _plan(similarity_ivf_pq(spark, sf_dir))
+    plan = _plan(_ivf_pq_topk(spark, sf_dir))
     # dropDuplicates compiles to an extra HashAggregate pair over the pair
     # keys; assert the plan's aggregate count stays at the expected level
     # indirectly via the absence of a deduplicate-shaped exchange marker
