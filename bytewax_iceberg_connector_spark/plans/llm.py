@@ -428,23 +428,21 @@ ORDER BY cluster_id
 # B17c: near-dup, SimHash bands (rows-only: xxhash64 has no DuckDB twin)
 # ---------------------------------------------------------------------------
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: corpus-level floor (ppm of the exact jaccard-0.8 pair count) for the
+#: simhash recall flag — probed across sf 0.001/0.01/0.1 in
+#: scratch/probe3.py before conversion; the pytest twin pins 0.7 at the
+#: test SF. Recall is pair-local (a true pair shares bands independently
+#: of corpus size), so the floor is SF-stable by construction.
+_SIMHASH_RECALL_PPM = 600_000
+
+
+def _simhash_parts(spark: SparkSession, sf_dir: str):
     """SimHash(64) fingerprints → 4 bit-bands → candidates → hamming ≤ 12.
 
     One bigint per doc; a hamming-d near-dup shares ≥1 of 4 exact 16-bit
     bands when d < 4 — with d up to 12 the bands are a recall-y prefilter,
-    verified by exact popcount.
-
-    DELIBERATELY rows-only (r05 decision, per the r04 verdict's ask): the
-    fingerprint IS deterministic (fixed-seed, md5-derived shingle hashes),
-    so a DuckDB restatement is possible in principle — but it would mean
-    re-implementing the md5-prefix shingle hash, the per-bit
-    majority-vote over 64 bit positions, and signed-long band slicing in
-    SQL: a ~100-line transliteration of the kernel with zero independent
-    check value (any bug would be copied faithfully into the oracle).
-    Instead the kernel twin (simhash64 expression form vs simhash64_np)
-    is pinned bit-identical in tests/test_llm.py and the query's row
-    count rides the weaker driver check.
+    verified by exact popcount. Returns ``(pairs, caches)``; callers scope
+    the persisted fingerprint index to their result (_cache.scoped).
     """
     docs = load_table(spark, sf_dir, "documents")
     fp = docs.select(
@@ -457,7 +455,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "sim", F.explode(S.simhash_bands(F.col("sim"), 4)).alias("bk")
     ).persist()
     a, b = banded.alias("a"), banded.alias("b")
-    return scoped(
+    pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -466,9 +464,98 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= 12)
-        .orderBy("doc_a", "doc_b"),
-        banded,
+        .orderBy("doc_a", "doc_b")
     )
+    return pairs, (banded,)
+
+
+def _simhash_pairs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw simhash near-dup pairs (the 100 TB serving form); recall vs
+    the exact n-gram baseline pinned in tests/test_llm.py."""
+    df, caches = _simhash_parts(spark, sf_dir)
+    return scoped(df, *caches)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup CONTRACT audit — ORACLE-CHECKED since r06 via the
+    ``distinct_approx`` conversion pattern (engine-local fingerprints never
+    reach the output; a DuckDB transliteration of the md5/majority-vote
+    kernel would have zero independent check value, the r05 rows-only
+    rationale). Each EXACT jaccard-≥-0.8 pair (the ``dedup_near_ngram``
+    twin, fully DuckDB-restatable) carries two 0/1 flags the oracle states
+    as literal 1:
+
+    - ``ident_found``: a THEOREM, not a calibration — if the pair's
+      shingle-hash sets are identical (inter == |A| == |B|), the simhash
+      fingerprints are bit-identical (the kernel dedupes shingles), hamming
+      is 0, every band matches, so the pair MUST appear in the simhash
+      output. Stated per row as ``(not identical) OR found``.
+    - ``recall_ok``: corpus-level simhash recall of the exact pair set
+      ≥ ``_SIMHASH_RECALL_PPM`` (corpus-level because per-pair recall is
+      legitimately 0/1; the window runs over the exact-pair frame, bounded
+      by the near-dup count, not the corpus).
+
+    At 100 TB you serve ``_simhash_pairs_df`` and run THIS as the periodic
+    audit — the exact shingle-join half is the audit's price, same trade
+    as ``distinct_approx``. Kernel twin (expression vs Arrow simhash)
+    stays pinned bit-identical in tests/test_similarity_kernels.py.
+    """
+    from pyspark.sql import Window
+
+    sim_pairs, caches = _simhash_parts(spark, sf_dir)
+    exact, sh = _shingle_pairs(spark, sf_dir)
+    exact = exact.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    found = sim_pairs.select(
+        "doc_a", "doc_b", F.lit(1).cast("long").alias("_found")
+    )
+    w = Window.partitionBy()
+    audited = (
+        exact.join(found, ["doc_a", "doc_b"], "left")
+        .withColumn("_found", F.coalesce("_found", F.lit(0)))
+        .withColumn(
+            "ident_found",
+            (
+                (F.col("inter") < F.col("sza"))
+                | (F.col("inter") < F.col("szb"))
+                | (F.col("_found") == 1)
+            ).cast("long"),
+        )
+        .withColumn(
+            "recall_ok",
+            (
+                F.sum("_found").over(w) * F.lit(1_000_000)
+                >= F.lit(_SIMHASH_RECALL_PPM) * F.count(F.lit(1)).over(w)
+            ).cast("long"),
+        )
+        .select("doc_a", "doc_b", "jaccard", "ident_found", "recall_ok")
+        .orderBy("doc_a", "doc_b")
+    )
+    return scoped(audited, sh, *caches)
+
+
+_SQL_SIMHASH_AUDIT = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard,
+       CAST(1 AS BIGINT) AS ident_found,
+       CAST(1 AS BIGINT) AS recall_ok
+FROM pairs
+JOIN sizes sa ON doc_a = sa.doc_id
+JOIN sizes sb ON doc_b = sb.doc_id
+WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2490,24 +2577,21 @@ _SEM_TAU = 0.4    # near-dup threshold — same τ as dedup_embedding_cosine,
                   # so recall is measurable against the exact all-pairs form
 
 
-def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: k-means partitions the
     corpus into semantic cells (functions/clustering.py — one zero-shuffle
     GEMM scan per Lloyd iteration, k×dim partials to the driver), then
     each cell is pruned independently: members in ``vec_id`` order are
     kept greedily, dropping any vector within cosine ``_SEM_TAU`` of an
     already-kept member. Output: per-cell census (members/kept/dropped)
-    plus the cell's majority label as an interpretability probe.
+    plus the cell's majority label as an interpretability probe — the
+    100 TB serving form; census/recall pinned in tests/test_clustering.py.
 
     Scale: the quadratic step is confined to a cell (the whole point —
     all-pairs moves from O(N²) to O(N²/K) and each cell pairs only
     locally); cells shuffle as narrow (vec_id, cluster) keys with vectors
     joined in per cell, and a hot-cell cap (split or sub-sample cells over
     a size bound, the IVF salting analogue) is the documented guard.
-
-    rows-only check (centroid seeds and float tie-breaks are
-    engine-local); recall vs the exact all-pairs dedup is pinned in
-    tests/test_clustering.py.
     """
     import numpy as np
     import pandas as pd
@@ -2557,6 +2641,96 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cluster"),
         vecs,
     )
+
+
+#: corpus-level floor (ppm of the exact tau-reachable vector count) for
+#: the semantic-dedup coverage flag — probed across sf 0.001/0.01/0.1 in
+#: scratch/probe3.py; the pytest twin pins 0.3 at the test SF.
+_SEM_COVERAGE_PPM = 200_000
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup CONTRACT audit — ORACLE-CHECKED since r06 via the
+    ``distinct_approx`` conversion pattern (cell ids and centroid floats
+    are engine-local, so the per-cell census itself is not restatable).
+    One summary row: two EXACT corpus stats DuckDB restates via the
+    all-pairs cosine join (`dedup_embedding_cosine`'s machinery, same
+    rounded-6dp ≥ τ predicate), plus four 0/1 flags the oracle states as
+    literal 1:
+
+    - ``n_vectors``: corpus size; ``n_dup_reach``: |{b : ∃ a < b with
+      cos(a,b) ≥ τ}| — the exact count of vectors reachable as the LATER
+      member of a near-dup pair.
+    - ``members_conserved`` (theorem): cell membership is a partition, so
+      Σ n_members == n_vectors.
+    - ``dropped_bounded`` (theorem): greedy keeps cell members in vec_id
+      order, so every dropped vector has a KEPT tau-neighbor with a
+      smaller vec_id in its cell ⊆ corpus — Σ n_dropped ≤ n_dup_reach.
+    - ``coverage_ok`` (calibrated): Σ n_dropped ≥ ``_SEM_COVERAGE_PPM``
+      of n_dup_reach — the cells must co-locate a real share of the
+      duplicate mass (SemDeDup's whole value claim).
+    - ``cells_ok``: 1 ≤ cell count ≤ k and every cell keeps ≥ 1 member.
+
+    At 100 TB you serve ``_semantic_cells`` (the census/prune) and run
+    THIS as the periodic audit; the exact all-pairs half is the audit's
+    price — block-GEMM tiles, the same shape ``dedup_embedding_cosine``
+    already pays as a first-class query.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = _semantic_cells(spark, sf_dir)
+    stats = cells.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_cells"),
+        F.sum("n_members").cast("long").alias("_members"),
+        F.sum("n_dropped").cast("long").alias("_dropped"),
+        F.min("n_kept").cast("long").alias("_min_kept"),
+    )
+    reach = (
+        dedup_embedding_cosine(spark, sf_dir)
+        .agg(F.countDistinct("vec_b").cast("long").alias("n_dup_reach"))
+    )
+    nvec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        nvec.crossJoin(reach)
+        .crossJoin(stats)
+        .select(
+            "n_vectors",
+            "n_dup_reach",
+            (F.col("_members") == F.col("n_vectors")).cast("long").alias(
+                "members_conserved"
+            ),
+            (F.col("_dropped") <= F.col("n_dup_reach")).cast("long").alias(
+                "dropped_bounded"
+            ),
+            (
+                F.col("_dropped") * F.lit(1_000_000)
+                >= F.lit(_SEM_COVERAGE_PPM) * F.col("n_dup_reach")
+            ).cast("long").alias("coverage_ok"),
+            (
+                (F.col("_n_cells") >= 1)
+                & (F.col("_n_cells") <= _SEM_K)
+                & (F.col("_min_kept") >= 1)
+            ).cast("long").alias("cells_ok"),
+        )
+    )
+
+
+_SQL_SEMANTIC_AUDIT = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                  list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) AS n2
+           FROM embeddings),
+reach AS (
+  SELECT DISTINCT b.vec_id AS b
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6) >= 0.4
+)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+       CAST((SELECT COUNT(*) FROM reach) AS BIGINT) AS n_dup_reach,
+       CAST(1 AS BIGINT) AS members_conserved,
+       CAST(1 AS BIGINT) AS dropped_bounded,
+       CAST(1 AS BIGINT) AS coverage_ok,
+       CAST(1 AS BIGINT) AS cells_ok
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2848,7 +3022,9 @@ ORACLE = {
     "dedup_clusters": _SQL_CLUSTERS,
     # same contract & oracle as the exact form (deterministic recall ≈ 1):
     "dedup_minhash_lsh": _SQL_NEAR_NGRAM,
-    # dedup_simhash: rows-only (engine-specific hash functions)
+    # oracle-checked since r06: exact near-ngram pair stats + literal
+    # theorem/recall flags (the contract-audit pattern, see dedup_simhash)
+    "dedup_simhash": _SQL_SIMHASH_AUDIT,
     "dedup_embedding_cosine": _SQL_DEDUP_EMB,
     "dedup_edit_distance": _SQL_EDIT_DIST,
     "similarity_topk": _SQL_SIM_TOPK,
@@ -2876,6 +3052,9 @@ ORACLE = {
     "multimodal_decode": _SQL_MM_DECODE,
     "multimodal_audio": _SQL_MM_AUDIO,
     "multimodal_pipeline": _SQL_MM_PIPELINE,
+    # oracle-checked since r06: exact all-pairs reach stats + literal
+    # theorem/coverage flags (the contract-audit pattern)
+    "semantic_dedup": _SQL_SEMANTIC_AUDIT,
 }
 
 

@@ -11,7 +11,11 @@ from bytewax_iceberg_connector_spark.functions.clustering import (
     kmeans_assign,
     kmeans_fit,
 )
-from bytewax_iceberg_connector_spark.plans.llm import _SEM_TAU, semantic_dedup
+from bytewax_iceberg_connector_spark.plans.llm import (
+    _SEM_TAU,
+    _semantic_cells,
+    semantic_dedup,
+)
 from bytewax_iceberg_connector_spark.sources.tables import load_table
 
 
@@ -54,7 +58,7 @@ def test_fit_improves_objective_and_is_non_degenerate(spark, sf_dir):
 
 
 def test_semantic_dedup_census_and_recall(spark, sf_dir):
-    out = semantic_dedup(spark, sf_dir).collect()
+    out = _semantic_cells(spark, sf_dir).collect()
     assert sum(r.n_members for r in out) == 500
     for r in out:
         assert r.n_kept + r.n_dropped == r.n_members
@@ -79,3 +83,18 @@ def test_semantic_dedup_census_and_recall(spark, sf_dir):
     assert n_dropped >= 0.3 * len(
         {b for a, b in zip(*iu) if g[a, b] >= _SEM_TAU}
     ), (n_dropped, true_pairs)
+
+
+def test_semantic_dedup_audit_flags_all_green(spark, sf_dir):
+    """The registered semantic_dedup contract audit (oracle-checked since
+    r06) must be one summary row with every flag = 1: the two theorems
+    (membership partition, drop ≤ tau-reach) and the two calibrations
+    (coverage floor, cell sanity)."""
+    rows = semantic_dedup(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_vectors > 0 and r.n_dup_reach > 0
+    assert r.members_conserved == 1
+    assert r.dropped_bounded == 1
+    assert r.coverage_ok == 1
+    assert r.cells_ok == 1

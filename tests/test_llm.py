@@ -27,13 +27,27 @@ def test_simhash_catches_planted_dups(spark, sf_dir):
     """SimHash banding must recover a large share of the high-Jaccard pairs
     (different similarity geometry → exact equality is not expected)."""
     from bytewax_iceberg_connector_spark.plans.llm import (
+        _simhash_pairs_df,
         dedup_near_ngram,
-        dedup_simhash,
     )
 
     exact = {(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()}
-    sim = {(r.doc_a, r.doc_b) for r in dedup_simhash(spark, sf_dir).collect()}
+    sim = {(r.doc_a, r.doc_b) for r in _simhash_pairs_df(spark, sf_dir).collect()}
     assert len(sim & exact) >= len(exact) * 0.7
+
+
+def test_simhash_audit_flags_all_green(spark, sf_dir):
+    """The registered dedup_simhash contract audit (oracle-checked since
+    r06) must carry both flags = 1 on every exact near-dup pair — the
+    ident_found theorem (identical shingle sets ⇒ identical fingerprints
+    ⇒ found) and the calibrated corpus recall floor."""
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_simhash
+
+    rows = dedup_simhash(spark, sf_dir).collect()
+    assert rows, "corpus should contain planted near-duplicates"
+    assert all(r.ident_found == 1 for r in rows)
+    assert all(r.recall_ok == 1 for r in rows)
+    assert all(r.jaccard >= 0.8 for r in rows)
 
 
 def test_ann_recall_floor(spark, sf_dir):
