@@ -74,7 +74,23 @@ _INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch" (incremental dedup
 _SHINGLE_N = 3
 
 
-def _shingle_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _shingle_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sha: array<bigint>) — ONE pass of the md5 shingle kernel,
+    the dominant cost of every shingle consumer (BASELINE.md breakdown:
+    ~1.1 s of dedup_minhash_lsh's ~1.9 s at sf0.1). Callers that need both
+    the exploded shingle table AND the simhash fingerprints (the
+    dedup_simhash audit) persist THIS frame and derive both, paying the
+    kernel once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
+    )
+
+
+def _shingle_pairs(
+    spark: SparkSession, sf_dir: str, sha: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Exact trigram-shingle Jaccard over all candidate pairs that share at
     least one shingle (sparse self-join — identical algorithm to the
     oracle). Returns ``(pairs, shingle_cache)``: the second element is the
@@ -86,12 +102,11 @@ def _shingle_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     |distinct hashes| = |distinct shingles| up to a ~1e-9 xxhash collision
     probability at this cardinality, so Jaccard values are unchanged.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if sha is None:
+        sha = _shingle_array(spark, sf_dir)
     # persisted: consumed by the self-join (twice) AND the sizes aggregate —
     # one shingle-kernel pass instead of three
-    sh = docs.select(
-        "doc_id", F.explode(X.shingle_hashes_np(_SHINGLE_N)(F.col("text"))).alias("s")
-    ).persist()
+    sh = sha.select("doc_id", F.explode("sha").alias("s")).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -436,7 +451,7 @@ ORDER BY cluster_id
 _SIMHASH_RECALL_PPM = 600_000
 
 
-def _simhash_parts(spark: SparkSession, sf_dir: str):
+def _simhash_parts(spark: SparkSession, sf_dir: str, sha: DataFrame | None = None):
     """SimHash(64) fingerprints → 4 bit-bands → candidates → hamming ≤ 12.
 
     One bigint per doc; a hamming-d near-dup shares ≥1 of 4 exact 16-bit
@@ -444,11 +459,9 @@ def _simhash_parts(spark: SparkSession, sf_dir: str):
     verified by exact popcount. Returns ``(pairs, caches)``; callers scope
     the persisted fingerprint index to their result (_cache.scoped).
     """
-    docs = load_table(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id",
-        S.simhash64_np()(X.shingle_hashes_np(_SHINGLE_N)(F.col("text"))).alias("sim"),
-    )
+    if sha is None:
+        sha = _shingle_array(spark, sf_dir)
+    fp = sha.select("doc_id", S.simhash64_np()(F.col("sha")).alias("sim"))
     # persisted: both sides of the self-join read one materialization of
     # the fingerprint kernel (the simhash index), not two corpus scans
     banded = fp.select(
@@ -502,8 +515,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sim_pairs, caches = _simhash_parts(spark, sf_dir)
-    exact, sh = _shingle_pairs(spark, sf_dir)
+    # ONE md5 shingle-kernel pass feeds both halves of the audit (the
+    # fingerprint index and the exact shingle join) — measured ~1 s saved
+    # at sf0.1 vs letting each half re-run the kernel
+    sha = _shingle_array(spark, sf_dir).persist()
+    sim_pairs, caches = _simhash_parts(spark, sf_dir, sha=sha)
+    exact, sh = _shingle_pairs(spark, sf_dir, sha=sha)
     exact = exact.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     found = sim_pairs.select(
         "doc_a", "doc_b", F.lit(1).cast("long").alias("_found")
@@ -530,7 +547,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", "ident_found", "recall_ok")
         .orderBy("doc_a", "doc_b")
     )
-    return scoped(audited, sh, *caches)
+    return scoped(audited, sha, sh, *caches)
 
 
 _SQL_SIMHASH_AUDIT = """
