@@ -793,10 +793,15 @@ def _ann_audit(
     The corpus flag is a full-frame window over the per-QUERY audit rows
     (|Q| narrow rows — bounded by the query set, not the corpus), so the
     single-partition exchange it plans is |Q|-sized at any data scale.
+
+    Returns ``(audit_df, exact_cache)``: the exact top-k frame is consumed
+    by THREE branches (per-query stats, the recall semi-join's both sides'
+    denominator) and is |Q|·k rows — persisting it saves a full exact
+    block-GEMM replay (measured 2.81 → 2.47 s at sf0.1); callers scope it.
     """
     from pyspark.sql import Window
 
-    exact = similarity_topk(spark, sf_dir)
+    exact = similarity_topk(spark, sf_dir).persist()
     per_q = (
         exact.groupBy("q_id")
         .agg(
@@ -820,7 +825,7 @@ def _ann_audit(
     )
     amax = ann.groupBy("q_id").agg(F.max("score").alias("_amax"))
     w = Window.partitionBy()
-    return (
+    audit = (
         per_q.join(hits, "q_id", "left")
         .join(amax, "q_id", "left")
         .withColumn("_hit", F.coalesce("_hit", F.lit(0)))
@@ -844,6 +849,7 @@ def _ann_audit(
         )
         .orderBy("q_id")
     )
+    return audit, exact
 
 
 _SQL_ANN_AUDIT = f"""
@@ -946,7 +952,8 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``distinct_approx``).
     """
     ann, caches = _ann_lsh_parts(spark, sf_dir)
-    return scoped(_ann_audit(spark, sf_dir, ann, _LSH_RECALL_PPM), *caches)
+    audit, exact = _ann_audit(spark, sf_dir, ann, _LSH_RECALL_PPM)
+    return scoped(audit, exact, *caches)
 
 
 # ---------------------------------------------------------------------------
@@ -1091,7 +1098,8 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ivf_topk`` at scale; run this as the periodic audit.
     """
     ann, caches = _ivf_parts(spark, sf_dir)
-    return scoped(_ann_audit(spark, sf_dir, ann, _IVF_RECALL_PPM), *caches)
+    audit, exact = _ann_audit(spark, sf_dir, ann, _IVF_RECALL_PPM)
+    return scoped(audit, exact, *caches)
 
 
 # ---------------------------------------------------------------------------
@@ -1409,7 +1417,8 @@ def similarity_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_ivf_pq_topk`` at scale; run this as the periodic audit.
     """
     ann, caches = _ivf_pq_parts(spark, sf_dir)
-    return scoped(_ann_audit(spark, sf_dir, ann, _IVF_PQ_RECALL_PPM), *caches)
+    audit, exact = _ann_audit(spark, sf_dir, ann, _IVF_PQ_RECALL_PPM)
+    return scoped(audit, exact, *caches)
 
 
 # ---------------------------------------------------------------------------
