@@ -1586,3 +1586,46 @@ def test_sketch_audits_two_stage_no_expand(spark, sf_dir):
                 fn.__name__,
                 mm.group(1),
             )
+
+
+def test_ann_audit_persists_exact_and_stays_narrow(spark, sf_dir):
+    """The shared ANN contract audit must read its exact twin from ONE
+    persisted materialization (three branches consume it — un-persisted,
+    the exact block-GEMM replays per branch), keep every row UDF out, and
+    prune the embeddings scan to the ridden columns."""
+    from bytewax_iceberg_connector_spark.plans.llm import similarity_ann_lsh
+
+    plan = _plan(similarity_ann_lsh(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert cols <= {"vec_id", "embedding"}, cols
+
+
+def test_simhash_audit_single_kernel_materialization(spark, sf_dir):
+    """The simhash audit derives BOTH halves (fingerprint index + exact
+    shingle join) from one persisted (doc_id, sha) frame — the md5 kernel
+    is the dominant cost and must not run per half; documents scans stay
+    pruned to (doc_id, text)."""
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_simhash
+
+    plan = _plan(dedup_simhash(spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert cols <= {"doc_id", "text"}, cols
+
+
+def test_semantic_audit_narrow_scans_no_row_udf(spark, sf_dir):
+    """The semantic audit's corpus-wide pieces (census cells, all-pairs
+    reach, corpus count) must stay on pruned embeddings scans with Arrow
+    kernels only; the final assembly is 1-row joins."""
+    from bytewax_iceberg_connector_spark.plans.llm import semantic_dedup
+
+    plan = _plan(semantic_dedup(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert cols <= {"vec_id", "embedding", "label"}, cols
