@@ -56,6 +56,15 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + d[0] % 1024, 16 + d[1] % 1024, (1, 3, 4)[d[2] % 3]
 
 
+def _nullable_key(key):
+    """NULL-keyed rows must flow THROUGH the kernel as NULL, never crash
+    the task: a nullable int64 key column reaches pandas as float64 with
+    NaN, and ``int(NaN)`` raised — i.e. one NULL-keyed asset in a 100 TB
+    table aborted the whole decode job (found by the r06 adversarial
+    sweep). SQL semantics downstream (group-by, joins) handle the NULL."""
+    return None if pd.isna(key) else int(key)
+
+
 def decode_image_meta(
     df: DataFrame, payload_col: str, key_col: str, force_stub: bool = False
 ) -> DataFrame:
@@ -81,7 +90,7 @@ def decode_image_meta(
                     w, h, c = _fake_dims(data)
                 rows.append(
                     {
-                        "key": int(key),
+                        "key": _nullable_key(key),
                         "byte_len": len(data),
                         "width": w,
                         "height": h,
@@ -128,7 +137,7 @@ def resize_images(
                     n = width * height * c
                     resized = (seed * (n // len(seed) + 1))[:n]
                 rows.append(
-                    {"key": int(key), "resized": resized,
+                    {"key": _nullable_key(key), "resized": resized,
                      "out_width": width, "out_height": height}
                 )
             yield pd.DataFrame(rows, columns=["key", "resized", "out_width", "out_height"])
@@ -175,7 +184,7 @@ def extract_features(
                 mean = sb / float(dim)  # exact: dim is a power of two
                 norm2 = sq - sb * sb / float(dim)  # exact for same reason
                 norm = float(np.sqrt(norm2)) or 1.0
-                keys.append(int(key))
+                keys.append(_nullable_key(key))
                 vecs.append(((b - mean) / norm).astype(np.float32))
             yield pd.DataFrame({"key": keys, "embedding": vecs})
 
@@ -203,7 +212,7 @@ def sample_frames(
                     chunk = data[off:off + step]
                     rows.append(
                         {
-                            "key": int(key),
+                            "key": _nullable_key(key),
                             "frame_idx": i,
                             "offset": off,
                             "frame_bytes": len(chunk),
@@ -304,7 +313,7 @@ def decode_audio_meta(
                         rms_milli = peak_milli = 0
                 rows.append(
                     {
-                        "key": int(key),
+                        "key": _nullable_key(key),
                         "n_samples": n,
                         "sample_rate": int(rate),
                         "duration_ms": n * 1000 // int(rate),

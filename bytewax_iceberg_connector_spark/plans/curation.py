@@ -148,19 +148,19 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_REPETITION = """
+-- dist is computed ROW-LOCALLY (list comprehension), not via a doc_id
+-- join: Spark's side is a per-row projection with no key dependency, and
+-- the previous doc_id-keyed LEFT JOIN silently zeroed the distinct count
+-- of NULL-keyed documents (r06 adversarial-sweep find)
 WITH toks AS (
-  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens
+  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens
   FROM documents
-), g AS (
-  SELECT doc_id, lang, GREATEST(len(tokens) - 2, 0) AS total FROM toks
-), sh AS (
-  SELECT doc_id, tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
-  FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
-), d AS (
-  SELECT doc_id, COUNT(DISTINCT s) AS dist FROM sh GROUP BY doc_id
 ), per AS (
-  SELECT g.lang, g.total, COALESCE(d.dist, 0) AS dist
-  FROM g LEFT JOIN d USING (doc_id)
+  SELECT lang,
+         GREATEST(len(tokens) - 2, 0) AS total,
+         len(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                            for i in generate_series(1, GREATEST(len(tokens)-2, 0))])) AS dist
+  FROM toks
 )
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -650,21 +650,27 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_CHUNKING = f"""
+-- per-doc chunk stats are computed ROW-LOCALLY (list comprehension), not
+-- via a doc_id LATERAL + COUNT(DISTINCT doc_id): row identity must not
+-- depend on the key, and the previous form dropped NULL-keyed documents
+-- from n_docs (r06 adversarial-sweep find)
 WITH toks AS (
-  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
   FROM documents
-), ch AS (
-  SELECT doc_id, lang,
-         len(t[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})]) AS ct
-  FROM toks, LATERAL (
-    SELECT unnest(generate_series(
-      0, CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS INT))) AS i)
+), per AS (
+  SELECT lang,
+         CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS BIGINT) + 1 AS nc,
+         CAST(COALESCE(list_sum(
+           [len(t[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})])
+            for i in generate_series(0, CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS INT))]
+         ), 0) AS BIGINT) AS ct
+  FROM toks
 )
 SELECT lang,
-       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-       COUNT(*) AS n_chunks,
+       COUNT(*) AS n_docs,
+       CAST(SUM(nc) AS BIGINT) AS n_chunks,
        CAST(SUM(ct) AS BIGINT) AS sum_chunk_tokens
-FROM ch
+FROM per
 GROUP BY lang
 ORDER BY lang
 """

@@ -2388,35 +2388,37 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MM_AUDIO = f"""
+-- byte sums are computed ROW-LOCALLY (list comprehension over the hex
+-- payload), not via a doc_id-keyed LATERAL + join: row identity must not
+-- depend on the key — the previous LEFT JOIN USING (doc_id) NULLed the
+-- loudness stats of NULL-keyed clips (r06 adversarial-sweep find)
 WITH base AS (
-  SELECT doc_id,
-         sha256(COALESCE(text, '')) AS h,
+  SELECT sha256(COALESCE(text, '')) AS h,
          lower(hex(encode(COALESCE(text, '')))) AS hx,
          octet_length(encode(COALESCE(text, ''))) AS n
   FROM documents
 ), rated AS (
-  SELECT doc_id, hx, n,
+  SELECT n,
          CASE ({_hexbyte('h', '1')} % 3)
-           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+         [{_hexbyte('hx', 'i')} for i in generate_series(1, n)] AS bs
   FROM base
-), bytes AS (
-  SELECT doc_id, {_hexbyte('hx', 'i')} AS b
-  FROM rated, LATERAL (SELECT unnest(generate_series(1, n)) AS i)
-), sq AS (
-  SELECT doc_id,
-         SUM(CASE WHEN b > 127 THEN (b-256)*(b-256) ELSE b*b END) AS s,
-         MAX(CASE WHEN b > 127 THEN 256-b ELSE b END) AS mb
-  FROM bytes GROUP BY doc_id
 ), clips AS (
-  SELECT r.rate,
-         r.n * 1000 // r.rate AS duration_ms,
-         CASE WHEN r.n = 0 THEN 0
-              ELSE CAST(FLOOR(1000.0 * SQRT(q.s / (16384.0 * r.n)))
+  SELECT rate,
+         n * 1000 // rate AS duration_ms,
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(FLOOR(1000.0 * SQRT(
+                     CAST(list_sum([CASE WHEN b > 127 THEN (b-256)*(b-256)
+                                         ELSE b*b END for b in bs])
+                          AS BIGINT) / (16384.0 * n)))
                         AS BIGINT) END AS rms_milli,
-         CASE WHEN r.n = 0 THEN 0
-              ELSE CAST(FLOOR(1000.0 * (q.mb / 128.0)) AS BIGINT)
+         CASE WHEN n = 0 THEN 0
+              ELSE CAST(FLOOR(1000.0 * (
+                     list_max([CASE WHEN b > 127 THEN 256-b
+                                    ELSE b END for b in bs]) / 128.0))
+                        AS BIGINT)
               END AS peak_milli
-  FROM rated r LEFT JOIN sq q USING (doc_id)
+  FROM rated
 )
 SELECT CAST(rate AS BIGINT) AS sample_rate,
        CAST(COUNT(*) AS BIGINT) AS n_clips,
@@ -2572,8 +2574,12 @@ def multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MM_VIDEO = """
+-- COALESCE matters: the kernel treats a NULL payload as b'' (0 bytes),
+-- while an un-coalesced NULL len would slip through DuckDB's
+-- NULL-IGNORING GREATEST/LEAST as a phantom 1-byte frame
+-- (r06 adversarial-sweep find)
 WITH base AS (
-  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+  SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS len FROM documents
 ), params AS (
   SELECT doc_id, len, GREATEST(len // 4, 1) AS step FROM base
 ), frames AS (

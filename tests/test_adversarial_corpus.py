@@ -1,0 +1,104 @@
+"""Adversarial-corpus differential: EVERY documents-only oracle query runs
+on a fixture of NULL/empty/degenerate rows and must match DuckDB exactly.
+
+This sweep (scratch/adversarial_sweep.py, promoted here after it found 8
+real bugs in r06) pins the NULL-robustness contract the synthetic corpus
+never exercises:
+
+- NULL doc_id rows must flow through kernels (the multimodal kernels
+  crashed on ``int(NaN)`` — one NULL-keyed asset aborted the whole job)
+  and must not be silently dropped/zeroed by doc_id-keyed oracle joins
+  (repetition_ratio, doc_chunking, multimodal_audio finds);
+- NULL text must mean the EMPTY payload on both engines (multimodal_video:
+  DuckDB's NULL-ignoring GREATEST/LEAST minted a phantom 1-byte frame);
+- empty/whitespace/unicode/single-token/duplicate rows must agree
+  everywhere else.
+
+New documents-only queries are covered automatically via the registry.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from _diffutil import assert_df_match, duck_oracle
+
+
+@pytest.fixture(scope="module")
+def adv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("adv_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7, None], pa.int64()),
+                "text": pa.array(
+                    [
+                        None,
+                        "",
+                        "   ",
+                        "solo",
+                        "alpha beta gamma delta epsilon",
+                        "alpha beta gamma delta epsilon",
+                        "Ünïcødé puñctuation!!! ... 🙂 🙂",
+                        "a a a a a a a a a a a a",
+                        "ghost row with null id",
+                    ],
+                    pa.string(),
+                ),
+                "lang": pa.array(
+                    ["en", None, "en", "de", "en", "en", "fr", "en", "en"],
+                    pa.string(),
+                ),
+                "source": pa.array(
+                    ["s1", "s1", None, "s2", "s1", "s2", "s3", "s1", "s1"],
+                    pa.string(),
+                ),
+                "n_chars": pa.array([0, 0, 3, 4, 30, 30, 30, 23, 22], pa.int64()),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return d
+
+
+_OTHER_TABLES = (
+    "lineitem", "orders", "customer", "supplier", "part", "nation",
+    "region", "events", "embeddings",
+)
+
+
+def _documents_only_targets():
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    oracles = registry.all_oracles()
+    return sorted(
+        n
+        for n, sql in oracles.items()
+        if "documents" in sql and not any(t in sql for t in _OTHER_TABLES)
+    )
+
+
+def test_documents_only_queries_match_oracle_on_adversarial_corpus(
+    spark, adv_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _documents_only_targets()
+    # the sweep must actually sweep: if the registry shrinks drastically
+    # (an import error dropping a plan module), fail loudly instead of
+    # green-washing an empty loop
+    assert len(targets) >= 40, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(adv_dir)).toPandas()
+            op = duck_oracle(adv_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
