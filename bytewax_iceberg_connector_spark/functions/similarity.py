@@ -291,9 +291,16 @@ def sign_lsh_keys_np(dim: int, n_tables: int = 8, bits: int = 4, seed: int = 11)
     """Arrow-vectorized multi-table sign-LSH: embedding → array<long> of
     ``n_tables`` bucket keys (one matmul against all hyperplanes per Arrow
     batch). posexplode the result to get (table, key) memberships; same
-    plane family as sign_lsh_tables."""
-    planes = np.array(random_hyperplanes(dim, n_tables * bits, seed))  # (T*b, dim)
+    plane family as sign_lsh_tables.
+
+    ``dim`` seeds the expected plane matrix, but the kernel derives the
+    ACTUAL dim from each row and materializes (seed-stable) planes per
+    observed dim — on the declared dim the keys are bit-identical to the
+    static form, and a corpus at another (quarantined-modal) dim gets a
+    consistent plane family instead of a matmul shape crash (r06
+    adversarial-sweep find)."""
     weights = (1 << np.arange(bits, dtype=np.int64))
+    cache = {dim: np.array(random_hyperplanes(dim, n_tables * bits, seed))}
 
     @F.pandas_udf("array<long>")
     def _keys(vecs: pd.Series) -> pd.Series:
@@ -302,7 +309,14 @@ def sign_lsh_keys_np(dim: int, n_tables: int = 8, bits: int = 4, seed: int = 11)
             if v is None:
                 out.append(None)
                 continue
-            signs = (planes @ np.asarray(v, dtype=np.float64)) > 0  # (T*b,)
+            x = np.asarray(v, dtype=np.float64)
+            planes = cache.get(len(x))
+            if planes is None:
+                planes = np.array(
+                    random_hyperplanes(len(x), n_tables * bits, seed)
+                )
+                cache[len(x)] = planes
+            signs = (planes @ x) > 0  # (T*b,)
             keys = (signs.reshape(n_tables, bits).astype(np.int64) * weights).sum(axis=1)
             out.append(keys)
         return pd.Series(out)

@@ -19,7 +19,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..sources.tables import load_table
+from ..sources.tables import (
+    SQL_NONZERO_EMB,
+    SQL_VALID_EMB,
+    load_table,
+    load_vectors,
+)
 
 # ---------------------------------------------------------------------------
 # PII scrub
@@ -493,7 +498,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-6 before the BIGINT sum) so the oracle never sees float-order
     drift; min/max are order-free.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     norm2 = F.aggregate(
         F.col("embedding").cast("array<double>"),
         F.lit(0.0),
@@ -515,12 +520,12 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_NORM_STATS = """
-WITH per AS (
+_SQL_NORM_STATS = f"""
+WITH {SQL_VALID_EMB}, per AS (
   SELECT vec_id % 10 AS bucket,
          list_dot_product(CAST(embedding AS DOUBLE[]),
                           CAST(embedding AS DOUBLE[])) AS n2
-  FROM embeddings
+  FROM embeddings_valid
 )
 SELECT bucket,
        COUNT(*) AS n_vecs,
@@ -550,7 +555,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the BIGINT aggregate, so the oracle comparison is float-order-
     free.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     v = F.col("embedding").cast("array<double>")
     max_abs = F.aggregate(
         v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
@@ -578,8 +583,8 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_QUANTIZE = """
-WITH per AS (
+_SQL_QUANTIZE = f"""
+WITH {SQL_VALID_EMB}, per AS (
   SELECT vec_id % 10 AS bucket,
          CAST(ROUND(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
            x -> POW(x - FLOOR(x / (GREATEST(list_max(list_transform(
@@ -588,7 +593,7 @@ WITH per AS (
               * (GREATEST(list_max(list_transform(
                   CAST(embedding AS DOUBLE[]), y -> ABS(y))), 1e-12) / 127.0),
               2.0))) * 1e9) AS BIGINT) AS err_nanos
-  FROM embeddings
+  FROM embeddings_valid
 )
 SELECT bucket,
        COUNT(*) AS n_vecs,
@@ -709,7 +714,7 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn", "fp")
     )
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     n2 = F.aggregate(
         F.col("embedding").cast("array<double>"),
         F.lit(0.0),
@@ -731,8 +736,8 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PIPELINE = r"""
-WITH t AS (
+_SQL_PIPELINE = rf"""
+WITH {SQL_VALID_EMB}, t AS (
   SELECT doc_id, lang, text,
          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
          LENGTH(text) AS n_len,
@@ -759,7 +764,7 @@ WITH t AS (
   SELECT u.lang, u.n_tok,
          list_dot_product(CAST(e.embedding AS DOUBLE[]),
                           CAST(e.embedding AS DOUBLE[])) AS n2
-  FROM uniq u JOIN embeddings e ON e.vec_id = u.doc_id
+  FROM uniq u JOIN embeddings_valid e ON e.vec_id = u.doc_id
 )
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -1523,7 +1528,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is exactly how distributed k-means updates centroids (sum +
     count per dim), so the shape is the 100 TB shape by construction.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     comps = emb.select(
         "label",
         F.posexplode(F.col("embedding")).alias("dim", "val"),
@@ -1548,11 +1553,11 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_CENTROIDS = """
-WITH comps AS (
+_SQL_CENTROIDS = f"""
+WITH {SQL_VALID_EMB}, comps AS (
   SELECT label, UNNEST(range(0, len(embedding))) AS dim,
          UNNEST(embedding) AS val
-  FROM embeddings
+  FROM embeddings_valid
 ), q AS (
   SELECT label, dim,
          CAST(ROUND(CAST(val AS DOUBLE) * 1000000) AS BIGINT) AS q

@@ -29,7 +29,12 @@ from pyspark.sql import functions as F
 
 from ..functions import similarity as S
 from ..functions import text as X
-from ..sources.tables import load_table
+from ..sources.tables import (
+    SQL_NONZERO_EMB,
+    SQL_VALID_EMB,
+    load_table,
+    load_vectors,
+)
 from ._cache import scoped
 
 # ---------------------------------------------------------------------------
@@ -600,7 +605,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     blocks = (
         emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
         .groupBy("blk")
@@ -642,11 +647,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.mapInPandas(_tile, schema="vec_a BIGINT, vec_b BIGINT, cos_sim DOUBLE")
 
 
-_SQL_DEDUP_EMB = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+_SQL_DEDUP_EMB = f"""
+WITH {SQL_VALID_EMB},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
-           FROM embeddings)
+           FROM embeddings_valid WHERE {SQL_NONZERO_EMB})
 SELECT vec_a, vec_b, cos_sim FROM (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6) AS cos_sim
@@ -684,7 +690,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     qblock = (
         emb.where(F.col("vec_id") % 50 == 0)
         .groupBy((F.col("vec_id") / (50 * _QCHUNK)).cast("int").alias("qg"))
@@ -741,10 +747,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_SIM_TOPK = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+WITH {SQL_VALID_EMB},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
-           FROM embeddings),
+           FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
 q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q_id, e.vec_id AS neighbor_id,
@@ -853,10 +860,11 @@ def _ann_audit(
 
 
 _SQL_ANN_AUDIT = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+WITH {SQL_VALID_EMB},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
-           FROM embeddings),
+           FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
 q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 50 = 0),
 scored AS (
   SELECT q_id, e.vec_id AS neighbor_id,
@@ -894,7 +902,7 @@ def _ann_lsh_parts(spark: SparkSession, sf_dir: str):
     """
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_vectors(spark, sf_dir, nonzero=True).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
     # bucket membership ships (vec_id, table, key) ONLY — 24 bytes/row; the
@@ -996,7 +1004,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
 
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     cblock = (
         emb.where(F.col("vec_id") % _IVF_STRIDE == 0)
         .groupBy(F.lit(1).alias("g"))
@@ -1232,7 +1240,7 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
 
     from pyspark.sql import Window
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     cblock = (
         emb.where(
             (F.col("vec_id") % _IVF_STRIDE == 0)
@@ -2048,7 +2056,7 @@ def hybrid_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     sparse = bm25_rank(spark, sf_dir).select(
         "doc_id", F.col("rank").alias("sparse_rank")
     )
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     qv = emb.where(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     )
@@ -2093,11 +2101,11 @@ WITH {_SQL_BM25_CORE}, sparse AS (
                ORDER BY ROUND(SUM(s), 6) DESC, doc_id ASC) AS BIGINT) AS rank
     FROM bscored GROUP BY doc_id
   ) t WHERE rank <= 10
-), e AS (
+), {SQL_VALID_EMB}, e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
          list_dot_product(CAST(embedding AS DOUBLE[]),
                           CAST(embedding AS DOUBLE[])) AS n2
-  FROM embeddings
+  FROM embeddings_valid WHERE {SQL_NONZERO_EMB}
 ), q AS (SELECT v AS qv, n2 AS qn2 FROM e WHERE vec_id = 0),
 dense AS (
   SELECT doc_id, dense_rank FROM (
@@ -2269,7 +2277,7 @@ def multimodal_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native nested types — the deliberate upgrade over the reference's
     JSON-string demotion (operators.py:197-199): per-dimension statistics
     over the embedding array, no flattening to strings anywhere."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     exploded = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
     return (
         exploded.where(F.col("pos") < 8)
@@ -2520,7 +2528,8 @@ ORDER BY channels
 """
 
 
-_SQL_MM_NESTED = """
+_SQL_MM_NESTED = f"""
+WITH {SQL_VALID_EMB}
 SELECT CAST(pos AS BIGINT) AS dim,
        COUNT(*) AS n,
        CAST(SUM(CAST(CAST(val AS DOUBLE) AS DECIMAL(28,12))) AS DOUBLE) AS dim_sum,
@@ -2528,7 +2537,7 @@ SELECT CAST(pos AS BIGINT) AS dim,
        CAST(MIN(val) AS DOUBLE) AS dim_min
 FROM (
   SELECT vec_id, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS pos
-  FROM embeddings
+  FROM embeddings_valid
 ) t
 WHERE pos <= 8
 GROUP BY pos
@@ -2630,7 +2639,7 @@ def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.clustering import kmeans_assign, kmeans_fit
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     vecs = emb.select("vec_id", "embedding").persist()
     cents, _ = kmeans_fit(vecs, k=_SEM_K, iters=_SEM_ITERS)
     assigned = (
@@ -2643,7 +2652,9 @@ def _semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
         )[order]
-        labels = pdf["label"].to_numpy()[order]
+        # NULL labels arrive as NaN/None; bucket them as -1 instead of
+        # letting np.unique choke on mixed object comparisons
+        labels = pdf["label"].fillna(-1).astype("int64").to_numpy()[order]
         xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
         g = xn @ xn.T
         kept: list[int] = []
@@ -2708,7 +2719,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     price — block-GEMM tiles, the same shape ``dedup_embedding_cosine``
     already pays as a first-class query.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_vectors(spark, sf_dir)
     cells = _semantic_cells(spark, sf_dir)
     stats = cells.agg(
         F.count(F.lit(1)).cast("long").alias("_n_cells"),
@@ -2746,17 +2757,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_SEMANTIC_AUDIT = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+_SQL_SEMANTIC_AUDIT = f"""
+WITH {SQL_VALID_EMB},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
-           FROM embeddings),
+           FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
 reach AS (
   SELECT DISTINCT b.vec_id AS b
   FROM e a JOIN e b ON a.vec_id < b.vec_id
   WHERE ROUND(list_dot_product(a.v, b.v) / SQRT(a.n2 * b.n2), 6) >= 0.4
 )
-SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_vectors,
+SELECT CAST((SELECT COUNT(*) FROM embeddings_valid) AS BIGINT) AS n_vectors,
        CAST((SELECT COUNT(*) FROM reach) AS BIGINT) AS n_dup_reach,
        CAST(1 AS BIGINT) AS members_conserved,
        CAST(1 AS BIGINT) AS dropped_bounded,

@@ -67,6 +67,98 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: DuckDB twin of load_vectors' validity contract — prepend inside WITH(...)
+#: and read FROM embeddings_valid. Kept beside the loader so the two sides
+#: of the contract cannot drift.
+SQL_VALID_EMB = """embeddings_valid AS (
+  SELECT * FROM embeddings
+  WHERE vec_id IS NOT NULL AND embedding IS NOT NULL
+    AND len(embedding) = (
+      SELECT len(embedding) FROM embeddings WHERE embedding IS NOT NULL
+      GROUP BY 1 ORDER BY COUNT(*) DESC, 1 DESC LIMIT 1)
+)"""
+
+#: DuckDB twin of nonzero=True (cosine consumers): excludes zero vectors.
+SQL_NONZERO_EMB = "len(list_filter(embedding, x -> x <> 0)) > 0"
+
+
+def load_vectors(
+    spark: SparkSession, sf_dir: str, nonzero: bool = False
+) -> DataFrame:
+    """The ``embeddings`` table quarantined to the VALID-VECTOR contract —
+    what every vector operator (similarity, ANN, dedup, clustering,
+    embedding audits) reads instead of the raw table.
+
+    Valid := ``vec_id`` IS NOT NULL (results must be addressable),
+    ``embedding`` IS NOT NULL, and ``size(embedding)`` equals the corpus's
+    MODAL dimension (ties break to the larger dim). Schema drift at 100 TB
+    WILL produce NULL/empty/ragged vectors, and before this contract one
+    such row crashed every GEMM kernel mid-job (ragged numpy batch — r06
+    adversarial-sweep find); quarantining at the source is the only place
+    all ~12 consumers inherit the fix. ``nonzero=True`` additionally drops
+    zero vectors — cosine consumers use it because the two engines
+    disagree pathologically on 0/0 scores (numpy NaN sorts LAST under
+    lexsort; DuckDB NaN sorts as the LARGEST double, i.e. rank 1).
+
+    The modal dim is resolved ONCE per corpus (memoized on the parquet
+    file stamp — the BPE corpus-stamp precedent) and injected as a
+    LITERAL predicate, so every consumer's plan is a scan-level filter
+    with no extra pass or join (an A/B with a lazy broadcast-join dim
+    lookup measured similarity_topk 0.73 → 1.63 s at sf0.1 — 2× for a
+    validity check). This is exactly what a production deployment does:
+    the dim lives in table metadata, the filter is a literal.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id").isNotNull() & F.col("embedding").isNotNull()
+    )
+    d = _modal_dim(spark, sf_dir)
+    if d is None:  # no valid vectors at all
+        out = emb.where(F.lit(False))
+    else:
+        out = emb.where(F.size("embedding") == d)
+    if nonzero:
+        out = out.where(F.exists("embedding", lambda x: x != 0))
+    return out
+
+
+_MODAL_DIM_MEMO: dict[tuple, int | None] = {}
+
+
+def _emb_stamp(sf_dir: str) -> tuple:
+    """Identity stamp of the embeddings parquet (file or directory):
+    sorted (relpath, size, mtime_ns) tuples — a changed corpus changes
+    the stamp, so the modal-dim memo can never serve a stale dim."""
+    root = os.path.join(sf_dir, "embeddings.parquet")
+    if os.path.isfile(root):
+        st = os.stat(root)
+        return (("", st.st_size, st.st_mtime_ns),)
+    entries = []
+    for base, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(base, f)
+            st = os.stat(p)
+            entries.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
+    return tuple(sorted(entries))
+
+
+def _modal_dim(spark: SparkSession, sf_dir: str) -> int | None:
+    """Most frequent embedding dimension (ties → larger), one bounded
+    1-row aggregate per DISTINCT corpus per process."""
+    key = (os.path.abspath(sf_dir), _emb_stamp(sf_dir))
+    if key not in _MODAL_DIM_MEMO:
+        row = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(F.col("embedding").isNotNull())
+            .groupBy(F.size("embedding").alias("_d"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .orderBy(F.desc("_n"), F.desc("_d"))
+            .limit(1)
+            .collect()
+        )
+        _MODAL_DIM_MEMO[key] = int(row[0]["_d"]) if row else None
+    return _MODAL_DIM_MEMO[key]
+
+
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
 

@@ -64,21 +64,50 @@ def adv_dir(tmp_path_factory):
     return d
 
 
+@pytest.fixture(scope="module")
+def adv_emb_dir(tmp_path_factory):
+    """Adversarial embeddings: NULL id, NULL/empty/ragged/zero vectors —
+    the schema-drift shapes load_vectors' quarantine contract exists for."""
+    d = tmp_path_factory.mktemp("adv_emb")
+    dim = 8
+    base = [[float(i + 1 + j) for j in range(dim)] for i in range(20)]
+    vecs = base + [None, [], [0.0] * dim, [1.0, 2.0], base[0][:]]
+    ids = list(range(24)) + [None]
+    labels = [i % 3 for i in range(24)] + [None]
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return d
+
+
 _OTHER_TABLES = (
     "lineitem", "orders", "customer", "supplier", "part", "nation",
-    "region", "events", "embeddings",
+    "region", "events",
 )
 
 
-def _documents_only_targets():
+def _single_table_targets(table: str):
     from bytewax_iceberg_connector_spark.plans import registry
 
+    other = tuple(t for t in _OTHER_TABLES + ("embeddings", "documents")
+                  if t != table)
     oracles = registry.all_oracles()
     return sorted(
         n
         for n, sql in oracles.items()
-        if "documents" in sql and not any(t in sql for t in _OTHER_TABLES)
+        if table in sql and not any(t in sql for t in other)
     )
+
+
+def _documents_only_targets():
+    return _single_table_targets("documents")
 
 
 def test_documents_only_queries_match_oracle_on_adversarial_corpus(
@@ -98,6 +127,32 @@ def test_documents_only_queries_match_oracle_on_adversarial_corpus(
         try:
             sp = qs[name](spark, str(adv_dir)).toPandas()
             op = duck_oracle(adv_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_embeddings_only_queries_match_oracle_on_adversarial_corpus(
+    spark, adv_emb_dir
+):
+    """Every embeddings-only oracle query must survive NULL/empty/ragged/
+    zero vectors and match DuckDB — the load_vectors quarantine contract
+    (valid := non-NULL id + non-NULL vector + modal dim; cosine consumers
+    additionally drop zero vectors) enforced end to end. Before r06, one
+    ragged row crashed every GEMM kernel and DuckDB NaN-ranked zero
+    vectors into top-k lists."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _single_table_targets("embeddings")
+    assert len(targets) >= 8, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(adv_emb_dir)).toPandas()
+            op = duck_oracle(adv_emb_dir, oracles[name])
             assert_df_match(sp, op)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
