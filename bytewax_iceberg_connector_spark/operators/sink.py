@@ -885,7 +885,8 @@ class LakeSink:
              as_of: int | None = None,
              as_of_timestamp_ms: int | None = None,
              tag: str | None = None,
-             prune: dict | None = None) -> DataFrame:
+             prune: dict | None = None,
+             with_spec_id: bool = False) -> DataFrame:
         """Read the table; ``as_of`` pins a snapshot id (time travel —
         Iceberg ``VERSION AS OF``) and ``as_of_timestamp_ms`` pins the
         latest snapshot at or before a wall-clock instant (``TIMESTAMP AS
@@ -904,6 +905,11 @@ class LakeSink:
         still apply their row filter (same contract as partition
         pruning). On the iceberg backend the runtime already prunes from
         footer metrics, so ``prune`` is ignored there.
+
+        ``with_spec_id=True`` (parquet backend) adds Iceberg's
+        ``_spec_id`` metadata column — the spec each row's commit was
+        written under; on the iceberg backend select the runtime's own
+        ``_spec_id`` metadata column instead.
         """
         if sum(x is not None for x in (as_of, as_of_timestamp_ms, tag)) > 1:
             raise ValueError("pass at most one of as_of / as_of_timestamp_ms / tag")
@@ -931,41 +937,55 @@ class LakeSink:
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             return self.spark.createDataFrame([], schema)
-        return self._load_commit_dirs(dirs, merge_schema=merge_schema)
+        return self._load_commit_dirs(
+            dirs, merge_schema=merge_schema, with_spec_id=with_spec_id
+        )
 
     def _load_commit_dirs(self, dirs: list[str],
-                          merge_schema: bool = False) -> DataFrame:
+                          merge_schema: bool = False,
+                          with_spec_id: bool = False) -> DataFrame:
         """Load commit dirs, layout-aware. Commits written under different
         partition specs carry different ``_p_*`` directory keys; Spark's
         partition discovery rejects mixed layouts under one load, so scan
         each spec's dirs separately and union with null-fill — exactly
         how Iceberg reads across spec boundaries (each manifest knows
-        its own spec)."""
+        its own spec).
 
-        def _load(group: list[str]) -> DataFrame:
+        ``with_spec_id=True`` materializes Iceberg's ``_spec_id`` metadata
+        column (the spec each row's commit was written under) — the ONLY
+        robust way to attribute a row to its layout era: classifying by
+        ``_p_* IS NOT NULL`` misattributes rows whose partition VALUE is
+        legitimately NULL (r06 adversarial find)."""
+
+        def _load(group: list[str], spec_id: int) -> DataFrame:
             reader = self.spark.read.option("basePath", self._log.data_dir)
             if merge_schema:
                 reader = reader.option("mergeSchema", "true")
             # `_c` is the commit-dir partition component — implementation
             # detail, dropped from the user-visible schema
-            return reader.format(self._file_format()).load(group).drop("_c")
+            df = reader.format(self._file_format()).load(group).drop("_c")
+            if with_spec_id:
+                df = df.withColumn("_spec_id", F.lit(spec_id).cast("int"))
+            return df
 
         groups = self._dirs_by_layout(dirs)
         if len(groups) == 1:
-            return _load(next(iter(groups.values())))
+            (key, group), = groups.items()
+            return _load(group, key[0])
         out = None
-        for _, group in sorted(groups.items()):
-            part = _load(group)
+        for key, group in sorted(groups.items()):
+            part = _load(group, key[0])
             out = part if out is None else out.unionByName(
                 part, allowMissingColumns=True
             )
         return out
 
     def _dirs_by_layout(self, dirs: list[str]) -> dict[tuple, list[str]]:
-        """Group commit dirs by the partition layout they were written
-        under (``_bic_spec.json``, written at commit time). Dirs from
-        before the marker existed group under the table's ORIGINAL spec
-        — markerless dirs can only predate evolution support, so their
+        """Group commit dirs by (spec_id, partition layout) as written at
+        commit time (``_bic_spec.json``) — the per-manifest spec id of
+        Iceberg. Keys are ``(spec_id, pcols...)``. Dirs from before the
+        marker existed group under the table's ORIGINAL spec (id 0) —
+        markerless dirs can only predate evolution support, so their
         layout is whatever the table was created with (``spec_history
         ['0']`` once evolved, else the current spec)."""
         meta = self._log.table_meta() if self._log.exists() else {}
@@ -982,9 +1002,11 @@ class LakeSink:
         for d in dirs:
             try:
                 with open(os.path.join(d, "_bic_spec.json")) as f:
-                    key = tuple(json.load(f).get("pcols", []))
+                    marker = json.load(f)
+                key = (int(marker.get("spec_id", 0)),
+                       *marker.get("pcols", []))
             except (FileNotFoundError, json.JSONDecodeError):
-                key = fallback
+                key = (0, *fallback)
             groups.setdefault(key, []).append(d)
         return groups
 

@@ -969,16 +969,29 @@ def ab_test_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("s2b"),
     )
-    mean_a = F.col("s1a") / F.col("n_a")
-    mean_b = F.col("s1b") / F.col("n_b")
-    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / F.col("n_a")) / (
+    # degenerate-arm guards (r06 adversarial find: an empty or 1-user arm
+    # crashed ANSI division; DuckDB NULLs x/0 but ERRORS on sqrt(<0)):
+    # mean needs n ≥ 1, variance n ≥ 2, z a positive variance sum — all
+    # spelled as explicit NULLIF/GREATEST on BOTH engines, so a
+    # degenerate readout is NULL, never a crashed report
+    def _nz(c):
+        return F.nullif(c.cast("double"), F.lit(0.0))
+
+    mean_a = F.col("s1a") / _nz(F.col("n_a"))
+    mean_b = F.col("s1b") / _nz(F.col("n_b"))
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / _nz(F.col("n_a"))) / _nz(
         F.col("n_a") - 1
     )
-    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / F.col("n_b")) / (
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / _nz(F.col("n_b"))) / _nz(
         F.col("n_b") - 1
     )
-    z = (mean_b - mean_a) / F.sqrt(
-        var_a / F.col("n_a") + var_b / F.col("n_b")
+    z = (mean_b - mean_a) / _nz(
+        F.sqrt(
+            F.greatest(
+                var_a / _nz(F.col("n_a")) + var_b / _nz(F.col("n_b")),
+                F.lit(0.0),
+            )
+        )
     )
     return stats.select(
         "event_type",
@@ -1018,12 +1031,15 @@ WITH e AS (
   FROM e GROUP BY 1
 )
 SELECT event_type, n_a, n_b,
-       ROUND(s1a / n_a, 6) AS mean_a,
-       ROUND(s1b / n_b, 6) AS mean_b,
-       ROUND(s1b / n_b - s1a / n_a, 6) AS lift,
-       ROUND((s1b / n_b - s1a / n_a)
-             / sqrt((s2a - s1a * s1a / n_a) / (n_a - 1) / n_a
-                    + (s2b - s1b * s1b / n_b) / (n_b - 1) / n_b), 6)
+       ROUND(s1a / NULLIF(n_a, 0), 6) AS mean_a,
+       ROUND(s1b / NULLIF(n_b, 0), 6) AS mean_b,
+       ROUND(s1b / NULLIF(n_b, 0) - s1a / NULLIF(n_a, 0), 6) AS lift,
+       ROUND((s1b / NULLIF(n_b, 0) - s1a / NULLIF(n_a, 0))
+             / NULLIF(sqrt(GREATEST(
+                 (s2a - s1a * s1a / NULLIF(n_a, 0)) / NULLIF(n_a - 1, 0)
+                   / NULLIF(n_a, 0)
+                 + (s2b - s1b * s1b / NULLIF(n_b, 0)) / NULLIF(n_b - 1, 0)
+                   / NULLIF(n_b, 0), 0.0)), 0.0), 6)
          AS z_stat
 FROM s
 ORDER BY event_type

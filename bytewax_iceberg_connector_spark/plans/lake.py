@@ -377,6 +377,13 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     the source table, so any row lost/duplicated at the spec boundary
     diverges. Citation: Iceberg spec §Partition Evolution;
     operators/sink.py::evolve_partition_spec.
+
+    r06 adversarial hardening: the split key is ``coalesce(event_id % 2,
+    0)`` (a NULL-keyed row must land in a batch, not vanish through both
+    parity filters), and the era comes from the ``_spec_id`` METADATA
+    column (``read(with_spec_id=True)``, Iceberg's own metadata column) —
+    classifying by ``_p_ts_day IS NOT NULL`` misattributed day-spec rows
+    whose partition VALUE is legitimately NULL (a NULL-ts event).
     """
     ev = load_table(spark, sf_dir, "events")
     warehouse = tempfile.mkdtemp(prefix="bic_evolve_")
@@ -386,15 +393,16 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=4,
         partition_spec=[("ts", "day")],
     )
+    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
     sink = LakeSink(spark, cfg)
-    sink.append(ev.where(F.col("event_id") % 2 == 0))
+    sink.append(ev.where(batch == 0))
     sink.evolve_partition_spec([("event_type", "identity")])
-    sink.append(ev.where(F.col("event_id") % 2 == 1))
-    back = sink.read()
+    sink.append(ev.where(batch == 1))
+    back = sink.read(with_spec_id=True)
     out = (
         back.withColumn(
             "era",
-            F.when(F.col("_p_ts_day").isNotNull(), "day_spec").otherwise(
+            F.when(F.col("_spec_id") == 0, "day_spec").otherwise(
                 "type_spec"
             ),
         )
@@ -410,7 +418,8 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EVOLUTION = """
-SELECT CASE WHEN event_id % 2 = 0 THEN 'day_spec' ELSE 'type_spec' END AS era,
+SELECT CASE WHEN COALESCE(event_id % 2, 0) = 0
+            THEN 'day_spec' ELSE 'type_spec' END AS era,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_id) AS n_distinct_ids,
        COUNT(DISTINCT event_type) AS n_types
@@ -436,6 +445,14 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     or mis-filled at the schema boundary.
 
     The oracle reproduces the same parity split from the source table.
+
+    Batch split + fill contracts (r06 adversarial finds): the split key is
+    ``coalesce(event_id % 2, 0)`` — a NULL-keyed row lands in the FIRST
+    batch instead of being silently dropped by both parity filters; and
+    the evolved column is written as ``coalesce(value, 0) * 2`` so
+    ``quality IS NULL`` is a faithful pre-evolution marker (a raw
+    ``value * 2`` made every post-evolution NULL-value row masquerade as
+    pre-evolution in the merged read).
     """
     ev = load_table(spark, sf_dir, "events")
     warehouse = tempfile.mkdtemp(prefix="bic_schevo_")
@@ -444,11 +461,12 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         warehouse_path=warehouse,
         num_partitions=4,
     )
+    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
     sink = LakeSink(spark, cfg)
-    sink.append(ev.where(F.col("event_id") % 2 == 0))
+    sink.append(ev.where(batch == 0))
     sink.append(
-        ev.where(F.col("event_id") % 2 == 1)
-        .withColumn("quality", F.col("value") * 2)
+        ev.where(batch == 1)
+        .withColumn("quality", F.coalesce(F.col("value"), F.lit(0.0)) * 2)
     )
     back = sink.read(merge_schema=True)
     out = (
@@ -470,9 +488,12 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SCHEMA_EVOLUTION = f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_pre_evolution,
-       {sql_dsum("CASE WHEN event_id % 2 = 1 THEN value * 2 ELSE 0 END")}
+       CAST(SUM(CASE WHEN COALESCE(event_id % 2, 0) = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_pre_evolution,
+       {sql_dsum(
+           "CASE WHEN COALESCE(event_id % 2, 0) = 1"
+           " THEN COALESCE(value, 0) * 2 ELSE 0 END"
+       )}
          AS quality_mass
 FROM events
 GROUP BY event_type

@@ -58,7 +58,7 @@ SELECT
     WHEN NOT COALESCE(value < 180, FALSE) THEN 'validation failed: value_cap'
     WHEN NOT COALESCE(event_type IN ('click','view','purchase','signup'), FALSE)
       THEN 'validation failed: known_type'
-    WHEN NOT COALESCE(json_extract_string(props, '$.k') IS NOT NULL, FALSE)
+    WHEN NOT COALESCE(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL, FALSE)
       THEN 'validation failed: k_in_props'
     ELSE 'ok'
   END AS status,
@@ -98,7 +98,7 @@ SELECT event_id,
        CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
        event_type = 'purchase' AS is_purchase,
        CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+       CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
 FROM events
 """
 

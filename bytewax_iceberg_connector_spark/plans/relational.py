@@ -821,7 +821,7 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_JSON = f"""
-SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+SELECT CAST(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) % 10 AS BIGINT) AS k_bucket,
        COUNT(*) AS n,
        {sql_dsum('value')} AS total_value
 FROM events
@@ -1376,7 +1376,7 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(
-        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        F.expr("variant_get(try_parse_json(props), '$.k', 'int')").alias("k"),
         "value",
     )
     return (
@@ -1391,12 +1391,12 @@ def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_VARIANT = f"""
-SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS BIGINT)
+SELECT CAST(CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS INTEGER) % 10 AS BIGINT)
          AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n,
        {sql_dsum('value')} AS total_value
 FROM events
-WHERE json_extract_string(props, '$.k') IS NOT NULL
+WHERE CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END IS NOT NULL
 GROUP BY 1
 ORDER BY 1
 """

@@ -22,7 +22,12 @@ from ..streaming.windows import hopping_agg, session_windows_batch, tumbling_agg
 
 def streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly tumbling counts/sums per event_type (epoch-aligned windows ≡
-    date_trunc('hour') in the batch oracle)."""
+    date_trunc('hour') in the batch oracle).
+
+    NULL event-time contract (r06 adversarial find): a row with no ts is
+    UN-WINDOWABLE — Spark's F.window drops it (real streaming semantics),
+    so the batch oracles filter ts IS NOT NULL instead of minting a NULL
+    bucket. Applies to tumbling/hopping/topk alike."""
     ev = load_table(spark, sf_dir, "events")
     return tumbling_agg(ev, "ts", "1 hour", ("event_type",)).orderBy(
         "window_start", "event_type"
@@ -35,6 +40,7 @@ SELECT DATE_TRUNC('hour', ts) AS window_start,
        COUNT(*) AS n_events,
        {sql_dsum('value')} AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY window_start, event_type
 ORDER BY window_start, event_type
 """
@@ -57,11 +63,11 @@ _SQL_HOPPING = f"""
 WITH contrib AS (
   SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS window_start,
          event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
   UNION ALL
   SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) - INTERVAL 1 HOUR,
          event_type, value
-  FROM events
+  FROM events WHERE ts IS NOT NULL
 )
 SELECT window_start, event_type,
        COUNT(*) AS n_events,
@@ -203,6 +209,7 @@ WITH agg AS (
          COUNT(*) AS n_events,
          {sql_dsum('value')} AS total_value
   FROM events
+  WHERE ts IS NOT NULL
   GROUP BY 1, 2
 )
 SELECT window_start, rank, event_type, n_events, total_value FROM (

@@ -705,7 +705,7 @@ WITH p AS (
 ), c AS (
   SELECT user_id, ts, k FROM (
     SELECT user_id, ts,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
            ROW_NUMBER() OVER (PARTITION BY user_id, ts
                               ORDER BY event_id DESC NULLS LAST) AS rn
     FROM events WHERE event_type = 'click'

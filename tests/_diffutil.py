@@ -55,6 +55,15 @@ def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
             if pd.api.types.is_datetime64_any_dtype(s):
                 if s.dropna().dt.time.eq(dt.time()).all():
                     df[c] = s.dt.date
+                else:
+                    # Spark arrives as datetime64[ns], DuckDB as [us];
+                    # assert_frame_equal(check_dtype=False) compares the
+                    # RAW int64 payloads across units, so same instants
+                    # "differ" by 1000x. Unify on [us] (Spark timestamps
+                    # are µs-precision; ns→us is lossless here, and [us]
+                    # still holds sentinel dates like 9999-12-31 that
+                    # would overflow [ns]).
+                    df[c] = s.dt.as_unit("us")
             elif s.dtype == object and len(s.dropna()) and s.dropna().map(
                 lambda v: isinstance(v, dt.datetime)
             ).all():

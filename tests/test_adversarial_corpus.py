@@ -89,15 +89,18 @@ def adv_emb_dir(tmp_path_factory):
 
 _OTHER_TABLES = (
     "lineitem", "orders", "customer", "supplier", "part", "nation",
-    "region", "events",
+    "region",
 )
 
 
 def _single_table_targets(table: str):
     from bytewax_iceberg_connector_spark.plans import registry
 
-    other = tuple(t for t in _OTHER_TABLES + ("embeddings", "documents")
-                  if t != table)
+    other = tuple(
+        t
+        for t in _OTHER_TABLES + ("embeddings", "documents", "events")
+        if t != table
+    )
     oracles = registry.all_oracles()
     return sorted(
         n
@@ -153,6 +156,79 @@ def test_embeddings_only_queries_match_oracle_on_adversarial_corpus(
         try:
             sp = qs[name](spark, str(adv_emb_dir)).toPandas()
             op = duck_oracle(adv_emb_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def adv_events_dir(tmp_path_factory):
+    """Adversarial events: NULL keys/timestamps/types/values, duplicate
+    ids, tie timestamps, malformed props JSON — the degenerate shapes the
+    r06 sweep used to find the ANSI-division, JSON-oracle, NULL-ts-window
+    and lake parity-split bugs."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adv_events")
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(minutes):
+        return None if minutes is None else t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        (0, 0, 1, "signup", 10.0, '{"k": 1}'),
+        (1, 5, 1, "view", 20.5, '{"k": 2}'),
+        (2, 10, 1, "purchase", 99.9, '{"k": 3}'),
+        (3, 10, 1, "purchase", 99.9, '{"k": 3}'),
+        (4, 0, 2, "signup", 1.0, "not json"),
+        (5, 90, 2, "view", None, None),
+        (6, 200, 2, "purchase", -5.0, '{"k": -1}'),
+        (7, None, 3, "view", 3.0, '{"k": 4}'),
+        (8, 30, None, "view", 4.0, '{"k": 5}'),
+        (9, 40, 3, None, 5.0, '{"k": 6}'),
+        (None, 50, 3, "error", 6.0, '{"k": 7}'),
+        (10, 50, 3, "error", 6.0, '{"k": 7}'),
+        (11, 60, 4, "signup", 7.0, "{}"),
+        (12, 24 * 60 + 1, 4, "view", 8.0, '{"k": 8}'),
+        (13, 7 * 24 * 60, 4, "purchase", 9.0, '{"k": 9}'),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([ts(r[1]) for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array([r[5] for r in rows], pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+    return d
+
+
+def test_events_only_queries_match_oracle_on_adversarial_corpus(
+    spark, adv_events_dir
+):
+    """Every events-only oracle query must survive NULL ids/timestamps/
+    types/values, duplicate ids, tie timestamps, and malformed JSON —
+    and match DuckDB. r06 finds this pins: ab_test_eval's ANSI division
+    on degenerate arms, json_valid oracle guards, try_parse_json for
+    VARIANT, the NULL-ts un-windowable contract, and the lake queries'
+    total parity split + _spec_id era attribution."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _single_table_targets("events")
+    assert len(targets) >= 40, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(adv_events_dir)).toPandas()
+            op = duck_oracle(adv_events_dir, oracles[name])
             assert_df_match(sp, op)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
