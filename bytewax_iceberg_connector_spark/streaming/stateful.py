@@ -96,12 +96,19 @@ def dedup_first_seen(
 
         first_us, n_seen = state.get if state.exists else (None, 0)
         for pdf in pdf_iter:
+            n_seen += len(pdf)
+            # NULL event times are un-orderable: SQL min(ts) ignores them
+            # (the declared batch twin), and NaT's int64 payload is the
+            # min-int64 sentinel — without the dropna an adversarial NULL
+            # ts silently corrupted first_ts to year 1677 (r06 find)
+            valid = pdf[ts_col].dropna()
+            if not len(valid):
+                continue
             # normalize to ns first: pandas may hand datetime64[ns] or [us]
             ts_us = (
-                pdf[ts_col].astype("datetime64[ns]").astype("int64") // 1000
+                valid.astype("datetime64[ns]").astype("int64") // 1000
             ).astype("int64")
             batch_min = int(ts_us.min())
-            n_seen += len(pdf)
             if first_us is None or batch_min < first_us:
                 first_us = batch_min
         state.update((first_us, n_seen))
@@ -110,7 +117,11 @@ def dedup_first_seen(
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
-                "first_ts": [pd.Timestamp(first_us, unit="us")],
+                "first_ts": [
+                    pd.Timestamp(first_us, unit="us")
+                    if first_us is not None
+                    else pd.NaT
+                ],
                 "n_suppressed": [n_seen - 1],
             }
         )
@@ -162,8 +173,11 @@ def running_counter(
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            # decimal-exact in integer cents: float sum order never leaks
-            cents += int((pdf[value_col] * 100).round().astype("int64").sum())
+            # decimal-exact in integer cents: float sum order never leaks.
+            # NULL values drop out like SQL SUM (the batch twin) — the
+            # astype(int64) on a NaN raised and killed the stream (r06)
+            vals = pdf[value_col].dropna()
+            cents += int((vals * 100).round().astype("int64").sum())
         state.update((n, cents))
         state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_cents": [cents]})

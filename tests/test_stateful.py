@@ -142,3 +142,62 @@ def test_transform_with_state_running_count(spark, tmp_path):
         .collect()
     }
     assert want <= got
+
+
+def test_stateful_kernels_survive_adversarial_events(spark, tmp_path):
+    """NULL timestamps/values/keys through the REAL streaming path: a NaT
+    event time must not corrupt first_ts (pre-fix it emitted year 1677 —
+    NaT's min-int64 payload), a NULL value must not kill the stream
+    (astype(int64) on NaN raised), and both kernels must still match
+    their declared batch twins, whose SQL min/sum ignore NULLs."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, t0, 1, "signup", 10.0),
+        (1, t0 + dt.timedelta(minutes=5), 1, "view", 20.5),
+        (2, None, 1, "view", 3.0),                     # NULL ts
+        (3, t0 + dt.timedelta(minutes=9), 2, "view", None),  # NULL value
+        (4, t0 + dt.timedelta(minutes=2), None, None, 4.0),  # NULL key+type
+    ]
+    d = tmp_path / "adv"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array([r[3] for r in rows], pa.string()),
+                "value": pa.array([r[4] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        d / "events.parquet",
+    )
+
+    stream = read_events_stream(spark, str(d))
+    _drain(dedup_first_seen(stream), "dedup_adv", tmp_path / "cp_da")
+    got = {
+        r.user_id: (r.first_ts, r.n_suppressed)
+        for r in spark.table("dedup_adv").collect()
+    }
+    assert got[1] == (t0, 2)  # NaT row suppressed-counted, never the min
+    assert got[2] == (t0 + dt.timedelta(minutes=9), 0)
+    assert got[None] == (t0 + dt.timedelta(minutes=2), 0)
+
+    _drain(
+        running_counter(read_events_stream(spark, str(d))),
+        "counter_adv",
+        tmp_path / "cp_ca",
+    )
+    got = {
+        r.event_type: (r.n_events, r.total_cents)
+        for r in spark.table("counter_adv").collect()
+    }
+    assert got["view"] == (3, 2350)  # NULL value dropped like SQL SUM
+    assert got["signup"] == (1, 1000)
+    assert got[None] == (1, 400)
