@@ -233,3 +233,32 @@ def test_events_only_queries_match_oracle_on_adversarial_corpus(
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+def test_cross_table_queries_match_oracle_on_adversarial_corpus(
+    spark, adv_dir, adv_emb_dir, tmp_path
+):
+    """The documents ⋈ embeddings queries (doc_id ≡ vec_id join) on BOTH
+    adversarial fixtures at once: orphan keys on each side, NULL join
+    keys, and quarantined-invalid embeddings for otherwise-valid docs
+    must reconcile identically on both engines."""
+    import shutil
+
+    d = tmp_path / "cross"
+    d.mkdir()
+    shutil.copy(adv_dir / "documents.parquet", d / "documents.parquet")
+    shutil.copy(adv_emb_dir / "embeddings.parquet", d / "embeddings.parquet")
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    failures = []
+    for name in ("cluster_quality_profile", "curation_pipeline", "hybrid_rank"):
+        try:
+            sp = qs[name](spark, str(d)).toPandas()
+            op = duck_oracle(d, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
