@@ -709,3 +709,32 @@ def test_kafka_admission_contract_gated(spark):
         reader = reader.option(k, v)
     df = reader.load()  # definition-time only; no broker contact
     assert df.isStreaming and "value" in df.columns
+
+
+def test_torn_commit_dir_is_invisible_and_next_commit_lands(
+    spark, tmp_path, batches
+):
+    """Crash-recovery invariant of the log-based lake (Iceberg/Delta's
+    core guarantee): a writer that dies BETWEEN writing its data files
+    and logging the commit leaves a torn directory that must be (a)
+    invisible to every read — only LOGGED dirs are scanned — and (b)
+    harmless to subsequent commits, snapshots, and time travel."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    snap_after_b1 = 1  # snapshot ids are sequential from 1
+
+    # simulate the crash: reserve a commit dir, write real data + the
+    # spec marker into it, then DIE before self._log.commit(...)
+    import json
+
+    _name, torn_path = sink._log.new_commit_dir()
+    b2.write.mode("errorifexists").format("parquet").save(torn_path)
+    with open(os.path.join(torn_path, "_bic_spec.json"), "w") as f:
+        json.dump({"spec_id": 0, "pcols": []}, f)
+
+    assert sink.read().count() == b1.count()  # torn rows never surface
+    sink.append(b2)  # the next writer is unaffected
+    assert sink.read().count() == b1.count() + b2.count()
+    # time travel across the torn window still pins the logged snapshot
+    assert sink.read(as_of=snap_after_b1).count() == b1.count()

@@ -797,3 +797,45 @@ def test_streaming_dedup_watermark_matches_python_replay(
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == want, (got, want)
+
+
+@given(
+    rows=st.lists(
+        st.one_of(
+            st.none(),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_minhash_np_bit_identical_to_expression_twin(spark, rows):
+    """The Arrow minhash kernel claims BIT-identical signatures to the
+    higher-order-expression form (same affine hashes mod the same Mersenne
+    prime). Pin it across the full signed-64 hash domain — including
+    min-int64, where numpy's floor-mod and Spark's trunc-mod-then-pmod
+    must still land on the same residue — plus NULL/empty sets (both
+    must yield NULL, never a 0-signature that band-matches everything)."""
+    from bytewax_iceberg_connector_spark.functions.similarity import (
+        minhash_signature,
+        minhash_signature_np,
+    )
+
+    n_perm = 8
+    df = spark.createDataFrame([(r,) for r in rows], "h array<long>")
+    got = df.select(
+        minhash_signature_np(n_perm)(F.col("h")).alias("np"),
+        F.when(
+            F.size("h") > 0, F.array(*minhash_signature(F.col("h"), n_perm))
+        ).alias("expr"),
+    ).collect()
+    for r, src in zip(got, rows):
+        if src is None or len(src) == 0:
+            assert r.np is None and r.expr is None, (src, r)
+        else:
+            assert r.np == r.expr, (src, r.np, r.expr)
