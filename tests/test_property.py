@@ -839,3 +839,36 @@ def test_minhash_np_bit_identical_to_expression_twin(spark, rows):
             assert r.np is None and r.expr is None, (src, r)
         else:
             assert r.np == r.expr, (src, r.np, r.expr)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.integers(min_value=-8, max_value=8).map(float),
+            min_size=6,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_sign_lsh_np_matches_expression_twin(spark, vecs):
+    """The Arrow sign-LSH kernel must bucket identically to the
+    higher-order-expression reference (same seeded hyperplanes, same
+    bit-packing) — integer-valued components make every plane dot exact,
+    so a divergence is a real plane/packing bug, never summation order."""
+    from bytewax_iceberg_connector_spark.functions.similarity import (
+        sign_lsh_keys_np,
+        sign_lsh_tables,
+    )
+
+    dim, n_tables, bits = 6, 4, 3
+    df = spark.createDataFrame([(v,) for v in vecs], "e array<double>")
+    got = df.select(
+        sign_lsh_keys_np(dim, n_tables, bits)(F.col("e")).alias("np"),
+        sign_lsh_tables(F.col("e"), dim, n_tables, bits).alias("expr"),
+    ).collect()
+    for r in got:
+        assert list(r.np) == [e.key for e in r.expr], (r.np, r.expr)
+        assert [e.table for e in r.expr] == list(range(n_tables))
