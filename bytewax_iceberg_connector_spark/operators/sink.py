@@ -955,7 +955,15 @@ class LakeSink:
         column (the spec each row's commit was written under) — the ONLY
         robust way to attribute a row to its layout era: classifying by
         ``_p_* IS NOT NULL`` misattributes rows whose partition VALUE is
-        legitimately NULL (r06 adversarial find)."""
+        legitimately NULL (r06 adversarial find).
+
+        Commits with ZERO data files are skipped before the scan: a
+        partitioned write of an EMPTY frame (a delete-all's survivor
+        commit, an empty micro-batch) produces a fileless dir that made
+        every later read die with UNABLE_TO_INFER_SCHEMA (r06 model-based
+        find); a fileless commit contributes no rows by construction, and
+        an all-empty dir list falls back to the declared-schema empty
+        frame in read()."""
 
         def _load(group: list[str], spec_id: int) -> DataFrame:
             reader = self.spark.read.option("basePath", self._log.data_dir)
@@ -968,6 +976,24 @@ class LakeSink:
                 df = df.withColumn("_spec_id", F.lit(spec_id).cast("int"))
             return df
 
+        ext = f".{self._file_format()}"
+        dirs = [
+            d
+            for d in dirs
+            if any(
+                f.endswith(ext)
+                for _, _, files in os.walk(d)
+                for f in files
+            )
+        ]
+        if not dirs:
+            schema = StructType.fromJson(self._log.table_meta()["schema_json"])
+            empty = self.spark.createDataFrame([], schema)
+            if with_spec_id:
+                empty = empty.withColumn(
+                    "_spec_id", F.lit(None).cast("int")
+                )
+            return empty
         groups = self._dirs_by_layout(dirs)
         if len(groups) == 1:
             (key, group), = groups.items()
