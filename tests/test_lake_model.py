@@ -29,6 +29,9 @@ _OPS = st.lists(
         st.tuples(st.just("rollback"), st.integers(0, 100)),
         # merge: upsert a block that half-overlaps the live set
         st.tuples(st.just("merge"), st.integers(1, 3)),
+        # maintenance ops: live set must be invariant under both
+        st.tuples(st.just("compact"), st.integers(0, 0)),
+        st.tuples(st.just("expire"), st.integers(1, 3)),
     ),
     min_size=1,
     max_size=5,
@@ -69,14 +72,22 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
         return ids
 
     live: set[int] = set()
-    history: list[set[int]] = []  # history[i] = live set AFTER snapshot i+1
+    history: list[set[int]] = []  # live set after each RETAINED snapshot
+    snap_ids: list[int] = []      # that snapshot's real (1-based) id
+    n_commits = 0
+
+    def committed():
+        nonlocal n_commits
+        n_commits += 1
+        history.append(set(live))
+        snap_ids.append(n_commits)
 
     # ensure the table exists (rollback/delete before any commit is a
     # client error, not a semantics question)
     ids = fresh(2)
     sink.append(_rows(spark, ids))
     live |= set(ids)
-    history.append(set(live))
+    committed()
 
     for op, arg in ops:
         if op == "append":
@@ -91,23 +102,35 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             sink.delete(f"event_id < {arg}")
             live = {i for i in live if not i < arg}
         elif op == "rollback":
-            target = (arg % len(history)) + 1  # snapshot ids are 1-based
-            sink.rollback(target)
-            live = set(history[target - 1])
+            # a RETAINED snapshot only: rolling back to an expired one is
+            # a client error, not a semantics question
+            i = arg % len(history)
+            sink.rollback(snap_ids[i])
+            live = set(history[i])
         elif op == "merge":
             # half old ids (value update), half fresh (insert)
             old = sorted(live)[: max(arg // 2, 0)]
             ids = old + fresh(arg - len(old))
             sink.merge(_rows(spark, ids), keys=["event_id"])
             live |= set(ids)
-        history.append(set(live))
+        elif op == "compact":
+            sink.compact()  # a rewrite snapshot: live set invariant
+        elif op == "expire":
+            # reclaims unreferenced data; live set and the retained
+            # trailing window of snapshots must be untouched
+            sink.expire_snapshots(keep_last=arg)
+            history = history[-arg:]
+            snap_ids = snap_ids[-arg:]
+        if op != "expire":
+            committed()
         got = {r.event_id for r in sink.read().select("event_id").collect()}
         assert got == live, (op, arg, got, live)
 
-    # every historical snapshot must still read back exactly
-    for snap_id, want in enumerate(history, start=1):
+    # every retained snapshot must still read back exactly (expire trims
+    # the front of the window; compact/rollback append rewrite snapshots)
+    for snap_id, want in zip(snap_ids, history):
         got = {
             r.event_id
             for r in sink.read(as_of=snap_id).select("event_id").collect()
         }
-        assert got == want, (snap_id, got, want)
+        assert got == want, (snap_id, got, want, snap_ids)
