@@ -872,3 +872,32 @@ def test_sign_lsh_np_matches_expression_twin(spark, vecs):
     for r in got:
         assert list(r.np) == [e.key for e in r.expr], (r.np, r.expr)
         assert [e.table for e in r.expr] == list(range(n_tables))
+
+
+def test_case_mapping_consistent_between_jvm_and_python_kernels(spark):
+    """The engine lowercases in TWO runtimes — JVM expressions (F.lower,
+    X.tokens) and Python Arrow kernels (shingle_hashes_np's .lower()) —
+    and they MUST agree or the same document would tokenize differently
+    on the two paths. Pin the hard codepoints (Turkish İ → i+U+0307,
+    Greek final sigma) where Unicode full case mapping is easy to break
+    with a stray .casefold()/simple-fold. NOTE: DuckDB's lower() maps
+    İ→i and trailing Σ→σ instead — a DOCUMENTED oracle-dialect boundary
+    (SURVEY.md), not an engine inconsistency; the synthetic corpus is
+    ASCII so oracle comparisons are unaffected."""
+    from pyspark.sql import functions as F
+
+    tricky = [
+        "İSTANBUL ß ÅNGSTRÖM ﬁn ΣΟΦΟΣ",
+        "STRASSE ÄÖÜ İİİ ΣΣΣ",
+    ]
+    df = spark.createDataFrame([(t,) for t in tricky], "t string")
+
+    @F.pandas_udf("string")
+    def _pylower(s: pd.Series) -> pd.Series:
+        return s.str.lower()
+
+    rows = df.select(
+        F.lower("t").alias("jvm"), _pylower(F.col("t")).alias("py")
+    ).collect()
+    for r in rows:
+        assert r.jvm == r.py, (r.jvm, r.py)
