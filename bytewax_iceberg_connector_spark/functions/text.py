@@ -213,8 +213,18 @@ def shingle_hashes_np(n: int = 3):
     hashes a whole Arrow batch in Python at ~10x less overhead. Hash =
     first 8 bytes of md5 (process-stable, engine-neutral); downstream only
     needs identity, so the hash family is interchangeable with xxhash64.
+
+    Tokenization MUST match the JVM's ``\\s+`` regex split (and the DuckDB
+    oracles') exactly: Python's bare ``str.split()`` also breaks on
+    UNICODE whitespace (NBSP, ideographic space) where Java/RE2 ``\\s`` is
+    ASCII-only, so a document containing one NBSP used to tokenize
+    differently on the engine's own two code paths (r06 find) — hence the
+    ``re.ASCII`` split here.
     """
     import hashlib
+    import re
+
+    ws = re.compile(r"\s+", re.ASCII)
 
     @F.pandas_udf("array<long>")
     def _sh(texts: pd.Series) -> pd.Series:
@@ -223,7 +233,7 @@ def shingle_hashes_np(n: int = 3):
             if t is None:
                 out.append(None)
                 continue
-            toks = [w for w in t.lower().split() if w]
+            toks = [w for w in ws.split(t.lower()) if w]
             hs = {
                 int.from_bytes(
                     hashlib.md5(" ".join(toks[i:i + n]).encode()).digest()[:8],

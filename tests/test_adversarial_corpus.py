@@ -33,7 +33,9 @@ def adv_dir(tmp_path_factory):
     pq.write_table(
         pa.table(
             {
-                "doc_id": pa.array([0, 1, 2, 3, 4, 5, 6, 7, None], pa.int64()),
+                "doc_id": pa.array(
+                    [0, 1, 2, 3, 4, 5, 6, 7, None, 8], pa.int64()
+                ),
                 "text": pa.array(
                     [
                         None,
@@ -45,18 +47,28 @@ def adv_dir(tmp_path_factory):
                         "Ünïcødé puñctuation!!! ... 🙂 🙂",
                         "a a a a a a a a a a a a",
                         "ghost row with null id",
+                        # UNICODE whitespace (NBSP, ideographic space):
+                        # Java/RE2/DuckDB \s is ASCII-only, so these are
+                        # TOKEN-INTERNAL bytes — every tokenizer (JVM and
+                        # Python kernel alike) must agree (r06 find: bare
+                        # str.split() split on them)
+                        "nb\u00a0sp and\u3000wide alpha beta gamma",
                     ],
                     pa.string(),
                 ),
                 "lang": pa.array(
-                    ["en", None, "en", "de", "en", "en", "fr", "en", "en"],
+                    ["en", None, "en", "de", "en", "en", "fr", "en", "en",
+                     "en"],
                     pa.string(),
                 ),
                 "source": pa.array(
-                    ["s1", "s1", None, "s2", "s1", "s2", "s3", "s1", "s1"],
+                    ["s1", "s1", None, "s2", "s1", "s2", "s3", "s1", "s1",
+                     "s2"],
                     pa.string(),
                 ),
-                "n_chars": pa.array([0, 0, 3, 4, 30, 30, 30, 23, 22], pa.int64()),
+                "n_chars": pa.array(
+                    [0, 0, 3, 4, 30, 30, 30, 23, 22, 31], pa.int64()
+                ),
             }
         ),
         d / "documents.parquet",
