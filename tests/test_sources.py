@@ -42,3 +42,39 @@ def test_ntz_cast_is_value_preserving_under_utc(spark, tmp_path):
     ).write.parquet(p)
     got = load_table(spark, str(tmp_path), "events").collect()[0]
     assert dict(got.asDict())["ts"] == want
+
+
+def test_load_vectors_modal_dim_memo_tracks_corpus_changes(spark, tmp_path):
+    """The quarantine's modal-dim literal is memoized on the parquet file
+    stamp; a REWRITTEN corpus (new dim) must recompute it — a stale dim
+    would silently quarantine every row of the new corpus."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.sources.tables import load_vectors
+
+    def write(dim, n=6):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(
+                        [[float(i + j) for j in range(dim)] for i in range(n)],
+                        pa.list_(pa.float32()),
+                    ),
+                    "label": pa.array([0] * n, pa.int32()),
+                }
+            ),
+            tmp_path / "embeddings.parquet",
+        )
+
+    write(dim=8)
+    assert load_vectors(spark, str(tmp_path)).count() == 6
+    time.sleep(0.01)  # ensure a distinct mtime_ns
+    write(dim=4)
+    # stale memo would filter size==8 and return 0 rows
+    got = load_vectors(spark, str(tmp_path))
+    assert got.count() == 6
+    assert len(got.select("embedding").first()[0]) == 4
