@@ -104,3 +104,36 @@ Arguments: hashpartitioning(k, 32), ENSURE_REQUIREMENTS
     n_ex, n_imts = count_executed_exchanges(plan)
     assert n_ex == 1  # only node (7): cached + broadcast + details skipped
     assert n_imts == 2
+
+
+def test_explain_audit_single_partition_detection():
+    """single_partition counts EXECUTED Exchange nodes whose detail block
+    declares SinglePartition — never cached replays, never hash/range
+    exchanges, and never detail blocks of nodes outside the executed
+    tree."""
+    from tools.explain_audit import count_single_partition_exchanges
+
+    plan = """== Physical Plan ==
+AdaptiveSparkPlan (9)
++- Window (8)
+   +- Exchange (7)
+      +- HashAggregate (6)
+         +- Exchange (5)
+            +- InMemoryTableScan (1)
+                  +- InMemoryRelation (2)
+                        +- Exchange (99)
+                           +- Scan parquet (3)
+
+(7) Exchange
+Input [2]: [a, b]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]
+
+(5) Exchange
+Input [2]: [a, b]
+Arguments: hashpartitioning(k#1, 32), ENSURE_REQUIREMENTS, [plan_id=2]
+
+(99) Exchange
+Input [2]: [a, b]
+Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]
+"""
+    assert count_single_partition_exchanges(plan) == 1

@@ -89,6 +89,34 @@ def count_executed_exchanges(plan: str) -> tuple[int, int]:
     return exchanges, imts
 
 
+def count_single_partition_exchanges(plan: str) -> int:
+    """Executed ``Exchange SinglePartition`` nodes — the classic
+    scale-killer (one task absorbs the whole frame). The tree section
+    shows only ``Exchange (N)``; the partitioning kind lives in node N's
+    detail block, so resolve executed node ids → detail ``Arguments:``.
+    Legitimate bounded uses exist (a full-frame window over a result-
+    sized audit frame); the audit SURFACES them for review, it does not
+    forbid them."""
+    import re
+
+    ids = []
+    for line in executed_tree_lines(plan):
+        body = line.lstrip(_TREE_PREFIX_CHARS)
+        m = re.match(r"Exchange \((\d+)\)", body)
+        if m:
+            ids.append(m.group(1))
+    n = 0
+    for i in ids:
+        m = re.search(
+            rf"^\({i}\) Exchange\n(?:.*\n)*?Arguments: ([^\n]*)",
+            plan,
+            re.MULTILINE,
+        )
+        if m and m.group(1).startswith("SinglePartition"):
+            n += 1
+    return n
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -114,6 +142,9 @@ def main() -> None:
             n_ex, n_imts = count_executed_exchanges(plan)
             if n_ex:
                 flags.append(f"exchanges={n_ex}")
+            n_sp = count_single_partition_exchanges(plan)
+            if n_sp:
+                flags.append(f"single_partition={n_sp}")
             if n_imts:
                 flags.append(f"cached_scans={n_imts}")
             if "PushedFilters: []" in plan:
