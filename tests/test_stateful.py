@@ -201,3 +201,75 @@ def test_stateful_kernels_survive_adversarial_events(spark, tmp_path):
     assert got["view"] == (3, 2350)  # NULL value dropped like SQL SUM
     assert got["signup"] == (1, 1000)
     assert got[None] == (1, 400)
+
+
+def test_stateful_state_carries_across_microbatch_boundaries(spark, tmp_path):
+    """Adversarial rows SPLIT ACROSS micro-batches (maxFilesPerTrigger=1,
+    one file per trigger): per-key state must carry the running minimum /
+    totals across batch boundaries, with the NULL-ts and NULL-value rows
+    landing in DIFFERENT batches than the values they must not disturb."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    batches = [
+        # batch 1: u1 starts late, u2 starts
+        [(0, t0 + dt.timedelta(minutes=30), 1, "view", 10.0),
+         (1, t0 + dt.timedelta(minutes=1), 2, "view", 20.0)],
+        # batch 2: u1's TRUE minimum arrives later + a NULL value row
+        [(2, t0, 1, "view", None),
+         (3, t0 + dt.timedelta(minutes=2), 2, "view", 5.0)],
+        # batch 3: u1 gets a NULL-ts row (must not reset the minimum)
+        [(4, None, 1, "view", 7.0)],
+    ]
+    d = tmp_path / "src"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                    "event_type": pa.array(
+                        [r[3] for r in rows], pa.string()
+                    ),
+                    "value": pa.array([r[4] for r in rows], pa.float64()),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            d / f"b{i}.parquet",
+        )
+
+    from pyspark.sql import functions as F
+
+    schema = spark.read.parquet(str(d)).schema
+
+    def _stream():
+        # NTZ→session-tz cast, same normalization read_events_stream does
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+
+    _drain(dedup_first_seen(_stream()), "dedup_mb", tmp_path / "cp_mb")
+    got = {
+        r.user_id: (r.first_ts, r.n_suppressed)
+        for r in spark.table("dedup_mb").collect()
+    }
+    # update mode: keep the LAST emission per key (the test keeps dict
+    # overwrite order = emission order)
+    assert got[1] == (t0, 2)  # min arrived in batch 2; NaT never reset it
+    assert got[2] == (t0 + dt.timedelta(minutes=1), 1)
+
+    _drain(running_counter(_stream()), "counter_mb", tmp_path / "cp_cmb")
+    got = {
+        r.event_type: (r.n_events, r.total_cents)
+        for r in spark.table("counter_mb").collect()
+    }
+    # 5 rows total; the NULL value drops out of the cents sum only
+    assert got["view"] == (5, 4200)
