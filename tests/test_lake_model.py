@@ -32,6 +32,9 @@ _OPS = st.lists(
         # maintenance ops: live set must be invariant under both
         st.tuples(st.just("compact"), st.integers(0, 0)),
         st.tuples(st.just("expire"), st.integers(1, 3)),
+        # dynamic partition overwrite: replaces ONLY the day-partitions
+        # the new rows fall into
+        st.tuples(st.just("overwrite_partitions"), st.integers(1, 4)),
     ),
     min_size=1,
     max_size=5,
@@ -113,6 +116,14 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             ids = old + fresh(arg - len(old))
             sink.merge(_rows(spark, ids), keys=["event_id"])
             live |= set(ids)
+        elif op == "overwrite_partitions":
+            ids = fresh(arg)
+            sink.overwrite_partitions(_rows(spark, ids))
+            # model: the fixture's day partition is ts = 2024-01-(1+id%5),
+            # so the new block replaces exactly the live rows sharing a
+            # day with any new id
+            days = {i % 5 for i in ids}
+            live = {i for i in live if i % 5 not in days} | set(ids)
         elif op == "compact":
             sink.compact()  # a rewrite snapshot: live set invariant
         elif op == "expire":
