@@ -233,9 +233,12 @@ def continuous_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         measures={"total_price": "o_totalprice"},
     )
-    base.append(orders.where(F.col("o_orderkey") % 3 != 0))
+    # total split (r06 adversarial find): a NULL-keyed order must land in
+    # a batch, not vanish through both modulus filters
+    okey = F.coalesce(F.col("o_orderkey") % 3, F.lit(0))
+    base.append(orders.where(okey != 0))
     first = cagg.refresh()
-    base.append(orders.where(F.col("o_orderkey") % 3 == 0))
+    base.append(orders.where(okey == 0))
     second = cagg.refresh()
     assert first["mode"] == "full" and second["mode"] == "incremental"
     out = (

@@ -1894,11 +1894,15 @@ SELECT o_orderpriority,
          AS p50_exact_cents,
        CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)
          AS p90_exact_cents,
-       CAST(CASE WHEN approx_percentile(cents, 0.5, {_PCTL_APPROX_ACCURACY})
+       CAST(CASE WHEN percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)
+                      IS NULL THEN 1  -- all-NULL group: vacuously inside
+                 WHEN approx_percentile(cents, 0.5, {_PCTL_APPROX_ACCURACY})
                  BETWEEN percentile_disc(0.498) WITHIN GROUP (ORDER BY cents)
                      AND percentile_disc(0.502) WITHIN GROUP (ORDER BY cents)
             THEN 1 ELSE 0 END AS BIGINT) AS p50_approx_ok,
-       CAST(CASE WHEN approx_percentile(cents, 0.9, {_PCTL_APPROX_ACCURACY})
+       CAST(CASE WHEN percentile_disc(0.9) WITHIN GROUP (ORDER BY cents)
+                      IS NULL THEN 1
+                 WHEN approx_percentile(cents, 0.9, {_PCTL_APPROX_ACCURACY})
                  BETWEEN percentile_disc(0.898) WITHIN GROUP (ORDER BY cents)
                      AND percentile_disc(0.902) WITHIN GROUP (ORDER BY cents)
             THEN 1 ELSE 0 END AS BIGINT) AS p90_approx_ok

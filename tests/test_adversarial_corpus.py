@@ -274,3 +274,84 @@ def test_cross_table_queries_match_oracle_on_adversarial_corpus(
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def adv_tpch_dir(tmp_path_factory):
+    """Real sf0.001 TPC-H tables with injected adversarial rows: NULL
+    order/part/supp/cust keys, NULL dates/prices/flags, zero-value lines
+    — the relational-family twin of the documents/embeddings/events
+    fixtures (r06 finds: continuous_aggregate's parity split dropped a
+    NULL-keyed order; percentile_approx_check's band flag went 0 instead
+    of vacuous-true on an all-NULL group)."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("adv_tpch")
+    for t in ("region", "nation", "supplier", "part", "events",
+              "documents", "embeddings"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{src}/lineitem.parquet')
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (NULL, 1, 1, 99, 5.0, 100.0, 0.1, 0.02, 'N', 'O',
+         TIMESTAMP '1995-06-01'),
+        (1, NULL, NULL, 98, NULL, NULL, NULL, NULL, NULL, NULL, NULL),
+        (2, 2, 2, 97, 0.0, 0.0, 0.0, 0.0, 'R', 'F', NULL)
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+          l_shipdate)
+    ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{src}/orders.parquet')
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (NULL, 1, 'O', 100.0, TIMESTAMP '1995-06-01', '1-URGENT'),
+        (999991, NULL, NULL, NULL, NULL, NULL)
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          o_orderpriority)
+    ) TO '{d}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{src}/customer.parquet')
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (NULL, 'null-key customer', 1, 0.0, 'BUILDING'),
+        (999992, NULL, NULL, NULL, NULL)
+      ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+    ) TO '{d}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return d
+
+
+def test_tpch_queries_match_oracle_on_adversarial_corpus(spark, adv_tpch_dir):
+    """Every oracle query touching lineitem/orders/customer must agree
+    with DuckDB on the NULL-injected TPC-H corpus."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = sorted(
+        n
+        for n, sql in oracles.items()
+        if any(t in sql for t in ("lineitem", "orders", "customer"))
+    )
+    assert len(targets) >= 50, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(adv_tpch_dir)).toPandas()
+            op = duck_oracle(adv_tpch_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
