@@ -35,13 +35,29 @@ _OPS = st.lists(
         # dynamic partition overwrite: replaces ONLY the day-partitions
         # the new rows fall into
         st.tuples(st.just("overwrite_partitions"), st.integers(1, 4)),
+        # additive schema evolution interleaved with everything else:
+        # rows committed WITH an extra column must survive rollback/
+        # delete/expire like any others (merge_schema read)
+        st.tuples(st.just("append_evolved"), st.integers(1, 3)),
     ),
     min_size=1,
     max_size=5,
 )
 
 
-def _rows(spark, ids):
+def _rows(spark, ids, evolved=False):
+    if evolved:
+        return spark.createDataFrame(
+            [
+                Row(
+                    event_id=i,
+                    ts=dt.datetime(2024, 1, 1 + i % 5, 9),
+                    v=float(i),
+                    q=float(i) * 2,
+                )
+                for i in ids
+            ]
+        )
     return spark.createDataFrame(
         [
             Row(event_id=i, ts=dt.datetime(2024, 1, 1 + i % 5, 9), v=float(i))
@@ -116,6 +132,10 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             ids = old + fresh(arg - len(old))
             sink.merge(_rows(spark, ids), keys=["event_id"])
             live |= set(ids)
+        elif op == "append_evolved":
+            ids = fresh(arg)
+            sink.append(_rows(spark, ids, evolved=True))
+            live |= set(ids)
         elif op == "overwrite_partitions":
             ids = fresh(arg)
             sink.overwrite_partitions(_rows(spark, ids))
@@ -134,7 +154,7 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             snap_ids = snap_ids[-arg:]
         if op != "expire":
             committed()
-        got = {r.event_id for r in sink.read().select("event_id").collect()}
+        got = {r.event_id for r in sink.read(merge_schema=True).select("event_id").collect()}
         assert got == live, (op, arg, got, live)
 
     # every retained snapshot must still read back exactly (expire trims
@@ -142,6 +162,6 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
     for snap_id, want in zip(snap_ids, history):
         got = {
             r.event_id
-            for r in sink.read(as_of=snap_id).select("event_id").collect()
+            for r in sink.read(as_of=snap_id, merge_schema=True).select("event_id").collect()
         }
         assert got == want, (snap_id, got, want, snap_ids)
