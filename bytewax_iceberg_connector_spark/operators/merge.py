@@ -39,18 +39,37 @@ def merge_upsert(
     tiebreak: str | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into ``target`` on ``keys``; update rows replace
-    matched target rows, unmatched insert. Columns must align.
+    matched target rows, unmatched insert.
+
+    Schema alignment (r06, schema-evolution interplay): an update batch
+    written against the PRE-evolution schema may lack columns the target
+    has since gained — those null-fill in the new row versions, exactly
+    ``UPDATE SET *`` semantics with an aligned-by-name source (and how
+    Iceberg's MERGE behaves once the source is aligned). Updates may not
+    carry columns the target lacks — widen the TABLE first (append with
+    the new column), not via a side door in MERGE.
 
     ``tiebreak``: when the update batch can carry duplicate keys, keep the
     greatest-tiebreak row per key (deterministic); None asserts uniqueness
     is the caller's contract.
     """
+    extra = set(updates.columns) - set(target.columns)
+    if extra:
+        raise ValueError(
+            f"updates carry columns the target lacks: {sorted(extra)} — "
+            "evolve the table schema first (append), then MERGE"
+        )
     if tiebreak is not None:
         w = Window.partitionBy(*keys).orderBy(F.col(tiebreak).desc())
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
+        )
+    missing = [c for c in target.columns if c not in updates.columns]
+    for c in missing:
+        updates = updates.withColumn(
+            c, F.lit(None).cast(dict(target.dtypes)[c])
         )
     survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
     return survivors.unionByName(updates.select(*target.columns))

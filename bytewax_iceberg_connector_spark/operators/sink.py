@@ -324,7 +324,11 @@ class LakeSink:
             return
         new_keyed = partition_key(df, self._spec)
         affected = new_keyed.select(*pcols).distinct()
-        current = self.read()
+        # merge_schema: the copy-on-write rewrite must carry EVERY column
+        # ever committed — a plain read takes one file's schema and
+        # silently WIPES evolved columns from the survivors (r06 find:
+        # a no-op delete on an evolved table nulled the evolved column)
+        current = self.read(merge_schema=True)
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         # partition membership is LOGICAL — the current spec's transforms
         # over the data columns — not the stored _p_* layout: rows from
@@ -335,8 +339,12 @@ class LakeSink:
         survivors = cur_keyed.join(
             F.broadcast(affected), on=pcols, how="left_anti"
         ).select(*data_cols)
+        # the incoming batch may predate a schema evolution: align by name
+        # with null-fill instead of projecting the table's columns out of
+        # a frame that never had them (r06 model-test find)
         self._write_commit(
-            survivors.unionByName(df.select(*data_cols)), operation="overwrite"
+            survivors.unionByName(df, allowMissingColumns=True),
+            operation="overwrite",
         )
 
     def _write_commit(self, df: DataFrame, operation: str,
@@ -518,10 +526,18 @@ class LakeSink:
                 "WHEN NOT MATCHED THEN INSERT *"
             )
             return
-        current = self.read()
+        # merge_schema: the copy-on-write rewrite must carry EVERY column
+        # ever committed — a plain read takes one file's schema and
+        # silently WIPES evolved columns from the survivors (r06 find:
+        # a no-op delete on an evolved table nulled the evolved column)
+        current = self.read(merge_schema=True)
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
+        # project updates to THEIR OWN data columns only — merge_upsert
+        # null-fills target columns the update batch predates (schema
+        # evolution), and rejects columns the target lacks
+        upd_cols = [c for c in updates.columns if not c.startswith("_p_")]
         merged = merge_upsert(
-            current.select(*data_cols), updates.select(*data_cols),
+            current.select(*data_cols), updates.select(*upd_cols),
             keys, tiebreak=tiebreak,
         )
         self.overwrite(merged, batch_id=batch_id)
@@ -604,7 +620,11 @@ class LakeSink:
                 f"DELETE FROM {self._qualified} WHERE {condition}"
             )
             return
-        current = self.read()
+        # merge_schema: the copy-on-write rewrite must carry EVERY column
+        # ever committed — a plain read takes one file's schema and
+        # silently WIPES evolved columns from the survivors (r06 find:
+        # a no-op delete on an evolved table nulled the evolved column)
+        current = self.read(merge_schema=True)
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         # coalesce: SQL DELETE removes only cond=TRUE rows; a bare
         # NOT(cond) would also drop rows where cond is NULL (NOT NULL is
@@ -641,7 +661,11 @@ class LakeSink:
                     f"CALL {cat}.system.rewrite_data_files('{self.config.table_name}')"
                 )
             return
-        current = self.read()
+        # merge_schema: the copy-on-write rewrite must carry EVERY column
+        # ever committed — a plain read takes one file's schema and
+        # silently WIPES evolved columns from the survivors (r06 find:
+        # a no-op delete on an evolved table nulled the evolved column)
+        current = self.read(merge_schema=True)
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         live = current.select(*data_cols)
         cluster = zorder_key(live, zorder_by) if zorder_by else None
@@ -846,9 +870,12 @@ class LakeSink:
                 + "), changelog_view => '_bic_changes')"
             )
             return self.spark.table("_bic_changes")
-        old = self.read(as_of=from_snapshot)
-        new = self.read(as_of=to_snapshot) if to_snapshot is not None \
-            else self.read()
+        # merge_schema on BOTH sides: a CDC window crossing a schema-
+        # evolution boundary must align columns (pre-evolution rows diff
+        # with NULL in the added column, not against a truncated schema)
+        old = self.read(as_of=from_snapshot, merge_schema=True)
+        new = self.read(as_of=to_snapshot, merge_schema=True) \
+            if to_snapshot is not None else self.read(merge_schema=True)
         data_cols = [c for c in new.columns if not c.startswith("_p_")]
         old, new = old.select(*data_cols), new.select(*data_cols)
         return (

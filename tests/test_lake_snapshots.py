@@ -738,3 +738,33 @@ def test_torn_commit_dir_is_invisible_and_next_commit_lands(
     assert sink.read().count() == b1.count() + b2.count()
     # time travel across the torn window still pins the logged snapshot
     assert sink.read(as_of=snap_after_b1).count() == b1.count()
+
+
+def test_copy_on_write_preserves_evolved_columns(spark, tmp_path, batches):
+    """Copy-on-write maintenance (delete/compact/merge) on a
+    schema-EVOLVED table must carry every column ever committed: the
+    rewrite used to read with one file's schema and silently WIPED the
+    evolved column from all survivors (r06 find — a no-op delete nulled
+    it table-wide)."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b1.withColumn("q", F.col("v") * 2).withColumn(
+        "event_id", F.col("event_id") + 100
+    ))
+
+    def q_map():
+        return {
+            r.event_id: r.asDict().get("q")
+            for r in sink.read(merge_schema=True).collect()
+        }
+
+    want = {i: None for i in range(10)} | {i + 100: float(i) * 2
+                                           for i in range(10)}
+    assert q_map() == want
+    sink.delete("event_id < 0")  # no-op rewrite
+    assert q_map() == want
+    sink.compact()
+    assert q_map() == want
+    sink.merge(b1.where("event_id = 0"), keys=["event_id"])
+    assert q_map() == want
