@@ -257,19 +257,22 @@ def test_stateful_state_carries_across_microbatch_boundaries(spark, tmp_path):
         )
 
     _drain(dedup_first_seen(_stream()), "dedup_mb", tmp_path / "cp_mb")
-    got = {
-        r.user_id: (r.first_ts, r.n_suppressed)
-        for r in spark.table("dedup_mb").collect()
-    }
-    # update mode: keep the LAST emission per key (the test keeps dict
-    # overwrite order = emission order)
+    # update mode re-emits per batch; memory-sink row order is NOT
+    # guaranteed across a busy suite — identify each key's LATEST
+    # emission by its monotonically-growing n_suppressed
+    got = {}
+    for r in spark.table("dedup_mb").collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n_suppressed > cur[1]:
+            got[r.user_id] = (r.first_ts, r.n_suppressed)
     assert got[1] == (t0, 2)  # min arrived in batch 2; NaT never reset it
     assert got[2] == (t0 + dt.timedelta(minutes=1), 1)
 
     _drain(running_counter(_stream()), "counter_mb", tmp_path / "cp_cmb")
-    got = {
-        r.event_type: (r.n_events, r.total_cents)
-        for r in spark.table("counter_mb").collect()
-    }
+    got = {}
+    for r in spark.table("counter_mb").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.n_events > cur[0]:
+            got[r.event_type] = (r.n_events, r.total_cents)
     # 5 rows total; the NULL value drops out of the cents sum only
     assert got["view"] == (5, 4200)
