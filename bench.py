@@ -63,6 +63,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     unrun = 0
+    single_pass = 0
     for i, name in enumerate(names):
         if time.perf_counter() - t_start > budget:
             unrun = len(names) - i  # everything from here on is unrun
@@ -74,17 +75,25 @@ def main() -> None:
         # wall budget: at 190+ queries the doubled wall can cross the
         # harness cap, and COVERAGE (every query timed once) beats
         # best-of-2 stability for the tail — a single-pass tail number is
-        # cold-biased but recorded; an unrun query is a hole
+        # cold-biased but recorded; an unrun query is a hole. Single-pass
+        # queries are counted so cross-round comparisons can exclude the
+        # cold-biased tail: execution order is alphabetical, so the LAST
+        # `single_pass_tail` timed names (sorted) are exactly the
+        # single-pass ones.
         if time.perf_counter() - t_start < budget * 0.85:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+        else:
+            single_pass += 1
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(_final_line(total, timings, float(sf) if sf else None, unrun))
+    print(
+        _final_line(total, timings, float(sf) if sf else None, unrun, single_pass)
+    )
     spark.stop()
 
 
@@ -97,7 +106,8 @@ _LINE_BUDGET = 1900
 
 
 def _final_line(
-    total: float, timings: dict[str, float], sf, unrun: int = 0
+    total: float, timings: dict[str, float], sf, unrun: int = 0,
+    single_pass: int = 0,
 ) -> str:
     def render(q: dict[str, float], omitted: int, omitted_sec: float) -> str:
         payload = {
@@ -112,6 +122,10 @@ def _final_line(
             payload["omitted_sec"] = round(omitted_sec, 3)
         if unrun:
             payload["queries_unrun"] = unrun
+        if single_pass:
+            # cold-biased (no steady-state pass) alphabetical tail: the
+            # last `single_pass_tail` timed names in sorted order
+            payload["single_pass_tail"] = single_pass
         return json.dumps(payload, separators=(",", ":"))
 
     line = render(timings, 0, 0.0)

@@ -301,9 +301,19 @@ def sign_lsh_keys_np(dim: int, n_tables: int = 8, bits: int = 4, seed: int = 11)
     adversarial-sweep find)."""
     weights = (1 << np.arange(bits, dtype=np.int64))
     cache = {dim: np.array(random_hyperplanes(dim, n_tables * bits, seed))}
+    # Each cached plane matrix is (n_tables*bits, observed_dim) floats —
+    # a corpus that reaches this kernel with MANY distinct dims (i.e. one
+    # that bypassed load_vectors' modal-dim quarantine) must not grow
+    # executor memory without bound, and the drift should be VISIBLE, not
+    # silently absorbed into disjoint per-dim plane families. Cap the
+    # cache and warn once per worker past the cap; off-cap dims still get
+    # seed-stable planes, just recomputed per batch row.
+    _CACHE_CAP = 8
 
     @F.pandas_udf("array<long>")
     def _keys(vecs: pd.Series) -> pd.Series:
+        import warnings
+
         out = []
         for v in vecs:
             if v is None:
@@ -312,10 +322,20 @@ def sign_lsh_keys_np(dim: int, n_tables: int = 8, bits: int = 4, seed: int = 11)
             x = np.asarray(v, dtype=np.float64)
             planes = cache.get(len(x))
             if planes is None:
+                if len(x) != dim and len(cache) == _CACHE_CAP:
+                    warnings.warn(
+                        f"sign_lsh_keys_np: >{_CACHE_CAP} distinct vector "
+                        f"dims observed (declared dim={dim}, got "
+                        f"{len(x)}) — ragged corpus reached the LSH "
+                        "kernel; route inputs through load_vectors' "
+                        "modal-dim quarantine",
+                        stacklevel=2,
+                    )
                 planes = np.array(
                     random_hyperplanes(len(x), n_tables * bits, seed)
                 )
-                cache[len(x)] = planes
+                if len(cache) < _CACHE_CAP:
+                    cache[len(x)] = planes
             signs = (planes @ x) > 0  # (T*b,)
             keys = (signs.reshape(n_tables, bits).astype(np.int64) * weights).sum(axis=1)
             out.append(keys)

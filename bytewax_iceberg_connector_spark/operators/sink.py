@@ -383,12 +383,25 @@ class LakeSink:
         self._write_commit_stats(keyed, path)
         # record which partition layout this commit dir was written under —
         # the per-manifest spec_id of Iceberg: read() groups dirs by it so
-        # a table whose spec EVOLVED mid-history still scans cleanly
+        # a table whose spec EVOLVED mid-history still scans cleanly.
+        # n_files is the commit's data-file count, counted ONCE here at
+        # write time so readers can skip fileless commits from metadata
+        # instead of re-walking every commit dir per read (the manifest's
+        # added-data-files count in Iceberg) — at scale the per-read walk
+        # is an O(total files) driver-side stat storm.
+        ext = f".{self._file_format()}"
+        n_files = sum(
+            1
+            for _, _, files in os.walk(path)
+            for fname in files
+            if fname.endswith(ext)
+        )
         with open(os.path.join(path, "_bic_spec.json"), "w") as f:
             json.dump(
                 {"spec_id": self._log.current_spec_id()
                  if self._log.exists() else 0,
-                 "pcols": pcols},
+                 "pcols": pcols,
+                 "n_files": n_files},
                 f,
             )
         self._log.commit(
@@ -963,7 +976,14 @@ class LakeSink:
             dirs = self._prune_dirs(dirs, prune)
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
-            return self.spark.createDataFrame([], schema)
+            empty = self.spark.createDataFrame([], schema)
+            if with_spec_id:
+                # keep the zero-commit empty frame schema-identical to the
+                # all-fileless fallback inside _load_commit_dirs — a
+                # consumer selecting _spec_id must not AnalysisException
+                # on only one of the two empty paths
+                empty = empty.withColumn("_spec_id", F.lit(None).cast("int"))
+            return empty
         return self._load_commit_dirs(
             dirs, merge_schema=merge_schema, with_spec_id=with_spec_id
         )
@@ -1004,15 +1024,25 @@ class LakeSink:
             return df
 
         ext = f".{self._file_format()}"
-        dirs = [
-            d
-            for d in dirs
-            if any(
+
+        def _has_files(d: str) -> bool:
+            # commit-time metadata first (n_files in _bic_spec.json) —
+            # one small json read instead of walking the data tree; dirs
+            # from before the field existed fall back to the walk
+            try:
+                with open(os.path.join(d, "_bic_spec.json")) as f:
+                    n = json.load(f).get("n_files")
+                if n is not None:
+                    return n > 0
+            except (OSError, ValueError):
+                pass
+            return any(
                 f.endswith(ext)
                 for _, _, files in os.walk(d)
                 for f in files
             )
-        ]
+
+        dirs = [d for d in dirs if _has_files(d)]
         if not dirs:
             schema = StructType.fromJson(self._log.table_meta()["schema_json"])
             empty = self.spark.createDataFrame([], schema)

@@ -321,3 +321,89 @@ def test_event_transition_null_event_id_tie_matches_oracle(spark, tmp_path):
     )
     sp = P.event_transition_matrix(spark, d).toPandas()
     _diff(sp, _oracle(tmp_path, P._SQL_TRANSITION))
+
+
+# ---------------------------------------------------------------------------
+# r06 ADVICE: zero-commit read(with_spec_id=True) must carry _spec_id —
+# same schema as the all-fileless fallback path inside _load_commit_dirs
+# ---------------------------------------------------------------------------
+
+def test_read_with_spec_id_on_zero_commit_table(spark, tmp_path):
+    from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    sink = LakeSink(
+        spark,
+        IcebergSinkConfig(
+            table_name="db.empty_spec",
+            warehouse_path=str(tmp_path),
+        ),
+    )
+    sink.ensure_table(spark.createDataFrame([], "event_id BIGINT, v DOUBLE"))
+    df = sink.read(with_spec_id=True)
+    assert "_spec_id" in df.columns
+    assert df.select("_spec_id").count() == 0  # no AnalysisException
+
+
+# ---------------------------------------------------------------------------
+# r06 ADVICE: commit markers record n_files at write time so reads filter
+# fileless commits from metadata instead of walking every commit dir
+# ---------------------------------------------------------------------------
+
+def test_commit_marker_records_n_files(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    sink = LakeSink(
+        spark,
+        IcebergSinkConfig(
+            table_name="db.nfiles",
+            warehouse_path=str(tmp_path),
+            num_partitions=2,
+            partition_spec=[("event_id", "identity")],
+        ),
+    )
+    sink.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "event_id INT, v DOUBLE"))
+    # empty PARTITIONED append → genuinely fileless commit dir (no
+    # partition subdirs written), n_files == 0 in its marker
+    sink.append(spark.createDataFrame([], "event_id INT, v DOUBLE"))
+
+    markers = []
+    for root, _dirs, files in _os.walk(str(tmp_path)):
+        if "_bic_spec.json" in files:
+            with open(_os.path.join(root, "_bic_spec.json")) as f:
+                markers.append(_json.load(f))
+    n_by_commit = sorted(m.get("n_files") for m in markers)
+    assert len(markers) == 2
+    assert n_by_commit[0] == 0 and n_by_commit[1] >= 1
+    # the fileless commit is filtered (from metadata) — read still works
+    assert sink.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# r06 ADVICE: sign_lsh_keys_np cache cap — a heavily ragged corpus (many
+# distinct dims, i.e. a quarantine bypass) must not crash or grow the
+# executor cache unboundedly, and keys stay deterministic per dim
+# ---------------------------------------------------------------------------
+
+def test_sign_lsh_keys_np_ragged_many_dims(spark):
+    from bytewax_iceberg_connector_spark.functions.similarity import (
+        sign_lsh_keys_np,
+    )
+
+    rows = []
+    for d in range(2, 14):  # 12 distinct dims > the 8-entry cache cap
+        vec = [float((i * 7 + d) % 5 - 2) for i in range(d)]
+        rows.append((d * 2, vec))
+        rows.append((d * 2 + 1, vec))  # duplicate vector, same dim
+    df = spark.createDataFrame(rows, "id INT, e ARRAY<DOUBLE>")
+    keys = sign_lsh_keys_np(4, n_tables=2, bits=4)
+    out = df.select("id", keys(F.col("e")).alias("k")).collect()
+    by_id = {r.id: r.k for r in out}
+    for d in range(2, 14):
+        assert by_id[d * 2] is not None
+        # equal vectors at the same dim hash identically even past the cap
+        assert by_id[d * 2] == by_id[d * 2 + 1]

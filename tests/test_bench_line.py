@@ -36,3 +36,11 @@ def test_budget_capped_run_is_visibly_capped():
     d = json.loads(_final_line(12.0, {"q1": 12.0}, 0.1, unrun=7))
     assert d["queries_unrun"] == 7
     assert "queries_unrun" not in json.loads(_final_line(12.0, {"q1": 12.0}, 0.1))
+
+
+def test_single_pass_tail_is_marked():
+    d = json.loads(_final_line(12.0, {"q1": 12.0}, 0.1, single_pass=3))
+    assert d["single_pass_tail"] == 3
+    assert "single_pass_tail" not in json.loads(
+        _final_line(12.0, {"q1": 12.0}, 0.1)
+    )
