@@ -81,17 +81,35 @@ def test_simhash_audit_duplicate_free_corpus_is_empty(spark, tmp_path):
     _diff(sp, _oracle(tmp_path, L._SQL_SIMHASH_AUDIT))
 
 
+def _admitted_ids(n):
+    """Python twin of the r07 audit-slice admission predicate
+    (``plans/llm._emb_sample_admit``): vec_id admitted iff the first 24
+    bits of md5('emb:'‖id) mod 1e6 fall under _EMB_SAMPLE_PPM."""
+    import hashlib
+
+    return [
+        i
+        for i in range(n)
+        if int(hashlib.md5(f"emb:{i}".encode()).hexdigest()[:6], 16) % 1_000_000
+        < L._EMB_SAMPLE_PPM
+    ]
+
+
 def test_semantic_audit_zero_reach_vacuous_flags(spark, tmp_path):
     """Mutually orthogonal embeddings: no cosine reaches τ, so
     n_dup_reach = 0 and the theorems force Σdropped = 0; coverage_ok must
-    go VACUOUSLY green (0 ≥ ppm·0), not divide by the zero reach."""
+    go VACUOUSLY green (0 ≥ ppm·0), not divide by the zero reach. Since
+    r07 the audit runs on the hash-admitted slice, so n_vectors is the
+    ADMITTED count, not the corpus count."""
     n = 40
     vecs = [[1.0 if j == i else 0.0 for j in range(n)] for i in range(n)]
     d = _emb_dir(tmp_path, vecs)
     sp = L.semantic_dedup(spark, d).toPandas()
     assert len(sp) == 1
     r = sp.iloc[0]
-    assert r.n_vectors == n and r.n_dup_reach == 0
+    n_adm = len(_admitted_ids(n))
+    assert n_adm > 0  # fixture must actually exercise the slice
+    assert r.n_vectors == n_adm and r.n_dup_reach == 0
     assert (
         r.members_conserved == 1
         and r.dropped_bounded == 1
@@ -102,17 +120,24 @@ def test_semantic_audit_zero_reach_vacuous_flags(spark, tmp_path):
 
 
 def test_semantic_audit_planted_identical_vectors_are_dropped(spark, tmp_path):
-    """Two identical vectors always share a k-means cell (identical
-    distances → identical argmin), so the greedy prune MUST drop the
-    later one: reach = 1 and dropped = 1 exercise the non-vacuous branch
-    of dropped_bounded and coverage_ok."""
+    """Identical vectors always share a k-means cell (identical distances
+    → identical argmin), so the greedy prune MUST drop the later copy.
+    Three duplicate pairs are planted at ADMITTED vec_ids so reach = 3
+    meets _SEM_MIN_REACH and BOTH dropped_bounded and coverage_ok are
+    exercised on their non-vacuous branches under the r07 audit slice."""
     n = 40
-    vecs = [[1.0 if j == i else 0.0 for j in range(n)] for i in range(n - 1)]
-    vecs.append(vecs[0][:])  # vec 39 duplicates vec 0
+    adm = _admitted_ids(n)
+    assert len(adm) >= 6
+    vecs = [[1.0 if j == i else 0.0 for j in range(n)] for i in range(n)]
+    planted = 0
+    for a, b in zip(adm[:3], adm[-3:]):  # three disjoint admitted pairs
+        vecs[b] = vecs[a][:]
+        planted += 1
+    assert planted == L._SEM_MIN_REACH
     d = _emb_dir(tmp_path, vecs)
     sp = L.semantic_dedup(spark, d).toPandas()
     r = sp.iloc[0]
-    assert r.n_vectors == n and r.n_dup_reach == 1
+    assert r.n_vectors == len(adm) and r.n_dup_reach == planted
     assert (
         r.members_conserved == 1
         and r.dropped_bounded == 1

@@ -1619,13 +1619,47 @@ def test_simhash_audit_single_kernel_materialization(spark, sf_dir):
 
 
 def test_semantic_audit_narrow_scans_no_row_udf(spark, sf_dir):
-    """The semantic audit's corpus-wide pieces (census cells, all-pairs
-    reach, corpus count) must stay on pruned embeddings scans with Arrow
-    kernels only; the final assembly is 1-row joins."""
-    from bytewax_iceberg_connector_spark.plans.llm import semantic_dedup
+    """The semantic audit's slice-wide pieces (census cells, pairwise
+    reach, slice count) must stay on pruned embeddings scans with Arrow
+    kernels only; the final assembly is 1-row joins. Since r07 every
+    embeddings scan feeding the audit must carry the hash-admission
+    predicate — no stage of the registered plan touches the full corpus
+    pairwise."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _EMB_SAMPLE_PPM,
+        semantic_dedup,
+    )
 
     plan = _plan(semantic_dedup(spark, sf_dir))
     assert "BatchEvalPython" not in plan
     for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
         cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
         assert cols <= {"vec_id", "embedding", "label"}, cols
+    assert f"< {_EMB_SAMPLE_PPM})" in plan, "audit-slice admission missing"
+
+
+def test_cosine_audit_admission_filter_precedes_pair_fanout(spark, sf_dir):
+    """`dedup_embedding_cosine` (r07: declared-ppm audit slice) must
+    evaluate the md5 hash-admission predicate IN THE SCAN-SIDE Filter —
+    before the collect_list block aggregation and the block-pair join —
+    so at 100 TB only (p·N) vectors ever shuffle and only (p·N/512)²/2
+    tiles fan out. A plan where the filter lands above the join is the
+    O(N²) regression this gate exists to catch."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _EMB_SAMPLE_PPM,
+        dedup_embedding_cosine,
+    )
+
+    plan = _plan(dedup_embedding_cosine(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    for mm in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
+        assert cols <= {"vec_id", "embedding"}, cols
+    # the admission predicate must appear in a Filter Condition on BOTH
+    # join inputs (the plan scans embeddings twice), i.e. below the join
+    conds = [
+        m.group(0)
+        for m in re.finditer(r"\+- Filter .*", plan)
+        if f"< {_EMB_SAMPLE_PPM})" in m.group(0) and "md5(" in m.group(0)
+    ]
+    assert len(conds) >= 2, plan
