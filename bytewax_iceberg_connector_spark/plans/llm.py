@@ -831,14 +831,19 @@ SELECT q_id, neighbor_id, score, rank FROM (
 # ---------------------------------------------------------------------------
 
 #: corpus-level recall@5 floors for the ANN contract flags, in ppm of the
-#: exact top-k pair count. Probed across sf 0.001/0.01/0.1 before
-#: conversion (scratch/probe2.py): LSH 0.70–0.78; IVF 0.265–0.54 and
-#: IVF-PQ 0.25–0.48 (both fall at sf0.1 because 3 probes cover a smaller
-#: FRACTION of a bigger cell grid — the honest probes-vs-corpus dial).
-#: Floors sit ≥ 5 recall-pairs below every observed value.
+#: exact top-k pair count. Since r07 the producers are N-adaptive —
+#: probes scale as ceil(sqrt(K)) (``_ivf_nprobe``) and the PQ exact-refine
+#: budget as candidates/``_PQ_REFINE_DIV`` — so recall no longer decays
+#: with corpus growth and a CONSTANT floor is sound. Probed at four
+#: corpus sizes in tests/test_audit_calibration.py (three synthetic SFs
+#: plus a 4× same-distribution corpus): LSH 0.70–0.78 (flat by
+#: construction — fixed hyperplanes, buckets fill with N); IVF
+#: 0.435–0.54 on the weakly-clustered testdata, 0.98→1.00 at the 4× step
+#: on a clustered corpus; IVF-PQ 0.43–0.48 / 0.98→0.93. Floors keep a
+#: ≥ 0.13 margin under every observed value.
 _LSH_RECALL_PPM = 600_000
-_IVF_RECALL_PPM = 200_000
-_IVF_PQ_RECALL_PPM = 200_000
+_IVF_RECALL_PPM = 300_000
+_IVF_PQ_RECALL_PPM = 300_000
 
 
 def _ann_audit(
@@ -1030,20 +1035,40 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _IVF_STRIDE = 61   # centroid seeds = vec_id % 61 == 0 → K ≈ N/61 cells
-_IVF_PROBES = 3    # cells probed per query
+_IVF_PROBES = 3    # MINIMUM cells probed per query (floor of _ivf_nprobe)
+
+
+def _ivf_nprobe(n_cells: int) -> int:
+    """N-adaptive probe count: ceil(sqrt(K)) cells, floored at
+    ``_IVF_PROBES``.
+
+    With K ≈ N/``_IVF_STRIDE`` cells, a FIXED probe count covers a
+    1/K-shrinking fraction of centroid space, so recall falls as the
+    corpus grows — the r06 verdict's calibration hazard (probed recall
+    0.54 → 0.265 from sf0.01 to sf0.1 at fixed 3 probes). Probing
+    ceil(sqrt(K)) cells keeps per-query candidate work ≈ sqrt(K)·stride
+    = O(sqrt(N)) — sublinear, so the audit flag's floor no longer decays
+    with corpus growth (re-probed at four corpus sizes in
+    tests/test_audit_calibration.py). Computed INSIDE the tile kernels
+    from the broadcast centroid count — no driver-side collect.
+    """
+    import math
+
+    return max(_IVF_PROBES, math.ceil(math.sqrt(max(n_cells, 1))))
 
 
 def _ivf_parts(spark: SparkSession, sf_dir: str):
     """Approximate NN, IVF-flat: deterministic centroid seeds → ONE
     assignment GEMM per 512-row tile against the broadcast centroid matrix,
-    emitting each vector's ``_IVF_PROBES`` nearest cells as NARROW
-    (vec_id, cell, rnk) rows → members = rank-0 rows, query probes = all
-    ranks of every 50th vector → candidate join on cell id ships ids only
-    → exact cosine within probed cells (vectors joined in AFTER candidate
-    dedup, broadcast on the small query side) → top-5.
+    emitting ``_ivf_nprobe(K)`` nearest-cell rows per QUERY vector and the
+    single member (rank-0) row per corpus vector as NARROW (vec_id, cell,
+    rnk) rows → members = rank-0 rows, query probes = all ranks of every
+    50th vector → candidate join on cell id ships ids only → exact cosine
+    within probed cells (vectors joined in AFTER candidate dedup,
+    broadcast on the small query side) → top-5.
 
-    One corpus-wide GEMM pass total: the 1-probe member assignment is the
-    first column of the 3-probe result, so there is no second scan, and the
+    One corpus-wide GEMM pass total: the member assignment is the first
+    column of the probe result, so there is no second scan, and the
     full-corpus probe pass never happens — non-query vectors contribute
     only their rank-0 row to the join. Embeddings NEVER enter the cell
     shuffle (the ann_lsh narrow-shuffle discipline).
@@ -1086,9 +1111,10 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
     tiles = blocks.crossJoin(F.broadcast(cblock))
 
     def _assign(batches):
-        """Tile kernel: the `_IVF_PROBES` nearest centroid ids per vector,
-        ranked — rank 0 is the member cell, ranks 0..P-1 are the probe set.
-        Output is ids-only; the vectors stay behind in the scan."""
+        """Tile kernel: the `_ivf_nprobe(K)` nearest centroid ids per
+        QUERY vector (rank 0..P-1 = the probe set) and only the member
+        (rank-0) cell for the rest of the corpus. Output is ids-only; the
+        vectors stay behind in the scan."""
         for pdf in batches:
             out_v, out_c, out_r = [], [], []
             for r in pdf.itertuples(index=False):
@@ -1099,12 +1125,17 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
                 ne = np.sqrt((E * E).sum(axis=1))
                 nc = np.sqrt((C * C).sum(axis=1))
                 cos = (E @ C.T) / np.outer(ne, nc)
-                k = min(_IVF_PROBES, cos.shape[1])
+                k = min(_ivf_nprobe(cos.shape[1]), cos.shape[1])
                 near = np.argsort(-cos, axis=1)[:, :k]
                 for i in range(len(ids)):
-                    for rnk, j in enumerate(near[i]):
+                    # probe ranks matter only for QUERY vectors; the rest
+                    # of the corpus contributes just its member (rank-0)
+                    # row — the index stays 1 narrow row/vector as probes
+                    # scale with sqrt(K) instead of k rows/vector
+                    lim = k if ids[i] % 50 == 0 else 1
+                    for rnk in range(lim):
                         out_v.append(ids[i])
-                        out_c.append(c_ids[j])
+                        out_c.append(c_ids[near[i, rnk]])
                         out_r.append(rnk)
             yield pd.DataFrame({"vec_id": out_v, "cell": out_c, "rnk": out_r})
 
@@ -1160,11 +1191,12 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat ANN CONTRACT audit — ORACLE-CHECKED since r06 (the
     ``distinct_approx`` conversion pattern; see ``_ann_audit``): exact
     per-query top-k stats plus the ``ann_bounded`` theorem flag and the
-    corpus ``recall_ok`` flag at ``_IVF_RECALL_PPM``. The floor is lower
-    than LSH's by design: 3 probes cover a shrinking FRACTION of the cell
-    grid as N grows (probed 0.265 at sf0.1 vs 0.54 at sf0.01) — the dial
-    a real deployment turns by raising probes with K. Serve
-    ``_ivf_topk`` at scale; run this as the periodic audit.
+    corpus ``recall_ok`` flag at ``_IVF_RECALL_PPM``. Since r07 the probe
+    count scales as ceil(sqrt(K)) with the cell grid (``_ivf_nprobe``),
+    so the flag's floor is stable under corpus growth — the r06 form's
+    fixed 3 probes covered a shrinking fraction of cells and recall fell
+    with N (0.54 → 0.265 by sf0.1; 0.435 post-fix). Serve ``_ivf_topk``
+    at scale; run this as the periodic audit.
     """
     ann, caches = _ivf_parts(spark, sf_dir)
     audit, exact = _ann_audit(spark, sf_dir, ann, _IVF_RECALL_PPM)
@@ -1179,7 +1211,16 @@ _PQ_M = 16         # subvectors per embedding (64-dim → 16×4-dim subspaces)
 _PQ_K = 16         # codebook entries per subspace (4-bit codes)
 _PQ_SAMPLE = 7     # codebook training sample = vec_id % 7 == 0 (~N/7 rows)
 _PQ_ITERS = 5      # deterministic k-means refinement iterations
-_PQ_REFINE = 40    # ADC survivors re-ranked with exact vectors (8×top-k)
+_PQ_REFINE = 40    # MINIMUM ADC survivors re-ranked exactly (8×top-k)
+_PQ_REFINE_DIV = 4  # refine budget = max(_PQ_REFINE, n_candidates // 4):
+#                     ADC error is scale-free noise, so the count of FALSE
+#                     candidates scored above a true top-k one grows with
+#                     the candidate pool (≈ sqrt(K)·stride per query under
+#                     _ivf_nprobe). A fixed cut therefore loses recall as N
+#                     grows (probed 0.81 → 0.45 at 4× N on a clustered
+#                     corpus); re-ranking a declared 1/4 of candidates
+#                     holds it flat (0.98 → 0.93 at the same 4× step) at a
+#                     cost that stays O(sqrt(N)) exact dots per query.
 
 
 _PQ_CTX_CACHE: dict = {}
@@ -1337,7 +1378,7 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
                 ne = np.sqrt((E * E).sum(axis=1))
                 nc = np.sqrt((C * C).sum(axis=1))
                 cos = (E @ C.T) / np.outer(ne, nc)
-                kp = min(_IVF_PROBES, cos.shape[1])
+                kp = min(_ivf_nprobe(cos.shape[1]), cos.shape[1])
                 near = np.argsort(-cos, axis=1)[:, :kp]
                 # residual to the MEMBER cell centroid (probe rank 0)
                 R = E - C[near[:, 0]]
@@ -1349,9 +1390,13 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
                     d2 = ((S_[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
                     codes[:, m] = d2.argmin(axis=1)
                 for i in range(len(ids)):
-                    for rnk, j in enumerate(near[i]):
+                    # probe ranks only for QUERY vectors (same trim as the
+                    # IVF-flat kernel): the encoded index stays one
+                    # (cell, code, nrm) row per corpus vector
+                    lim = kp if ids[i] % 50 == 0 else 1
+                    for rnk in range(lim):
                         rows["vec_id"].append(ids[i])
-                        rows["cell"].append(c_ids[j])
+                        rows["cell"].append(c_ids[near[i, rnk]])
                         rows["rnk"].append(rnk)
                         rows["code"].append(codes[i].tolist())
                         rows["nrm"].append(float(ne[i]))
@@ -1429,7 +1474,8 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
                 scores = np.round(dots / (qn * nrms), 6)
                 # deterministic top-R: (-score, neighbor_id) lexsort — the
                 # same (score DESC, neighbor ASC) contract the old window had
-                keep = np.lexsort((nbr, -scores))[:_PQ_REFINE]
+                n_keep = max(_PQ_REFINE, len(nbr) // _PQ_REFINE_DIV)
+                keep = np.lexsort((nbr, -scores))[:n_keep]
                 out_q.extend([row.q_id] * len(keep))
                 out_n.extend(nbr[keep].tolist())
                 out_s.extend(scores[keep].tolist())

@@ -79,6 +79,96 @@ def test_admission_three_way_parity(spark):
     assert 0.15 * n < len(py_ids) < 0.35 * n
 
 
+def _gen_clustered(n, d):
+    """Deterministic clustered corpus (32 Gaussian centers, 64-dim) at
+    two sizes from ONE distribution — isolates the N-scaling of ANN
+    recall from distribution shift. Seed fixed; same generator as the
+    r07 probe run that calibrated the floors."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rs = np.random.RandomState(7)
+    centers = rs.randn(32, 64) * 2.0
+    labels = rs.randint(0, 32, n)
+    vecs = centers[labels] + rs.randn(n, 64)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    vecs.astype(np.float32).tolist(), pa.list_(pa.float32())
+                ),
+                "label": pa.array(labels.astype(np.int32), pa.int32()),
+            }
+        ),
+        d / "embeddings.parquet",
+    )
+    return str(d)
+
+
+def test_ann_recall_stable_under_corpus_growth(spark, tmp_path):
+    """The r06 verdict's calibration hazard: recall fell with N at fixed
+    probes, so the recall_ok floors could go red on a bigger corpus with
+    no engine bug. r07 made the producers N-adaptive (probes ~ sqrt(K),
+    PQ refine ~ candidates/4); this pins the scaling law — at 4× the
+    corpus, each variant's recall must not sag more than 0.10 below its
+    small-corpus value, and all must clear their audit floors with
+    margin. (Probed r07: LSH 0.985→0.99, IVF 0.975→1.00, PQ 0.975→0.93.)"""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _IVF_PQ_RECALL_PPM,
+        _IVF_RECALL_PPM,
+        _LSH_RECALL_PPM,
+        _ann_lsh_topk,
+        _ivf_pq_topk,
+        _ivf_topk,
+        similarity_topk,
+    )
+
+    def recall(ann_df, exact_df):
+        e = {(r.q_id, r.neighbor_id) for r in exact_df.collect()}
+        a = {(r.q_id, r.neighbor_id) for r in ann_df.collect()}
+        return len(e & a) / len(e)
+
+    variants = {
+        "lsh": (_ann_lsh_topk, _LSH_RECALL_PPM),
+        "ivf": (_ivf_topk, _IVF_RECALL_PPM),
+        "pq": (_ivf_pq_topk, _IVF_PQ_RECALL_PPM),
+    }
+    got = {}
+    for n in (2000, 8000):
+        d = tmp_path / f"synth{n}"
+        d.mkdir()
+        _gen_clustered(n, d)
+        exact = similarity_topk(spark, str(d))
+        for name, (fn, _) in variants.items():
+            got[(name, n)] = recall(fn(spark, str(d)), exact)
+    for name, (_, floor_ppm) in variants.items():
+        small, big = got[(name, 2000)], got[(name, 8000)]
+        assert big >= small - 0.10, (name, small, big)
+        for r in (small, big):
+            assert r * 1_000_000 >= floor_ppm + 100_000, (name, r, floor_ppm)
+
+
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_ann_audit_floors_hold_at_all_sfs(spark, sf):
+    """The registered audits' recall_ok flags (the floors the driver
+    hash-checks against the oracle's literal 1) must hold at every
+    synthetic SF — the flag must never go red from scale alone."""
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        similarity_ann_lsh,
+        similarity_ivf,
+        similarity_ivf_pq,
+    )
+
+    for fn in (similarity_ann_lsh, similarity_ivf, similarity_ivf_pq):
+        rows = fn(spark, sf).collect()
+        assert rows and all(r.recall_ok == 1 for r in rows), (fn.__name__, sf)
+        assert all(r.ann_bounded == 1 for r in rows), (fn.__name__, sf)
+
+
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 )

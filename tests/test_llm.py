@@ -67,9 +67,10 @@ def test_ann_recall_floor(spark, sf_dir):
 
 
 def test_ivf_recall_floor(spark, sf_dir):
-    """IVF top-5 with 3 probes: every query answered, recall above the
-    random floor (3 probes of ~N/61-sized cells on weakly-clustered
-    vectors)."""
+    """IVF top-5 with ceil(sqrt(K))-adaptive probes: every query
+    answered, recall above the random floor (~N/61-sized cells on
+    weakly-clustered vectors; N-scaling pinned in
+    tests/test_audit_calibration.py)."""
     from bytewax_iceberg_connector_spark.plans.llm import (
         _ivf_topk,
         similarity_topk,
@@ -86,9 +87,10 @@ def test_ivf_recall_floor(spark, sf_dir):
 
 def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
     """IVF-PQ shares IVF's candidate cells, so its recall ceiling IS the
-    IVF recall; residual 4-bit PQ + exact re-rank of the ADC top-40 must
-    keep ≥ ~70% of that ceiling (measured ~89% on this corpus). Every
-    query must still be answered with a full top-k."""
+    IVF recall; residual 4-bit PQ + exact re-rank of the top candidate
+    quarter (floor 40) must keep ≥ ~70% of that ceiling (measured ~89%
+    on this corpus). Every query must still be answered with a full
+    top-k."""
     from bytewax_iceberg_connector_spark.plans.llm import (
         _TOPK,
         _ivf_pq_topk,
@@ -117,8 +119,9 @@ def test_ann_audits_flags_all_green(spark, sf_dir):
     """The three registered ANN contract audits (oracle-checked form since
     r06) must produce one row per query with BOTH flags = 1 — the exact
     stats are covered by the DuckDB differential; this pins the flag
-    calibration (recall floors probed across sf 0.001/0.01/0.1 in
-    scratch/probe2.py) against kernel or parameter drift."""
+    calibration (recall floors probed at four corpus sizes in
+    tests/test_audit_calibration.py) against kernel or parameter
+    drift."""
     from bytewax_iceberg_connector_spark.plans.llm import (
         similarity_ann_lsh,
         similarity_ivf,
