@@ -274,7 +274,8 @@ class LakeSink:
 
     # -- A1/A4/A5: batch append -------------------------------------------
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> None:
+    def append(self, df: DataFrame, batch_id: int | None = None,
+               branch: str = "main") -> None:
         """Atomic-append a batch (the reference's _flush, collapsed).
 
         Partition-key grouping (A6) + per-group Arrow write + commit (A5)
@@ -282,12 +283,20 @@ class LakeSink:
         (sort within partitions per config.sort_order) → columnar write →
         ONE snapshot commit (operators/snapshots.py), optimistic-retried
         exactly like the reference's commit loop (connector.py:242-257).
+
+        ``branch`` stages the commit on a named ref instead of main (the
+        write step of write-audit-publish — Iceberg's ``spark.wap.branch``
+        session conf): main readers never see the rows until
+        :meth:`publish`; :meth:`drop_branch` is the audit-failed arm. On
+        the iceberg backend set ``spark.wap.branch`` on the session
+        instead.
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
             df.writeTo(self._qualified).append()
             return
-        self._write_commit(df, operation="append", batch_id=batch_id)
+        self._write_commit(df, operation="append", batch_id=batch_id,
+                           branch=branch)
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Replace the table contents in one snapshot (the copy-on-write
@@ -349,7 +358,7 @@ class LakeSink:
 
     def _write_commit(self, df: DataFrame, operation: str,
                       batch_id: int | None = None,
-                      cluster_expr=None) -> None:
+                      cluster_expr=None, branch: str = "main") -> None:
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
         if cluster_expr is not None:
@@ -407,6 +416,7 @@ class LakeSink:
         self._log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
+            branch=branch,
         )
 
     def _write_commit_stats(self, df: DataFrame, commit_path: str) -> None:
@@ -607,6 +617,32 @@ class LakeSink:
             ).collect()
             return {r.name: r.snapshot_id for r in rows}
         return dict(self._log.refs())
+
+    def publish(self, branch: str) -> int:
+        """Fast-forward main to ``branch``'s head — the publish step of
+        write-audit-publish (Iceberg's ``fast_forward`` procedure).
+        Raises ``CommitConflict`` if main advanced through any other
+        route since the branch forked (rebase by re-staging). Returns
+        the publish snapshot id."""
+        if self.backend == "iceberg":
+            cat = self.config.catalog_name
+            self.spark.sql(
+                f"CALL {cat}.system.fast_forward"
+                f"('{self.config.table_name}', 'main', '{branch}')"
+            )
+            return 0
+        return self._log.publish(branch)
+
+    def drop_branch(self, branch: str) -> list[int]:
+        """Delete a staged branch and the data only it references — the
+        audit-failed arm of write-audit-publish; main is untouched.
+        Returns the unlinked snapshot ids (parquet backend)."""
+        if self.backend == "iceberg":
+            self.spark.sql(
+                f"ALTER TABLE {self._qualified} DROP BRANCH `{branch}`"
+            )
+            return []
+        return self._log.drop_branch(branch)
 
     def rollback(self, snapshot_id: int) -> None:
         """Restore an earlier snapshot's live set as a NEW snapshot (history
@@ -925,6 +961,7 @@ class LakeSink:
              as_of: int | None = None,
              as_of_timestamp_ms: int | None = None,
              tag: str | None = None,
+             branch: str | None = None,
              prune: dict | None = None,
              with_spec_id: bool = False) -> DataFrame:
         """Read the table; ``as_of`` pins a snapshot id (time travel —
@@ -950,9 +987,25 @@ class LakeSink:
         ``_spec_id`` metadata column — the spec each row's commit was
         written under; on the iceberg backend select the runtime's own
         ``_spec_id`` metadata column instead.
+
+        ``branch`` reads a staged branch's head (Iceberg's
+        ``VERSION AS OF 'branch'``) — the audit step of
+        write-audit-publish reads exactly what :meth:`publish` would make
+        visible on main.
         """
-        if sum(x is not None for x in (as_of, as_of_timestamp_ms, tag)) > 1:
-            raise ValueError("pass at most one of as_of / as_of_timestamp_ms / tag")
+        if sum(x is not None for x in (as_of, as_of_timestamp_ms, tag, branch)) > 1:
+            raise ValueError(
+                "pass at most one of as_of / as_of_timestamp_ms / tag / branch"
+            )
+        if branch is not None:
+            if self.backend == "iceberg":
+                return self.spark.sql(
+                    f"SELECT * FROM {self._qualified} VERSION AS OF '{branch}'"
+                )
+            head = self._log.current_id(branch)
+            if head == 0:
+                raise LookupError(f"branch {branch!r} has no commits")
+            as_of = head
         if as_of_timestamp_ms is not None:
             as_of = self.snapshot_as_of_timestamp(as_of_timestamp_ms)
             if as_of is None:

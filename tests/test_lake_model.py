@@ -18,6 +18,7 @@ from pyspark.sql import Row
 
 from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
 from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+from bytewax_iceberg_connector_spark.operators.snapshots import CommitConflict
 
 # op grammar: each op consumes the next fresh id block where it needs rows
 _OPS = st.lists(
@@ -39,6 +40,13 @@ _OPS = st.lists(
         # rows committed WITH an extra column must survive rollback/
         # delete/expire like any others (merge_schema read)
         st.tuples(st.just("append_evolved"), st.integers(1, 3)),
+        # write-audit-publish lifecycle interleaved with main traffic:
+        # staged rows are invisible on main until publish; publish
+        # conflicts (and changes nothing) if main advanced since the
+        # fork; drop is the audit-failed arm
+        st.tuples(st.just("wap_stage"), st.integers(1, 3)),
+        st.tuples(st.just("wap_publish"), st.integers(0, 0)),
+        st.tuples(st.just("wap_drop"), st.integers(0, 0)),
     ),
     min_size=1,
     max_size=5,
@@ -72,6 +80,7 @@ def _rows(spark, ids, evolved=False):
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
+@pytest.mark.deep
 def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
     tmp = tmp_path_factory.mktemp("lake_model")
     cfg = IcebergSinkConfig(
@@ -92,14 +101,17 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
 
     live: set[int] = set()
     history: list[set[int]] = []  # live set after each RETAINED snapshot
-    snap_ids: list[int] = []      # that snapshot's real (1-based) id
-    n_commits = 0
+    snap_ids: list[int] = []      # that snapshot's real id
+    # WAP model: the staged branch's full live set, and whether publish
+    # would still fast-forward (False once main advances past the fork)
+    branch_live: set[int] | None = None
+    publish_ok = True
 
     def committed():
-        nonlocal n_commits
-        n_commits += 1
+        # snapshot ids are GLOBAL across branches, so read main's real
+        # head instead of counting main commits
         history.append(set(live))
-        snap_ids.append(n_commits)
+        snap_ids.append(sink._log.current_id())
 
     # ensure the table exists (rollback/delete before any commit is a
     # client error, not a semantics question)
@@ -108,7 +120,13 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
     live |= set(ids)
     committed()
 
+    main_commit_ops = {
+        "append", "overwrite", "delete_below", "rollback", "merge",
+        "append_evolved", "overwrite_partitions", "compact",
+    }
+
     for op, arg in ops:
+        published = False
         if op == "append":
             ids = fresh(arg)
             sink.append(_rows(spark, ids))
@@ -146,14 +164,59 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             live = {i for i in live if i % 5 not in days} | set(ids)
         elif op == "compact":
             sink.compact()  # a rewrite snapshot: live set invariant
+        elif op == "wap_stage":
+            ids = fresh(arg)
+            sink.append(_rows(spark, ids), branch="wap")
+            if branch_live is None:
+                branch_live = set(live) | set(ids)
+                publish_ok = True
+            else:
+                branch_live |= set(ids)
+            # the audit read: the staged branch shows fork-state + staged
+            got_b = {
+                r.event_id
+                for r in sink.read(branch="wap", merge_schema=True)
+                .select("event_id")
+                .collect()
+            }
+            assert got_b == branch_live, (got_b, branch_live)
+        elif op == "wap_publish":
+            if branch_live is None:
+                with pytest.raises(LookupError):
+                    sink.publish("wap")
+            elif publish_ok:
+                sink.publish("wap")
+                live = set(branch_live)
+                published = True
+            else:
+                # main advanced since the fork: fast-forward must refuse
+                # rather than silently drop main's commits
+                with pytest.raises(CommitConflict):
+                    sink.publish("wap")
+        elif op == "wap_drop":
+            if branch_live is None:
+                with pytest.raises(LookupError):
+                    sink.drop_branch("wap")
+            else:
+                sink.drop_branch("wap")  # audit failed: staged data gone
+                branch_live = None
         elif op == "expire":
             # reclaims unreferenced data; live set and the retained
-            # trailing window of snapshots must be untouched
+            # trailing window of snapshots must be untouched. NOTE: while
+            # a branch is live its fork lineage is additionally retained
+            # (ref-aware expire); the model window is a conservative
+            # subset, which the final sweep only ever reads
             sink.expire_snapshots(keep_last=arg)
             history = history[-arg:]
             snap_ids = snap_ids[-arg:]
-        if op != "expire":
+        if op in main_commit_ops:
+            if branch_live is not None:
+                # main advanced past the branch fork: a later publish
+                # must now conflict instead of dropping this commit
+                publish_ok = False
             committed()
+        elif published:
+            committed()  # publish is itself a main snapshot
         got = {r.event_id for r in sink.read(merge_schema=True).select("event_id").collect()}
         assert got == live, (op, arg, got, live)
 

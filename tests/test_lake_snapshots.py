@@ -466,6 +466,7 @@ def test_changes_across_append_merge_delete(spark, tmp_path, batches):
     assert ch.where("_change_type = 'delete'").count() == 5
 
 
+@pytest.mark.deep
 def test_streaming_commits_feed_continuous_aggregate(spark, tmp_path, batches):
     """End-to-end: micro-batch commits from a file-source stream are
     visible to the continuous aggregate as ordinary append snapshots, and
@@ -768,3 +769,48 @@ def test_copy_on_write_preserves_evolved_columns(spark, tmp_path, batches):
     assert q_map() == want
     sink.merge(b1.where("event_id = 0"), keys=["event_id"])
     assert q_map() == want
+
+
+@pytest.mark.deep
+def test_wap_lifecycle_at_sink_level(spark, tmp_path, batches):
+    """Write-audit-publish through the LakeSink surface (r07 API):
+    staged branch rows are invisible on main, the audit reads the
+    branch head (fork state + staged), publish fast-forwards main,
+    and a publish after main advanced must conflict — the staged
+    branch then drops without touching main."""
+    from bytewax_iceberg_connector_spark.operators.snapshots import (
+        CommitConflict,
+    )
+
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+
+    def ids(**kw):
+        return {r.event_id for r in sink.read(**kw).select("event_id").collect()}
+
+    # stage on a branch: main blind, branch audit-read sees fork + staged
+    sink.append(b2.where("event_id < 15"), branch="audit")
+    assert ids() == set(range(10))
+    assert ids(branch="audit") == set(range(15))
+
+    # publish: main fast-forwards to the branch head
+    sink.publish("audit")
+    assert ids() == set(range(15))
+
+    # steady-state loop: stage more on the same branch, re-publish
+    sink.append(b2.where("event_id >= 15 and event_id < 20"), branch="audit")
+    sink.publish("audit")
+    assert ids() == set(range(20))
+
+    # main advances through another route -> publish must refuse
+    sink.append(b2.where("event_id >= 20"), branch="audit")
+    sink.append(spark.createDataFrame([Row(event_id=99, ts=dt.datetime(2024, 1, 2, 10), v=9.0)]))
+    with pytest.raises(CommitConflict):
+        sink.publish("audit")
+
+    # audit-failed arm: drop the branch, main untouched, staged gone
+    sink.drop_branch("audit")
+    assert ids() == set(range(20)) | {99}
+    with pytest.raises(LookupError):
+        sink.read(branch="audit")
