@@ -3223,3 +3223,154 @@ LIMIT {_TRIPLES_TOPK}
 
 QUERIES["basket_triples"] = basket_triples
 ORACLE["basket_triples"] = _SQL_BASKET_TRIPLES
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface: TPC-H Q9 (product-type profit, schema-adapted)
+# ---------------------------------------------------------------------------
+
+_Q9_SQL = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+           - CAST(p_retailprice AS DECIMAL(18,2))
+             * CAST(l_quantity AS DECIMAL(18,2)) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def sql_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit by nation and year), adapted to the
+    synthetic schema: the testdata has no partsupp table, so
+    ``ps_supplycost`` becomes ``p_retailprice`` as the per-unit cost
+    proxy — the query SHAPE (the 5-way star join, the name-substring
+    part filter, the decimal-exact profit expression, the
+    nation × year rollup) is Q9 verbatim. (Reference scope: the
+    connector has no query engine — north-star surface.)
+
+    Scale: part filters on the LIKE predicate before joining (Catalyst
+    pushes the residual to the scan); part/supplier/nation broadcast
+    against the lineitem stream; the only wide shuffle is
+    lineitem ⋈ orders on orderkey carrying the already-filtered slice;
+    the final rollup is nations × years — tiny.
+    """
+    register_views(
+        spark, sf_dir, "part", "lineitem", "supplier", "orders", "nation"
+    )
+    return spark.sql(_Q9_SQL)
+
+
+QUERIES["sql_product_profit"] = sql_product_profit
+ORACLE["sql_product_profit"] = _Q9_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface: TPC-H Q16 (parts/supplier relationship, adapted)
+# ---------------------------------------------------------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT ps.suppkey) AS BIGINT) AS supplier_cnt
+FROM (
+  SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+) ps
+JOIN part ON p_partkey = ps.partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def sql_parts_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (how many suppliers can furnish each surviving part
+    class), adapted: the partsupp relation is derived as the DISTINCT
+    (partkey, suppkey) pairs observed in lineitem, and the spec's
+    supplier-complaint NOT-IN arm is dropped (the synthetic supplier
+    table carries no comment column); brand/type exclusion and the
+    8-size IN list are Q16 verbatim.
+
+    Scale: the distinct pair derivation is ONE shuffle on the pair key
+    (map-side combine collapses repeat orders); part is broadcast with
+    the brand/type/size predicate pushed to its scan; COUNT(DISTINCT)
+    over the joined pairs re-uses the pair exchange (the group key is a
+    prefix extension). No row explosion anywhere — pairs only ever
+    shrink.
+    """
+    register_views(spark, sf_dir, "lineitem", "part")
+    return spark.sql(_Q16_SQL)
+
+
+QUERIES["sql_parts_supplier"] = sql_parts_supplier
+ORACLE["sql_parts_supplier"] = _Q16_SQL
+
+
+# ---------------------------------------------------------------------------
+# plain-SQL surface: TPC-H Q20 (potential part promotion, adapted)
+# ---------------------------------------------------------------------------
+
+_Q20_SQL = """
+WITH shipped AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1, 2
+),
+part_year AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY 1
+)
+SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+  AND s_suppkey IN (
+    SELECT sh.suppkey
+    FROM shipped sh
+    JOIN part ON p_partkey = sh.partkey AND p_name LIKE '%blue%'
+    JOIN part_year py ON py.partkey = sh.partkey
+    WHERE sh.qty * 2 > py.total_qty
+  )
+ORDER BY s_suppkey
+"""
+
+
+def sql_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (suppliers positioned to promote a part class), adapted:
+    without partsupp, "availqty exceeds half a year's demand" becomes
+    "this supplier shipped MORE THAN HALF of the part's total 1995
+    volume" — same dominant-supplier semantics, derived from lineitem.
+    The half-share test multiplies through (qty·2 > total) so the whole
+    pipeline stays in exact decimal arithmetic — no division, no floats
+    until output. (Reference scope: north-star surface.)
+
+    Scale: both CTEs aggregate the SAME filtered lineitem slice — one
+    scan each, keyed shuffles with map-side combine; the dominant-pair
+    semi-join ships only (partkey, suppkey, qty) triples; part and
+    supplier⋈nation broadcast. The IN compiles to a semi-join on
+    suppkey, so supplier rows never duplicate.
+    """
+    register_views(spark, sf_dir, "lineitem", "part", "supplier", "nation")
+    return spark.sql(_Q20_SQL)
+
+
+QUERIES["sql_potential_promotion"] = sql_potential_promotion
+ORACLE["sql_potential_promotion"] = _Q20_SQL
