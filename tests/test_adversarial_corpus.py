@@ -125,6 +125,7 @@ def _documents_only_targets():
     return _single_table_targets("documents")
 
 
+@pytest.mark.deep
 def test_documents_only_queries_match_oracle_on_adversarial_corpus(
     spark, adv_dir
 ):
@@ -148,6 +149,7 @@ def test_documents_only_queries_match_oracle_on_adversarial_corpus(
     assert not failures, "\n".join(failures)
 
 
+@pytest.mark.deep
 def test_embeddings_only_queries_match_oracle_on_adversarial_corpus(
     spark, adv_emb_dir
 ):
@@ -221,6 +223,7 @@ def adv_events_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.deep
 def test_events_only_queries_match_oracle_on_adversarial_corpus(
     spark, adv_events_dir
 ):
@@ -333,6 +336,7 @@ def adv_tpch_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.deep
 def test_tpch_queries_match_oracle_on_adversarial_corpus(spark, adv_tpch_dir):
     """Every oracle query touching lineitem/orders/customer must agree
     with DuckDB on the NULL-injected TPC-H corpus."""

@@ -107,6 +107,7 @@ def _gen_clustered(n, d):
     return str(d)
 
 
+@pytest.mark.deep
 def test_ann_recall_stable_under_corpus_growth(spark, tmp_path):
     """The r06 verdict's calibration hazard: recall fell with N at fixed
     probes, so the recall_ok floors could go red on a bigger corpus with
@@ -151,7 +152,12 @@ def test_ann_recall_stable_under_corpus_growth(spark, tmp_path):
 
 
 @pytest.mark.parametrize(
-    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    "sf",
+    [
+        "/root/testdata/sf0.001",
+        pytest.param("/root/testdata/sf0.01", marks=pytest.mark.deep),
+        pytest.param("/root/testdata/sf0.1", marks=pytest.mark.deep),
+    ],
 )
 def test_ann_audit_floors_hold_at_all_sfs(spark, sf):
     """The registered audits' recall_ok flags (the floors the driver

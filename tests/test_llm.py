@@ -115,6 +115,7 @@ def test_ivf_pq_recall_tracks_ivf_ceiling(spark, sf_dir):
     assert recall >= 0.7 * ceiling, (recall, ceiling)
 
 
+@pytest.mark.deep
 def test_ann_audits_flags_all_green(spark, sf_dir):
     """The three registered ANN contract audits (oracle-checked form since
     r06) must produce one row per query with BOTH flags = 1 — the exact

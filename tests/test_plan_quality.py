@@ -1663,3 +1663,47 @@ def test_cosine_audit_admission_filter_precedes_pair_fanout(spark, sf_dir):
         if f"< {_EMB_SAMPLE_PPM})" in m.group(0) and "md5(" in m.group(0)
     ]
     assert len(conds) >= 2, plan
+
+
+def test_sql_product_profit_pushed_name_filter_no_cartesian(spark, sf_dir):
+    """Q9 (adapted): the %red% part filter must reach the part scan as a
+    StringContains pushdown (the star join's selectivity lives there),
+    every dimension joins hash/broadcast — a cartesian or an unpushed
+    name filter turns the 5-way join into a full-fact blowup."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_product_profit,
+    )
+
+    plan = _plan(sql_product_profit(spark, sf_dir))
+    assert "StringContains(p_name,red)" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_sql_parts_supplier_pushed_part_predicates(spark, sf_dir):
+    """Q16 (adapted): brand/type/size predicates must reach the part
+    scan (Not(EqualTo)/In pushdowns) so the derived partsupp pairs join
+    against an already-filtered broadcast side."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_parts_supplier,
+    )
+
+    plan = _plan(sql_parts_supplier(spark, sf_dir))
+    assert "Not(EqualTo(p_brand,Brand#1))" in plan
+    assert "In(p_size" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_potential_promotion_semi_join_pushed_year(spark, sf_dir):
+    """Q20 (adapted): the suppkey IN must compile to a semi join (no
+    supplier duplication), and the 1995 ship window must be pushed to
+    BOTH lineitem scans (the shipped and part_year CTE arms) — an
+    unpushed window scans the whole fact twice."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_potential_promotion,
+    )
+
+    plan = _plan(sql_potential_promotion(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert plan.count("GreaterThanOrEqual(l_shipdate,1995-01-01") >= 2
+    assert "CartesianProduct" not in plan

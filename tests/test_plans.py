@@ -47,6 +47,7 @@ def test_sort_limit_compiles_to_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+@pytest.mark.deep
 def test_relational_battery_has_no_python_udfs(spark, sf_dir):
     """The whole relational+operator battery stays JVM-side (codegen)."""
     from bytewax_iceberg_connector_spark.plans import operator_queries, relational

@@ -70,6 +70,7 @@ def _asof_frames(draw):
 
 @given(frames=_asof_frames())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_asof_join_agrees_with_pandas_merge_asof(spark, frames):
     """asof_join == pandas.merge_asof (direction='backward', inclusive) on
     random key/timestamp layouts."""
@@ -112,6 +113,7 @@ def test_asof_join_agrees_with_pandas_merge_asof(spark, frames):
                      min_size=0, max_size=6, unique_by=lambda t: t[0]),
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_merge_upsert_reference_semantics(spark, target, updates):
     """merge_upsert == dict-overlay semantics: update wins on matched keys,
     unmatched keys insert, untouched target rows survive."""
@@ -129,6 +131,7 @@ def test_merge_upsert_reference_semantics(spark, target, updates):
 
 @given(frames=_asof_frames())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_asof_forward_agrees_with_pandas(spark, frames):
     """asof_join(direction='forward') == pandas.merge_asof forward on
     random layouts — the nearest upcoming right row, inclusive."""
@@ -164,6 +167,7 @@ def test_asof_forward_agrees_with_pandas(spark, frames):
 
 @given(frames=_asof_frames())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_asof_nearest_agrees_with_pandas(spark, frames):
     """asof_join(direction='nearest') == pandas merge_asof nearest
     (backward wins distance ties; exact match always wins)."""
@@ -211,6 +215,7 @@ _SKEW_ROWS = st.lists(
 @given(rows=_SKEW_ROWS, n_salts=st.sampled_from([1, 3, 8]))
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.deep
 def test_salted_join_row_invisible(spark, rows, n_salts):
     """salted_join's contract: row-identical to the plain join for ANY
     fact multiset / salt count — only the partitioning may differ."""
@@ -411,6 +416,7 @@ def _events_dir(rows):
 
 @given(rows=_event_stream())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_twa_matches_python_reference(spark, rows):
     """The engine's trapezoid TWA == an independent integer reference on
     arbitrary streams (ties, zero-second intervals, singleton streams)."""
@@ -453,6 +459,7 @@ def test_twa_matches_python_reference(spark, rows):
 
 @given(rows=_event_stream())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_ohlc_matches_python_reference(spark, rows):
     """struct-min/max open/close selection == the reference's
     first/last-by-(ts, event_id); volume compared in exact cents."""
@@ -533,6 +540,7 @@ def test_interarrival_matches_python_reference(spark, rows):
 
 @given(rows=_event_stream())
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_transition_matrix_matches_python_reference(spark, rows):
     """Bigram transition counts and row-normalized ppm == a reference
     walk of each user's (ts, event_id)-ordered stream."""
@@ -575,6 +583,7 @@ def test_transition_matrix_matches_python_reference(spark, rows):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_mad_outliers_matches_python_reference(spark, tmp_path_factory, vals):
     """mad_outliers' double twice-median pipeline == a direct Python
     median/MAD computation on arbitrary integer-cent value sets (ties,
@@ -617,6 +626,7 @@ def test_mad_outliers_matches_python_reference(spark, tmp_path_factory, vals):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_theil_sen_bucket_selection_is_lossless(spark, tmp_path_factory, days):
     """The distributed bucket-selection median == a naive Python median
     of all pairwise truncated slopes, on arbitrary (day, cents) series —
@@ -669,6 +679,7 @@ def test_theil_sen_bucket_selection_is_lossless(spark, tmp_path_factory, days):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_cusum_drift_matches_python_replay(spark, tmp_path_factory, series):
     """cusum_drift's Arrow kernel == a direct Python replay of the
     clamped recurrence on arbitrary daily series (negative revenues,
@@ -731,6 +742,7 @@ def test_cusum_drift_matches_python_replay(spark, tmp_path_factory, series):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_streaming_dedup_watermark_matches_python_replay(
     spark, tmp_path_factory, rows
 ):
@@ -814,6 +826,7 @@ def test_streaming_dedup_watermark_matches_python_replay(
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_minhash_np_bit_identical_to_expression_twin(spark, rows):
     """The Arrow minhash kernel claims BIT-identical signatures to the
     higher-order-expression form (same affine hashes mod the same Mersenne
@@ -853,6 +866,7 @@ def test_minhash_np_bit_identical_to_expression_twin(spark, rows):
     )
 )
 @settings(**_SETTINGS)
+@pytest.mark.deep
 def test_sign_lsh_np_matches_expression_twin(spark, vecs):
     """The Arrow sign-LSH kernel must bucket identically to the
     higher-order-expression reference (same seeded hyperplanes, same

@@ -1,3 +1,5 @@
+import pytest
+
 
 
 def test_distinct_approx_tracks_exact(spark, sf_dir):
@@ -74,6 +76,7 @@ def test_sketch_rollup_accuracy_and_mergeability(spark, sf_dir):
         assert ok == 1, (wk, n_exact)
 
 
+@pytest.mark.deep
 def test_pagerank_copurchase_invariants(spark, sf_dir):
     """Integer PageRank sanity: ranks are a strict (pr desc, part asc)
     order, every score >= the teleport floor 150000, and the most
@@ -94,6 +97,7 @@ def test_pagerank_copurchase_invariants(spark, sf_dir):
         prev = r
 
 
+@pytest.mark.deep
 def test_pagerank_degenerate_symmetric_pairs_match_oracle(spark, tmp_path):
     """Two disconnected symmetric pairs: every node's mass is exactly
     conserved (pr stays 1_000_000 through all iterations) and NULL

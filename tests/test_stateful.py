@@ -256,21 +256,39 @@ def test_stateful_state_carries_across_microbatch_boundaries(spark, tmp_path):
             .withColumn("ts", F.col("ts").cast("timestamp"))
         )
 
-    _drain(dedup_first_seen(_stream()), "dedup_mb", tmp_path / "cp_mb")
-    # update mode re-emits per batch; memory-sink row order is NOT
-    # guaranteed across a busy suite — identify each key's LATEST
+    # capture emissions through foreachBatch (synchronous, driver-side)
+    # instead of the memory sink: under a busy suite the memory sink was
+    # observed to LOSE a whole batch's update rows while the state
+    # itself provably carried — the sink is test scaffolding, and
+    # foreachBatch collection cannot drop a committed batch
+    def _drain_rows(df, cp):
+        rows = []
+
+        def _sink(batch_df, _epoch):
+            rows.extend(batch_df.collect())
+
+        q = (
+            df.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(cp))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        return rows
+
+    # update mode re-emits per batch — identify each key's LATEST
     # emission by its monotonically-growing n_suppressed
     got = {}
-    for r in spark.table("dedup_mb").collect():
+    for r in _drain_rows(dedup_first_seen(_stream()), tmp_path / "cp_mb"):
         cur = got.get(r.user_id)
         if cur is None or r.n_suppressed > cur[1]:
             got[r.user_id] = (r.first_ts, r.n_suppressed)
     assert got[1] == (t0, 2)  # min arrived in batch 2; NaT never reset it
     assert got[2] == (t0 + dt.timedelta(minutes=1), 1)
 
-    _drain(running_counter(_stream()), "counter_mb", tmp_path / "cp_cmb")
     got = {}
-    for r in spark.table("counter_mb").collect():
+    for r in _drain_rows(running_counter(_stream()), tmp_path / "cp_cmb"):
         cur = got.get(r.event_type)
         if cur is None or r.n_events > cur[0]:
             got[r.event_type] = (r.n_events, r.total_cents)
