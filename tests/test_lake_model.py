@@ -47,6 +47,14 @@ _OPS = st.lists(
         st.tuples(st.just("wap_stage"), st.integers(1, 3)),
         st.tuples(st.just("wap_publish"), st.integers(0, 0)),
         st.tuples(st.just("wap_drop"), st.integers(0, 0)),
+        # evolved-schema rows staged on the branch: publish must carry
+        # them to main like any other branch commit
+        st.tuples(st.just("wap_stage_evolved"), st.integers(1, 2)),
+        # named refs: tag a retained main snapshot (or the branch head),
+        # read through it immediately and at the end — tag-pinned
+        # snapshots must survive expire AND drop_branch (re-homed)
+        st.tuples(st.just("tag_set"), st.integers(0, 100)),
+        st.tuples(st.just("tag_drop"), st.integers(0, 0)),
     ),
     min_size=1,
     max_size=5,
@@ -106,6 +114,10 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
     # would still fast-forward (False once main advances past the fork)
     branch_live: set[int] | None = None
     publish_ok = True
+    # tag model: name -> the exact live set the tag must keep resolving
+    # to, HOWEVER the table evolves after (expire, drop_branch, rollback)
+    tags: dict[str, set[int]] = {}
+    n_tags = 0
 
     def committed():
         # snapshot ids are GLOBAL across branches, so read main's real
@@ -193,6 +205,21 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
                 # rather than silently drop main's commits
                 with pytest.raises(CommitConflict):
                     sink.publish("wap")
+        elif op == "wap_stage_evolved":
+            ids = fresh(arg)
+            sink.append(_rows(spark, ids, evolved=True), branch="wap")
+            if branch_live is None:
+                branch_live = set(live) | set(ids)
+                publish_ok = True
+            else:
+                branch_live |= set(ids)
+            got_b = {
+                r.event_id
+                for r in sink.read(branch="wap", merge_schema=True)
+                .select("event_id")
+                .collect()
+            }
+            assert got_b == branch_live, (got_b, branch_live)
         elif op == "wap_drop":
             if branch_live is None:
                 with pytest.raises(LookupError):
@@ -200,6 +227,33 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             else:
                 sink.drop_branch("wap")  # audit failed: staged data gone
                 branch_live = None
+        elif op == "tag_set":
+            name = f"t{n_tags}"
+            n_tags += 1
+            if branch_live is not None and arg % 2 == 1:
+                # pin the STAGED branch head: must keep resolving even
+                # after the branch itself is dropped (re-homed detached)
+                sink.tag(name, sink._log.current_id("wap"))
+                tags[name] = set(branch_live)
+            else:
+                i = arg % len(history)
+                sink.tag(name, snap_ids[i])
+                tags[name] = set(history[i])
+            got_t = {
+                r.event_id
+                for r in sink.read(tag=name, merge_schema=True)
+                .select("event_id")
+                .collect()
+            }
+            assert got_t == tags[name], (name, got_t, tags[name])
+        elif op == "tag_drop":
+            if tags:
+                name = sorted(tags)[0]
+                sink.drop_tag(name)
+                del tags[name]
+            else:
+                with pytest.raises(LookupError):
+                    sink.drop_tag("t_missing")
         elif op == "expire":
             # reclaims unreferenced data; live set and the retained
             # trailing window of snapshots must be untouched. NOTE: while
@@ -228,3 +282,14 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             for r in sink.read(as_of=snap_id, merge_schema=True).select("event_id").collect()
         }
         assert got == want, (snap_id, got, want, snap_ids)
+
+    # every surviving tag must still resolve to its pinned live set —
+    # even when expire trimmed past it or its branch was dropped
+    for name, want in tags.items():
+        got = {
+            r.event_id
+            for r in sink.read(tag=name, merge_schema=True)
+            .select("event_id")
+            .collect()
+        }
+        assert got == want, (name, got, want)
