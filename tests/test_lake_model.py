@@ -293,3 +293,101 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             .collect()
         }
         assert got == want, (name, got, want)
+
+
+# ---------------------------------------------------------------------------
+# exactly-once batch dedup model: replays, restarts, expiry
+# ---------------------------------------------------------------------------
+
+_EO_OPS = st.lists(
+    st.one_of(
+        # deliver the next micro-batch (1-3 rows)
+        st.tuples(st.just("batch"), st.integers(1, 3)),
+        # re-deliver the LAST committed batch verbatim (the crash-replay
+        # window Spark's checkpoint leaves open: committed, not acked)
+        st.tuples(st.just("replay_last"), st.integers(0, 0)),
+        # process restart: a fresh sink instance rebuilds its batch-id
+        # cache from the surviving snapshot files
+        st.tuples(st.just("restart"), st.integers(0, 0)),
+        # retention runs concurrently with the stream
+        st.tuples(st.just("expire"), st.integers(1, 2)),
+        # non-streaming maintenance interleaves (compact commits a
+        # batchless rewrite snapshot)
+        st.tuples(st.just("compact"), st.integers(0, 0)),
+    ),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(ops=_EO_OPS)
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@pytest.mark.deep
+def test_streaming_batch_dedup_matches_exactly_once_model(
+    spark, tmp_path_factory, ops
+):
+    """Model-based exactly-once: random interleavings of micro-batch
+    commits, verbatim replays of the last batch, process restarts, and
+    retention must never double-apply a batch — the model is a dict of
+    applied batch ids. The replay path is the same decision
+    write_stream's foreachBatch makes (`_replayed_batch` then append)."""
+    tmp = tmp_path_factory.mktemp("eo_model")
+    cfg = IcebergSinkConfig(
+        table_name="db.eo_events",
+        warehouse_path=str(tmp),
+        num_partitions=1,
+        partition_spec=[("ts", "day")],
+    )
+
+    def mk_sink():
+        return LakeSink(spark, cfg)
+
+    sink = mk_sink()
+    next_id = 0
+    next_batch = 0
+    applied: dict[int, list[int]] = {}
+    live: set[int] = set()
+
+    def fresh(n):
+        nonlocal next_id
+        ids = list(range(next_id, next_id + n))
+        next_id += n
+        return ids
+
+    def deliver(batch_id, ids):
+        # exactly the write_stream _commit_batch decision
+        if not sink._replayed_batch(batch_id):
+            sink.append(_rows(spark, ids), batch_id=batch_id)
+
+    # first batch so replay/expire have substance
+    ids = fresh(2)
+    deliver(next_batch, ids)
+    applied[next_batch] = ids
+    live |= set(ids)
+    next_batch += 1
+
+    for op, arg in ops:
+        if op == "batch":
+            ids = fresh(arg)
+            deliver(next_batch, ids)
+            applied[next_batch] = ids
+            live |= set(ids)
+            next_batch += 1
+        elif op == "replay_last":
+            last = next_batch - 1
+            deliver(last, applied[last])  # model: MUST be a no-op
+        elif op == "restart":
+            sink = mk_sink()
+        elif op == "expire":
+            sink.expire_snapshots(keep_last=arg)
+        elif op == "compact":
+            sink.compact()
+        got = {
+            r.event_id
+            for r in sink.read().select("event_id").collect()
+        }
+        assert got == live, (op, arg, sorted(got), sorted(live))

@@ -814,3 +814,34 @@ def test_wap_lifecycle_at_sink_level(spark, tmp_path, batches):
     assert ids() == set(range(20)) | {99}
     with pytest.raises(LookupError):
         sink.read(branch="audit")
+
+
+def test_replay_after_restart_and_expiry_stays_exactly_once(
+    spark, tmp_path, batches
+):
+    """Found by the r07 exactly-once model: committing a micro-batch,
+    then maintenance + retention expiring ITS snapshot, then a process
+    restart, left the rebuilt batch-id cache blind to the batch — a
+    checkpoint-window replay re-appended rows whose data was still live
+    (duplication). expire() now folds expired snapshots' batch ids
+    forward into the oldest retained main snapshot, and the fold must
+    CHAIN through further expiries."""
+    b1, _ = batches
+
+    def mk():
+        return _sink(spark, tmp_path)
+
+    s = mk()
+    assert not s._replayed_batch(7)
+    s.append(b1, batch_id=7)
+    s.compact()                       # later batchless snapshot
+    s.expire_snapshots(keep_last=1)   # drops batch-7's own snapshot
+    s2 = mk()                         # restart: cache rebuilt from files
+    assert s2._replayed_batch(7), "expired batch id lost across restart"
+    assert s2.read().count() == b1.count()
+    # chain: another batch, another expiry — BOTH ids must survive
+    s2.append(b1.withColumn("event_id", b1.event_id + 100), batch_id=8)
+    s2.compact()
+    s2.expire_snapshots(keep_last=1)
+    s3 = mk()
+    assert s3._replayed_batch(7) and s3._replayed_batch(8)
