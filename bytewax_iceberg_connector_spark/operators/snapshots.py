@@ -500,21 +500,7 @@ class SnapshotLog:
             snap = self._maybe_snapshot(sid)
             if snap is not None:
                 retained_live.update(snap["live"])
-        expired = []
-        expired_live: set[str] = set()
-        expired_batch_ids: set[int] = set()
-        for s in snaps:
-            sid = s["snapshot_id"]
-            if sid in retained_ids:
-                continue
-            path = os.path.join(self.meta_dir, f"v{sid}.json")
-            if os.path.exists(path):
-                os.unlink(path)
-                expired.append(sid)
-                expired_live.update(s["live"])
-                if s.get("batch_id") is not None:
-                    expired_batch_ids.add(s["batch_id"])
-                expired_batch_ids.update(s.get("batch_ids", []))
+        doomed = [s for s in snaps if s["snapshot_id"] not in retained_ids]
         # Exactly-once across restart + retention: a replayed micro-batch
         # is detected by its batch id recorded in some retained v-file. If
         # expiry deletes the snapshot that carried the id while the
@@ -525,19 +511,35 @@ class SnapshotLog:
         # oldest retained main snapshot's ``batch_ids`` (the same
         # carry-the-lineage mechanism ``publish`` uses for dropped WAP
         # branches); when that snapshot expires in turn, its folded ids
-        # roll forward again, so the chain never breaks.
+        # roll forward again, so the chain never breaks. The fold is
+        # written BEFORE any unlink: a crash mid-expire then leaves
+        # duplicate id records (harmless), never a lost one.
+        expired_batch_ids: set[int] = set()
+        for s in doomed:
+            if s.get("batch_id") is not None:
+                expired_batch_ids.add(s["batch_id"])
+            expired_batch_ids.update(s.get("batch_ids", []))
         if expired_batch_ids:
             fold_ids = sorted(i for i in main_ids[-keep_last:])
             if fold_ids:
-                tgt_path = os.path.join(
-                    self.meta_dir, f"v{fold_ids[0]}.json"
-                )
                 tgt = self._maybe_snapshot(fold_ids[0])
                 if tgt is not None:
                     merged = set(tgt.get("batch_ids", []))
                     merged |= expired_batch_ids
                     tgt["batch_ids"] = sorted(merged)
-                    self._atomic_write(tgt_path, tgt)
+                    self._atomic_write(
+                        os.path.join(self.meta_dir, f"v{fold_ids[0]}.json"),
+                        tgt,
+                    )
+        expired = []
+        expired_live: set[str] = set()
+        for s in doomed:
+            sid = s["snapshot_id"]
+            path = os.path.join(self.meta_dir, f"v{sid}.json")
+            if os.path.exists(path):
+                os.unlink(path)
+                expired.append(sid)
+                expired_live.update(s["live"])
         removed = self._remove_orphan_dirs(
             retained_live, deletable=expired_live
         )
