@@ -99,16 +99,31 @@ class SnapshotLog:
     # -- snapshot access ---------------------------------------------------
 
     def _max_version(self) -> int:
-        """Highest snapshot id across ALL branches — the version-race
-        counter (ids are globally unique, branches share one sequence)."""
+        """Highest snapshot id EVER ISSUED, across all branches — the
+        version-race counter (ids are globally unique, branches share one
+        sequence). Counts ``.dropped`` tombstones too (see
+        ``_unlink_snapshot``): the counter must be monotone over deleted
+        ids, or a post-drop commit would reuse one — aliasing two table
+        states under one ``VERSION AS OF`` handle and slipping UNDER live
+        instances' incremental batch-id caches (which scan only
+        (seen_v, max_v]), reopening the replay double-apply window."""
         try:
             names = os.listdir(self.meta_dir)
         except FileNotFoundError:
             return 0
-        ids = [
-            int(n[1:-5]) for n in names
-            if n.startswith("v") and n.endswith(".json") and n[1:-5].isdigit()
-        ]
+        ids = []
+        for n in names:
+            if not n.startswith("v"):
+                continue
+            core = n[1:]
+            if core.endswith(".json.dropped"):
+                core = core[: -len(".json.dropped")]
+            elif core.endswith(".json"):
+                core = core[: -len(".json")]
+            else:
+                continue
+            if core.isdigit():
+                ids.append(int(core))
         return max(ids, default=0)
 
     def current_id(self, branch: str = "main") -> int:
@@ -415,7 +430,9 @@ class SnapshotLog:
                 )
                 rehomed.append(sid)
             else:
-                os.unlink(os.path.join(self.meta_dir, f"v{sid}.json"))
+                self._unlink_snapshot(
+                    os.path.join(self.meta_dir, f"v{sid}.json")
+                )
                 dropped.append(sid)
         if not found:
             raise LookupError(f"branch {branch!r} does not exist")
@@ -537,7 +554,7 @@ class SnapshotLog:
             sid = s["snapshot_id"]
             path = os.path.join(self.meta_dir, f"v{sid}.json")
             if os.path.exists(path):
-                os.unlink(path)
+                self._unlink_snapshot(path)
                 expired.append(sid)
                 expired_live.update(s["live"])
         removed = self._remove_orphan_dirs(
@@ -546,6 +563,14 @@ class SnapshotLog:
         return expired, removed
 
     # -- file primitives ---------------------------------------------------
+
+    def _unlink_snapshot(self, path: str) -> None:
+        """Remove a snapshot file but leave a ``.dropped`` tombstone (an
+        atomic rename), so ``_max_version`` never re-issues its id.
+        Tombstones are tiny, invisible to every snapshot reader (which
+        look up exact ``v{sid}.json`` names), and live as long as the
+        table's metadata directory."""
+        os.replace(path, f"{path}.dropped")
 
     def _atomic_write(self, path: str, obj: dict) -> None:
         tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"

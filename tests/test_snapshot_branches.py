@@ -257,3 +257,33 @@ def test_publish_races_concurrent_branch_append(log):
     # and the full batch-id dedup set survives a drop
     log.drop_branch("wap")
     assert {0, 1} <= log.committed_batch_ids()
+
+
+def test_snapshot_ids_never_reused_after_drop_branch(log):
+    """Found by the r07 exactly-once probes: drop_branch unlinking the
+    HIGHEST v-file let the next commit re-issue that id — aliasing two
+    different table states under one VERSION AS OF handle and slipping
+    under live instances' incremental batch-id caches (which scan only
+    (seen_v, max_v]). Unlinks now leave .dropped tombstones, so the
+    version counter is monotone over every id ever issued."""
+    a, _ = _append(log)                      # v1 main
+    b, _ = _append(log, branch="x")          # v2 branch (max)
+    assert b == a + 1
+    log.drop_branch("x")
+    c, _ = _append(log)
+    assert c == b + 1, "dropped id was re-issued"
+
+
+def test_snapshot_ids_never_reused_after_expire_of_detached_max(log):
+    """The same monotonicity through the OTHER unlink path: a
+    tag-pinned branch head survives drop_branch detached; dropping the
+    tag and expiring unlinks it while it holds the max id — the next
+    commit must still advance past it."""
+    _append(log)
+    h, _ = _append(log, branch="x")
+    log.set_tag("pin", h)
+    log.drop_branch("x")     # re-homed detached, still max
+    log.drop_tag("pin")
+    log.expire(keep_last=1)  # unlinks the detached max
+    c, _ = _append(log)
+    assert c == h + 1, "expired detached id was re-issued"
