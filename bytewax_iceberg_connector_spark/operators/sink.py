@@ -878,7 +878,21 @@ class LakeSink:
         for sid in self._log.ancestors(head):
             if sid <= from_snapshot:
                 break
-            op = self._log.snapshot(sid)["operation"]
+            snap = self._log._maybe_snapshot(sid)
+            if snap is None:
+                # retention punched a hole INSIDE the range (possible when
+                # from_snapshot survives only via a tag): the expired
+                # snapshot might have been a replacing commit, so the
+                # append-only guarantee is unverifiable — fail with an
+                # actionable error instead of the raw LookupError this
+                # path used to escape with (or, worse, a silent diff)
+                raise ValueError(
+                    f"snapshot {sid} inside the incremental range "
+                    f"({from_snapshot}, {head}] was expired; append-only "
+                    "verification is impossible — re-baseline the consumer "
+                    "from a retained snapshot"
+                )
+            op = snap["operation"]
             if op in _REPLACING_OPS | {"rollback"}:
                 raise ValueError(
                     f"snapshot {sid} is a replacing commit ({op}); "

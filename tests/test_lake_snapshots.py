@@ -845,3 +845,24 @@ def test_replay_after_restart_and_expiry_stays_exactly_once(
     s2.expire_snapshots(keep_last=1)
     s3 = mk()
     assert s3._replayed_batch(7) and s3._replayed_batch(8)
+
+
+def test_incremental_range_with_expired_interior_raises_cleanly(
+    spark, tmp_path, batches
+):
+    """A CDC consumer baselined on a TAG-retained old snapshot, with
+    retention having expired an interior snapshot of its range, must get
+    the documented ValueError (re-baseline guidance) — this path used to
+    escape with a raw LookupError from the lineage walk; an expired
+    interior commit could have been a replacing one, so the append-only
+    guarantee is unverifiable."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)                    # v1 — consumer baseline
+    sink.tag("cdc_start", 1)
+    sink.overwrite(b2)                 # v2 replacing (will be expired)
+    sink.append(b1)                    # v3
+    sink.append(b1)                    # v4
+    sink.expire_snapshots(keep_last=2)
+    with pytest.raises(ValueError, match="expired.*re-baseline"):
+        sink.read_incremental(1)
