@@ -501,6 +501,14 @@ class SnapshotLog:
           ``publish`` still finds its fork point);
         - every TAGGED snapshot (a release tag keeps its data alive
           until the tag is dropped), including detached ones.
+
+        Concurrency contract: retention is a SINGLE-MAINTAINER operation
+        (the same assumption Iceberg's maintenance procedures make).
+        Expire is safe against concurrent COMMITS (commits create new
+        v-files and never touch old ones; the batch-id fold rewrites only
+        an old file), but two concurrent expires race read-modify-write
+        on the fold target and the loser's folded ids could be lost —
+        run retention from one place.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
