@@ -3374,3 +3374,148 @@ def sql_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_potential_promotion"] = sql_potential_promotion
 ORACLE["sql_potential_promotion"] = _Q20_SQL
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q12 adaptations — these three complete the 22-query
+# battery (Q1=pricing_summary … Q22=sql_idle_customer_balance).
+# ---------------------------------------------------------------------------
+
+_Q2_SQL = """
+WITH ps AS (
+  SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+         MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS supplycost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+       CAST(ps.supplycost AS DOUBLE) AS supplycost
+FROM part
+JOIN ps ON p_partkey = ps.partkey
+JOIN supplier ON s_suppkey = ps.suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps.supplycost = (
+    SELECT MIN(ps2.supplycost)
+    FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def sql_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (the region's minimum-cost supplier for each surviving
+    part), adapted: without a partsupp table, ``ps_supplycost`` is
+    derived per observed (partkey, suppkey) pair as the MINIMUM line
+    price that supplier ever quoted for that part — deterministic and
+    decimal-exact; the spec's ``p_type LIKE '%BRASS'`` arm is dropped
+    (the synthetic type domain is disjoint words) while the size
+    equality, region restriction, and the correlated min-cost scalar
+    subquery are Q2 verbatim, LIMIT 100 included (the ORDER BY carries
+    a unique (…, p_partkey) tie-break so the cut is deterministic).
+    (Reference scope: the connector has no query engine — north-star
+    surface.)
+
+    Scale: the pair derivation is one keyed shuffle with map-side
+    combine (pairs only shrink); Catalyst decorrelates the scalar
+    subquery into a per-part min aggregate joined back — both sides of
+    that join are the SAME region-filtered pair slice, so no second
+    lineitem scan shape is introduced; part (size-filtered at the scan)
+    and supplier⋈nation⋈region broadcast. The LIMIT is a TakeOrdered —
+    no global sort materializes.
+    """
+    register_views(
+        spark, sf_dir, "lineitem", "part", "supplier", "nation", "region"
+    )
+    return spark.sql(_Q2_SQL)
+
+
+QUERIES["sql_min_cost_supplier"] = sql_min_cost_supplier
+ORACLE["sql_min_cost_supplier"] = _Q2_SQL
+
+
+_Q11_SQL = """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS stock_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(stock_value AS DOUBLE) AS stock_value
+FROM val
+WHERE stock_value * 1000 > (SELECT SUM(stock_value) FROM val)
+ORDER BY stock_value DESC, partkey
+"""
+
+
+def sql_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (parts representing a significant share of one
+    nation's stock value), adapted: ``ps_supplycost * ps_availqty``
+    becomes the discounted revenue each part moved through the
+    nation's suppliers, derived from lineitem. The significance test
+    multiplies through (value·1000 > total) so the share threshold is
+    evaluated in exact decimal — no division, floats only at output.
+    The HAVING-vs-global-scalar shape is Q11 verbatim. (Reference
+    scope: north-star surface.)
+
+    Scale: ONE nation-filtered lineitem aggregation feeds both the
+    per-part values and the grand total (Catalyst reuses the exchange
+    across the two consumers of the CTE); supplier⋈nation broadcasts
+    into the lineitem scan, so the only wide shuffle is the partkey
+    rollup of the already-filtered slice. The scalar total is a 1-row
+    broadcast into the filter.
+    """
+    register_views(spark, sf_dir, "lineitem", "supplier", "nation")
+    return spark.sql(_Q11_SQL)
+
+
+QUERIES["sql_important_stock"] = sql_important_stock
+ORACLE["sql_important_stock"] = _Q11_SQL
+
+
+_Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def sql_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (did late shipments hit high-priority orders?),
+    adapted: the synthetic lineitem has no shipmode/commitdate/
+    receiptdate columns, so the mode grouping becomes l_returnflag and
+    "received after commit date" becomes "shipped more than 90 days
+    after the order date" — the priority CASE-pivot pair and the
+    one-year window are Q12 verbatim. (Reference scope: north-star
+    surface.)
+
+    Scale: the year window pushes to the lineitem scan; the join is
+    the orderkey shuffle carrying only (orderkey, returnflag, shipdate)
+    against (orderkey, orderdate, priority); the lateness predicate is
+    a post-join codegen'd comparison (it references both sides, so no
+    plan can push it further); the rollup output is 3 rows.
+    """
+    register_views(spark, sf_dir, "lineitem", "orders")
+    return spark.sql(_Q12_SQL)
+
+
+QUERIES["sql_shipmode_priority"] = sql_shipmode_priority
+ORACLE["sql_shipmode_priority"] = _Q12_SQL
