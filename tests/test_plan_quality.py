@@ -1707,3 +1707,51 @@ def test_sql_potential_promotion_semi_join_pushed_year(spark, sf_dir):
     assert "LeftSemi" in plan
     assert plan.count("GreaterThanOrEqual(l_shipdate,1995-01-01") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_sql_min_cost_supplier_decorrelated_topk(spark, sf_dir):
+    """Q2 (adapted): the LIMIT must be a TakeOrderedAndProject (no global
+    sort materializes), the size/region predicates must reach their scans
+    (region on BOTH the outer and the decorrelated-min arm), and the
+    correlated min-cost subquery must decorrelate into joins — a
+    CartesianProduct or an unpushed region filter re-prices every
+    supplier on the planet per part."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_min_cost_supplier,
+    )
+
+    plan = _plan(sql_min_cost_supplier(spark, sf_dir))
+    assert "TakeOrderedAndProject(limit=100" in plan
+    assert "EqualTo(p_size,15)" in plan
+    assert plan.count("EqualTo(r_name,EUROPE)") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_important_stock_pushed_nation_broadcasts(spark, sf_dir):
+    """Q11 (adapted): the nation equality must reach the nation scan on
+    BOTH the per-part arm and the grand-total scalar-subquery arm, and
+    supplier⋈nation must broadcast into the lineitem stream — the only
+    wide exchange is the partkey rollup of the filtered slice."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_important_stock,
+    )
+
+    plan = _plan(sql_important_stock(spark, sf_dir))
+    assert plan.count("EqualTo(n_name,NATION_7)") >= 2
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sql_shipmode_priority_pushed_year_window(spark, sf_dir):
+    """Q12 (adapted): the one-year ship window must push to the lineitem
+    scan (the join then carries only that year's lines); the lateness
+    comparison references both sides so it can only ride the join
+    condition — but never as a cartesian."""
+    from bytewax_iceberg_connector_spark.plans.relational import (
+        sql_shipmode_priority,
+    )
+
+    plan = _plan(sql_shipmode_priority(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
+    assert "LessThan(l_shipdate,1996-01-01" in plan
+    assert "CartesianProduct" not in plan
