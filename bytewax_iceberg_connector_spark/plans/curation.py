@@ -1660,8 +1660,11 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").cast("long").alias("n_langs"),
         F.countDistinct("source").cast("long").alias("n_sources"),
         F.expr(
+            # nullif guard (hapax_ratio precedent): ANSI Spark throws on
+            # div 0 where DuckDB's // 0 is NULL — an empty corpus must
+            # produce the oracle's NULL dup rate, not a crash
             "cast((count(*) - count(distinct fp)) * 1000000"
-            "     div count(*) as long)"
+            "     div nullif(count(*), 0) as long)"
         ).alias("dup_ppm"),
         F.min("n_tok").cast("long").alias("min_tok"),
         F.max("n_tok").cast("long").alias("max_tok"),
@@ -1681,8 +1684,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS n_chars,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
        CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
-       CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000 // COUNT(*) AS BIGINT)
-         AS dup_ppm,
+       CAST((COUNT(*) - COUNT(DISTINCT fp)) * 1000000
+            // NULLIF(COUNT(*), 0) AS BIGINT) AS dup_ppm,
        CAST(MIN(n_tok) AS BIGINT) AS min_tok,
        CAST(MAX(n_tok) AS BIGINT) AS max_tok
 FROM per

@@ -301,12 +301,18 @@ _SQL_CDC = f"""
 SELECT 'delete' AS change_type, COUNT(*) AS n,
        {sql_dsum('o_totalprice')} AS total
 FROM orders WHERE o_orderkey % 10 = 0
+HAVING COUNT(*) > 0
 UNION ALL
 SELECT 'insert' AS change_type, COUNT(*) AS n,
        {sql_dsum('o_totalprice + 1.0')} AS total
 FROM orders WHERE o_orderkey % 10 = 0
+HAVING COUNT(*) > 0
 ORDER BY change_type
 """
+# HAVING guards (r07 empty-corpus sweep): when NO key is divisible by 10
+# (and a fortiori on an empty table) the engine's changelog is genuinely
+# empty — an unconditional global aggregate would invent n=0 summary rows
+# the diff never produced.
 
 
 # ---------------------------------------------------------------------------

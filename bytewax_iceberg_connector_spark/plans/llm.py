@@ -2843,7 +2843,8 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       duplicate mass (SemDeDup's whole value claim). Applies only at
       reach ≥ ``_SEM_MIN_REACH`` (see there); under-support slices
       report vacuous green.
-    - ``cells_ok``: 1 ≤ cell count ≤ k and every cell keeps ≥ 1 member.
+    - ``cells_ok``: 1 ≤ cell count ≤ k and every cell keeps ≥ 1 member
+      (vacuous green on a 0-vector slice, which has no cells at all).
 
     At 100 TB you serve ``_semantic_cells`` (the FULL-corpus census /
     prune — bucketed, scales) and run THIS as the periodic audit; the
@@ -2869,12 +2870,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_vectors",
             "n_dup_reach",
-            (F.col("_members") == F.col("n_vectors")).cast("long").alias(
-                "members_conserved"
-            ),
-            (F.col("_dropped") <= F.col("n_dup_reach")).cast("long").alias(
-                "dropped_bounded"
-            ),
+            # coalesce guards: SUM over an EMPTY cell census is NULL —
+            # on a 0-vector slice every theorem must hold vacuously
+            (
+                F.coalesce(F.col("_members"), F.lit(0))
+                == F.col("n_vectors")
+            ).cast("long").alias("members_conserved"),
+            (
+                F.coalesce(F.col("_dropped"), F.lit(0))
+                <= F.col("n_dup_reach")
+            ).cast("long").alias("dropped_bounded"),
             (
                 (F.col("n_dup_reach") < F.lit(_SEM_MIN_REACH))
                 | (
@@ -2883,9 +2888,12 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).cast("long").alias("coverage_ok"),
             (
-                (F.col("_n_cells") >= 1)
-                & (F.col("_n_cells") <= _SEM_K)
-                & (F.col("_min_kept") >= 1)
+                (F.col("n_vectors") == 0)  # no vectors → no cells, vacuous
+                | (
+                    (F.col("_n_cells") >= 1)
+                    & (F.col("_n_cells") <= _SEM_K)
+                    & (F.col("_min_kept") >= 1)
+                )
             ).cast("long").alias("cells_ok"),
         )
     )

@@ -532,7 +532,11 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cx = F.when(both, dec(x, sx))
         cy = F.when(both, dec(y, sy))
         aggs += [
-            F.sum(both.cast("long")).cast("long").alias(f"{k}_n"),
+            # coalesce: SUM over an EMPTY table is NULL, but this n
+            # restates the oracle's COUNT(*) FILTER — which is 0 there
+            F.coalesce(F.sum(both.cast("long")), F.lit(0))
+            .cast("long")
+            .alias(f"{k}_n"),
             F.sum(cx).alias(f"{k}_sx"),
             F.sum(cy).alias(f"{k}_sy"),
             F.sum(cx * dec(x, sx)).alias(f"{k}_sxx"),

@@ -376,6 +376,15 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: Spark expands rollup into a single expand+aggregate — one shuffle;
     dims broadcast into the fact before aggregation.
+
+    Empty-input contract (r07 empty-corpus sweep): Spark's Expand-based
+    rollup emits NOTHING on a 0-row input, but the SQL standard (and
+    DuckDB) still produce the () grand-total row (COUNT 0, SUM NULL). The
+    grand total is therefore REBUILT from the detail rows of the same
+    aggregate — over 0 detail rows the rebuild is exactly the standard
+    () row, over N it is decimal-exact equal to the one Expand made (which
+    is dropped). Both consumers read one shuffle (AQE exchange reuse);
+    the rebuild input is group-count-sized, never the fact.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -386,10 +395,18 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    return (
-        joined.rollup("r_name", "n_name")
-        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    rolled = joined.rollup("r_name", "n_name").agg(
+        dsum("o_totalprice").alias("revenue"),
+        F.count("*").alias("n_orders"),
+        F.grouping_id().alias("_gid"),
     )
+    total = rolled.where(F.col("_gid") == 0).agg(
+        F.lit(None).cast("string").alias("r_name"),
+        F.lit(None).cast("string").alias("n_name"),
+        F.sum(dec("revenue", 2)).cast("double").alias("revenue"),
+        F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
+    )
+    return rolled.where(F.col("_gid") != 3).drop("_gid").unionByName(total)
 
 
 _SQL_ROLLUP = f"""
@@ -411,18 +428,32 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     single shuffle regardless of how many grouping sets the cube implies;
     grouping_id() disambiguates the NULL-as-total rows exactly as the
     oracle's GROUPING() does.
+
+    Empty-input contract: Spark's Expand emits nothing on 0 rows, the
+    standard's () set still produces one row — the gid=3 grand total is
+    rebuilt from the gid=0 detail rows of the same aggregate (see
+    grouping_rollup; on empty input the marginal sets correctly stay
+    absent on both engines).
     """
     ev = load_table(spark, sf_dir, "events")
     src = ev.select(
         "event_type", (F.col("user_id") % 4).alias("user_bucket"), "value"
     )
+    cubed = src.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
+        F.grouping_id("event_type", "user_bucket").cast("long").alias("gid"),
+    )
+    total = cubed.where(F.col("gid") == 0).agg(
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("long").alias("user_bucket"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
+        F.sum(dec("total_value", 2)).cast("double").alias("total_value"),
+        F.lit(3).cast("long").alias("gid"),
+    )
     return (
-        src.cube("event_type", "user_bucket")
-        .agg(
-            F.count("*").alias("n_events"),
-            dsum("value").alias("total_value"),
-            F.grouping_id("event_type", "user_bucket").cast("long").alias("gid"),
-        )
+        cubed.where(F.col("gid") != 3)
+        .unionByName(total)
         .orderBy("gid", "event_type", "user_bucket")
     )
 
@@ -849,14 +880,21 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("hour", "ts").alias("hour"),
         "value",
     )
-    return (
-        bucketed.rollup("day", "hour")
-        .agg(
-            F.grouping_id().cast("long").alias("lvl"),
-            F.count("*").alias("n_events"),
-            dsum("value").alias("total_value"),
-        )
+    rolled = bucketed.rollup("day", "hour").agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count("*").alias("n_events"),
+        dsum("value").alias("total_value"),
     )
+    # standard empty-input () row, rebuilt from the hour-level details
+    # (see grouping_rollup's empty-input contract)
+    total = rolled.where(F.col("lvl") == 0).agg(
+        F.lit(None).cast("timestamp").alias("day"),
+        F.lit(None).cast("timestamp").alias("hour"),
+        F.lit(3).cast("long").alias("lvl"),
+        F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
+        F.sum(dec("total_value", 2)).cast("double").alias("total_value"),
+    )
+    return rolled.where(F.col("lvl") != 3).unionByName(total)
 
 
 _SQL_TIME_ROLLUP = f"""
@@ -1085,18 +1123,34 @@ def grouping_sets_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     skipping the per-bucket-only set a CUBE would also compute.
 
     Scale: same single Expand + one aggregate as rollup/cube — grouping
-    sets never multiply shuffles, only Expand's row fan-out (here 3x).
+    sets never multiply shuffles, only Expand's row fan-out (here 2x +
+    a group-count-sized rebuild).
+
+    Empty-input contract: the () set is expressed as a UNION ALL rebuild
+    from the finest set's rows (one shared SQL text, both engines), so a
+    0-row input still yields the standard grand-total row — Spark's
+    Expand alone would emit nothing (see grouping_rollup). Spark reuses
+    the grouping-sets exchange for both CTE consumers; DuckDB inlines
+    the tiny CTE twice.
     """
     register_views(spark, sf_dir, "events")
     return spark.sql(_SQL_GROUPING_SETS)
 
 
 _SQL_GROUPING_SETS = """
-SELECT event_type, user_id % 4 AS user_bucket,
-       COUNT(*) AS n_events,
-       CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT) AS gid
-FROM events
-GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type), ())
+WITH g AS (
+  SELECT event_type, user_id % 4 AS user_bucket,
+         COUNT(*) AS n_events,
+         CAST(GROUPING(event_type) * 2 + GROUPING(user_id % 4) AS BIGINT)
+           AS gid
+  FROM events
+  GROUP BY GROUPING SETS ((event_type, user_id % 4), (event_type))
+)
+SELECT event_type, user_bucket, n_events, gid FROM g
+UNION ALL
+SELECT CAST(NULL AS STRING), CAST(NULL AS BIGINT),
+       CAST(COALESCE(SUM(n_events), 0) AS BIGINT), CAST(3 AS BIGINT)
+FROM g WHERE gid = 0
 ORDER BY gid, event_type, user_bucket
 """
 

@@ -359,3 +359,56 @@ def test_tpch_queries_match_oracle_on_adversarial_corpus(spark, adv_tpch_dir):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Empty-corpus sweep (r07): every oracle query on 0-row tables
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_corpus_dir(tmp_path_factory):
+    """Schema-exact 0-row copies of all ten tables. The degenerate class
+    the row-level fixtures can't reach: at 100 TB a filter, a partition,
+    or a whole snapshot is routinely empty — engine code must degrade to
+    the oracle's empty/vacuous answer, not crash or invent rows.
+
+    r07 finds (8, via scratch/adversarial_empty.py): ANSI div-by-zero in
+    dataset_card's dup_ppm; corr_matrix's pairwise n NULL where the
+    oracle counts 0; Spark's Expand-based ROLLUP/CUBE/GROUPING SETS
+    emitting NOTHING where the SQL standard (and DuckDB) still produce
+    the () grand-total row (grouping_rollup, grouping_cube,
+    grouping_sets_mix, time_rollup — fixed by rebuilding the total from
+    the detail rows of the same exchange-reused aggregate);
+    snapshot_changes' oracle inventing unconditional n=0 summary rows
+    the CDC diff never produced; semantic_dedup's theorem flags going
+    NULL/red instead of vacuous green on a 0-vector slice.
+    """
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("empty_corpus")
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        schema = pq.read_schema(f"{src}/{t}.parquet")
+        pq.write_table(schema.empty_table(), d / f"{t}.parquet")
+    return d
+
+
+@pytest.mark.deep
+def test_every_oracle_query_matches_on_empty_corpus(spark, empty_corpus_dir):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = sorted(n for n in qs if n in oracles)
+    assert len(targets) >= 190, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(empty_corpus_dir)).toPandas()
+            op = duck_oracle(empty_corpus_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
