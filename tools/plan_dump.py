@@ -126,6 +126,16 @@ SHOWCASE = [
      "pair space capped by the vocab cut: JVM-side array fan-out from "
      "per-doc member sets (no self-join), membership on ONE doc_id "
      "exchange, V-sized broadcasts back"),
+    ("sql_min_cost_supplier",
+     "TPC-H Q2's correlated min-cost subquery decorrelated by Catalyst "
+     "into a per-part min join over the SAME region-filtered pair "
+     "slice; size/region predicates pushed to every scan; LIMIT 100 is "
+     "a TakeOrdered — no global sort materializes"),
+    ("grouping_cube",
+     "CUBE = one Expand + one aggregate exchange; the standard () "
+     "grand-total row is rebuilt from the detail rows of that SAME "
+     "exchange (AQE reuse — no second fact scan), so a 0-row input "
+     "still yields the standard total row"),
 ]
 
 
