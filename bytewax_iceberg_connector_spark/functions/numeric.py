@@ -25,8 +25,27 @@ _PREC = 18
 
 
 def dec(col: Column | str, scale: int = 2) -> Column:
+    """Decimal-exact cast with a NON-FINITE ABORT guard.
+
+    Spark casts NaN/±Inf to decimal as NULL even under ANSI (checked on
+    4.1: only genuine overflow aborts), so one NaN-poisoned measure row
+    would SILENTLY drop value mass from every decimal-exact sum — the
+    exact failure the decimal-overflow posture (SURVEY: abort, don't
+    NULL value mass) forbids. DuckDB's CAST aborts on non-finite input,
+    so this guard also keeps the two engines' contracts identical.
+    NULL passes through (absent ≠ poisoned); the branch is two codegen
+    comparisons per value — measured noise-level on the hot aggregates.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({_PREC},{scale})")
+    d = c.cast("double")
+    bad = F.isnan(d) | (F.abs(d) == F.lit(float("inf")))
+    return F.when(
+        c.isNull() | ~bad, c.cast(f"decimal({_PREC},{scale})")
+    ).otherwise(
+        F.raise_error(
+            F.lit("non-finite value in decimal-exact measure")
+        )
+    )
 
 
 def dsum(col: Column | str, scale: int = 2) -> Column:
@@ -60,3 +79,13 @@ def sql_davg(expr: str, scale: int = 2) -> str:
         f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
         f" / COUNT({expr})"
     )
+
+
+# Shared-SQL boundary note (r07): queries whose Spark arm executes the
+# SAME SQL text as the oracle (sql_* battery) cast via the engine's bare
+# CAST — there Spark's NaN→NULL lenience cannot be intercepted without
+# forking the shared text (Spark spells abort `raise_error()`, DuckDB
+# `error()`). The python-built plans all route through dec() and abort;
+# for the shared-text battery the finite-input contract is enforced by
+# the oracle arm (DuckDB aborts), and the boundary is documented in
+# SURVEY §robustness.

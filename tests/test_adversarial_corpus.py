@@ -412,3 +412,52 @@ def test_every_oracle_query_matches_on_empty_corpus(spark, empty_corpus_dir):
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# Non-finite measure contract (r07): NaN/Inf must ABORT, never NULL away
+# ---------------------------------------------------------------------------
+
+
+def test_nan_poisoned_measure_aborts_on_both_engines(spark, tmp_path):
+    """Spark casts NaN/±Inf → decimal as NULL even under ANSI, which
+    would SILENTLY drop value mass from every decimal-exact sum; DuckDB
+    aborts. dec() now carries a non-finite abort guard so both engines
+    enforce the same finite-input contract (the decimal-overflow
+    posture: abort, don't NULL value mass)."""
+    import math
+
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import PythonException
+
+    from bytewax_iceberg_connector_spark.functions.numeric import (
+        dsum,
+        sql_dsum,
+    )
+
+    # pyarrow directly: pandas' to_parquet would turn NaN into NULL
+    # (missing), but the class under test is a GENUINE IEEE NaN payload
+    tbl = pa.table({"x": pa.array([1.5, math.nan, 2.25], type=pa.float64())})
+    p = tmp_path / "m.parquet"
+    pq.write_table(tbl, p)
+
+    sdf = spark.read.parquet(str(p))
+    with pytest.raises(Exception, match="non-finite"):
+        sdf.agg(dsum("x")).collect()
+    # Inf aborts identically
+    sdf2 = spark.createDataFrame([(1.0,), (float("inf"),)], "x double")
+    with pytest.raises(Exception, match="non-finite"):
+        sdf2.agg(dsum("x")).collect()
+    # NULL is absent, not poisoned: passes and is skipped
+    sdf3 = spark.createDataFrame([(1.5,), (None,), (2.25,)], "x double")
+    assert sdf3.agg(dsum("x").alias("s")).collect()[0].s == 3.75
+
+    # oracle arm: DuckDB's bare CAST aborts on the same input
+    con = duckdb.connect()
+    try:
+        con.execute(f"CREATE VIEW m AS SELECT * FROM read_parquet('{p}')")
+        with pytest.raises(Exception):
+            con.execute(f"SELECT {sql_dsum('x')} FROM m").fetchall()
+    finally:
+        con.close()
