@@ -78,3 +78,51 @@ def test_load_vectors_modal_dim_memo_tracks_corpus_changes(spark, tmp_path):
     got = load_vectors(spark, str(tmp_path))
     assert got.count() == 6
     assert len(got.select("embedding").first()[0]) == 4
+
+
+def test_ns_loader_pre_epoch_truncation_matches_duckdb(spark, tmp_path):
+    """The ns→µs read path divides by 1000 with Spark's `div` (truncation
+    toward zero). DuckDB's ns-parquet read truncates toward zero too —
+    including for PRE-EPOCH (negative) nanosecond values, where a floor
+    division would land one microsecond earlier. Pinned on both signs so
+    a loader rewrite can't silently shift pre-1970 timestamps."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet").slice(0, 3)
+    fields, cols = [], {}
+    for f in src.schema:
+        if f.name == "ts":
+            fields.append(pa.field("ts", pa.timestamp("ns")))
+            cols["ts"] = pa.array(
+                [-1500, 1500, -999_999_999], type=pa.timestamp("ns")
+            )
+        else:
+            fields.append(f)
+            cols[f.name] = src.column(f.name)
+    pq.write_table(
+        pa.table(cols, schema=pa.schema(fields)),
+        tmp_path / "events.parquet",
+    )
+
+    got = sorted(
+        r.ts
+        for r in load_table(spark, str(tmp_path), "events")
+        .select("ts")
+        .collect()
+    )
+    con = duckdb.connect()
+    try:
+        want = sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT CAST(ts AS TIMESTAMP) FROM "
+                f"read_parquet('{tmp_path}/events.parquet')"
+            ).fetchall()
+        )
+    finally:
+        con.close()
+    assert got == want
