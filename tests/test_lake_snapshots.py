@@ -866,3 +866,24 @@ def test_incremental_range_with_expired_interior_raises_cleanly(
     sink.expire_snapshots(keep_last=2)
     with pytest.raises(ValueError, match="expired.*re-baseline"):
         sink.read_incremental(1)
+
+
+def test_changes_across_compaction_boundary_is_empty(spark, tmp_path, batches):
+    """Compaction rewrites files but no logical rows — a CDC window
+    spanning ONLY a compaction must be empty (the multiset diff cancels;
+    a file-level diff would report phantom delete+insert of everything),
+    and a window spanning an append + a compaction must report exactly
+    the appended rows."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    v1 = sink._log.current_id()
+    sink.append(b2)
+    v2 = sink._log.current_id()
+    sink.compact()
+    v3 = sink._log.current_id()
+    assert v3 > v2
+    assert sink.changes(v2, v3).count() == 0
+    ch = sink.changes(v1, v3)
+    assert ch.where("_change_type = 'delete'").count() == 0
+    assert ch.where("_change_type = 'insert'").count() == b2.count()
