@@ -364,3 +364,46 @@ def test_dup_family_histogram_known_families(spark, tmp_path):
         (3, 1, 3, 3_000_000 // 6),
     }
     _diff(sp, _oracle(tmp_path, _SQL_DUP_FAMILY_HISTOGRAM))
+
+
+def test_dedup_clusters_giant_exact_family_collapses(spark, tmp_path):
+    """The exact-family pre-collapse (r07): a B-copy boilerplate family
+    must come back as ONE cluster of B members — with the pair graph
+    built over one representative, never B(B−1)/2 materialized pairs
+    (same-corpus live A/B: 20 000 copies finish in ~15 s collapsed while
+    the pair-materializing shape grinds past minutes). Also pins the
+    no-shingle guard: identical SHORT docs (<3 tokens, no shingles) must
+    NOT become a cluster — the pair graph never had them, on either
+    engine."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.plans.llm import dedup_clusters
+
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    base_max = max(x.as_py() for x in src.column("doc_id"))
+    text = "the quick brown fox jumps over the lazy dog once more " * 4
+    n = 300
+    farm = pa.table({
+        "doc_id": pa.array(
+            [base_max + 1 + i for i in range(n + 2)], type=pa.int64()
+        ),
+        "text": pa.array([text] * n + ["too short", "too short"]),
+        "lang": pa.array(["en"] * (n + 2)),
+        "source": pa.array(["farm"] * (n + 2)),
+        "n_chars": pa.array(
+            [len(text)] * n + [9, 9], type=pa.int64()
+        ),
+    })
+    pq.write_table(
+        pa.concat_tables([src, farm.cast(src.schema)]),
+        tmp_path / "documents.parquet",
+    )
+
+    rows = dedup_clusters(spark, str(tmp_path)).collect()
+    by_id = {r.cluster_id: r.n_members for r in rows}
+    # the farm family is one cluster keyed by its min doc_id
+    assert by_id.get(base_max + 1) == n
+    # the two identical no-shingle docs are NOT a cluster
+    assert base_max + 1 + n not in by_id
+    assert all(m >= 2 for m in by_id.values())
