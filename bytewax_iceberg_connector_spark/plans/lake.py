@@ -402,7 +402,7 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_partitions=4,
         partition_spec=[("ts", "day")],
     )
-    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
+    batch = F.coalesce(F.pmod(F.col("event_id"), 2), F.lit(0))
     sink = LakeSink(spark, cfg)
     sink.append(ev.where(batch == 0))
     sink.evolve_partition_spec([("event_type", "identity")])
@@ -427,7 +427,7 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_EVOLUTION = """
-SELECT CASE WHEN COALESCE(event_id % 2, 0) = 0
+SELECT CASE WHEN COALESCE(((event_id % 2) + 2) % 2, 0) = 0
             THEN 'day_spec' ELSE 'type_spec' END AS era,
        COUNT(*) AS n_events,
        COUNT(DISTINCT event_id) AS n_distinct_ids,
@@ -470,7 +470,7 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         warehouse_path=warehouse,
         num_partitions=4,
     )
-    batch = F.coalesce(F.col("event_id") % 2, F.lit(0))
+    batch = F.coalesce(F.pmod(F.col("event_id"), 2), F.lit(0))
     sink = LakeSink(spark, cfg)
     sink.append(ev.where(batch == 0))
     sink.append(
@@ -497,10 +497,10 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SCHEMA_EVOLUTION = f"""
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CASE WHEN COALESCE(event_id % 2, 0) = 0 THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN COALESCE(((event_id % 2) + 2) % 2, 0) = 0 THEN 1 ELSE 0 END)
             AS BIGINT) AS n_pre_evolution,
        {sql_dsum(
-           "CASE WHEN COALESCE(event_id % 2, 0) = 1"
+           "CASE WHEN COALESCE(((event_id % 2) + 2) % 2, 0) = 1"
            " THEN COALESCE(value, 0) * 2 ELSE 0 END"
        )}
          AS quality_mass
@@ -562,7 +562,7 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             # outputs empty. The sink's own repartition fan-out (the
             # contract under proof) runs downstream of it.
             sink.append(
-                ev.where(F.col("event_id") % _COMPACT_SLICES == i).coalesce(1)
+                ev.where(F.pmod(F.col("event_id"), _COMPACT_SLICES) == i).coalesce(1)
             )
         log = sink._log
         rows, prev = [], set()
@@ -615,7 +615,8 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_COMPACT = f"""
 WITH c AS (
-  SELECT event_id % {_COMPACT_SLICES} AS commit_id,
+  SELECT ((event_id % {_COMPACT_SLICES}) + {_COMPACT_SLICES})
+         % {_COMPACT_SLICES} AS commit_id,
          CAST(COUNT(*) AS BIGINT) AS n_rows
   FROM events WHERE event_id IS NOT NULL GROUP BY 1
 )

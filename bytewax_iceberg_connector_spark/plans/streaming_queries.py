@@ -498,7 +498,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type",
                 (
                     F.col("tsu")
-                    + (F.col("event_id") % 150 + 1) * F.lit(60_000_000)
+                    + (F.pmod(F.col("event_id"), 150) + 1) * F.lit(60_000_000)
                 ).alias("tsu"),
             )
         ).unionByName(
@@ -507,7 +507,7 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type",
                 (
                     F.col("tsu")
-                    + (F.col("event_id") % 120 + 180) * F.lit(60_000_000)
+                    + (F.pmod(F.col("event_id"), 120) + 180) * F.lit(60_000_000)
                 ).alias("tsu"),
             )
         )
@@ -539,6 +539,9 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "event_type": pdf["event_type"],
                     "kept": pd.Series(kept, dtype="int64"),
+                    # numpy % is FLOOR-mod: non-negative for positive
+                    # modulus even on negative ids — the oracle restates
+                    # it as ((id % 1000) + 1000) % 1000 (DuckDB % truncs)
                     "idmod": (pdf["event_id"] % 1000).astype("int64"),
                 }
             )
@@ -567,11 +570,11 @@ WITH RECURSIVE dup AS MATERIALIZED (
   FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
   UNION ALL
   SELECT event_id, event_type,
-         epoch_us(ts) + ((event_id % 150) + 1) * 60000000
+         epoch_us(ts) + ((((event_id % 150) + 150) % 150) + 1) * 60000000
   FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
   UNION ALL
   SELECT event_id, event_type,
-         epoch_us(ts) + ((event_id % 120) + 180) * 60000000
+         epoch_us(ts) + ((((event_id % 120) + 120) % 120) + 180) * 60000000
   FROM events WHERE event_id IS NOT NULL AND ts IS NOT NULL
 ), seq AS MATERIALIZED (
   SELECT event_id, event_type, tsu,
@@ -592,8 +595,9 @@ SELECT event_type,
        CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
        CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT)
          AS n_suppressed,
-       CAST(SUM(CASE WHEN kept THEN event_id % 1000 ELSE 0 END) AS BIGINT)
-         AS kept_id_checksum
+       CAST(SUM(CASE WHEN kept
+                THEN ((event_id % 1000) + 1000) % 1000 ELSE 0 END)
+            AS BIGINT) AS kept_id_checksum
 FROM walk
 GROUP BY event_type
 ORDER BY event_type

@@ -461,3 +461,86 @@ def test_nan_poisoned_measure_aborts_on_both_engines(spark, tmp_path):
             con.execute(f"SELECT {sql_dsum('x')} FROM m").fetchall()
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Negative-ids sweep (r07): sign-safe modulo across the %-using class
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def neg_ids_dir(tmp_path_factory):
+    """sf0.001 with every documents/embeddings/events id shifted to a
+    large NEGATIVE (id − 2⁴⁰). The class it pins: `x % k == i` filters
+    and `% k` range constructions are only total over non-negative keys
+    — Spark's and DuckDB's `%` keep the dividend's sign, so a negative
+    odd id returns −1 and escapes BOTH parity arms (the same
+    vanish-through-every-filter class the r06 NULL hardening fixed).
+
+    r07 finds (4, via /tmp/negid_sweep.py protocol): partition_evolution
+    and schema_evolution dropped every negative-odd row from both batch
+    splits; compaction_planning's slice filters matched no negative
+    residue; streaming_dedup_watermark's replay offsets went negative
+    AND its pandas checksum (floor-mod, non-negative) diverged from the
+    oracle's trunc-mod. All now sign-safe pmod on both engines.
+    """
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("neg_ids")
+    S = 1 << 40
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT event_id - {S} AS event_id, ts, user_id - {S} AS "
+        f"user_id, event_type, value, props FROM "
+        f"read_parquet('{src}/events.parquet')) TO "
+        f"'{d}/events.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT doc_id - {S} AS doc_id, text, lang, source, "
+        f"n_chars FROM read_parquet('{src}/documents.parquet')) TO "
+        f"'{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY (SELECT vec_id - {S} AS vec_id, embedding, label FROM "
+        f"read_parquet('{src}/embeddings.parquet')) TO "
+        f"'{d}/embeddings.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    return d
+
+
+@pytest.mark.deep
+def test_modulo_using_queries_match_oracle_on_negative_ids(
+    spark, neg_ids_dir
+):
+    """Every oracle query that uses `%` over the re-keyed tables must
+    agree with DuckDB when ids are large negatives."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    tpch = ("lineitem", "orders", "customer", "supplier", "part",
+            "nation", "region")
+    targets = sorted(
+        n
+        for n, sql in oracles.items()
+        if "%" in sql
+        and not any(t in sql for t in tpch)
+        and any(t in sql for t in ("documents", "embeddings", "events"))
+    )
+    assert len(targets) >= 25, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(neg_ids_dir)).toPandas()
+            op = duck_oracle(neg_ids_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
