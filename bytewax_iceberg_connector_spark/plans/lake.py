@@ -387,9 +387,11 @@ def partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverges. Citation: Iceberg spec §Partition Evolution;
     operators/sink.py::evolve_partition_spec.
 
-    r06 adversarial hardening: the split key is ``coalesce(event_id % 2,
-    0)`` (a NULL-keyed row must land in a batch, not vanish through both
-    parity filters), and the era comes from the ``_spec_id`` METADATA
+    r06/r07 adversarial hardening: the split key is
+    ``coalesce(pmod(event_id, 2), 0)`` (a NULL-keyed row must land in a
+    batch and a NEGATIVE-keyed row must not return residue −1 and vanish
+    through both parity filters — sign-safe pmod, oracle
+    ``((x % 2) + 2) % 2``), and the era comes from the ``_spec_id`` METADATA
     column (``read(with_spec_id=True)``, Iceberg's own metadata column) —
     classifying by ``_p_ts_day IS NOT NULL`` misattributed day-spec rows
     whose partition VALUE is legitimately NULL (a NULL-ts event).
@@ -455,9 +457,10 @@ def schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle reproduces the same parity split from the source table.
 
-    Batch split + fill contracts (r06 adversarial finds): the split key is
-    ``coalesce(event_id % 2, 0)`` — a NULL-keyed row lands in the FIRST
-    batch instead of being silently dropped by both parity filters; and
+    Batch split + fill contracts (r06/r07 adversarial finds): the split
+    key is ``coalesce(pmod(event_id, 2), 0)`` — a NULL-keyed row lands in
+    the FIRST batch and a negative-keyed row gets a non-negative residue,
+    instead of being silently dropped by both parity filters; and
     the evolved column is written as ``coalesce(value, 0) * 2`` so
     ``quality IS NULL`` is a faithful pre-evolution marker (a raw
     ``value * 2`` made every post-evolution NULL-value row masquerade as
@@ -533,7 +536,7 @@ def compaction_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads, not a table scan.
 
     The oracle derives the WHOLE report from the source table alone
-    (commit i holds ``event_id % slices = i``; round-robin fan-out writes
+    (commit i holds ``pmod(event_id, slices) = i``; round-robin fan-out writes
     exactly ``least(num_partitions, n_rows)`` DATA files — consecutive
     round-robin from the single input split covers min(parts, rows)
     outputs; at larger inputs every output gets rows), so the green row
