@@ -935,10 +935,24 @@ class LakeSink:
             return self.spark.table("_bic_changes")
         # merge_schema on BOTH sides: a CDC window crossing a schema-
         # evolution boundary must align columns (pre-evolution rows diff
-        # with NULL in the added column, not against a truncated schema)
+        # with NULL in the added column, not against a truncated schema).
+        # merge_schema only merges WITHIN each snapshot's own files, so a
+        # column added between the two snapshots exists on one side only
+        # — null-fill it on the other (both directions), exactly how the
+        # evolved read null-fills pre-evolution rows. (Found by the lake
+        # model's CDC closure: changes() across an append_evolved
+        # crashed UNRESOLVED_COLUMN on the pre-evolution side.)
         old = self.read(as_of=from_snapshot, merge_schema=True)
         new = self.read(as_of=to_snapshot, merge_schema=True) \
             if to_snapshot is not None else self.read(merge_schema=True)
+        new_types = dict(new.dtypes)
+        old_types = dict(old.dtypes)
+        for c, t in new_types.items():
+            if not c.startswith("_p_") and c not in old_types:
+                old = old.withColumn(c, F.lit(None).cast(t))
+        for c, t in old_types.items():
+            if not c.startswith("_p_") and c not in new_types:
+                new = new.withColumn(c, F.lit(None).cast(t))
         data_cols = [c for c in new.columns if not c.startswith("_p_")]
         old, new = old.select(*data_cols), new.select(*data_cols)
         return (

@@ -283,6 +283,35 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
         }
         assert got == want, (snap_id, got, want, snap_ids)
 
+    # CDC closure (r07): changes(v_i, v_j) between retained snapshots
+    # must restate the model diff. Ids are unique and values derive from
+    # the id, so the only rows CDC may report beyond the id-set diff are
+    # delete+insert PAIRS for the same id (an in-place value change —
+    # e.g. a merge replacing an evolved row with a null-filled one);
+    # those must pair up exactly and only over ids live in BOTH
+    # snapshots. Bounded to ≤3 pairs per example for wall-clock.
+    if len(snap_ids) >= 2:
+        pairs = {(0, len(snap_ids) - 1), (0, 1),
+                 (len(snap_ids) - 2, len(snap_ids) - 1)}
+        for i, j in sorted(pairs):
+            if i >= j:
+                continue
+            ch = (
+                sink.changes(snap_ids[i], snap_ids[j])
+                .select("event_id", "_change_type")
+                .collect()
+            )
+            ins = sorted(r.event_id for r in ch if r._change_type == "insert")
+            dels = sorted(r.event_id for r in ch if r._change_type == "delete")
+            must_ins = history[j] - history[i]
+            must_del = history[i] - history[j]
+            assert must_ins <= set(ins), (i, j, ins, must_ins)
+            assert must_del <= set(dels), (i, j, dels, must_del)
+            extra_i = sorted(x for x in ins if x not in must_ins)
+            extra_d = sorted(x for x in dels if x not in must_del)
+            assert extra_i == extra_d, (i, j, extra_i, extra_d)
+            assert set(extra_i) <= (history[i] & history[j])
+
     # every surviving tag must still resolve to its pinned live set —
     # even when expire trimmed past it or its branch was dropped
     for name, want in tags.items():
