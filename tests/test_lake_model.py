@@ -119,18 +119,21 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
     tags: dict[str, set[int]] = {}
     n_tags = 0
 
-    def committed():
+    ops_log: list[str] = []   # op kind that produced each retained snapshot
+
+    def committed(kind="append"):
         # snapshot ids are GLOBAL across branches, so read main's real
         # head instead of counting main commits
         history.append(set(live))
         snap_ids.append(sink._log.current_id())
+        ops_log.append(kind)
 
     # ensure the table exists (rollback/delete before any commit is a
     # client error, not a semantics question)
     ids = fresh(2)
     sink.append(_rows(spark, ids))
     live |= set(ids)
-    committed()
+    committed("append")
 
     main_commit_ops = {
         "append", "overwrite", "delete_below", "rollback", "merge",
@@ -263,14 +266,15 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             sink.expire_snapshots(keep_last=arg)
             history = history[-arg:]
             snap_ids = snap_ids[-arg:]
+            ops_log = ops_log[-arg:]
         if op in main_commit_ops:
             if branch_live is not None:
                 # main advanced past the branch fork: a later publish
                 # must now conflict instead of dropping this commit
                 publish_ok = False
-            committed()
+            committed(op)
         elif published:
-            committed()  # publish is itself a main snapshot
+            committed("publish")  # publish is itself a main snapshot
         got = {r.event_id for r in sink.read(merge_schema=True).select("event_id").collect()}
         assert got == live, (op, arg, got, live)
 
@@ -311,6 +315,34 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
             extra_d = sorted(x for x in dels if x not in must_del)
             assert extra_i == extra_d, (i, j, extra_i, extra_d)
             assert set(extra_i) <= (history[i] & history[j])
+
+    # incremental-read closure (r07): over the same sampled pairs,
+    # read_incremental must (a) succeed and return EXACTLY the live-set
+    # growth when every op in the range is a pure append, and (b) in
+    # every other case either veto with ValueError or — if it does
+    # return (e.g. a publish range that is append-only on the lineage)
+    # — still return exactly the growth: a wrongly-accepted replacing
+    # range cannot match growth (removals make growth ≠ appended files).
+    if len(snap_ids) >= 2:
+        append_kinds = {"append", "append_evolved"}
+        for i, j in sorted(pairs):
+            if i >= j:
+                continue
+            range_ops = ops_log[i + 1: j + 1]
+            all_append = all(o in append_kinds for o in range_ops)
+            try:
+                inc = {
+                    r.event_id
+                    for r in sink.read_incremental(snap_ids[i], snap_ids[j])
+                    .select("event_id")
+                    .collect()
+                }
+            except ValueError:
+                assert not all_append, (i, j, range_ops)
+                continue
+            assert inc == history[j] - history[i], (
+                i, j, range_ops, inc, history[j] - history[i]
+            )
 
     # every surviving tag must still resolve to its pinned live set —
     # even when expire trimmed past it or its branch was dropped
