@@ -344,6 +344,33 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
                 i, j, range_ops, inc, history[j] - history[i]
             )
 
+    # TIMESTAMP AS OF closure (r07): reading at a retained snapshot's
+    # own logged wall-clock must resolve along MAIN lineage only (staged
+    # wap commits are invisible) to the latest retained main snapshot at
+    # or before that instant — consecutive commits often share a
+    # millisecond in tests, so the expectation is ms-collision aware
+    # (max window index whose ts <= t). Bounded to ≤3 probes.
+    ts_of = {
+        s["snapshot_id"]: s["timestamp_ms"]
+        for s in sink._log.snapshots()
+        if s.get("branch", "main") == "main"
+    }
+    win_ts = [ts_of.get(s) for s in snap_ids]
+    probe_idx = sorted({0, len(snap_ids) // 2, len(snap_ids) - 1})
+    for idx in probe_idx:
+        t = win_ts[idx]
+        if t is None:
+            continue
+        cand = [k for k, t2 in enumerate(win_ts) if t2 is not None and t2 <= t]
+        want_ts = history[max(cand)]
+        got_ts = {
+            r.event_id
+            for r in sink.read(as_of_timestamp_ms=t, merge_schema=True)
+            .select("event_id")
+            .collect()
+        }
+        assert got_ts == want_ts, (idx, t, got_ts, want_ts)
+
     # every surviving tag must still resolve to its pinned live set —
     # even when expire trimmed past it or its branch was dropped
     for name, want in tags.items():
