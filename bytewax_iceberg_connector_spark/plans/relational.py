@@ -395,18 +395,31 @@ def grouping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # the measure stays DECIMAL through the rebuild (cast to double only
+    # at output): re-summing a double intermediate would drop cents once
+    # the grand total passes 2^53/100 — exact at any SF this way
     rolled = joined.rollup("r_name", "n_name").agg(
-        dsum("o_totalprice").alias("revenue"),
+        F.sum(dec("o_totalprice", 2)).alias("_rev"),
         F.count("*").alias("n_orders"),
         F.grouping_id().alias("_gid"),
     )
     total = rolled.where(F.col("_gid") == 0).agg(
         F.lit(None).cast("string").alias("r_name"),
         F.lit(None).cast("string").alias("n_name"),
-        F.sum(dec("revenue", 2)).cast("double").alias("revenue"),
+        F.sum("_rev").alias("_rev"),
         F.coalesce(F.sum("n_orders"), F.lit(0)).alias("n_orders"),
     )
-    return rolled.where(F.col("_gid") != 3).drop("_gid").unionByName(total)
+    return (
+        rolled.where(F.col("_gid") != 3)
+        .drop("_gid")
+        .unionByName(total)
+        .select(
+            "r_name",
+            "n_name",
+            F.col("_rev").cast("double").alias("revenue"),
+            "n_orders",
+        )
+    )
 
 
 _SQL_ROLLUP = f"""
@@ -441,19 +454,26 @@ def grouping_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cubed = src.cube("event_type", "user_bucket").agg(
         F.count("*").alias("n_events"),
-        dsum("value").alias("total_value"),
+        F.sum(dec("value", 2)).alias("_tv"),
         F.grouping_id("event_type", "user_bucket").cast("long").alias("gid"),
     )
     total = cubed.where(F.col("gid") == 0).agg(
         F.lit(None).cast("string").alias("event_type"),
         F.lit(None).cast("long").alias("user_bucket"),
         F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
-        F.sum(dec("total_value", 2)).cast("double").alias("total_value"),
+        F.sum("_tv").alias("_tv"),
         F.lit(3).cast("long").alias("gid"),
     )
     return (
         cubed.where(F.col("gid") != 3)
         .unionByName(total)
+        .select(
+            "event_type",
+            "user_bucket",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+            "gid",
+        )
         .orderBy("gid", "event_type", "user_bucket")
     )
 
@@ -883,18 +903,28 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = bucketed.rollup("day", "hour").agg(
         F.grouping_id().cast("long").alias("lvl"),
         F.count("*").alias("n_events"),
-        dsum("value").alias("total_value"),
+        F.sum(dec("value", 2)).alias("_tv"),
     )
     # standard empty-input () row, rebuilt from the hour-level details
-    # (see grouping_rollup's empty-input contract)
+    # (see grouping_rollup's empty-input contract; decimal until output)
     total = rolled.where(F.col("lvl") == 0).agg(
         F.lit(None).cast("timestamp").alias("day"),
         F.lit(None).cast("timestamp").alias("hour"),
         F.lit(3).cast("long").alias("lvl"),
         F.coalesce(F.sum("n_events"), F.lit(0)).alias("n_events"),
-        F.sum(dec("total_value", 2)).cast("double").alias("total_value"),
+        F.sum("_tv").alias("_tv"),
     )
-    return rolled.where(F.col("lvl") != 3).unionByName(total)
+    return (
+        rolled.where(F.col("lvl") != 3)
+        .unionByName(total)
+        .select(
+            "day",
+            "hour",
+            "lvl",
+            "n_events",
+            F.col("_tv").cast("double").alias("total_value"),
+        )
+    )
 
 
 _SQL_TIME_ROLLUP = f"""
