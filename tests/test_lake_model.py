@@ -371,6 +371,23 @@ def test_lake_matches_in_memory_model(spark, tmp_path_factory, ops):
         }
         assert got_ts == want_ts, (idx, t, got_ts, want_ts)
 
+    # stats-prune closure (r07): file skipping from footer-harvested
+    # bounds must be a pure SUPERSET optimization — a banded read plus
+    # the residual row filter must equal the model's filter, whatever
+    # evolution/compaction/rollback did to the files (v = float(id)).
+    if live:
+        lo = float(min(live))
+        hi = float(sorted(live)[len(live) // 2])
+        got_p = {
+            r.event_id
+            for r in sink.read(prune={"v": (lo, hi)}, merge_schema=True)
+            .where(f"v >= {lo} AND v <= {hi}")
+            .select("event_id")
+            .collect()
+        }
+        want_p = {i for i in live if lo <= float(i) <= hi}
+        assert got_p == want_p, (lo, hi, got_p, want_p)
+
     # every surviving tag must still resolve to its pinned live set —
     # even when expire trimmed past it or its branch was dropped
     for name, want in tags.items():
