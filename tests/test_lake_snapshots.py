@@ -887,3 +887,38 @@ def test_changes_across_compaction_boundary_is_empty(spark, tmp_path, batches):
     ch = sink.changes(v1, v3)
     assert ch.where("_change_type = 'delete'").count() == 0
     assert ch.where("_change_type = 'insert'").count() == b2.count()
+
+
+def test_read_incremental_across_schema_evolution(spark, tmp_path):
+    """An append range containing both pre- and post-evolution commits
+    must load as one union with the added column null-filled on older
+    rows (the CDC twin of this crossing crashed UNRESOLVED_COLUMN before
+    the r07 model closure; the incremental path merges within its loaded
+    group and is pinned here)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    sink = _sink(spark, tmp_path)
+
+    def rows(ids, ev=False):
+        if ev:
+            return spark.createDataFrame(
+                [Row(event_id=i, ts=dt.datetime(2024, 1, 1, 9),
+                     v=float(i), q=float(i) * 2) for i in ids]
+            )
+        return spark.createDataFrame(
+            [Row(event_id=i, ts=dt.datetime(2024, 1, 1, 9), v=float(i))
+             for i in ids]
+        )
+
+    sink.append(rows([0, 1]))
+    v1 = sink._log.current_id()
+    sink.append(rows([2, 3]))
+    sink.append(rows([4, 5], ev=True))
+    v3 = sink._log.current_id()
+
+    inc = sink.read_incremental(v1, v3)
+    assert "q" in inc.columns
+    got = {(r.event_id, r.q) for r in inc.select("event_id", "q").collect()}
+    assert got == {(2, None), (3, None), (4, 8.0), (5, 10.0)}
