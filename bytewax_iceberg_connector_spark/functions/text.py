@@ -67,13 +67,17 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 #: DuckDB mirror of bpe_ish_token_count (same runs pattern, same ceil math).
 #: COALESCE: DuckDB's list_sum over an empty list is NULL while Spark's
 #: F.aggregate returns its 0 seed — empty/whitespace-only docs must count 0
-#: tokens on BOTH engines.
+#: tokens on BOTH engines. The outer CASE keeps NULL text NULL-in-NULL-out
+#: (Spark's aggregate over a NULL runs array is NULL): without it, an
+#: all-NULL-text group summed to 0 on the oracle but NULL on the engine
+#: (r07 all-NULL-columns sweep find).
 SQL_BPE_COUNT = (
+    "CASE WHEN {col} IS NULL THEN NULL ELSE "
     "COALESCE(list_sum(list_transform("
     "  regexp_extract_all(lower({col}), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),"
     "  x -> CASE WHEN regexp_matches(x, '^[0-9]') THEN CAST(CEIL(LENGTH(x)/3.0) AS BIGINT)"
     "            WHEN regexp_matches(x, '^[a-z]') THEN CAST(CEIL(LENGTH(x)/4.0) AS BIGINT)"
-    "            ELSE 1 END)), 0)"
+    "            ELSE 1 END)), 0) END"
 )
 
 

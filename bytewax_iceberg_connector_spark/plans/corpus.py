@@ -895,8 +895,9 @@ def _bpe_encode_sql(n_merges: int = _BPE_MERGES) -> str:
     return head + f"""
 , enc AS (
   SELECT source,
-         CAST(COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0) AS BIGINT)
-           AS nb,
+         CAST(CASE WHEN text IS NULL THEN NULL
+              ELSE COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0)
+              END AS BIGINT) AS nb,
          len(list_filter(string_split_regex(trim({expr}), ' +'),
              x -> x <> '')) AS na
   FROM documents
@@ -978,8 +979,9 @@ def _fertility_sql(n_merges: int = _BPE_MERGES) -> str:
 , enc AS (
   SELECT lang,
          CAST(len({_SQL_TOKS}) AS BIGINT) AS nw,
-         CAST(COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0) AS BIGINT)
-           AS nc,
+         CAST(CASE WHEN text IS NULL THEN NULL
+              ELSE COALESCE(list_sum(list_transform({_SQL_TOKS}, w -> len(w))), 0)
+              END AS BIGINT) AS nc,
          len(list_filter(string_split_regex(
              trim({_bpe_apply_sql_expr(n_merges)}), ' +'), x -> x <> '')) AS nt
   FROM documents

@@ -129,7 +129,13 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "lang",
         F.greatest(F.size(t) - 2, F.lit(0)).cast("long").alias("total"),
-        F.size(X.shingles("text", 3)).cast("long").alias("dist"),
+        # coalesce: NULL text is the empty doc here — total is already 0
+        # for it on BOTH engines (greatest skips the NULL), so dist must
+        # be 0 too, not a NULL that silently vanishes from the lang sum
+        # (r07 all-NULL-columns sweep find)
+        F.coalesce(F.size(X.shingles("text", 3)), F.lit(0))
+        .cast("long")
+        .alias("dist"),
     )
     return (
         per_doc.groupBy("lang")
@@ -448,7 +454,12 @@ def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs_total"),
             F.sum("n_tok").alias("tokens_total"),
-            F.sum((F.col("before") < _TOKEN_BUDGET).cast("long")).alias("n_docs_kept"),
+            # when/otherwise, not a bool cast: a NULL running total (the
+            # all-NULL-text group) must count 0 like the oracle's CASE
+            # ELSE arm, not a NULL that empties the sum
+            F.sum(
+                F.when(F.col("before") < _TOKEN_BUDGET, 1).otherwise(0)
+            ).alias("n_docs_kept"),
             F.sum(
                 F.when(F.col("before") < _TOKEN_BUDGET, F.col("n_tok")).otherwise(0)
             ).alias("tokens_kept"),
@@ -640,8 +651,14 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "lang",
         n_chunks.cast("long").alias("nc"),
-        F.aggregate(chunk_sizes, F.lit(0).cast("long"),
-                    lambda acc, x: acc + x).alias("ct"),
+        # coalesce: NULL text still counts 1 (short) chunk on both
+        # engines, and that chunk holds 0 tokens — the oracle's COALESCE
+        # arm; an un-coalesced NULL fold would empty the lang sum
+        F.coalesce(
+            F.aggregate(chunk_sizes, F.lit(0).cast("long"),
+                        lambda acc, x: acc + x),
+            F.lit(0).cast("long"),
+        ).alias("ct"),
     )
     return (
         per_doc.groupBy("lang")

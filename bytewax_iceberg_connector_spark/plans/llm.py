@@ -1602,7 +1602,13 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.token_count("text").alias("n_tok"),
         F.length("text").cast("long").alias("n_len"),
         X.stopword_hits("text", "en").alias("sw"),
-        (F.col("n_chars") == F.length("text")).cast("long").alias("chars_ok"),
+        # when/otherwise, not a bool cast: NULL==NULL is unknown, which
+        # counts 0 (not confirmed consistent) like the oracle's CASE —
+        # a bool-cast NULL would empty the all-NULL group's sum
+        F.when(F.col("n_chars") == F.length("text"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("chars_ok"),
     )
     return (
         stats.groupBy("lang", "source")
@@ -2312,7 +2318,12 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("lang", "source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("q") >= 2 / 3).cast("long")).alias("n_kept"),
+            # when/otherwise, not a bool cast: a NULL score (NULL text)
+            # must count 0 like the oracle's CASE ELSE arm — an all-NULL
+            # group otherwise sums to NULL (r07 all-NULL sweep find)
+            F.sum(
+                F.when(F.col("q") >= 2 / 3, 1).otherwise(0)
+            ).alias("n_kept"),
             F.round(F.avg("q"), 6).alias("avg_quality"),
         )
         .orderBy("lang", "source")

@@ -544,3 +544,60 @@ def test_modulo_using_queries_match_oracle_on_negative_ids(
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+# ---------------------------------------------------------------------------
+# All-NULL-columns sweep (r07): rows exist, every non-key column NULL
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def all_null_docs_dir(tmp_path_factory):
+    """documents with every non-key column NULL (ids intact). Harder than
+    the EMPTY corpus for grouped aggregates: groups exist (n_docs > 0)
+    but every measure input is NULL, so SUM-over-all-NULL vs CASE-ELSE-0
+    conventions that agree on mixed groups (SUM skips NULL = +0) diverge
+    here.
+
+    r07 finds (8, via scratch/adversarial_allnull.py): SQL_BPE_COUNT's
+    empty-list COALESCE also mapped NULL text → 0 where Spark propagates
+    NULL (token_stats, bpe_encode, tokenizer_fertility oracles); Spark
+    bool-cast `(cond).cast(long)` summed NULL where the oracle's CASE
+    counted 0 (quality_filter n_kept, token_budget_cap n_docs_kept,
+    text_analysis chars_ok); repetition_ratio's dist and doc_chunking's
+    chunk-token fold needed the empty-payload 0 like their totals."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("allnull_docs")
+    con = duckdb.connect()
+    con.execute(
+        f"COPY (SELECT doc_id, CAST(NULL AS VARCHAR) AS text, "
+        f"CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS source, "
+        f"CAST(NULL AS BIGINT) AS n_chars FROM "
+        f"read_parquet('{src}/documents.parquet')) TO "
+        f"'{d}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.close()
+    return d
+
+
+@pytest.mark.deep
+def test_documents_only_queries_match_oracle_on_all_null_corpus(
+    spark, all_null_docs_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _documents_only_targets()
+    assert len(targets) >= 40, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = qs[name](spark, str(all_null_docs_dir)).toPandas()
+            op = duck_oracle(all_null_docs_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
