@@ -38,6 +38,13 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in sorted(qs) if n not in EXCLUDE]
+    # execution order knob: the wall budget gives the alphabetical tail a
+    # cold single pass every run — SPARK_GRAFT_BENCH_ORDER=desc flips the
+    # order so alternate runs warm the other end. Default stays asc for
+    # cross-round comparability.
+    exec_order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "asc")
+    if exec_order == "desc":
+        names.reverse()
     # light warmup: JVM/parquet-footer startup only. A FULL warmup pass
     # became redundant once timing went best-of-2 — the first timed run
     # is the cold/codegen-compile run and min() always lands on the warm
@@ -62,11 +69,14 @@ def main() -> None:
     t_start = time.perf_counter()
 
     timings: dict[str, float] = {}
+    passes: dict[str, int] = {}
+    unrun_names: list[str] = []
     unrun = 0
     single_pass = 0
     for i, name in enumerate(names):
         if time.perf_counter() - t_start > budget:
             unrun = len(names) - i  # everything from here on is unrun
+            unrun_names = names[i:]
             break
         t0 = time.perf_counter()
         _force(qs[name](spark, sf_dir))
@@ -84,13 +94,37 @@ def main() -> None:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            passes[name] = 2
         else:
             single_pass += 1
+            passes[name] = 1
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # full-fidelity side file: the stdout line is budgeted to the driver's
+    # 2000-char capture window, so the per-query pass count (cold
+    # single-pass vs warm best-of-2) lives here — cross-round tooling
+    # excludes the cold tail mechanically instead of re-deriving it from
+    # the sorted-suffix convention.
+    detail = {
+        "sf": float(sf) if sf else None,
+        "exec_order": exec_order,
+        "total_sec": total,
+        "queries": {
+            n: {"sec": timings[n], "passes": passes[n]} for n in timings
+        },
+        "unrun": unrun_names,
+    }
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_DETAIL.json"), "w"
+        ) as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # a read-only checkout must not kill the stdout contract
     print(
         _final_line(total, timings, float(sf) if sf else None, unrun, single_pass)
     )
