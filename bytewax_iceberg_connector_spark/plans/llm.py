@@ -127,13 +127,89 @@ def _shingle_pairs(
     return pairs, sh
 
 
-def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs: trigram-shingle Jaccard ≥ 0.8, exactly.
+def _shingle_families(arr_df: DataFrame, arr_col: str) -> DataFrame:
+    """Exact-duplicate families over distinct-shingle SETS → (fkey, rep,
+    fam_size). Docs with identical distinct-shingle sets are similarity-
+    indistinguishable — every Jaccard involving any member is equal — so
+    the near-dup contracts collapse each family to its min-doc_id
+    representative and carry the family SIZE instead of enumerating
+    B(B−1)/2 intra-family pair rows (the dedup_clusters r07 precedent: a
+    boilerplate farm with B=10⁶ copies makes the pair output itself
+    quadratic, and the shared-shingle / shared-band self-joins fan out the
+    same way on the hot keys). Zero-shingle docs must be EXCLUDED by the
+    caller: they'd otherwise form one phantom family claiming mutual
+    jaccard 1.0 where the pairwise contract (0/0 undefined) never pairs
+    them.
 
-    The correctness baseline for the dedup family; the candidate space is
-    quadratic in the worst case, so at cluster scale dedup_minhash_lsh
-    replaces it (same output contract).
+    The family key hashes the SORTED hash array — the kernel's set
+    iteration order is not canonical across docs."""
+    return (
+        arr_df.select(
+            "doc_id", F.xxhash64(F.array_sort(arr_col)).alias("fkey")
+        )
+        .groupBy("fkey")
+        .agg(F.min("doc_id").alias("rep"), F.count("*").alias("fam_size"))
+    )
+
+
+def _family_rows(pairs: DataFrame, fams: DataFrame) -> DataFrame:
+    """Shared near-dup output shape: representative cross-family pairs
+    (≥ threshold) annotated with both family sizes, plus one intra-family
+    row per family of ≥ 2 members (rep, rep, jaccard 1.0, size, size) —
+    provably reconstructible to the pairwise-exact form: intra rows expand
+    to C(size, 2) jaccard-1.0 pairs, cross rows to fam_a·fam_b pairs at
+    the representatives' jaccard (pinned by the pytest twin)."""
+    sizes = fams.select("rep", "fam_size")
+    cross = (
+        pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+        .join(
+            sizes.withColumnRenamed("rep", "doc_a")
+            .withColumnRenamed("fam_size", "fam_a"), "doc_a",
+        )
+        .join(
+            sizes.withColumnRenamed("rep", "doc_b")
+            .withColumnRenamed("fam_size", "fam_b"), "doc_b",
+        )
+        .select("doc_a", "doc_b", "jaccard", "fam_a", "fam_b")
+    )
+    intra = fams.where(F.col("fam_size") >= 2).select(
+        F.col("rep").alias("doc_a"),
+        F.col("rep").alias("doc_b"),
+        F.lit(1.0).alias("jaccard"),
+        F.col("fam_size").alias("fam_a"),
+        F.col("fam_size").alias("fam_b"),
+    )
+    return cross.unionByName(intra)
+
+
+def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: trigram-shingle Jaccard ≥ 0.8, exactly, with
+    exact-duplicate families collapsed to representatives.
+
+    The correctness baseline for the dedup family. Exact-duplicate
+    families (identical distinct-shingle sets) collapse to their min-id
+    representative BEFORE the shared-shingle self-join — so a B-copy
+    boilerplate family costs one rep in the pair graph instead of B² join
+    fan-out and B(B−1)/2 output rows; the family sizes in the output make
+    the pairwise form reconstructible (``_near_ngram_pairs_exact`` is the
+    pytest twin). Candidate space over DISTINCT contents stays quadratic
+    in the worst case, so at cluster scale dedup_minhash_lsh replaces the
+    self-join (same output contract).
     """
+    sha = _shingle_array(spark, sf_dir).where(F.size("sha") > 0).persist()
+    fams = _shingle_families(sha, "sha")
+    rep_sha = sha.join(
+        fams.select(F.col("rep").alias("doc_id")), "doc_id"
+    )
+    pairs, sh = _shingle_pairs(spark, sf_dir, sha=rep_sha)
+    return scoped(_family_rows(pairs, fams), sha, sh)
+
+
+def _near_ngram_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-EXACT near-dup twin (pytest reference only): every
+    (doc_a, doc_b) Jaccard ≥ 0.8 pair enumerated. Quadratic pair output on
+    exact-duplicate families — the registered ``dedup_near_ngram``
+    collapses those; this form pins the reconstruction equivalence."""
     pairs, sh = _shingle_pairs(spark, sf_dir)
     return scoped(
         pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
@@ -149,18 +225,35 @@ WITH toks AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
   FROM toks, LATERAL (SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
-), sizes AS (SELECT doc_id, COUNT(*) sz FROM sh GROUP BY doc_id),
+), fam AS (
+  -- family key = the doc's full DISTINCT shingle set (sorted list is a
+  -- canonical, collision-free group key); same doc partition as the
+  -- engine's sorted-hash-array fingerprint
+  SELECT doc_id, list_sort(list(s)) AS fkey FROM sh GROUP BY doc_id
+), fams AS (
+  SELECT MIN(doc_id) AS rep, CAST(COUNT(*) AS BIGINT) AS fam_size
+  FROM fam GROUP BY fkey
+), rsh AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN fams ON sh.doc_id = fams.rep
+), sizes AS (SELECT doc_id, COUNT(*) sz FROM rsh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id doc_a, b.doc_id doc_b, COUNT(*) inter
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       inter * 1.0 / (sa.sz + sb.sz - inter) AS jaccard
+       CAST(inter * 1.0 / (sa.sz + sb.sz - inter) AS DOUBLE) AS jaccard,
+       fa.fam_size AS fam_a, fb.fam_size AS fam_b
 FROM pairs
 JOIN sizes sa ON doc_a = sa.doc_id
 JOIN sizes sb ON doc_b = sb.doc_id
+JOIN fams fa ON doc_a = fa.rep
+JOIN fams fb ON doc_b = fb.rep
 WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
+UNION ALL
+SELECT rep AS doc_a, rep AS doc_b, CAST(1 AS DOUBLE) AS jaccard,
+       fam_size AS fam_a, fam_size AS fam_b
+FROM fams WHERE fam_size >= 2
 """
 
 # ---------------------------------------------------------------------------
@@ -171,13 +264,20 @@ _NUM_PERM = 64
 _ROWS_PER_BAND = 4  # 16 bands → P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2e-4
 
 
-def _minhash_band_index(spark: SparkSession, sf_dir: str):
-    """(base, banded): the persisted shingle table and the persisted
+def _minhash_band_index(spark: SparkSession, sf_dir: str,
+                        collapse_families: bool = False):
+    """(base, banded, fams): the persisted shingle table, the persisted
     (doc_id, band-key) MinHash LSH index — ONE implementation shared by
     the batch self-join (dedup_minhash_lsh) and the incremental
     batch×history path (dedup_incremental_lsh), so the two can never
-    drift on band parameters or empty-doc filtering. Callers scope both
-    frames to their result's lifetime (_cache.scoped).
+    drift on band parameters or empty-doc filtering — and, with
+    ``collapse_families=True``, the exact-duplicate family table
+    (_shingle_families): signatures and bands are then computed ONLY for
+    family representatives, so a B-copy family contributes ONE doc to
+    every band bucket instead of B (the band self-join otherwise fans out
+    B² on each of the family's 16 shared band keys — same quadratic blow-
+    up the collapsed pair contract removes from the output). Callers
+    scope the persisted frames to their result's lifetime (_cache.scoped).
 
     The shingle table is consumed by multiple branches (signature + the
     verify joins) and the band table by both sides of its join — persist
@@ -201,9 +301,14 @@ def _minhash_band_index(spark: SparkSession, sf_dir: str):
         "doc_id",
         X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
     ).where(F.size("sh") > 0).persist()
+    fams = None
+    src = base
+    if collapse_families:
+        fams = _shingle_families(base, "sh")
+        src = base.join(fams.select(F.col("rep").alias("doc_id")), "doc_id")
     # Arrow-vectorized signature kernel (same integer math as the
     # expression form — see functions/similarity.py)
-    sig = base.select(
+    sig = src.select(
         "doc_id", S.minhash_signature_np(_NUM_PERM)(F.col("sh")).alias("sig")
     )
     banded = sig.select(
@@ -212,20 +317,25 @@ def _minhash_band_index(spark: SparkSession, sf_dir: str):
             S.lsh_bands_from_array(F.col("sig"), _NUM_PERM, _ROWS_PER_BAND)
         ).alias("bk"),
     ).persist()
-    return base, banded
+    return base, banded, fams
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) signatures → 16-band LSH → candidate pairs → EXACT
-    Jaccard verify ≥ 0.8.
+    Jaccard verify ≥ 0.8, with exact-duplicate families collapsed to
+    representatives (same output contract as dedup_near_ngram: rep pairs
+    annotated with family sizes + one intra row per ≥2-member family).
 
-    Scale path: signatures are one projection (no shuffle); banding shuffles
-    16 small rows/doc; only bucket-mates pay the exact array verify. Output
-    contract and oracle match dedup_near_ngram — the banding seeds are fixed,
-    so recall (≈1 at these params) is deterministic and the oracle comparison
-    is stable, not probabilistic.
+    Scale path: family collapse first (a B-copy boilerplate family is ONE
+    doc in every band bucket, not B² bucket-mates); signatures are one
+    projection (no shuffle); banding shuffles 16 small rows/rep; only
+    bucket-mates pay the exact array verify. The banding seeds are fixed,
+    so recall (≈1 at these params) is deterministic and the oracle
+    comparison is stable, not probabilistic.
     """
-    base, banded = _minhash_band_index(spark, sf_dir)
+    base, banded, fams = _minhash_band_index(
+        spark, sf_dir, collapse_families=True
+    )
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -237,13 +347,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = pairs.join(sa, "doc_a").join(sb, "doc_b")
     inter = F.size(F.array_intersect("sa", "sb"))
     union = F.size("sa") + F.size("sb") - inter
-    return scoped(
+    verified = (
         cand.withColumn("jaccard", inter / union)
-        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard"),
-        base,
-        banded,
+        .select("doc_a", "doc_b", "jaccard")
     )
+    return scoped(_family_rows(verified, fams), base, banded)
 
 
 def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -264,7 +372,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-not-corpus sized; the exact verify touches only bucket-mates.
     """
     docs = load_table(spark, sf_dir, "documents")
-    base, banded = _minhash_band_index(spark, sf_dir)
+    base, banded, _ = _minhash_band_index(spark, sf_dir)
     is_batch = F.col("doc_id") % _INCR_STRIDE == 0
     bb = banded.where(is_batch).alias("a")
     hb = banded.where(~is_batch).alias("b")

@@ -17,8 +17,10 @@ def test_minhash_lsh_full_recall_on_corpus(spark, sf_dir):
         dedup_near_ngram,
     )
 
-    exact = {(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()}
-    lsh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, sf_dir).collect()}
+    exact = {(r.doc_a, r.doc_b, r.fam_a, r.fam_b)
+             for r in dedup_near_ngram(spark, sf_dir).collect()}
+    lsh = {(r.doc_a, r.doc_b, r.fam_a, r.fam_b)
+           for r in dedup_minhash_lsh(spark, sf_dir).collect()}
     assert exact, "corpus should contain planted near-duplicates"
     assert lsh == exact
 
@@ -27,11 +29,12 @@ def test_simhash_catches_planted_dups(spark, sf_dir):
     """SimHash banding must recover a large share of the high-Jaccard pairs
     (different similarity geometry → exact equality is not expected)."""
     from bytewax_iceberg_connector_spark.plans.llm import (
+        _near_ngram_pairs_exact,
         _simhash_pairs_df,
-        dedup_near_ngram,
     )
 
-    exact = {(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()}
+    exact = {(r.doc_a, r.doc_b)
+             for r in _near_ngram_pairs_exact(spark, sf_dir).collect()}
     sim = {(r.doc_a, r.doc_b) for r in _simhash_pairs_df(spark, sf_dir).collect()}
     assert len(sim & exact) >= len(exact) * 0.7
 
@@ -274,11 +277,12 @@ def test_dedup_clusters_are_transitive(spark, sf_dir):
     (transitivity), members partition the node set, and the cluster id is
     the component minimum."""
     from bytewax_iceberg_connector_spark.plans.llm import (
+        _near_ngram_pairs_exact,
         dedup_clusters,
-        dedup_near_ngram,
     )
 
-    pairs = [(r.doc_a, r.doc_b) for r in dedup_near_ngram(spark, sf_dir).collect()]
+    pairs = [(r.doc_a, r.doc_b)
+             for r in _near_ngram_pairs_exact(spark, sf_dir).collect()]
     clusters = {r.cluster_id: r.n_members for r in dedup_clusters(spark, sf_dir).collect()}
     # reference union-find over the same pairs
     parent = {}
@@ -407,3 +411,53 @@ def test_dedup_clusters_giant_exact_family_collapses(spark, tmp_path):
     # the two identical no-shingle docs are NOT a cluster
     assert base_max + 1 + n not in by_id
     assert all(m >= 2 for m in by_id.values())
+
+
+def test_near_ngram_family_rows_reconstruct_exact_pairs(spark, sf_dir):
+    """The family-collapsed contract is lossless: intra rows (rep, rep,
+    1.0, k, k) expand to C(k,2) jaccard-1.0 pairs among family members,
+    cross rows (rep_a, rep_b, j, ka, kb) to ka*kb pairs at jaccard j —
+    together exactly the pairwise-exact twin's output."""
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _near_ngram_pairs_exact,
+        _shingle_array,
+        _shingle_families,
+        dedup_near_ngram,
+    )
+
+    exact = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+             for r in _near_ngram_pairs_exact(spark, sf_dir).collect()}
+
+    # engine-side family membership (doc_id -> rep)
+    sha = _shingle_array(spark, sf_dir).where(F.size("sha") > 0)
+    fams = _shingle_families(sha, "sha")
+    member = (
+        sha.select(
+            "doc_id", F.xxhash64(F.array_sort("sha")).alias("fkey")
+        )
+        .join(fams, "fkey")
+        .select("doc_id", "rep", "fam_size")
+    )
+    fam_members: dict[int, list[int]] = {}
+    for r in member.collect():
+        fam_members.setdefault(r.rep, []).append(r.doc_id)
+
+    rebuilt = set()
+    rows = dedup_near_ngram(spark, sf_dir).collect()
+    assert rows, "corpus should contain planted near-duplicates"
+    for r in rows:
+        if r.doc_a == r.doc_b:  # intra-family row
+            ms = sorted(fam_members[r.doc_a])
+            assert len(ms) == r.fam_a == r.fam_b >= 2
+            for i, a in enumerate(ms):
+                for b in ms[i + 1:]:
+                    rebuilt.add((a, b, 1.0))
+        else:  # cross-family row
+            ma, mb = fam_members[r.doc_a], fam_members[r.doc_b]
+            assert len(ma) == r.fam_a and len(mb) == r.fam_b
+            for a in ma:
+                for b in mb:
+                    rebuilt.add((min(a, b), max(a, b), round(r.jaccard, 9)))
+    assert rebuilt == exact
