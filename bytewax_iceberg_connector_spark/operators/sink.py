@@ -289,11 +289,25 @@ class LakeSink:
         write step of write-audit-publish — Iceberg's ``spark.wap.branch``
         session conf): main readers never see the rows until
         :meth:`publish`; :meth:`drop_branch` is the audit-failed arm. On
-        the iceberg backend set ``spark.wap.branch`` on the session
-        instead.
+        the iceberg backend the runtime routes branch writes through the
+        ``spark.wap.branch`` session conf — this method VERIFIES the conf
+        matches the requested branch and raises otherwise: silently
+        appending to main would defeat exactly the isolation the
+        parameter promises (staged rows visible to main readers before
+        audit).
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
+            if branch != "main":
+                wap = self.spark.conf.get("spark.wap.branch", None)
+                if wap != branch:
+                    raise ValueError(
+                        f"append(branch={branch!r}) on the iceberg backend "
+                        "requires spark.wap.branch to be set to that branch "
+                        f"(currently {wap!r}) — without it the runtime "
+                        "would commit straight to main and the staged rows "
+                        "would be visible before the audit step"
+                    )
             df.writeTo(self._qualified).append()
             return
         self._write_commit(df, operation="append", batch_id=batch_id,
@@ -641,7 +655,14 @@ class LakeSink:
                 f"CALL {cat}.system.fast_forward"
                 f"('{self.config.table_name}', 'main', '{branch}')"
             )
-            return 0
+            # the publish snapshot id = main's post-fast-forward head,
+            # read back from the refs metadata table (returning a dummy 0
+            # would hand callers keying on the id a bogus value)
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qualified}.refs "
+                "WHERE name = 'main'"
+            ).collect()
+            return int(rows[0][0])
         return self._log.publish(branch)
 
     def drop_branch(self, branch: str) -> list[int]:
@@ -1036,11 +1057,7 @@ class LakeSink:
             raise ValueError(
                 "pass at most one of as_of / as_of_timestamp_ms / tag / branch"
             )
-        if branch is not None:
-            if self.backend == "iceberg":
-                return self.spark.sql(
-                    f"SELECT * FROM {self._qualified} VERSION AS OF '{branch}'"
-                )
+        if branch is not None and self.backend != "iceberg":
             head = self._log.current_id(branch)
             if head == 0:
                 raise LookupError(f"branch {branch!r} has no commits")
@@ -1054,15 +1071,29 @@ class LakeSink:
         if tag is not None and self.backend != "iceberg":
             as_of = self._log.resolve_tag(tag)
         if self.backend == "iceberg":
-            if tag is not None:
+            # merge_schema and prune are NATIVELY satisfied here (schema
+            # union comes from table metadata; file pruning from footer
+            # metrics) — accepting them is not a silent drop. The one
+            # argument that changes the RESULT schema, with_spec_id, is
+            # honored by selecting the runtime's own _spec_id metadata
+            # column so no path silently returns a narrower frame than
+            # the parquet backend would.
+            cols = "*, _spec_id" if with_spec_id else "*"
+            ref = branch if branch is not None else tag
+            if ref is not None:
                 return self.spark.sql(
-                    f"SELECT * FROM {self._qualified} VERSION AS OF '{tag}'"
+                    f"SELECT {cols} FROM {self._qualified} "
+                    f"VERSION AS OF '{ref}'"
                 )
             if as_of is not None:
                 return self.spark.sql(
-                    f"SELECT * FROM {self._qualified} VERSION AS OF {as_of}"
+                    f"SELECT {cols} FROM {self._qualified} "
+                    f"VERSION AS OF {as_of}"
                 )
-            return self.spark.table(self._qualified)
+            df = self.spark.table(self._qualified)
+            if with_spec_id:
+                df = df.select("*", "_spec_id")
+            return df
         dirs = self._log.commit_paths(as_of)
         if prune:
             dirs = self._prune_dirs(dirs, prune)

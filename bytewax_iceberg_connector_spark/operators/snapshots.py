@@ -545,17 +545,36 @@ class SnapshotLog:
                 expired_batch_ids.add(s["batch_id"])
             expired_batch_ids.update(s.get("batch_ids", []))
         if expired_batch_ids:
-            fold_ids = sorted(i for i in main_ids[-keep_last:])
-            if fold_ids:
-                tgt = self._maybe_snapshot(fold_ids[0])
-                if tgt is not None:
-                    merged = set(tgt.get("batch_ids", []))
-                    merged |= expired_batch_ids
-                    tgt["batch_ids"] = sorted(merged)
-                    self._atomic_write(
-                        os.path.join(self.meta_dir, f"v{fold_ids[0]}.json"),
-                        tgt,
-                    )
+            # fold target: oldest retained MAIN snapshot, else ANY oldest
+            # retained snapshot (a branch-only history — every main
+            # snapshot expired, survivors retained via refs/branches —
+            # must still carry the dedup lineage somewhere). If NOTHING
+            # is retained, folding is impossible and expiring the id-
+            # bearing snapshots would let a restarted sink re-apply those
+            # batches — refuse instead of silently dropping the ids.
+            fold_ids = sorted(main_ids[-keep_last:]) or sorted(retained_ids)
+            tgt_id = None
+            tgt = None
+            for i in fold_ids:
+                snap = self._maybe_snapshot(i)
+                if snap is not None:
+                    tgt_id, tgt = i, snap
+                    break
+            if tgt is None:
+                raise ValueError(
+                    "expire() would drop committed batch ids "
+                    f"{sorted(expired_batch_ids)} with no retained snapshot "
+                    "to fold them into — a restarted sink could re-apply "
+                    "those batches; retain at least one snapshot (or drop "
+                    "the refs pinning only id-free history) before expiring"
+                )
+            merged = set(tgt.get("batch_ids", []))
+            merged |= expired_batch_ids
+            tgt["batch_ids"] = sorted(merged)
+            self._atomic_write(
+                os.path.join(self.meta_dir, f"v{tgt_id}.json"),
+                tgt,
+            )
         expired = []
         expired_live: set[str] = set()
         for s in doomed:

@@ -76,6 +76,11 @@ FROM (
 
 _JACCARD_THRESHOLD = 0.8
 _INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch" (incremental dedup)
+# every 50th vector is a similarity QUERY (the rest are corpus): ONE constant
+# referenced by the ANN/IVF/IVF-PQ pandas kernels, the DataFrame probe/query
+# filters AND the SQL oracles — a drifted copy of this literal would desync
+# probe rows from query selection silently and collapse recall with no error
+_QUERY_STRIDE = 50
 _SHINGLE_N = 3
 
 
@@ -913,8 +918,8 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_vectors(spark, sf_dir, nonzero=True).select("vec_id", "embedding")
     qblock = (
-        emb.where(F.col("vec_id") % 50 == 0)
-        .groupBy((F.col("vec_id") / (50 * _QCHUNK)).cast("int").alias("qg"))
+        emb.where(F.col("vec_id") % _QUERY_STRIDE == 0)
+        .groupBy((F.col("vec_id") / (_QUERY_STRIDE * _QCHUNK)).cast("int").alias("qg"))
         .agg(
             F.collect_list("vec_id").alias("q_ids"),
             F.collect_list("embedding").alias("q_vecs"),
@@ -973,7 +978,7 @@ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
            FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
-q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % {_QUERY_STRIDE} = 0),
 scored AS (
   SELECT q_id, e.vec_id AS neighbor_id,
          ROUND(list_dot_product(qv, e.v) / SQRT(qn2 * e.n2), 6) AS score
@@ -1091,7 +1096,7 @@ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2
            FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
-q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % 50 = 0),
+q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e WHERE vec_id % {_QUERY_STRIDE} = 0),
 scored AS (
   SELECT q_id, e.vec_id AS neighbor_id,
          ROUND(list_dot_product(qv, e.v) / SQRT(qn2 * e.n2), 6) AS score
@@ -1141,7 +1146,7 @@ def _ann_lsh_parts(spark: SparkSession, sf_dir: str):
         "vec_id",
         F.posexplode(S.sign_lsh_keys_np(64, 8, 4)(F.col("e"))).alias("table", "key"),
     ).select("vec_id", F.struct("table", "key").alias("bucket")).persist()
-    q = bucketed.where(F.col("vec_id") % 50 == 0).select(
+    q = bucketed.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), "bucket"
     )
     pairs = (
@@ -1152,7 +1157,7 @@ def _ann_lsh_parts(spark: SparkSession, sf_dir: str):
     )
     qe = emb.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe"))
     ne = emb.select(F.col("vec_id").alias("neighbor_id"), "e")
-    cand = pairs.join(F.broadcast(qe.where(F.col("q_id") % 50 == 0)), "q_id").join(ne, "neighbor_id")
+    cand = pairs.join(F.broadcast(qe.where(F.col("q_id") % _QUERY_STRIDE == 0)), "q_id").join(ne, "neighbor_id")
     scored = cand.select(
         "q_id", "neighbor_id",
         F.round(S.cosine_np()(F.col("qe"), F.col("e")), 6).alias("score"),
@@ -1292,7 +1297,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
                     # of the corpus contributes just its member (rank-0)
                     # row — the index stays 1 narrow row/vector as probes
                     # scale with sqrt(K) instead of k rows/vector
-                    lim = k if ids[i] % 50 == 0 else 1
+                    lim = k if ids[i] % _QUERY_STRIDE == 0 else 1
                     for rnk in range(lim):
                         out_v.append(ids[i])
                         out_c.append(c_ids[near[i, rnk]])
@@ -1308,7 +1313,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         _assign, schema="vec_id BIGINT, cell BIGINT, rnk INT"
     ).persist()
     members = assigned.where(F.col("rnk") == 0).select("vec_id", "cell")
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+    probes = assigned.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
     # no dropDuplicates: a neighbor contributes exactly one rnk-0 member
@@ -1320,7 +1325,7 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
         .select("q_id", F.col("vec_id").alias("neighbor_id"))
     )
     e_wide = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    qe = e_wide.where(F.col("vec_id") % 50 == 0).select(
+    qe = e_wide.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
     )
     cand = pairs.join(F.broadcast(qe), "q_id").join(
@@ -1553,7 +1558,7 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
                     # probe ranks only for QUERY vectors (same trim as the
                     # IVF-flat kernel): the encoded index stays one
                     # (cell, code, nrm) row per corpus vector
-                    lim = kp if ids[i] % 50 == 0 else 1
+                    lim = kp if ids[i] % _QUERY_STRIDE == 0 else 1
                     for rnk in range(lim):
                         rows["vec_id"].append(ids[i])
                         rows["cell"].append(c_ids[near[i, rnk]])
@@ -1567,7 +1572,7 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
         schema="vec_id BIGINT, cell BIGINT, rnk INT, code ARRAY<INT>, nrm DOUBLE",
     ).persist()
     members = assigned.where(F.col("rnk") == 0).select("vec_id", "cell", "code", "nrm")
-    probes = assigned.where(F.col("vec_id") % 50 == 0).select(
+    probes = assigned.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"), "cell"
     )
     # candidate shuffle: (q_id, neighbor_id, code[16], nrm) ≈ 90 B/row vs
@@ -1582,7 +1587,7 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
         # base, which ADC needs to add back dot(q, centroid[cell])
         .select("q_id", F.col("vec_id").alias("neighbor_id"), "cell", "code", "nrm")
     )
-    qe = emb.where(F.col("vec_id") % 50 == 0).select(
+    qe = emb.where(F.col("vec_id") % _QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
     )

@@ -287,3 +287,30 @@ def test_snapshot_ids_never_reused_after_expire_of_detached_max(log):
     log.expire(keep_last=1)  # unlinks the detached max
     c, _ = _append(log)
     assert c == h + 1, "expired detached id was re-issued"
+
+
+# -- r08 advice: batch-id fold target on branch-only history --------------
+
+
+def test_expire_folds_batch_ids_without_main_snapshots(log):
+    """A history with NO main snapshots (branch-only) must still carry
+    expired batch ids forward: the fold falls back to the oldest retained
+    snapshot instead of silently dropping the ids (a restarted sink would
+    re-apply those batches)."""
+    s1, _ = _append(log, branch="feature", batch_id=7)
+    s2, _ = _append(log, branch="feature", batch_id=8)
+    # detach s1 from the branch lineage: rewrite s2 as the branch's sole
+    # root, so s1 is retained by nothing (the detached id-bearing case)
+    import json as _json
+    import os as _os
+
+    p2 = _os.path.join(log.meta_dir, f"v{s2}.json")
+    snap2 = _json.loads(open(p2).read())
+    snap2["parent_id"] = None
+    log._atomic_write(p2, snap2)
+
+    expired, _removed = log.expire(keep_last=1)
+    assert expired == [s1]
+    # batch id 7 folded into the retained branch snapshot, dedup intact
+    assert 7 in log.committed_batch_ids()
+    assert 8 in log.committed_batch_ids()
