@@ -682,8 +682,16 @@ WITH toks AS (
 ), per AS (
   SELECT lang,
          CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS BIGINT) + 1 AS nc,
+         -- chunk token counts are pure ARITHMETIC on the length, never a
+         -- materialized list slice: len(t[a:b]) = clamp(min(b, n) - a + 1)
+         -- and list slicing a 170k-token doc per chunk made this oracle
+         -- the slowest documents restatement (45 s on a 1 MB doc; the
+         -- huge-doc sweep needs it at milliseconds). COALESCE(len, 0):
+         -- GREATEST ignores NULL, so a NULL text would otherwise claim a
+         -- full-width first chunk instead of the 0-token short chunk
          CAST(COALESCE(list_sum(
-           [len(t[(i*{_CHUNK_S}+1):(i*{_CHUNK_S}+{_CHUNK_W})])
+           [GREATEST(LEAST(i*{_CHUNK_S}+{_CHUNK_W}, COALESCE(len(t), 0))
+                     - i*{_CHUNK_S}, 0)
             for i in generate_series(0, CAST(CEIL(GREATEST(len(t)-{_CHUNK_W}, 0)/{_CHUNK_S}.0) AS INT))]
          ), 0) AS BIGINT) AS ct
   FROM toks

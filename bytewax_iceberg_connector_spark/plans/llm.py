@@ -2679,37 +2679,46 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MM_AUDIO = f"""
--- byte sums are computed ROW-LOCALLY (list comprehension over the hex
--- payload), not via a doc_id-keyed LATERAL + join: row identity must not
--- depend on the key — the previous LEFT JOIN USING (doc_id) NULLed the
--- loudness stats of NULL-keyed clips (r06 adversarial-sweep find)
+-- byte stats are keyed by a SYNTHETIC ROW_NUMBER rid, never doc_id: row
+-- identity must not depend on the key — a doc_id-keyed join NULLed the
+-- loudness stats of NULL-keyed clips (r06 adversarial-sweep find).
+-- Per-byte math runs as a VALUE HISTOGRAM: the hex payload splits into
+-- byte pairs once (regexp_extract_all), counts group by the 256 possible
+-- values, and Σb² / max|b| come from the tiny count×value join — the
+-- previous per-byte substr list comprehension was O(payload) lambda
+-- evaluations per row and ground for minutes on a 1 MB clip (huge-doc
+-- sweep blocker). Integer-exact, so IEEE determinism is unchanged: the
+-- single SQRT sees the same exact Σb².
 WITH base AS (
-  SELECT sha256(COALESCE(text, '')) AS h,
+  SELECT ROW_NUMBER() OVER () AS rid,
+         sha256(COALESCE(text, '')) AS h,
          lower(hex(encode(COALESCE(text, '')))) AS hx,
          octet_length(encode(COALESCE(text, ''))) AS n
   FROM documents
-), rated AS (
-  SELECT n,
-         CASE ({_hexbyte('h', '1')} % 3)
-           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
-         [{_hexbyte('hx', 'i')} for i in generate_series(1, n)] AS bs
-  FROM base
+), lut AS (
+  SELECT lpad(lower(to_hex(v)), 2, '0') AS hp,
+         CASE WHEN v > 127 THEN (v-256)*(v-256) ELSE v*v END AS sq,
+         CASE WHEN v > 127 THEN 256-v ELSE v END AS mag
+  FROM (SELECT unnest(generate_series(0, 255)) AS v)
+), cnt AS (
+  SELECT rid, hp, COUNT(*) AS c
+  FROM (SELECT rid, unnest(regexp_extract_all(hx, '..')) AS hp FROM base)
+  GROUP BY rid, hp
+), stats AS (
+  SELECT rid, CAST(SUM(c * sq) AS BIGINT) AS ssq, MAX(mag) AS mx
+  FROM cnt JOIN lut USING (hp)
+  GROUP BY rid
 ), clips AS (
-  SELECT rate,
+  SELECT CASE ({_hexbyte('h', '1')} % 3)
+           WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
          n * 1000 // rate AS duration_ms,
          CASE WHEN n = 0 THEN 0
-              ELSE CAST(FLOOR(1000.0 * SQRT(
-                     CAST(list_sum([CASE WHEN b > 127 THEN (b-256)*(b-256)
-                                         ELSE b*b END for b in bs])
-                          AS BIGINT) / (16384.0 * n)))
+              ELSE CAST(FLOOR(1000.0 * SQRT(ssq / (16384.0 * n)))
                         AS BIGINT) END AS rms_milli,
          CASE WHEN n = 0 THEN 0
-              ELSE CAST(FLOOR(1000.0 * (
-                     list_max([CASE WHEN b > 127 THEN 256-b
-                                    ELSE b END for b in bs]) / 128.0))
-                        AS BIGINT)
+              ELSE CAST(FLOOR(1000.0 * (mx / 128.0)) AS BIGINT)
               END AS peak_milli
-  FROM rated
+  FROM base LEFT JOIN stats USING (rid)
 )
 SELECT CAST(rate AS BIGINT) AS sample_rate,
        CAST(COUNT(*) AS BIGINT) AS n_clips,

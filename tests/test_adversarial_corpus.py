@@ -601,3 +601,75 @@ def test_documents_only_queries_match_oracle_on_all_null_corpus(
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+# -- r08: huge-document differential (promoted from the r07 engine-only
+# probe once the oracle restatements went set-based) ----------------------
+
+
+@pytest.fixture(scope="module")
+def huge_doc_dir(tmp_path_factory):
+    """sf0.001 documents + ONE ~1 MB / 170k-token document (deterministic
+    varied vocabulary). The r07 probe proved the ENGINE side handles the
+    payload; the DuckDB oracle only joined once doc_chunking's list-slice
+    fold and multimodal_audio's per-byte substr comprehension were
+    rewritten set-based (length arithmetic / byte-value histogram)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("huge_doc")
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT * FROM '/root/testdata/sf0.001/documents.parquet'
+          UNION ALL
+          SELECT 9000000 AS doc_id,
+                 (SELECT string_agg('tok' || (i * 2654435761 % 50021) ||
+                                    CASE WHEN i % 97 = 0 THEN '.' ELSE '' END,
+                                    ' ' ORDER BY i)
+                  FROM (SELECT unnest(generate_series(1, 170000)) AS i)
+                 ) AS text,
+                 'en' AS lang, 'huge_src' AS source,
+                 CAST(1700000 AS BIGINT) AS n_chars
+        ) TO '{d}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.close()
+    return d
+
+
+# the heaviest per-token / per-shingle / per-byte kernel paths — the ones a
+# 1 MB payload actually stresses; the full 56-query form lives in
+# scratch/adversarial_hugedoc.py (56/56 green, r08) and stays out of the
+# suite for runtime budget
+_HUGE_DOC_TARGETS = (
+    "doc_chunking",          # chunk fold (the 45 s oracle before r08)
+    "multimodal_audio",      # per-byte Σb²/max (minutes before r08)
+    "multimodal_pipeline",   # chained byte kernels
+    "span_dedup",            # positional shingle spans
+    "bpe_encode",            # merge-table encode over every token
+    "tokenizer_fertility",
+    "char_entropy",
+    "token_stats",
+    "text_analysis",
+    "dedup_near_ngram",      # 170k-shingle doc through the pair join
+    "unigram_surprise",
+    "repetition_ratio",
+)
+
+
+@pytest.mark.deep
+def test_heavy_kernels_match_oracle_on_megabyte_document(
+    spark, huge_doc_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    failures = []
+    for name in _HUGE_DOC_TARGETS:
+        try:
+            sp = qs[name](spark, str(huge_doc_dir)).toPandas()
+            op = duck_oracle(huge_doc_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
