@@ -633,32 +633,33 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_chunk_tokens > corpus tokens by design (the duplicated stride
     margins).
 
-    Scale: pure per-row projection (transform over a chunk-index sequence;
-    each chunk slices W tokens once — O(tokens·W/S), NOT the quadratic
-    slice-per-gram shape shingles() avoids) + one tiny aggregate. The
-    exploded per-chunk form feeds tokenizers directly; the aggregate keeps
-    the oracle small.
+    Scale: chunk token counts are CLOSED-FORM on the token count — every
+    chunk except the last holds exactly W tokens and the last holds
+    n − (nc−1)·S — so the whole query is a per-row arithmetic projection
+    + one tiny aggregate; no chunk is ever materialized. The previous
+    slice-per-chunk transform re-evaluated the tokenizer split inside the
+    higher-order lambda (no CSE across a lambda boundary), which turned a
+    1 MB document into ~3.5k regex splits of the full text — 175 s for
+    one doc (r08 huge-doc sweep find); this form is O(1) per row after
+    one split. The oracle keeps the independent per-chunk comprehension
+    restatement, so the closed form is differentially proven, not
+    assumed.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = X.tokens("text")
+    # coalesce: NULL text still counts 1 (short) chunk holding 0 tokens
+    # on both engines (the oracle's COALESCE arm)
+    n = F.coalesce(F.size(t), F.lit(0))
     n_chunks = (
-        F.ceil(F.greatest(F.size(t) - _CHUNK_W, F.lit(0)) / _CHUNK_S) + 1
-    ).cast("int")
-    chunk_sizes = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        lambda i: F.size(F.slice(t, i * _CHUNK_S + 1, _CHUNK_W)),
-    )
+        F.ceil(F.greatest(n - _CHUNK_W, F.lit(0)) / _CHUNK_S) + 1
+    ).cast("long")
     per_doc = docs.select(
         "lang",
-        n_chunks.cast("long").alias("nc"),
-        # coalesce: NULL text still counts 1 (short) chunk on both
-        # engines, and that chunk holds 0 tokens — the oracle's COALESCE
-        # arm; an un-coalesced NULL fold would empty the lang sum
-        F.coalesce(
-            F.aggregate(chunk_sizes, F.lit(0).cast("long"),
-                        lambda acc, x: acc + x),
-            F.lit(0).cast("long"),
-        ).alias("ct"),
+        n_chunks.alias("nc"),
+        # interior chunks are full W; the last holds n − (nc−1)·S
+        # (0 for the empty/NULL doc, where nc = 1 and n = 0)
+        ((n_chunks - 1) * _CHUNK_W + (n - (n_chunks - 1) * _CHUNK_S))
+        .cast("long").alias("ct"),
     )
     return (
         per_doc.groupBy("lang")
