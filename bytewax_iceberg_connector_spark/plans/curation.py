@@ -214,7 +214,13 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.join(F.broadcast(bench), "s")
         .where(F.col("doc_id") != F.col("bench_id"))
         .groupBy("doc_id", "bench_id")
-        .agg(F.count("*").alias("shared"))
+        # DISTINCT shared shingles, not join rows: byte-identical
+        # re-ingested rows (on either side) would otherwise multiply the
+        # count past the >=3 threshold (r08 duplicate-rows sweep; the
+        # oracle's DISTINCT (doc_id, s) always counted set overlap). Same
+        # exchange — the distinct folds into this groupBy's partial agg,
+        # so the corpus side still never shuffles separately.
+        .agg(F.countDistinct("s").alias("shared"))
         .where(F.col("shared") >= _CONTAM_MIN_SHARED)
     )
     return (
@@ -1088,7 +1094,15 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source",
         F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s"),
     ).persist()
-    df_tab = sh.groupBy("s").agg(F.count("*").alias("docs_with"))
+    # docs_with counts DISTINCT documents, not rows: a byte-identical
+    # re-ingested row must not turn a doc's own trigrams into
+    # "duplicated" mass (r08 duplicate-rows sweep; the oracle's DISTINCT
+    # (doc_id, s) always had this semantic). struct-wrap so a NULL-keyed
+    # doc still counts as one value. The per-doc ppm needs no change —
+    # duplicate rows double numerator and denominator together.
+    df_tab = sh.groupBy("s").agg(
+        F.countDistinct(F.struct("doc_id")).alias("docs_with")
+    )
     per_doc = (
         sh.join(df_tab, "s")
         .groupBy("doc_id", "lang", "source")

@@ -91,10 +91,23 @@ def _shingle_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded shingle table AND the simhash fingerprints (the
     dedup_simhash audit) persist THIS frame and derive both, paying the
     kernel once.
+
+    ONE ROW PER doc_id: a document's shingle set is the DISTINCT union
+    over all rows carrying its id — the oracles' GROUP BY doc_id /
+    DISTINCT (doc_id, s) semantic. Without the union, a byte-identical
+    re-ingested row doubled every intersection/size count (jaccard
+    4i/(2a+2b−4i) ≠ i/(a+b−i)) and inflated family sizes (r08
+    duplicate-rows sweep: 5 dedup-family divergences from this one
+    cause). The groupBy ships (doc_id, hash-array) — one narrow shuffle,
+    the normalize-raw-crawl step a 100 TB pipeline runs once and
+    amortizes.
     """
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    per_row = docs.select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
+    )
+    return per_row.groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("sha"))).alias("sha")
     )
 
 
@@ -301,11 +314,15 @@ def _minhash_band_index(spark: SparkSession, sf_dir: str,
     Arrow boundary. The honest standalone cost of the LSH path is
     recorded in BASELINE.md's protocol table.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sh"),
-    ).where(F.size("sh") > 0).persist()
+    # one row per doc_id (union of shingle sets across duplicate rows —
+    # see _shingle_array): without it a re-ingested duplicate doubled the
+    # verify-join rows and every downstream pair row
+    base = (
+        _shingle_array(spark, sf_dir)
+        .withColumnRenamed("sha", "sh")
+        .where(F.size("sh") > 0)
+        .persist()
+    )
     fams = None
     src = base
     if collapse_families:
@@ -503,8 +520,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_docs = docs.join(
         reps.select(F.col("rep").alias("doc_id")), "doc_id"
     )
+    # union per doc_id (the oracle's DISTINCT (doc_id, s) semantic): a
+    # re-ingested duplicate row of a representative would otherwise
+    # double its intersection/size counts in the pair join (r08
+    # duplicate-rows sweep). The frame is reps-only, so the union
+    # aggregate is small.
     sha = rep_docs.select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
+    ).groupBy("doc_id").agg(
+        F.array_distinct(F.flatten(F.collect_list("sha"))).alias("sha")
     )
     raw, sh = _shingle_pairs(spark, sf_dir, sha=sha)
     pairs = raw.where(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
@@ -568,9 +592,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_id: every family's rep IS its min, and labels are min-of-reps.
     return (
         doc_rep.join(labels, doc_rep.rep == labels.d, "left")
-        .select(F.coalesce("label", "rep").alias("cluster_id"))
+        .select("doc_id", F.coalesce("label", "rep").alias("cluster_id"))
         .groupBy("cluster_id")
-        .agg(F.count("*").cast("long").alias("n_members"))
+        # DISTINCT doc_ids, not rows: a byte-identical re-ingested row is
+        # the same cluster member (r08 duplicate-rows sweep); struct-wrap
+        # so a NULL-keyed doc still counts as one value like the oracle's
+        # GROUP BY
+        .agg(
+            F.countDistinct(F.struct("doc_id")).cast("long")
+            .alias("n_members")
+        )
         .where(F.col("n_members") >= 2)
         .orderBy("cluster_id")
     )
@@ -1908,12 +1939,25 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shingle) pairs; the top-k window then only sees aggregated
     counts. Shingles stay STRINGS here (they're the output), unlike the
     dedup path which ships hashes.
+
+    df counts DISTINCT doc_ids, not rows: document frequency is a
+    per-document stat, so a byte-identical re-ingested duplicate row
+    must not double a gram's df (r08 duplicate-rows sweep find — the
+    oracle's DISTINCT (doc_id, s) always had this semantic).
     """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("lang", F.explode(X.shingles("text", _SHINGLE_N)).alias("s"))
-    counts = sh.groupBy("lang", "s").agg(F.count("*").alias("df"))
+    sh = docs.select(
+        "doc_id", "lang", F.explode(X.shingles("text", _SHINGLE_N)).alias("s")
+    )
+    # struct-wrap: count(DISTINCT doc_id) SKIPS the NULL-keyed ghost row
+    # where the oracle's DISTINCT treats NULL as one value — struct(NULL)
+    # is itself non-NULL, so the wrapped count sees it (NULL-key sweep
+    # contract)
+    counts = sh.groupBy("lang", "s").agg(
+        F.countDistinct(F.struct("doc_id")).alias("df")
+    )
     w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("s").asc())
     return (
         counts.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1957,9 +2001,14 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_near_ngram.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # dropDuplicates: a byte-identical re-ingested row is the same
+    # document — without the collapse each duplicated pair multiplied
+    # 2x2 in the candidate join and again 2x2 in the text attach (16x
+    # rows; r08 duplicate-rows sweep). The frame is the <100-id slice —
+    # tiny
     base = docs.where(F.col("doc_id") < 100).select(
         "doc_id", "lang", F.lower("text").alias("t")
-    )
+    ).dropDuplicates()
     twins = base.where(F.col("doc_id") < 30).select(
         (F.col("doc_id") + 100000).alias("doc_id"),
         "lang",
@@ -2009,7 +2058,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_EDIT_DIST = """
 WITH base AS (
-  SELECT doc_id, lang, lower(text) AS t FROM documents WHERE doc_id < 100
+  -- DISTINCT: byte-identical re-ingested rows are one document (the
+  -- engine's dropDuplicates twin)
+  SELECT DISTINCT doc_id, lang, lower(text) AS t FROM documents WHERE doc_id < 100
 ), twins AS (
   SELECT doc_id + 100000 AS doc_id, lang, substr(t, 11) AS t
   FROM base WHERE doc_id < 30
@@ -2222,19 +2273,29 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # DISTINCT rows + per-doc_id aggregation: a byte-identical re-ingested
+    # row must not double a document's dl/tf or the corpus n_docs (r08
+    # duplicate-rows sweep — the engine counted base ROWS where the
+    # oracle's GROUP BY doc_id counted documents, and both sides doubled
+    # tf). One narrow normalize shuffle; dl then sums token counts per
+    # doc_id exactly like the oracle's dl CTE.
+    rows = docs.select("doc_id", "text").dropDuplicates()
     # dl > 0: corpus stats (n_docs, avgdl) are defined over documents that
     # HAVE tokens — the oracle's dl CTE is built from unnest, which emits
     # nothing for empty/whitespace-only docs, so both engines must agree
     # on that doc set. No persist: base is a narrow 2-col projection read
     # twice; caching it leaked a pinned frame into later queries' memory.
-    base = docs.select("doc_id", X.token_count("text").alias("dl")).where(
-        F.col("dl") > 0
+    base = (
+        rows.select("doc_id", X.token_count("text").alias("dl_row"))
+        .groupBy("doc_id")
+        .agg(F.sum("dl_row").cast("long").alias("dl"))
+        .where(F.col("dl") > 0)
     )
     stats = base.agg(
         F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
     )
     tf = (
-        docs.select("doc_id", F.explode(X.tokens("text")).alias("term"))
+        rows.select("doc_id", F.explode(X.tokens("text")).alias("term"))
         .where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
@@ -2272,9 +2333,11 @@ def bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: BOTH _SQL_BM25 and _SQL_HYBRID so the term list / k1 / b / dl>0 rules
 #: can never drift between the standalone ranking and the fusion oracle.
 _SQL_BM25_CORE = r"""tok AS (
+  -- DISTINCT rows: byte-identical re-ingested rows are one document (the
+  -- engine's dropDuplicates twin); dl/tf then aggregate per doc_id
   SELECT doc_id,
          unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
-  FROM documents
+  FROM (SELECT DISTINCT doc_id, text FROM documents)
 ), dl AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
 ), stats AS (
@@ -2750,14 +2813,20 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.multimodal import decode_image_meta, extract_features
 
+    # rid = synthetic per-row id, never doc_id: each ROW is one asset, so
+    # the meta×features join must be row-identity — joining on doc_id
+    # SQUARED a duplicate-id re-ingest (2 meta × 2 feats = 4 assets, r08
+    # duplicate-rows sweep) and would merge NULL-keyed clips. Both decode
+    # branches read the same stamped scan, so the ids line up without a
+    # shuffle.
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
-    )
+    ).withColumn("rid", F.monotonically_increasing_id())
     # force_stub: these queries are ORACLE-checked against the stub
     # math; a codec library appearing in the environment must not
     # silently flip them onto the real-decoder branch and go red
-    meta = decode_image_meta(docs, "payload", "doc_id", force_stub=True)
-    feats = extract_features(docs, "payload", "doc_id")
+    meta = decode_image_meta(docs, "payload", "rid", force_stub=True)
+    feats = extract_features(docs, "payload", "rid")
     joined = meta.select(F.col("key"), "channels").join(feats, "key")
     return (
         joined.groupBy("channels")
@@ -2778,34 +2847,40 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_MM_PIPELINE = f"""
+-- keyed by a SYNTHETIC ROW_NUMBER rid, never doc_id: each ROW is one
+-- asset (the engine decodes per row), so a duplicate-id re-ingest is two
+-- assets and a NULL-id clip is still one — the r06 mm_audio lesson. The
+-- previous doc_id grouping MIXED two duplicate rows' byte stats, driving
+-- the variance term negative (sqrt crash, r08 duplicate-rows sweep).
 WITH base AS (
-  SELECT doc_id, sha256(COALESCE(text, '')) AS h1 FROM documents
+  SELECT ROW_NUMBER() OVER () AS rid,
+         sha256(COALESCE(text, '')) AS h1 FROM documents
 ), hx AS (
-  SELECT doc_id, h1, h1 || sha256(h1) AS hh FROM base
+  SELECT rid, h1, h1 || sha256(h1) AS hh FROM base
 ), bytes AS (
-  SELECT doc_id, i, {_hexbyte('hh', 'i')} AS b
+  SELECT rid, i, {_hexbyte('hh', 'i')} AS b
   FROM hx, LATERAL (SELECT unnest(generate_series(1, 64)) AS i)
 ), st AS (
-  SELECT doc_id, SUM(b) AS sb, SUM(b*b) AS sq,
+  SELECT rid, SUM(b) AS sb, SUM(b*b) AS sq,
          MAX(CASE WHEN i = 1 THEN b END) AS b1
-  FROM bytes GROUP BY doc_id
+  FROM bytes GROUP BY rid
 ), emb AS (
-  SELECT doc_id, b1, sb / 64.0 AS mean,
+  SELECT rid, b1, sb / 64.0 AS mean,
          CASE WHEN sq - sb*sb/64.0 = 0 THEN 1.0
               ELSE SQRT(sq - sb*sb/64.0) END AS nrm
   FROM st
 ), vals AS (
-  SELECT b.doc_id,
+  SELECT b.rid,
          CAST(CAST((b.b - e.mean) / e.nrm AS REAL) AS DOUBLE) AS v,
          b.i
-  FROM bytes b JOIN emb e USING (doc_id)
+  FROM bytes b JOIN emb e USING (rid)
 ), sqn AS (
-  SELECT doc_id,
+  SELECT rid,
          MAX(CASE WHEN i = 1 THEN v END) AS d1,
          SUM(v * v) AS s2
-  FROM vals GROUP BY doc_id
+  FROM vals GROUP BY rid
 ), chan AS (
-  SELECT doc_id,
+  SELECT rid,
          CASE ({_hexbyte('h1', '3')} % 3)
            WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS channels
   FROM base
@@ -2814,7 +2889,7 @@ SELECT CAST(channels AS BIGINT) AS channels,
        CAST(COUNT(*) AS BIGINT) AS n_assets,
        ROUND(AVG(d1), 6) AS avg_dim1,
        ROUND(AVG(s2), 6) AS avg_sq_norm
-FROM chan JOIN sqn USING (doc_id)
+FROM chan JOIN sqn USING (rid)
 GROUP BY channels
 ORDER BY channels
 """
@@ -3036,7 +3111,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full-corpus audit (exact reach over all N) survives as the pytest
     twin, which also pins slice-vs-full agreement at two SFs.
     """
-    emb = load_vectors(spark, sf_dir).filter(_emb_sample_admit())
+    # dropDuplicates: the engine twin of the oracle's DISTINCT admitted
+    # slice — duplicate-row copies are one slice member, else the greedy
+    # census drops a copy (cos 1.0 with its twin) that same-id-excluded
+    # reach never counts and the dropped_bounded theorem breaks (r08
+    # duplicate-rows sweep). reach (dedup_embedding_cosine) is already
+    # dedupe-invariant: countDistinct over id-distinct pairs.
+    emb = load_vectors(spark, sf_dir).filter(_emb_sample_admit()) \
+        .dropDuplicates()
     cells = _semantic_census(emb)
     stats = cells.agg(
         F.count(F.lit(1)).cast("long").alias("_n_cells"),
@@ -3086,7 +3168,11 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SEMANTIC_AUDIT = f"""
 WITH {SQL_VALID_EMB},
-admitted AS (SELECT * FROM embeddings_valid WHERE {SQL_EMB_SAMPLE_ADMIT}),
+-- DISTINCT rows: a byte-identical re-ingested vector is the same slice
+-- member — without the collapse, greedy census drops the copy (cos = 1
+-- with itself) while the reach bound excludes same-id pairs, genuinely
+-- breaking the dropped_bounded theorem (r08 duplicate-rows sweep)
+admitted AS (SELECT DISTINCT * FROM embeddings_valid WHERE {SQL_EMB_SAMPLE_ADMIT}),
 e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                   list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[])) AS n2

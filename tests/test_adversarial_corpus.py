@@ -33,8 +33,12 @@ def adv_dir(tmp_path_factory):
     pq.write_table(
         pa.table(
             {
+                # ids 4 and 7 appear TWICE with byte-identical rows — the
+                # re-ingest duplicate shape (r08 family #10): per-document
+                # stats (df, dedup families, pair graphs) must treat the
+                # copy as the same document, not a near-dup twin
                 "doc_id": pa.array(
-                    [0, 1, 2, 3, 4, 5, 6, 7, None, 8], pa.int64()
+                    [0, 1, 2, 3, 4, 5, 6, 7, None, 8, 4, 7], pa.int64()
                 ),
                 "text": pa.array(
                     [
@@ -53,21 +57,23 @@ def adv_dir(tmp_path_factory):
                         # Python kernel alike) must agree (r06 find: bare
                         # str.split() split on them)
                         "nb\u00a0sp and\u3000wide alpha beta gamma",
+                        "alpha beta gamma delta epsilon",
+                        "a a a a a a a a a a a a",
                     ],
                     pa.string(),
                 ),
                 "lang": pa.array(
                     ["en", None, "en", "de", "en", "en", "fr", "en", "en",
-                     "en"],
+                     "en", "en", "en"],
                     pa.string(),
                 ),
                 "source": pa.array(
                     ["s1", "s1", None, "s2", "s1", "s2", "s3", "s1", "s1",
-                     "s2"],
+                     "s2", "s1", "s1"],
                     pa.string(),
                 ),
                 "n_chars": pa.array(
-                    [0, 0, 3, 4, 30, 30, 30, 23, 22, 31], pa.int64()
+                    [0, 0, 3, 4, 30, 30, 30, 23, 22, 31, 30, 23], pa.int64()
                 ),
             }
         ),
@@ -83,9 +89,12 @@ def adv_emb_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("adv_emb")
     dim = 8
     base = [[float(i + 1 + j) for j in range(dim)] for i in range(20)]
-    vecs = base + [None, [], [0.0] * dim, [1.0, 2.0], base[0][:]]
-    ids = list(range(24)) + [None]
-    labels = [i % 3 for i in range(24)] + [None]
+    # vec_id 3 appears twice byte-identically (re-ingest duplicate, r08
+    # family #10): slice audits must count it once, pair contracts never
+    # pair it with itself
+    vecs = base + [None, [], [0.0] * dim, [1.0, 2.0], base[0][:], base[3][:]]
+    ids = list(range(24)) + [None, 3]
+    labels = [i % 3 for i in range(24)] + [None, 0]
     pq.write_table(
         pa.table(
             {
@@ -206,6 +215,8 @@ def adv_events_dir(tmp_path_factory):
         (11, 60, 4, "signup", 7.0, "{}"),
         (12, 24 * 60 + 1, 4, "view", 8.0, '{"k": 8}'),
         (13, 7 * 24 * 60, 4, "purchase", 9.0, '{"k": 9}'),
+        # byte-identical re-ingest duplicate of event 2 (r08 family #10)
+        (2, 10, 1, "purchase", 99.9, '{"k": 3}'),
     ]
     pq.write_table(
         pa.table(
