@@ -915,3 +915,23 @@ def test_case_mapping_consistent_between_jvm_and_python_kernels(spark):
     ).collect()
     for r in rows:
         assert r.jvm == r.py, (r.jvm, r.py)
+
+
+def test_levenshtein_unit_dialect_boundary(spark):
+    """Spark's levenshtein counts CODE POINTS; DuckDB's counts BYTES —
+    a DOCUMENTED oracle-dialect boundary (r08 unicode sweep: twin pairs
+    whose dropped prefix held multibyte chars measured lev 10 on Spark
+    vs 12 on DuckDB). The synthetic corpus is ASCII so the registered
+    dedup_edit_distance differential is unaffected; this pin records the
+    unit difference so a future multibyte corpus red isn't mistaken for
+    an engine bug."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    row = spark.createDataFrame([("héllo 世界", "hello xy")], "a string, b string") \
+        .select(F.levenshtein("a", "b").alias("lev")).collect()[0]
+    assert row.lev == 3  # three code-point substitutions: é→e, 世→x, 界→y
+    duck = duckdb.connect().execute(
+        "SELECT levenshtein('héllo 世界', 'hello xy')"
+    ).fetchone()[0]
+    assert duck > row.lev  # byte-based: every multibyte char costs extra
