@@ -374,6 +374,7 @@ class LakeSink:
     def _write_commit(self, df: DataFrame, operation: str,
                       batch_id: int | None = None,
                       cluster_expr=None, branch: str = "main") -> None:
+        self._check_write_schema(df)
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
         if cluster_expr is not None:
@@ -443,6 +444,42 @@ class LakeSink:
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
             branch=branch,
         )
+
+    def _check_write_schema(self, df: DataFrame) -> None:
+        """Write-time schema compatibility (Iceberg's contract: evolution
+        is additive; a TYPE change is rejected at write, never stored):
+        every batch column that already exists in the table's declared
+        schema must keep its type; NEW columns are recorded via
+        ``evolve_schema`` (schema union), so later conflicts on evolved
+        columns are also caught here. Before this check, a long→double
+        rewrite of an existing column committed fine and every subsequent
+        read failed with CANNOT_MERGE_SCHEMAS (loud, thanks to the
+        fingerprint auto-merge — but the bad commit was already in
+        history); now the WRITE fails and history stays readable.
+        Nullability is not compared (parquet unions relax it anyway).
+        """
+        if not self._log.exists():
+            return
+        meta = self._log.table_meta()
+        declared = StructType.fromJson(meta["schema_json"])
+        declared_types = {f.name: f.dataType for f in declared.fields}
+        new_fields = []
+        for f in df.schema.fields:
+            have = declared_types.get(f.name)
+            if have is None:
+                new_fields.append(f)
+            elif f.dataType.simpleString() != have.simpleString():
+                raise ValueError(
+                    f"schema evolution is additive-only: column {f.name!r} "
+                    f"is declared {have.simpleString()} but this batch "
+                    f"writes {f.dataType.simpleString()} — rewrite the "
+                    "batch (cast) or create a new table; a type change "
+                    "would make every cross-commit read fail with "
+                    "CANNOT_MERGE_SCHEMAS"
+                )
+        if new_fields:
+            evolved = StructType(declared.fields + new_fields)
+            self._log.evolve_schema(evolved.jsonValue())
 
     def _write_commit_stats(self, df: DataFrame, commit_path: str) -> None:
         """Record per-commit column min/max into ``_bic_stats.json`` inside

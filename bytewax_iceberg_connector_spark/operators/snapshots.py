@@ -68,6 +68,20 @@ class SnapshotLog:
         with open(os.path.join(self.meta_dir, "table.json")) as f:
             return json.load(f)
 
+    def evolve_schema(self, new_schema_json: dict) -> None:
+        """Record an ADDITIVE schema evolution in table metadata: the old
+        schema is archived under ``schema_history`` and ``schema_json``
+        becomes the union — Iceberg's schema-evolution metadata swap.
+        Callers (the write path) decide WHAT evolves; this only records
+        it so (a) type conflicts on evolved columns are caught at write
+        time forever after, and (b) the declared-schema empty read shows
+        the evolved shape."""
+        meta = self.table_meta()
+        history = meta.setdefault("schema_history", [])
+        history.append(meta.get("schema_json"))
+        meta["schema_json"] = new_schema_json
+        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
+
     # -- partition-spec evolution ------------------------------------------
 
     def current_spec_id(self) -> int:

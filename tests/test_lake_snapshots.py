@@ -993,3 +993,37 @@ def test_every_reader_survives_schema_evolution(spark, tmp_path):
     got = {(r.event_id, r.q)
            for r in sink.read().select("event_id", "q").collect()}
     assert got == {(1, 2.0), (2, 4.0), (3, 6.0)}
+
+
+def test_type_change_rejected_at_write_history_stays_readable(spark, tmp_path):
+    """Schema evolution is ADDITIVE-only (the Iceberg contract): a batch
+    that rewrites an existing column's TYPE is rejected at WRITE time
+    with an actionable error, and the table stays fully readable — the
+    pre-r08 behavior committed the conflicting file and every later read
+    died with CANNOT_MERGE_SCHEMAS (loud thanks to the fingerprint
+    auto-merge, but history was already poisoned). Column ADDS still
+    evolve the declared schema, so a type conflict on an EVOLVED column
+    is caught at write too."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    sink = _sink(spark, tmp_path)
+    sink.append(spark.createDataFrame(
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1), v=10)]))  # v: long
+
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(spark.createDataFrame(
+            [Row(event_id=2, ts=dt.datetime(2024, 1, 1), v=2.5)]))  # double
+
+    # the rejected batch left no trace: table still readable, one row
+    assert [r.v for r in sink.read().collect()] == [10]
+
+    # additive evolution records the union schema...
+    sink.append(spark.createDataFrame(
+        [Row(event_id=3, ts=dt.datetime(2024, 1, 1), v=11, q=1.5)]))
+    assert "q" in sink.read().columns
+    # ...so a type conflict on the EVOLVED column is now caught too
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(spark.createDataFrame(
+            [Row(event_id=4, ts=dt.datetime(2024, 1, 1), v=12, q=7)]))  # long
