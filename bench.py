@@ -38,11 +38,24 @@ def main() -> None:
 
     qs = entrymod.queries()
     names = [n for n in sorted(qs) if n not in EXCLUDE]
-    # execution order knob: the wall budget gives the alphabetical tail a
-    # cold single pass every run — SPARK_GRAFT_BENCH_ORDER=desc flips the
-    # order so alternate runs warm the other end. Default stays asc for
-    # cross-round comparability.
-    exec_order = os.environ.get("SPARK_GRAFT_BENCH_ORDER", "asc")
+    # execution order: the wall budget gives whichever end runs LAST a
+    # cold single pass every run, so successive runs ALTERNATE direction
+    # (each query gets a warm best-of-2 number at least every other
+    # round). The previous run's direction is read from BENCH_DETAIL.json;
+    # SPARK_GRAFT_BENCH_ORDER=asc|desc pins it explicitly. Warm numbers
+    # are order-independent, and the detail file records exec_order so
+    # cross-round tooling can separate the cold tail mechanically.
+    exec_order = os.environ.get("SPARK_GRAFT_BENCH_ORDER")
+    if exec_order not in ("asc", "desc"):
+        try:
+            with open(os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_DETAIL.json",
+            )) as f:
+                prev = json.load(f).get("exec_order", "desc")
+            exec_order = "desc" if prev == "asc" else "asc"
+        except (OSError, ValueError):
+            exec_order = "asc"
     if exec_order == "desc":
         names.reverse()
     # light warmup: JVM/parquet-footer startup only. A FULL warmup pass
