@@ -98,11 +98,10 @@ def main() -> None:
         # wall budget: at 190+ queries the doubled wall can cross the
         # harness cap, and COVERAGE (every query timed once) beats
         # best-of-2 stability for the tail — a single-pass tail number is
-        # cold-biased but recorded; an unrun query is a hole. Single-pass
-        # queries are counted so cross-round comparisons can exclude the
-        # cold-biased tail: execution order is alphabetical, so the LAST
-        # `single_pass_tail` timed names (sorted) are exactly the
-        # single-pass ones.
+        # cold-biased but recorded; an unrun query is a hole. The
+        # authoritative per-query cold/warm flag is BENCH_DETAIL.json's
+        # `passes` (execution order ALTERNATES between runs, so the old
+        # sorted-suffix convention no longer identifies the tail).
         if time.perf_counter() - t_start < budget * 0.85:
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
@@ -170,8 +169,9 @@ def _final_line(
         if unrun:
             payload["queries_unrun"] = unrun
         if single_pass:
-            # cold-biased (no steady-state pass) alphabetical tail: the
-            # last `single_pass_tail` timed names in sorted order
+            # count of cold-biased (no steady-state pass) queries; the
+            # per-query flag lives in BENCH_DETAIL.json (`passes`), since
+            # execution order alternates between runs
             payload["single_pass_tail"] = single_pass
         return json.dumps(payload, separators=(",", ":"))
 

@@ -298,16 +298,29 @@ class LakeSink:
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
-            if branch != "main":
-                wap = self.spark.conf.get("spark.wap.branch", None)
-                if wap != branch:
-                    raise ValueError(
-                        f"append(branch={branch!r}) on the iceberg backend "
-                        "requires spark.wap.branch to be set to that branch "
-                        f"(currently {wap!r}) — without it the runtime "
-                        "would commit straight to main and the staged rows "
-                        "would be visible before the audit step"
-                    )
+            # two-directional WAP verification: the runtime routes writes
+            # by the spark.wap.branch SESSION conf, not by this argument,
+            # so BOTH mismatches are silent mis-routing — a branch append
+            # without the conf commits straight to main (staged rows
+            # visible before audit), and a main append with the conf
+            # still set lands on the WAP branch (rows the caller believes
+            # committed never reach main readers).
+            wap = self.spark.conf.get("spark.wap.branch", None)
+            if branch != "main" and wap != branch:
+                raise ValueError(
+                    f"append(branch={branch!r}) on the iceberg backend "
+                    "requires spark.wap.branch to be set to that branch "
+                    f"(currently {wap!r}) — without it the runtime "
+                    "would commit straight to main and the staged rows "
+                    "would be visible before the audit step"
+                )
+            if branch == "main" and wap:
+                raise ValueError(
+                    "append(branch='main') on the iceberg backend while "
+                    f"spark.wap.branch={wap!r} is set would silently "
+                    "commit to that branch instead of main — unset the "
+                    "conf or pass branch explicitly"
+                )
             df.writeTo(self._qualified).append()
             return
         self._write_commit(df, operation="append", batch_id=batch_id,
@@ -374,7 +387,7 @@ class LakeSink:
     def _write_commit(self, df: DataFrame, operation: str,
                       batch_id: int | None = None,
                       cluster_expr=None, branch: str = "main") -> None:
-        self._check_write_schema(df)
+        new_fields = self._check_write_schema(df)
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
         if cluster_expr is not None:
@@ -426,9 +439,17 @@ class LakeSink:
         # load group spans >1 fingerprint, so NO read path — plain read(),
         # read_incremental(), CDC — can ever footer-pick an arbitrary file's
         # schema across an additive evolution (the r07 judge's
-        # order-dependent silent-column-drop class).
+        # order-dependent silent-column-drop class). Fingerprint identity =
+        # sorted (name, type) pairs — the SAME identity _check_write_schema
+        # enforces: hashing the raw jsonValue would split fingerprints on
+        # nullability/field-order/metadata differences between otherwise
+        # identical batches and permanently force the footer-merge pass the
+        # single-schema fast path exists to skip.
         schema_fp = hashlib.sha256(
-            json.dumps(keyed.schema.jsonValue(), sort_keys=True).encode()
+            json.dumps(
+                sorted((f.name, f.dataType.simpleString())
+                       for f in keyed.schema.fields)
+            ).encode()
         ).hexdigest()[:16]
         with open(os.path.join(path, "_bic_spec.json"), "w") as f:
             json.dump(
@@ -444,6 +465,15 @@ class LakeSink:
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
             branch=branch,
         )
+        # record column adds AFTER the commit succeeds, and only for MAIN
+        # commits: a failed write can then never leave a declared column
+        # with no data, and a staged WAP branch's new columns don't leak
+        # into main's declared shape before publish (they fold in when
+        # main first commits them; reads are fingerprint-auto-merged
+        # either way, so the declared schema is validation/convenience,
+        # never load-bearing for correctness)
+        if new_fields and branch == "main":
+            self._log.evolve_schema([f.jsonValue() for f in new_fields])
 
     def _check_write_schema(self, df: DataFrame) -> None:
         """Write-time schema compatibility (Iceberg's contract: evolution
@@ -457,9 +487,12 @@ class LakeSink:
         fingerprint auto-merge — but the bad commit was already in
         history); now the WRITE fails and history stays readable.
         Nullability is not compared (parquet unions relax it anyway).
+        Returns the batch's NEW fields; the caller records them via
+        ``evolve_schema`` only after the data commit succeeds (main
+        commits only — see _write_commit).
         """
         if not self._log.exists():
-            return
+            return []
         meta = self._log.table_meta()
         declared = StructType.fromJson(meta["schema_json"])
         declared_types = {f.name: f.dataType for f in declared.fields}
@@ -477,9 +510,7 @@ class LakeSink:
                     "would make every cross-commit read fail with "
                     "CANNOT_MERGE_SCHEMAS"
                 )
-        if new_fields:
-            evolved = StructType(declared.fields + new_fields)
-            self._log.evolve_schema(evolved.jsonValue())
+        return new_fields
 
     def _write_commit_stats(self, df: DataFrame, commit_path: str) -> None:
         """Record per-commit column min/max into ``_bic_stats.json`` inside

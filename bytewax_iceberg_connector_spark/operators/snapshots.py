@@ -68,18 +68,31 @@ class SnapshotLog:
         with open(os.path.join(self.meta_dir, "table.json")) as f:
             return json.load(f)
 
-    def evolve_schema(self, new_schema_json: dict) -> None:
+    def evolve_schema(self, new_fields_json: list[dict]) -> None:
         """Record an ADDITIVE schema evolution in table metadata: the old
-        schema is archived under ``schema_history`` and ``schema_json``
-        becomes the union — Iceberg's schema-evolution metadata swap.
-        Callers (the write path) decide WHAT evolves; this only records
-        it so (a) type conflicts on evolved columns are caught at write
-        time forever after, and (b) the declared-schema empty read shows
-        the evolved shape."""
+        schema is archived under ``schema_history`` and the named fields
+        are APPENDED to ``schema_json`` — Iceberg's schema-evolution
+        metadata swap. The union is computed HERE against a fresh read of
+        the metadata (not from a caller-supplied full schema), so two
+        concurrent writers adding DIFFERENT columns can only interleave
+        within this read-modify-write — and even a lost update degrades
+        gracefully: reads stay correct regardless (the per-commit schema
+        fingerprints force the footer merge), and a type conflict on the
+        dropped entry fails loudly at read (CANNOT_MERGE_SCHEMAS) instead
+        of silently. Callers invoke this AFTER the data commit succeeds,
+        so a failed write can never leave a declared column with no data.
+        Fields already present (by name) are skipped — idempotent."""
         meta = self.table_meta()
+        schema = meta.get("schema_json") or {"type": "struct", "fields": []}
+        have = {f["name"] for f in schema.get("fields", [])}
+        fresh = [f for f in new_fields_json if f["name"] not in have]
+        if not fresh:
+            return
         history = meta.setdefault("schema_history", [])
-        history.append(meta.get("schema_json"))
-        meta["schema_json"] = new_schema_json
+        history.append(json.loads(json.dumps(schema)))
+        schema = dict(schema)
+        schema["fields"] = list(schema.get("fields", [])) + fresh
+        meta["schema_json"] = schema
         self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
 
     # -- partition-spec evolution ------------------------------------------

@@ -416,8 +416,13 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("hit", F.lit(1))
     )
+    # DISTINCT (doc_id, source): a byte-identical re-ingested batch row
+    # is the same admitted document — counting rows inflated the batch
+    # manifest on BOTH engines (agreeing-but-wrong; r08 review find).
+    batch_docs = docs.where(is_batch).select("doc_id", "source") \
+        .dropDuplicates()
     return scoped(
-        docs.where(is_batch)
+        batch_docs
         .join(flagged, "doc_id", "left")
         .groupBy("source")
         .agg(
@@ -459,8 +464,11 @@ SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_batch,
        CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_near_dup_of_history
-FROM documents d LEFT JOIN flagged f USING (doc_id)
-WHERE d.doc_id % {_INCR_STRIDE} = 0
+-- DISTINCT (doc_id, source): re-ingested duplicate rows are one admitted
+-- document (engine dropDuplicates twin)
+FROM (SELECT DISTINCT doc_id, source FROM documents
+      WHERE doc_id % {_INCR_STRIDE} = 0) d
+LEFT JOIN flagged f USING (doc_id)
 GROUP BY source
 ORDER BY source
 """
@@ -2752,7 +2760,10 @@ _SQL_MM_AUDIO = f"""
 -- evaluations per row and ground for minutes on a 1 MB clip (huge-doc
 -- sweep blocker). Integer-exact, so IEEE determinism is unchanged: the
 -- single SQRT sees the same exact Σb².
-WITH base AS (
+WITH base AS MATERIALIZED (
+  -- MATERIALIZED: base is referenced by TWO consumers and ROW_NUMBER()
+  -- OVER () is order-nondeterministic per evaluation — an inlined CTE
+  -- could assign different rids to the two references and mis-join
   SELECT ROW_NUMBER() OVER () AS rid,
          sha256(COALESCE(text, '')) AS h,
          lower(hex(encode(COALESCE(text, '')))) AS hx,
@@ -2819,16 +2830,23 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # duplicate-rows sweep) and would merge NULL-keyed clips. Both decode
     # branches read the same stamped scan, so the ids line up without a
     # shuffle.
+    # PERSISTED: monotonically_increasing_id is nondeterministic across
+    # re-evaluations, and meta/feats are two separate mapInPandas branches
+    # of one join plan — without materialization a task retry or split
+    # change could re-stamp the scan differently per branch and silently
+    # attach one row's channels to another row's features. The persist
+    # pins ONE rid→row mapping both branches read (at 100 TB you'd write
+    # the stamped frame to the lake instead).
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
-    ).withColumn("rid", F.monotonically_increasing_id())
+    ).withColumn("rid", F.monotonically_increasing_id()).persist()
     # force_stub: these queries are ORACLE-checked against the stub
     # math; a codec library appearing in the environment must not
     # silently flip them onto the real-decoder branch and go red
     meta = decode_image_meta(docs, "payload", "rid", force_stub=True)
     feats = extract_features(docs, "payload", "rid")
     joined = meta.select(F.col("key"), "channels").join(feats, "key")
-    return (
+    out = (
         joined.groupBy("channels")
         .agg(
             F.count("*").cast("long").alias("n_assets"),
@@ -2844,6 +2862,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channels")
     )
+    return scoped(out, docs)
 
 
 _SQL_MM_PIPELINE = f"""
@@ -2852,7 +2871,10 @@ _SQL_MM_PIPELINE = f"""
 -- assets and a NULL-id clip is still one — the r06 mm_audio lesson. The
 -- previous doc_id grouping MIXED two duplicate rows' byte stats, driving
 -- the variance term negative (sqrt crash, r08 duplicate-rows sweep).
-WITH base AS (
+WITH base AS MATERIALIZED (
+  -- MATERIALIZED: base is referenced by TWO consumers and ROW_NUMBER()
+  -- OVER () is order-nondeterministic per evaluation — an inlined CTE
+  -- could assign different rids to the two references and mis-join
   SELECT ROW_NUMBER() OVER () AS rid,
          sha256(COALESCE(text, '')) AS h1 FROM documents
 ), hx AS (
