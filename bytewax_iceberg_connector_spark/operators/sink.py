@@ -44,7 +44,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StructField, StructType
 
 from ..config import IcebergSinkConfig
 from ..functions.zorder import zorder_key
@@ -298,33 +298,40 @@ class LakeSink:
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
-            # two-directional WAP verification: the runtime routes writes
-            # by the spark.wap.branch SESSION conf, not by this argument,
-            # so BOTH mismatches are silent mis-routing — a branch append
-            # without the conf commits straight to main (staged rows
-            # visible before audit), and a main append with the conf
-            # still set lands on the WAP branch (rows the caller believes
-            # committed never reach main readers).
-            wap = self.spark.conf.get("spark.wap.branch", None)
-            if branch != "main" and wap != branch:
-                raise ValueError(
-                    f"append(branch={branch!r}) on the iceberg backend "
-                    "requires spark.wap.branch to be set to that branch "
-                    f"(currently {wap!r}) — without it the runtime "
-                    "would commit straight to main and the staged rows "
-                    "would be visible before the audit step"
-                )
-            if branch == "main" and wap:
-                raise ValueError(
-                    "append(branch='main') on the iceberg backend while "
-                    f"spark.wap.branch={wap!r} is set would silently "
-                    "commit to that branch instead of main — unset the "
-                    "conf or pass branch explicitly"
-                )
+            self._assert_wap_routing("append", branch=branch)
             df.writeTo(self._qualified).append()
             return
         self._write_commit(df, operation="append", batch_id=batch_id,
                            branch=branch)
+
+    def _assert_wap_routing(self, operation: str, branch: str = "main") -> None:
+        """Two-directional ``spark.wap.branch`` verification for EVERY
+        iceberg write entry point (r08 ADVICE: guarding only append left
+        overwrite/merge/delete/compact/rollback silently redirectable).
+        The runtime routes iceberg writes by the SESSION conf, not by our
+        ``branch`` argument, so both mismatches are silent mis-routing: a
+        branch write without the conf commits straight to main (staged
+        rows visible before audit), and a main-intended write with the
+        conf still set lands on the WAP branch (rows the caller believes
+        committed never reach main readers)."""
+        if self.backend != "iceberg":
+            return
+        wap = self.spark.conf.get("spark.wap.branch", None)
+        if branch != "main" and wap != branch:
+            raise ValueError(
+                f"{operation}(branch={branch!r}) on the iceberg backend "
+                "requires spark.wap.branch to be set to that branch "
+                f"(currently {wap!r}) — without it the runtime "
+                "would commit straight to main and the staged rows "
+                "would be visible before the audit step"
+            )
+        if branch == "main" and wap:
+            raise ValueError(
+                f"{operation}() targets main but spark.wap.branch={wap!r} "
+                "is set — the runtime would silently route the write to "
+                "that branch instead of main; unset the conf or stage "
+                "explicitly via append(branch=...)"
+            )
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Replace the table contents in one snapshot (the copy-on-write
@@ -333,6 +340,7 @@ class LakeSink:
         base-table snapshot a materialized view was refreshed to)."""
         self.ensure_table(df)
         if self.backend == "iceberg":
+            self._assert_wap_routing("overwrite")
             df.writeTo(self._qualified).createOrReplace()
             return
         self._write_commit(df, operation="overwrite", batch_id=batch_id)
@@ -352,6 +360,7 @@ class LakeSink:
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
+            self._assert_wap_routing("overwrite_partitions")
             df.writeTo(self._qualified).overwritePartitions()
             return
         pcols = partition_columns(self._spec)
@@ -387,7 +396,7 @@ class LakeSink:
     def _write_commit(self, df: DataFrame, operation: str,
                       batch_id: int | None = None,
                       cluster_expr=None, branch: str = "main") -> None:
-        new_fields = self._check_write_schema(df)
+        new_fields = self._check_write_schema(df, branch=branch)
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
         if cluster_expr is not None:
@@ -464,18 +473,27 @@ class LakeSink:
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
             branch=branch,
+            # branch commits carry their column adds ON the snapshot so
+            # publish() can fold them into the declared schema (r08
+            # ADVICE: without the fold, a post-publish type-changing main
+            # write of a branch-added column passed the additive-only
+            # guard and poisoned cross-commit reads)
+            new_fields=[f.jsonValue() for f in new_fields]
+            if (new_fields and branch != "main") else None,
         )
         # record column adds AFTER the commit succeeds, and only for MAIN
         # commits: a failed write can then never leave a declared column
         # with no data, and a staged WAP branch's new columns don't leak
-        # into main's declared shape before publish (they fold in when
-        # main first commits them; reads are fingerprint-auto-merged
-        # either way, so the declared schema is validation/convenience,
-        # never load-bearing for correctness)
+        # into main's declared shape before publish (snapshots.publish
+        # folds the branch-carried new_fields in; reads are fingerprint-
+        # auto-merged either way, so the declared schema is validation/
+        # convenience, never load-bearing for correctness)
         if new_fields and branch == "main":
             self._log.evolve_schema([f.jsonValue() for f in new_fields])
 
-    def _check_write_schema(self, df: DataFrame) -> None:
+    def _check_write_schema(
+        self, df: DataFrame, branch: str = "main"
+    ) -> list[StructField]:
         """Write-time schema compatibility (Iceberg's contract: evolution
         is additive; a TYPE change is rejected at write, never stored):
         every batch column that already exists in the table's declared
@@ -487,26 +505,44 @@ class LakeSink:
         fingerprint auto-merge — but the bad commit was already in
         history); now the WRITE fails and history stays readable.
         Nullability is not compared (parquet unions relax it anyway).
+
+        Branch writes ALSO check against the branch's own pending column
+        adds (snapshot-carried ``new_fields``): a pending column is as
+        binding as a declared one — without this, commit 1 staging ``x``
+        as long and commit 2 staging ``x`` as double stored a conflict the
+        additive-only contract promises can never be stored.
+
         Returns the batch's NEW fields; the caller records them via
-        ``evolve_schema`` only after the data commit succeeds (main
-        commits only — see _write_commit).
+        ``evolve_schema`` after the data commit succeeds (main commits
+        directly; branch commits carry them on the snapshot and
+        ``publish`` folds them in — see _write_commit).
         """
         if not self._log.exists():
             return []
         meta = self._log.table_meta()
         declared = StructType.fromJson(meta["schema_json"])
         declared_types = {f.name: f.dataType for f in declared.fields}
+        binding = {
+            n: (t, "declared") for n, t in declared_types.items()
+        }
+        if branch != "main":
+            for fj in self._log.branch_new_fields(branch):
+                binding.setdefault(
+                    fj["name"],
+                    (StructField.fromJson(fj).dataType,
+                     f"staged on branch {branch!r}"),
+                )
         new_fields = []
         for f in df.schema.fields:
-            have = declared_types.get(f.name)
+            have = binding.get(f.name)
             if have is None:
                 new_fields.append(f)
-            elif f.dataType.simpleString() != have.simpleString():
+            elif f.dataType.simpleString() != have[0].simpleString():
                 raise ValueError(
                     f"schema evolution is additive-only: column {f.name!r} "
-                    f"is declared {have.simpleString()} but this batch "
-                    f"writes {f.dataType.simpleString()} — rewrite the "
-                    "batch (cast) or create a new table; a type change "
+                    f"is {have[1]} as {have[0].simpleString()} but this "
+                    f"batch writes {f.dataType.simpleString()} — rewrite "
+                    "the batch (cast) or create a new table; a type change "
                     "would make every cross-commit read fail with "
                     "CANNOT_MERGE_SCHEMAS"
                 )
@@ -620,6 +656,7 @@ class LakeSink:
         remains readable via read(as_of=...)).
         """
         if self.backend == "iceberg":
+            self._assert_wap_routing("merge")
             if tiebreak is not None:
                 # same within-batch winner selection merge_upsert applies
                 # on the parquet path — without it, duplicate source keys
@@ -748,6 +785,7 @@ class LakeSink:
         """Restore an earlier snapshot's live set as a NEW snapshot (history
         is append-only — Iceberg's rollback_to_snapshot semantics)."""
         if self.backend == "iceberg":
+            self._assert_wap_routing("rollback")
             cat = self.config.catalog_name
             self.spark.sql(
                 f"CALL {cat}.system.rollback_to_snapshot"
@@ -765,6 +803,7 @@ class LakeSink:
         Iceberg semantics, where hard erasure = DELETE + expire.
         """
         if self.backend == "iceberg":
+            self._assert_wap_routing("delete")
             self.spark.sql(
                 f"DELETE FROM {self._qualified} WHERE {condition}"
             )
@@ -797,6 +836,7 @@ class LakeSink:
         hash-distribution on write.
         """
         if self.backend == "iceberg":
+            self._assert_wap_routing("compact")
             cat = self.config.catalog_name
             if zorder_by:
                 zcols = ", ".join(zorder_by)

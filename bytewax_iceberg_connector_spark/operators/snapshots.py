@@ -279,6 +279,7 @@ class SnapshotLog:
         rollback_to: int | None = None,
         batch_id: int | None = None,
         branch: str = "main",
+        new_fields: list[dict] | None = None,
         retries: int = 3,
     ) -> int:
         """Commit a snapshot; returns its id.
@@ -294,6 +295,14 @@ class SnapshotLog:
         serializable validation). Snapshot ids are globally unique across
         branches (one version sequence), so two writers on different
         branches still serialize through the same atomic v-file create.
+
+        ``new_fields`` (branch commits only): the columns this commit ADDS
+        relative to the declared schema, carried ON the snapshot so
+        :meth:`publish` can fold them into the declared schema when the
+        branch fast-forwards to main — without it, branch-added columns
+        stayed undeclared after publish and a later type-changing main
+        write of the same column slipped past the additive-only write
+        guard (r08 ADVICE, medium).
         """
         for _ in range(retries + 1):
             version = self._max_version()
@@ -317,6 +326,8 @@ class SnapshotLog:
             }
             if branch != "main":
                 snap["branch"] = branch
+                if new_fields:
+                    snap["new_fields"] = list(new_fields)
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{version + 1}.json"), snap
@@ -356,6 +367,28 @@ class SnapshotLog:
                 break
         return chain
 
+    def branch_new_fields(self, branch: str) -> list[dict]:
+        """Columns the named branch's commits ADDED relative to the declared
+        schema at their write time — oldest commit first, deduped by name
+        (first declaration wins, matching main's evolve_schema contract).
+        Consumed by (a) the write-time schema check, so a later branch
+        commit cannot re-add a pending column with a conflicting type, and
+        (b) :meth:`publish`, which folds them into the declared schema."""
+        head = self.current_id(branch)
+        if head == 0:
+            return []
+        out: list[dict] = []
+        have: set[str] = set()
+        for sid in reversed(self.ancestors(head)):  # oldest → newest
+            s = self._maybe_snapshot(sid)
+            if s is None or s.get("branch", "main") != branch:
+                continue
+            for fj in s.get("new_fields", []):
+                if fj["name"] not in have:
+                    have.add(fj["name"])
+                    out.append(fj)
+        return out
+
     def publish(self, branch: str, retries: int = 3) -> int:
         """Fast-forward main to ``branch``'s head (Iceberg's
         ``fast_forward`` procedure — the publish step of write-audit-
@@ -371,7 +404,16 @@ class SnapshotLog:
         it fast-forwarded — what makes re-publish recognizable) and
         ``batch_ids`` (every streaming batch id in the published branch
         lineage — what keeps exactly-once dedup alive after the branch
-        is dropped)."""
+        is dropped).
+
+        Publishing also FOLDS the branch's staged column adds into the
+        declared schema (``branch_new_fields`` → ``evolve_schema``): the
+        staged columns were deliberately kept out of main's declared shape
+        while unpublished (a dropped branch must not leave a declared
+        column with no data), but once its commits become main's live set
+        the declaration must follow — otherwise a later main write of the
+        same column with a DIFFERENT type passes the additive-only check
+        and poisons cross-commit reads (r08 ADVICE, medium)."""
         b_head = self.current_id(branch)
         if b_head == 0:
             raise LookupError(f"branch {branch!r} has no commits")
@@ -416,6 +458,12 @@ class SnapshotLog:
                     os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),
                     snap,
                 )
+                staged = self.branch_new_fields(branch)
+                if staged:
+                    # fold AFTER the publish snapshot lands: the staged
+                    # data is now main-visible, so declaring its columns
+                    # can no longer strand a declared column without data
+                    self.evolve_schema(staged)
                 return snap["snapshot_id"]
             except FileExistsError:
                 continue

@@ -159,11 +159,18 @@ def _shingle_families(arr_df: DataFrame, arr_col: str) -> DataFrame:
     jaccard 1.0 where the pairwise contract (0/0 undefined) never pairs
     them.
 
-    The family key hashes the SORTED hash array — the kernel's set
-    iteration order is not canonical across docs."""
+    The family key is the SORTED hash array ITSELF (Spark groups by array
+    columns natively) — the kernel's set iteration order is not canonical
+    across docs, and keying on a second-level xxhash64 of the array (the
+    pre-r09 form) let a 64-bit collision silently merge two DIFFERENT
+    shingle sets into one family, changing pair membership (r08 ADVICE).
+    Unlike the documented per-shingle xxhash tolerance (which only
+    perturbs jaccard VALUES), family membership must be exact — the
+    DuckDB oracle keys on the exact sorted set. Shuffle width is the
+    8-byte-per-shingle array, the same rows the pair join explodes anyway."""
     return (
         arr_df.select(
-            "doc_id", F.xxhash64(F.array_sort(arr_col)).alias("fkey")
+            "doc_id", F.array_sort(arr_col).alias("fkey")
         )
         .groupBy("fkey")
         .agg(F.min("doc_id").alias("rep"), F.count("*").alias("fam_size"))

@@ -433,10 +433,9 @@ def test_near_ngram_family_rows_reconstruct_exact_pairs(spark, sf_dir):
     # engine-side family membership (doc_id -> rep)
     sha = _shingle_array(spark, sf_dir).where(F.size("sha") > 0)
     fams = _shingle_families(sha, "sha")
+    # fkey is the sorted array itself (exact set identity, r09)
     member = (
-        sha.select(
-            "doc_id", F.xxhash64(F.array_sort("sha")).alias("fkey")
-        )
+        sha.select("doc_id", F.array_sort("sha").alias("fkey"))
         .join(fams, "fkey")
         .select("doc_id", "rep", "fam_size")
     )

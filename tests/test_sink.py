@@ -316,3 +316,94 @@ def test_timestamp_as_of_ignores_branch_snapshots(spark, tmp_path, events_df):
     now_ms = int(_t.time() * 1000) + 1000
     sid = sink.snapshot_as_of_timestamp(now_ms)
     assert sid == 1  # main's head, not the staged branch snapshot
+
+
+# -- r09: WAP-branch schema evolution folds at publish (r08 ADVICE medium) --
+
+
+def test_publish_folds_branch_added_columns(spark, tmp_path, events_df):
+    """A column staged on a WAP branch must become DECLARED when the branch
+    publishes — so a later main write of that column with a DIFFERENT type
+    is rejected at write (the additive-only contract), not stored as a
+    CANNOT_MERGE_SCHEMAS time bomb."""
+    from pyspark.sql import functions as F
+
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    staged = events_df.withColumn("quality", (F.col("v") * 10).cast("long"))
+    sink.append(staged, branch="audit")
+    # unpublished: the staged column must NOT be declared yet (a dropped
+    # branch must not leave a declared column with no main data)
+    declared = {f["name"] for f in
+                sink._log.table_meta()["schema_json"]["fields"]}
+    assert "quality" not in declared
+    sink.publish("audit")
+    declared = {f["name"] for f in
+                sink._log.table_meta()["schema_json"]["fields"]}
+    assert "quality" in declared
+    # post-publish type change on the published column: rejected at write
+    bad = events_df.withColumn("quality", F.col("v") / 10.0)  # double
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(bad)
+    # same type still appends fine
+    sink.append(events_df.withColumn("quality", F.lit(7).cast("long")))
+    back = sink.read(merge_schema=True)
+    assert back.where("quality IS NOT NULL").count() == 60
+
+
+def test_branch_pending_column_type_conflict_rejected(spark, tmp_path,
+                                                      events_df):
+    """Within one branch: commit 1 stages column x as long, commit 2 writes
+    x as double — the pending column binds like a declared one, so the
+    conflict is rejected at WRITE, never stored."""
+    from pyspark.sql import functions as F
+
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    sink.append(events_df.withColumn("x", F.lit(1).cast("long")),
+                branch="audit")
+    with pytest.raises(ValueError, match="staged on branch"):
+        sink.append(events_df.withColumn("x", F.lit(1.5)), branch="audit")
+
+
+def test_dropped_branch_leaves_schema_undeclared(spark, tmp_path, events_df):
+    """The audit-failed arm: dropping a branch with staged column adds must
+    leave the declared schema untouched, and the column can later be
+    (re)introduced on main with any type."""
+    from pyspark.sql import functions as F
+
+    sink = _sink(spark, tmp_path)
+    sink.append(events_df)
+    sink.append(events_df.withColumn("q", F.lit(1).cast("long")),
+                branch="audit")
+    sink.drop_branch("audit")
+    declared = {f["name"] for f in
+                sink._log.table_meta()["schema_json"]["fields"]}
+    assert "q" not in declared
+    # main may now declare q as double — the staged long never landed
+    sink.append(events_df.withColumn("q", F.lit(0.5)))
+    assert sink.read(merge_schema=True).where("q = 0.5").count() == 30
+
+
+def test_wap_routing_guard_covers_all_write_paths(spark, tmp_path, events_df):
+    """r08 ADVICE (low): every iceberg write entry point must verify
+    spark.wap.branch routing, not just append. The guard is a pure conf
+    check, so it is testable without the iceberg runtime by flipping the
+    backend marker."""
+    sink = _sink(spark, tmp_path)
+    sink.backend = "iceberg"
+    spark.conf.set("spark.wap.branch", "audit")
+    try:
+        for op in ("append", "overwrite", "merge", "delete", "compact",
+                   "rollback"):
+            with pytest.raises(ValueError, match="spark.wap.branch"):
+                sink._assert_wap_routing(op)
+        # matching branch append passes; mismatched branch raises
+        sink._assert_wap_routing("append", branch="audit")
+        with pytest.raises(ValueError, match="spark.wap.branch"):
+            sink._assert_wap_routing("append", branch="other")
+    finally:
+        spark.conf.unset("spark.wap.branch")
+        sink.backend = "parquet"
+    # parquet backend: no-op regardless of conf
+    sink._assert_wap_routing("overwrite")
