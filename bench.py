@@ -22,6 +22,22 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # warehouse — correctness-gated, not a throughput metric)
 EXCLUDE = {"iceberg_roundtrip"}
 
+# Control-trio clean-band reference (BASELINE.md): the early-r07 clean P3
+# run measured these three plan-stable control queries IN-BENCH at sf0.1 at
+# 1.16 / 1.81 / 1.03 s. Every later round's runs landed on a drifted host
+# (1.3-1.6x on the same controls with unchanged plans), so cross-round
+# totals were only comparable when host luck cooperated. The normalized
+# metric divides the run total by the geometric mean of the in-run control
+# ratios vs this band — a drift estimate measured INSIDE the same process /
+# JVM / load window as every other number in the run — so cross-round
+# comparisons stop depending on the host's background load. sf0.1 only:
+# the band is an sf0.1 measurement.
+_CONTROL_CLEAN_SF01 = {
+    "pricing_summary": 1.16,
+    "partition_evolution": 1.81,
+    "supplier_share_trend": 1.03,
+}
+
 
 def _force(df) -> None:
     """Materialize the full result without collecting to the driver."""
@@ -115,6 +131,27 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # control-normalized total (sf0.1 only; see _CONTROL_CLEAN_SF01).
+    # Requires all three controls timed warm (best-of-2): a cold-tail
+    # control would overstate drift and flatter the normalized number.
+    drift = None
+    norm = None
+    if sf == "0.1" and all(
+        passes.get(c) == 2 for c in _CONTROL_CLEAN_SF01
+    ):
+        import math
+
+        drift = round(
+            math.exp(
+                sum(
+                    math.log(timings[c] / ref)
+                    for c, ref in _CONTROL_CLEAN_SF01.items()
+                )
+                / len(_CONTROL_CLEAN_SF01)
+            ),
+            3,
+        )
+        norm = round(total / drift, 3)
     # full-fidelity side file: the stdout line is budgeted to the driver's
     # 2000-char capture window, so the per-query pass count (cold
     # single-pass vs warm best-of-2) lives here — cross-round tooling
@@ -124,6 +161,9 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "exec_order": exec_order,
         "total_sec": total,
+        "controls": {c: timings.get(c) for c in _CONTROL_CLEAN_SF01},
+        "drift_factor": drift,
+        "total_sec_normalized": norm,
         "queries": {
             n: {"sec": timings[n], "passes": passes[n]} for n in timings
         },
@@ -138,7 +178,8 @@ def main() -> None:
     except OSError:
         pass  # a read-only checkout must not kill the stdout contract
     print(
-        _final_line(total, timings, float(sf) if sf else None, unrun, single_pass)
+        _final_line(total, timings, float(sf) if sf else None, unrun,
+                    single_pass, drift, norm)
     )
     spark.stop()
 
@@ -153,7 +194,8 @@ _LINE_BUDGET = 1900
 
 def _final_line(
     total: float, timings: dict[str, float], sf, unrun: int = 0,
-    single_pass: int = 0,
+    single_pass: int = 0, drift: float | None = None,
+    norm: float | None = None,
 ) -> str:
     def render(q: dict[str, float], omitted: int, omitted_sec: float) -> str:
         payload = {
@@ -163,6 +205,12 @@ def _final_line(
             "queries": q,
             "sf": sf,
         }
+        if drift is not None:
+            # host-load drift vs the clean-band control trio (BASELINE.md);
+            # value_normalized = value / drift_factor is the cross-round
+            # comparable number
+            payload["drift_factor"] = drift
+            payload["value_normalized"] = norm
         if omitted:
             payload["queries_omitted"] = omitted
             payload["omitted_sec"] = round(omitted_sec, 3)

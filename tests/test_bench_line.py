@@ -44,3 +44,17 @@ def test_single_pass_tail_is_marked():
     assert "single_pass_tail" not in json.loads(
         _final_line(12.0, {"q1": 12.0}, 0.1)
     )
+
+
+def test_final_line_carries_drift_normalization():
+    from bench import _final_line
+
+    line = _final_line(
+        100.0, {"a": 1.0, "b": 2.0}, 0.1, drift=1.25, norm=80.0
+    )
+    payload = json.loads(line)
+    assert payload["drift_factor"] == 1.25
+    assert payload["value_normalized"] == 80.0
+    # absent when no drift estimate (non-sf0.1 or cold controls)
+    line = _final_line(100.0, {"a": 1.0}, 0.01)
+    assert "drift_factor" not in json.loads(line)
