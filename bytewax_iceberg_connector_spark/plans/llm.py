@@ -3139,6 +3139,20 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune — bucketed, scales) and run THIS as the periodic audit; the
     full-corpus audit (exact reach over all N) survives as the pytest
     twin, which also pins slice-vs-full agreement at two SFs.
+
+    Cost note (r08→r09 watch item, closed): the r08 duplicate-rows fix
+    added the DISTINCT-row slice (one extra hash exchange on the admitted
+    vectors) — that is the honest price of the dropped_bounded theorem
+    surviving byte-identical re-ingestion. The audit's 3 SinglePartition
+    exchanges are the FINAL stages of the three global aggregates
+    (n_vectors, n_dup_reach, census sums), each fed by map-side partials
+    shipping one counter row per task — pinned by
+    tests/test_plan_quality.py::
+    test_semantic_dedup_single_partition_stages_are_agg_finals. r09
+    re-measure on a near-clean band (drift 1.06): 2.2 s warm in-bench at
+    sf0.1, back in the r07 band; solo-without-preceding-Pandas-UDF
+    queries reads ~2× higher because the first applyInPandas pays the
+    python-worker spawn for all 32 cores.
     """
     # dropDuplicates: the engine twin of the oracle's DISTINCT admitted
     # slice — duplicate-row copies are one slice member, else the greedy

@@ -1755,3 +1755,29 @@ def test_sql_shipmode_priority_pushed_year_window(spark, sf_dir):
     assert "GreaterThanOrEqual(l_shipdate,1995-01-01" in plan
     assert "LessThan(l_shipdate,1996-01-01" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_single_partition_stages_are_agg_finals(spark, sf_dir):
+    """r08 verdict watch item: the audit flagged 3 SinglePartition stages in
+    semantic_dedup. Pin that every one of them is the FINAL stage of a
+    two-phase global aggregate — fed by a map-side partial (partial_count /
+    partial_sum over counter rows, one tiny row per task), never a
+    data-bearing repartition-to-1. The three global scalars (n_vectors,
+    n_dup_reach, census sums) are the query's summary-row contract; their
+    single-partition finals move O(#tasks) longs, not vectors."""
+    from bytewax_iceberg_connector_spark.plans.llm import semantic_dedup
+
+    plan = _plan(semantic_dedup(spark, sf_dir))
+    chunks = plan.split("Exchange SinglePartition")
+    assert 2 <= len(chunks) - 1 <= 3, "unexpected SinglePartition count"
+    for following in chunks[1:]:
+        # plan strings print top-down: final agg, THIS exchange, partial
+        # agg. The text below the exchange must hit a partial aggregate
+        # before any further exchange — i.e. the input is pre-combined
+        # counter rows.
+        below = following.split("Exchange")[0]
+        assert "partial_" in below, (
+            "SinglePartition exchange not fed by a partial aggregate:\n"
+            + below[:500]
+        )
+    assert "CartesianProduct" not in plan
