@@ -677,6 +677,21 @@ def _learn_bpe(spark: SparkSession, sf_dir: str) -> list:
 
 
 def _learn_bpe_uncached(spark: SparkSession, sf_dir: str) -> list:
+    """8-round BPE merge training (honest greedy structure, bounded driver
+    traffic: each round collects exactly ONE top-pair row via limit(1)).
+
+    100 TB posture: the word-frequency table is a map-side-combined
+    wordcount (scales), but per-round driver coordination means 8 full
+    job launches — at cluster scale you train the merges on a
+    hash-admitted document SAMPLE (the ``_EMB_SAMPLE_PPM`` pattern in
+    plans/llm.py: ``pmod(xxhash64(doc_id), 1e6) < ppm`` on BOTH engine
+    and oracle sides) and apply the learned merges corpus-wide — BPE
+    merge ranks stabilize on a tiny fraction of a web-scale corpus
+    (top-pair frequencies are corpus-level statistics, not tail-
+    sensitive). The registered queries train on the full test corpus
+    because the DuckDB oracle unrolls the exact same 8 merges; the
+    sampling knob changes WHERE the frequency table comes from, not the
+    loop's shape."""
     docs = load_table(spark, sf_dir, "documents")
     cur = (
         docs.select(F.explode(X.tokens("text")).alias("word"))

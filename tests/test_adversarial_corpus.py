@@ -684,3 +684,83 @@ def test_heavy_kernels_match_oracle_on_megabyte_document(
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def two_payload_dir(tmp_path_factory):
+    """Same doc_id carrying two DIFFERENT texts — the upstream identity
+    error shape (r08 family #10 boundary). Built so every per-document
+    family is exercised non-vacuously: doc 1's payloads split the
+    bm25 query terms ("join vector" / "scan join"), docs 3/4 are doc 1's
+    payloads solo (so the union semantic is checkable against their
+    shingle sets), doc 5 duplicates doc 3's text (a cross-id exact pair
+    must still surface)."""
+    d = tmp_path_factory.mktemp("two_payload")
+    texts = [
+        (1, "alpha beta gamma delta epsilon zeta join vector"),
+        (1, "eta theta iota kappa lambda mu scan join"),
+        (2, "totally different content here now"),
+        (3, "alpha beta gamma delta epsilon zeta join vector"),
+        (4, "eta theta iota kappa lambda mu scan join"),
+        (5, "alpha beta gamma delta epsilon zeta join vector"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([i for i, _ in texts], pa.int64()),
+                "text": pa.array([t for _, t in texts], pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["s1"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for _, t in texts], pa.int64()
+                ),
+            }
+        ),
+        d / "documents.parquet",
+    )
+    return d
+
+
+@pytest.mark.deep
+def test_same_id_different_payload_pins_union_contract(spark, two_payload_dir):
+    """r08 documented same-id-different-payload as an out-of-contract
+    boundary ('the oracles union per id, the engine may keep versions
+    distinct'); r09 pins the ACTUAL behavior per per-document family:
+    since the r08 `_shingle_array` doc_id-union groupBy, the ENGINE also
+    unions per id — for ngram/minhash/simhash/bm25 the two payloads of
+    one doc_id behave exactly like one concatenated-set document on BOTH
+    engines, so the boundary is defined (and identical), not undefined.
+    A regression in any family's identity handling breaks this pin, not
+    just a README paragraph."""
+    from pathlib import Path
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    for name in ("dedup_near_ngram", "dedup_minhash_lsh", "dedup_simhash",
+                 "bm25_rank"):
+        sp = qs[name](spark, str(two_payload_dir)).toPandas()
+        op = duck_oracle(Path(two_payload_dir), oracles[name])
+        assert_df_match(sp, op)
+        # non-vacuous: bm25 must rank docs (terms present); the dedup
+        # families must surface the planted cross-id exact pair (3,5)
+        if name == "bm25_rank":
+            assert len(sp) >= 3, sp
+        else:
+            assert len(sp) >= 1, sp
+
+
+@pytest.mark.deep
+def test_same_id_shingle_set_is_union_of_payloads(spark, two_payload_dir):
+    """Kernel-level pin of the identity semantic: doc 1 (two payloads) has
+    exactly the DISTINCT UNION of docs 3 and 4's shingle sets (its
+    payloads solo)."""
+    from bytewax_iceberg_connector_spark.plans.llm import _shingle_array
+
+    rows = {
+        r["doc_id"]: set(r["sha"])
+        for r in _shingle_array(spark, str(two_payload_dir)).collect()
+    }
+    assert rows[1] == rows[3] | rows[4]
+    assert rows[3] != rows[4]  # payloads genuinely differ
