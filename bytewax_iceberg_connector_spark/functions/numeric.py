@@ -89,3 +89,66 @@ def sql_davg(expr: str, scale: int = 2) -> str:
 # for the shared-text battery the finite-input contract is enforced by
 # the oracle arm (DuckDB aborts), and the boundary is documented in
 # SURVEY §robustness.
+
+
+def finite(col: Column | str) -> Column:
+    """Non-finite abort guard for DOUBLE-math consumers (r09 family #12
+    sweep): order statistics (percentile, min/max) have NO cross-engine
+    NaN contract — Spark ranks NaN greatest while DuckDB's quantile_cont
+    skips it, silently shifting every quantile. The posture is the dec()
+    one: a NaN/±Inf measure value ABORTS, it never silently reshapes the
+    distribution. NULL passes through (absent ≠ poisoned). Mirror:
+    :func:`sql_finite`."""
+    c = F.col(col) if isinstance(col, str) else col
+    bad = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
+    return F.when(c.isNull() | ~bad, c).otherwise(
+        F.raise_error(F.lit("non-finite value in measure"))
+    )
+
+
+def sql_finite(expr: str) -> str:
+    """DuckDB mirror of finite(): error() on NaN/±Inf, NULL passes."""
+    return (
+        f"CASE WHEN {expr} IS NULL THEN {expr} "
+        f"WHEN NOT isfinite({expr}) "
+        f"THEN error('non-finite value in measure') "
+        f"ELSE {expr} END"
+    )
+
+
+#: the decimal-exact measure domain (|v| < 10^(18-2)): values at or above
+#: it can't be cents-exact in decimal(18,2), and derived integer buckets
+#: (floor(v/width) AS BIGINT) leave int64. Shared by measure_domain() and
+#: its SQL mirror so both engines draw the boundary at the same value.
+_MEASURE_BOUND = 1e16
+
+
+def measure_domain(col: Column | str) -> Column:
+    """Measure-domain abort guard for integer-bucket derivations (r09
+    family #12 sweep): Spark's floor(double) RETURNS BIGINT with silent
+    saturation — floor(NaN)→0, floor(±1e307/w)→±Long.MAX — even under
+    ANSI, so a poisoned value lands in a REAL bucket (0!) while DuckDB's
+    CAST aborts. This guard makes the engine abort first: non-finite OR
+    |v| ≥ 1e16 (the dec() domain — any in-domain value's bucket fits
+    int64 for width ≥ 1). NULL passes. Mirror: :func:`sql_measure_domain`."""
+    c = F.col(col) if isinstance(col, str) else col
+    bad = (
+        F.isnan(c)
+        | (F.abs(c) == F.lit(float("inf")))
+        | (F.abs(c) >= F.lit(_MEASURE_BOUND))
+    )
+    return F.when(c.isNull() | ~bad, c).otherwise(
+        F.raise_error(
+            F.lit("value outside the decimal-exact measure domain")
+        )
+    )
+
+
+def sql_measure_domain(expr: str) -> str:
+    """DuckDB mirror of measure_domain()."""
+    return (
+        f"CASE WHEN {expr} IS NULL THEN {expr} "
+        f"WHEN NOT isfinite({expr}) OR ABS({expr}) >= 1e16 "
+        f"THEN error('value outside the decimal-exact measure domain') "
+        f"ELSE {expr} END"
+    )

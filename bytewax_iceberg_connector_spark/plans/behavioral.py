@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import measure_domain, sql_measure_domain
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -400,7 +401,11 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bins = (
         ev.select(
-            F.expr(f"cast(floor(value / {_KS_BIN}) as long)").alias("bin"),
+            # measure_domain: floor(double)->bigint silently saturates on
+            # Spark (NaN->bin 0!) where the oracle CAST aborts — a
+            # poisoned value must abort the drift check on BOTH engines,
+            # never count into a real bin (r09 family #12 sweep)
+            F.floor(measure_domain("value") / _KS_BIN).cast("long").alias("bin"),
             (F.col("event_type") == _KS_A).cast("long").alias("is_a"),
         )
         .groupBy("bin")
@@ -445,7 +450,7 @@ def ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_KS = f"""
 WITH bins AS (
-  SELECT CAST(FLOOR(value / {_KS_BIN}) AS BIGINT) AS bin,
+  SELECT CAST(FLOOR({sql_measure_domain('value')} / {_KS_BIN}) AS BIGINT) AS bin,
          SUM(CASE WHEN event_type = '{_KS_A}' THEN 1 ELSE 0 END) AS a_n,
          SUM(CASE WHEN event_type = '{_KS_B}' THEN 1 ELSE 0 END) AS b_n
   FROM events

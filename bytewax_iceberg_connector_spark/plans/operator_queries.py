@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import (dsum, measure_domain,
+                                 sql_dsum, sql_measure_domain)
 from ..operators.enrich import enrich_with_metadata
 from ..operators.errors import ERROR_COL, with_error_col
 from ..operators.partitioning import partition_key
@@ -84,7 +85,11 @@ def enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = enrich_with_metadata(
         ev,
         {
-            "value_bucket": F.floor(F.col("value") / 50).cast("long"),
+            # measure_domain: Spark's floor(double)->bigint silently
+            # saturates (NaN->0, huge->Long.MAX) where the oracle's CAST
+            # aborts — guard so a poisoned value aborts on BOTH engines
+            # instead of landing in a real bucket (r09 family #12 sweep)
+            "value_bucket": F.floor(measure_domain("value") / 50).cast("long"),
             "is_purchase": F.col("event_type") == "purchase",
             "event_day": F.date_trunc("day", F.col("ts")).cast("date"),
             "k": F.get_json_object(F.col("props"), "$.k").cast("long"),
@@ -93,9 +98,9 @@ def enrich_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.oks.select("event_id", "value_bucket", "is_purchase", "event_day", "k")
 
 
-_SQL_ENRICH = """
+_SQL_ENRICH = f"""
 SELECT event_id,
-       CAST(FLOOR(value / 50) AS BIGINT) AS value_bucket,
+       CAST(FLOOR({sql_measure_domain('value')} / 50) AS BIGINT) AS value_bucket,
        event_type = 'purchase' AS is_purchase,
        CAST(DATE_TRUNC('day', ts) AS DATE) AS event_day,
        CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k

@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import davg, dec, dsum, sql_davg, sql_dsum
+from ..functions.numeric import (davg, dec, dsum, finite, sql_davg,
+                                 sql_dsum, sql_finite)
 from ..sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
@@ -1002,6 +1003,11 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct_exact → distinct_approx.
     """
     ev = load_table(spark, sf_dir, "events")
+    # finite(): order statistics have NO cross-engine NaN contract —
+    # Spark ranks NaN greatest, DuckDB's quantile_cont skips it, so one
+    # poisoned value silently shifts every quantile; abort on both
+    # engines instead (r09 family #12 sweep)
+    ev = ev.withColumn("value", finite("value"))
     return (
         ev.groupBy("event_type")
         .agg(
@@ -1015,14 +1021,15 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_PERCENTILES = """
+_SQL_PERCENTILES = f"""
+WITH ev AS (SELECT event_type, {sql_finite('value')} AS value FROM events)
 SELECT event_type,
        ROUND(quantile_cont(value, 0.5), 6) AS p50,
        ROUND(quantile_cont(value, 0.9), 6) AS p90,
        ROUND(quantile_cont(value, 0.99), 6) AS p99,
        MIN(value) AS v_min,
        MAX(value) AS v_max
-FROM events
+FROM ev
 GROUP BY event_type
 ORDER BY event_type
 """

@@ -277,9 +277,11 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("hour", "ts").alias("h")
     ).agg(
         F.count("*").alias("n_events"),
-        F.expr("cast(sum(cast(value as decimal(18,2))) * 100 as long)").alias(
-            "cents"
-        ),
+        # dec(): the raw cast silently NULLed NaN/Inf value mass on
+        # Spark where the oracle's CAST aborts (r09 family #12 sweep) —
+        # route through the non-finite abort guard like every other
+        # decimal-exact measure
+        (F.sum(dec("value")) * 100).cast("long").alias("cents"),
     )
     span = hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")

@@ -764,3 +764,189 @@ def test_same_id_shingle_set_is_union_of_payloads(spark, two_payload_dir):
     }
     assert rows[1] == rows[3] | rows[4]
     assert rows[3] != rows[4]  # payloads genuinely differ
+
+
+# ---------------------------------------------------------------------------
+# Extreme-magnitude / non-finite measure sweep (r09, family #12)
+# ---------------------------------------------------------------------------
+
+
+def _copy_other_tables(d, exclude: str) -> None:
+    import shutil
+
+    src = "/root/testdata/sf0.001"
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        if t != exclude:
+            shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+
+
+@pytest.fixture(scope="module")
+def nonfinite_events_dir(tmp_path_factory):
+    """events with NaN/+Inf/-Inf mixed into ~5% of value rows — the
+    poisoned-measure shape BEYOND the dec() abort path: double-math
+    consumers (percentile/histogram/binning) have NO cross-engine NaN
+    contract, so the posture is abort-on-both (r09 family #12 sweep
+    finds: enrich_metadata binned NaN into bucket 0 via Spark's silently
+    saturating floor(double)->bigint; ks_drift likewise; percentiles
+    shifted every quantile — Spark ranks NaN greatest, DuckDB skips it;
+    gapfill_linear's raw decimal cast NULLed NaN mass)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("nonfinite_events")
+    con = duckdb.connect()
+    con.execute(
+        """COPY (SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 60 = 7 THEN 'NaN'::DOUBLE
+                WHEN event_id % 60 = 23 THEN 'Infinity'::DOUBLE
+                WHEN event_id % 60 = 41 THEN '-Infinity'::DOUBLE
+                ELSE value END AS value, props
+           FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+           TO '{}' (FORMAT PARQUET)""".format(d / "events.parquet")
+    )
+    con.close()
+    _copy_other_tables(d, "events")
+    return d
+
+
+@pytest.fixture(scope="module")
+def extreme_events_dir(tmp_path_factory):
+    """events with huge-but-finite magnitudes (±1e307, ±1e38, subnormal)
+    — the decimal-domain boundary: dec()-routed queries abort on BOTH
+    engines (overflow posture), double-math queries must still agree."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("extreme_events")
+    con = duckdb.connect()
+    con.execute(
+        """COPY (SELECT event_id, ts, user_id, event_type,
+           CASE WHEN event_id % 80 = 3 THEN 1e307
+                WHEN event_id % 80 = 11 THEN -1e307
+                WHEN event_id % 80 = 29 THEN 1e38
+                WHEN event_id % 80 = 47 THEN -1e38
+                WHEN event_id % 80 = 63 THEN 5e-324
+                ELSE value END AS value, props
+           FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+           TO '{}' (FORMAT PARQUET)""".format(d / "events.parquet")
+    )
+    con.close()
+    _copy_other_tables(d, "events")
+    return d
+
+
+def _sweep_match_or_both_abort(spark, d, names, min_matches: int):
+    """Every query must MATCH the oracle or abort on BOTH engines — a
+    one-sided abort (silent value on the other engine) is the bug class
+    this sweep exists for."""
+    from pathlib import Path
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    matches = 0
+    failures = []
+    for name in names:
+        sp_err = ora_err = None
+        sp = op = None
+        try:
+            sp = qs[name](spark, str(d)).toPandas()
+        except Exception as e:  # noqa: BLE001
+            sp_err = f"{type(e).__name__}: {str(e)[:120]}"
+        try:
+            op = duck_oracle(Path(d), oracles[name])
+        except Exception as e:  # noqa: BLE001
+            ora_err = f"{type(e).__name__}: {str(e)[:120]}"
+        if sp_err and ora_err:
+            continue  # both-abort: the documented poisoned-measure posture
+        if sp_err or ora_err:
+            failures.append(
+                f"{name}: ONE-SIDED ABORT spark={sp_err} duck={ora_err}"
+            )
+            continue
+        try:
+            assert_df_match(sp, op)
+            matches += 1
+        except AssertionError as e:
+            failures.append(f"{name}: {str(e)[:200]}")
+    assert not failures, "\n".join(failures)
+    assert matches >= min_matches, f"sweep went vacuous: {matches} matches"
+
+
+def _events_only_targets():
+    return _single_table_targets("events")
+
+
+@pytest.mark.deep
+def test_events_queries_on_nonfinite_values_match_or_both_abort(
+    spark, nonfinite_events_dir
+):
+    names = _events_only_targets()
+    assert len(names) >= 40, names
+    _sweep_match_or_both_abort(spark, nonfinite_events_dir, names, 25)
+
+
+@pytest.mark.deep
+def test_events_queries_on_extreme_magnitudes_match_or_both_abort(
+    spark, extreme_events_dir
+):
+    names = _events_only_targets()
+    assert len(names) >= 40, names
+    _sweep_match_or_both_abort(spark, extreme_events_dir, names, 25)
+
+
+def test_bucketing_aborts_on_nonfinite_not_bucket_zero(spark):
+    """The reduced form of the r09 family #12 engine bug: Spark's
+    floor(double)->BIGINT SATURATES silently — floor(NaN)=0,
+    floor(±Inf)=±Long.MAX — even under ANSI, so a poisoned measure landed
+    in REAL bucket 0 while the DuckDB oracle aborted. measure_domain()
+    makes the engine abort first; finite() is the order-statistics twin
+    (Spark ranks NaN greatest, DuckDB's quantile_cont skips it)."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.functions.numeric import (
+        finite,
+        measure_domain,
+        sql_finite,
+        sql_measure_domain,
+    )
+
+    sdf = spark.createDataFrame(
+        [(1.0,), (float("nan",),), (2.0,)], "v double"
+    )
+    with pytest.raises(Exception, match="measure domain"):
+        sdf.select(F.floor(measure_domain("v") / 50)).collect()
+    with pytest.raises(Exception, match="non-finite"):
+        sdf.agg(F.expr("percentile(v, 0.5)").alias("p")).select(
+            finite(F.lit(float("inf"))),
+        ).collect()
+    # huge-but-finite saturation arm: 1e307 must abort, not Long.MAX
+    sdf2 = spark.createDataFrame([(1e307,)], "v double")
+    with pytest.raises(Exception, match="measure domain"):
+        sdf2.select(F.floor(measure_domain("v") / 50)).collect()
+    # in-domain values pass through both guards unchanged; NULL passes
+    ok = spark.createDataFrame([(123.45,), (None,)], "v double").select(
+        measure_domain("v").alias("m"), finite("v").alias("f")
+    ).collect()
+    assert [r.m for r in ok] == [123.45, None]
+    # oracle mirrors abort identically
+    con = duckdb.connect()
+    try:
+        with pytest.raises(Exception):
+            con.execute(
+                f"SELECT {sql_measure_domain('x')} FROM "
+                "(SELECT 'NaN'::DOUBLE AS x)"
+            ).fetchall()
+        with pytest.raises(Exception):
+            con.execute(
+                f"SELECT {sql_finite('x')} FROM "
+                "(SELECT 'Infinity'::DOUBLE AS x)"
+            ).fetchall()
+        val = con.execute(
+            f"SELECT {sql_measure_domain('x')}, {sql_finite('x')} FROM "
+            "(SELECT 123.45::DOUBLE AS x)"
+        ).fetchone()
+        assert val == (123.45, 123.45)
+    finally:
+        con.close()
