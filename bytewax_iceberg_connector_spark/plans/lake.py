@@ -656,3 +656,169 @@ ORACLE = {
     "continuous_aggregate": _SQL_CAGG,
     "snapshot_changes": _SQL_CDC,
 }
+
+
+# ---------------------------------------------------------------------------
+# B23c (staged for r10): snapshot-aware near-dup — new crawl vs PUBLISHED lake
+# ---------------------------------------------------------------------------
+
+#: which documents form the incoming crawl batch: pmod(doc_id, 3) == 1
+#: (sign-safe — the negative-ids sweep class). NULL-id docs are excluded
+#: from BOTH sides: an unaddressable document can neither be published
+#: nor deduplicated against.
+_SNAP_BATCH_MOD = 3
+_SNAP_BATCH_RESIDUE = 1
+
+
+def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-aware incremental near-dup: a new crawl batch is checked
+    against a PUBLISHED lake snapshot — the composition a production
+    pipeline actually runs (``dedup_incremental_lsh`` assumes both sides
+    sit in one table; here the history side is ``LakeSink.read(as_of=)``
+    and the batch side is ``read_incremental``, so the LAKE LINEAGE — not
+    a column predicate — decides what is new).
+
+    Flow: publish history (commit 1) → land the crawl batch (commit 2) →
+    history := read(as_of=1), incoming := read_incremental(1) → banded
+    MinHash index per side (the shared ``_minhash_band_index``, band
+    parameters identical to the self-join path by construction) →
+    batch-bands × history-bands on the band key → exact shingle Jaccard
+    ≥ 0.8 verify → per-source admission manifest.
+
+    Oracle: the exact cross-pair n-gram Jaccard over the SAME deterministic
+    split recomputed from the raw table (recall ≈ 1 at these band
+    parameters — the dedup_incremental_lsh argument), which also proves
+    the lake round-trip fed the dedup losslessly.
+
+    Scale: the history band index is what you persist IN the lake and
+    amortize across daily batches (16 narrow rows/doc); the batch side is
+    batch-sized; the exact verify touches only bucket-mates; snapshot
+    isolation means a concurrent compaction of history never double-feeds
+    the join.
+    """
+    from .llm import _JACCARD_THRESHOLD, _minhash_band_index
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    is_batch = (
+        F.pmod(F.col("doc_id"), F.lit(_SNAP_BATCH_MOD))
+        == _SNAP_BATCH_RESIDUE
+    )
+    warehouse = tempfile.mkdtemp(prefix="bic_snapdd_")
+    cfg = IcebergSinkConfig(
+        table_name="analytics.docs_lake",
+        warehouse_path=warehouse,
+        num_partitions=4,
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(docs.where(~is_batch))   # snapshot 1: the published corpus
+    sink.append(docs.where(is_batch))    # snapshot 2: the crawl landing
+    history = sink.read(as_of=1)
+    incoming = sink.read_incremental(1)
+    try:
+        hb_base, hb_banded, _ = _minhash_band_index(
+            spark, sf_dir, docs=history
+        )
+        nb_base, nb_banded, _ = _minhash_band_index(
+            spark, sf_dir, docs=incoming
+        )
+        cand = (
+            nb_banded.alias("a")
+            .join(hb_banded.alias("b"), F.col("a.bk") == F.col("b.bk"))
+            .select(
+                F.col("a.doc_id").alias("doc_n"),
+                F.col("b.doc_id").alias("doc_h"),
+            )
+            .dropDuplicates()
+        )
+        sa = nb_base.select(
+            F.col("doc_id").alias("doc_n"), F.col("sh").alias("sa")
+        )
+        sb = hb_base.select(
+            F.col("doc_id").alias("doc_h"), F.col("sh").alias("sb")
+        )
+        inter = F.size(F.array_intersect("sa", "sb"))
+        union = F.size("sa") + F.size("sb") - inter
+        flagged = (
+            cand.join(sa, "doc_n").join(sb, "doc_h")
+            .where((inter / union) >= _JACCARD_THRESHOLD)
+            .select(F.col("doc_n").alias("doc_id"))
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        # DISTINCT (doc_id, source): a byte-identical re-ingested batch
+        # row is one admitted document (the incr_lsh r08 contract)
+        batch_docs = incoming.select("doc_id", "source").dropDuplicates()
+        out = (
+            batch_docs.join(flagged, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("n_batch"),
+                F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias(
+                    "n_near_dup_of_history"
+                ),
+            )
+            .orderBy("source")
+        )
+        # materialize THROUGH the persisted band frames, then unpersist
+        result = _materialize_and_clean(spark, out, warehouse)
+    finally:
+        for fr in ("hb_base", "hb_banded", "nb_base", "nb_banded"):
+            f = locals().get(fr)
+            if f is not None:
+                try:
+                    f.unpersist()
+                except Exception:
+                    pass
+    return result
+
+
+_SQL_DEDUP_SNAPSHOT = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+           AS tokens
+  FROM documents WHERE doc_id IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id,
+         tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(tokens)-2, 0))) AS i)
+), cross_pairs AS (
+  SELECT a.doc_id AS doc_n, b.doc_id AS doc_h, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s
+  WHERE ((a.doc_id % {_SNAP_BATCH_MOD}) + {_SNAP_BATCH_MOD})
+          % {_SNAP_BATCH_MOD} = {_SNAP_BATCH_RESIDUE}
+    AND ((b.doc_id % {_SNAP_BATCH_MOD}) + {_SNAP_BATCH_MOD})
+          % {_SNAP_BATCH_MOD} <> {_SNAP_BATCH_RESIDUE}
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id
+), flagged AS (
+  SELECT DISTINCT doc_n AS doc_id
+  FROM cross_pairs
+  JOIN sizes na ON na.doc_id = cross_pairs.doc_n
+  JOIN sizes nb ON nb.doc_id = cross_pairs.doc_h
+  WHERE inter * 1.0 / (na.sz + nb.sz - inter) >= 0.8
+), batch_docs AS (
+  SELECT DISTINCT doc_id, source FROM documents
+  WHERE doc_id IS NOT NULL
+    AND ((doc_id % {_SNAP_BATCH_MOD}) + {_SNAP_BATCH_MOD})
+          % {_SNAP_BATCH_MOD} = {_SNAP_BATCH_RESIDUE}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_batch,
+       CAST(COALESCE(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 END), 0)
+            AS BIGINT) AS n_near_dup_of_history
+FROM batch_docs bd LEFT JOIN flagged f USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+# STAGED FOR ROUND 10 (r08 VERDICT item 1/8): registering a new query
+# before the r09 driver gate would displace the 50 r05-stale records from
+# the rotation window (new registrations rank ahead of stale greens).
+# These are differential-proven NOW by tests/test_lake_model.py; flip
+# them into QUERIES/ORACLE after CORRECTNESS_r09 lands.
+R10_QUERIES = {"dedup_snapshot": dedup_snapshot}
+R10_ORACLE = {"dedup_snapshot": _SQL_DEDUP_SNAPSHOT}

@@ -84,7 +84,9 @@ _QUERY_STRIDE = 50
 _SHINGLE_N = 3
 
 
-def _shingle_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shingle_array(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sha: array<bigint>) — ONE pass of the md5 shingle kernel,
     the dominant cost of every shingle consumer (BASELINE.md breakdown:
     ~1.1 s of dedup_minhash_lsh's ~1.9 s at sf0.1). Callers that need both
@@ -102,7 +104,8 @@ def _shingle_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     the normalize-raw-crawl step a 100 TB pipeline runs once and
     amortizes.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     per_row = docs.select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
     )
@@ -290,7 +293,8 @@ _ROWS_PER_BAND = 4  # 16 bands → P(miss | j=0.8) = (1-0.8^4)^16 ≈ 2e-4
 
 
 def _minhash_band_index(spark: SparkSession, sf_dir: str,
-                        collapse_families: bool = False):
+                        collapse_families: bool = False,
+                        docs: DataFrame | None = None):
     """(base, banded, fams): the persisted shingle table, the persisted
     (doc_id, band-key) MinHash LSH index — ONE implementation shared by
     the batch self-join (dedup_minhash_lsh) and the incremental
@@ -325,7 +329,7 @@ def _minhash_band_index(spark: SparkSession, sf_dir: str,
     # see _shingle_array): without it a re-ingested duplicate doubled the
     # verify-join rows and every downstream pair row
     base = (
-        _shingle_array(spark, sf_dir)
+        _shingle_array(spark, sf_dir, docs=docs)
         .withColumnRenamed("sha", "sh")
         .where(F.size("sh") > 0)
         .persist()
@@ -3628,3 +3632,145 @@ ORDER BY family_size
 
 QUERIES["dup_family_histogram"] = dup_family_histogram
 ORACLE["dup_family_histogram"] = _SQL_DUP_FAMILY_HISTOGRAM
+
+
+# ---------------------------------------------------------------------------
+# B18e (staged for r10): IVF index MAINTENANCE — merge a new vector batch
+# into existing cells without recomputing centroids
+# ---------------------------------------------------------------------------
+
+#: which vectors form the incoming batch for the merge audit: sign-safe
+#: pmod(vec_id, 5) == 2 (~20% of the corpus). Centroid seeds come from
+#: the BASE split only — the index predates the batch by construction.
+_IVF_MERGE_MOD = 5
+_IVF_MERGE_RESIDUE = 2
+
+
+def similarity_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index maintenance: assign an incoming vector batch to the
+    EXISTING cell grid (centroids frozen — no retraining) and report the
+    merged per-cell census — the incremental counterpart of
+    ``similarity_ivf``, pairing with ``dedup_incremental_lsh``: a daily
+    embedding batch lands in the index for serving immediately; centroid
+    refresh is a separate, rarer maintenance job.
+
+    FULLY oracle-restatable (unlike the k-means queries): cells are
+    identified by their deterministic SEED vectors (base split,
+    ``vec_id % _IVF_STRIDE == 0``), and assignment is argmax cosine over
+    ≤K seeds with the similarity_topk determinism recipe — cosine ROUNDED
+    to 6 dp, ties broken by smaller seed id — so DuckDB restates the
+    exact assignment with a cross join at audit scale.
+
+    Scale: one GEMM tile pass over base+batch against the broadcast seed
+    block (the `_ivf_parts` kernel shape, top-1 only), emitting ONE
+    narrow (vec_id, cell, is_new) row per vector; the census is a
+    map-side-combined groupBy(cell). The batch-only serving form assigns
+    just the batch (batch-sized scan); auditing base+batch in one pass
+    proves conservation: every valid vector lands in exactly one cell.
+    Empty seed set (corpus smaller than the seed stride) → empty census
+    on both engines.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_vectors(spark, sf_dir, nonzero=True).select(
+        "vec_id", "embedding"
+    )
+    is_new = (
+        F.pmod(F.col("vec_id"), F.lit(_IVF_MERGE_MOD)) == _IVF_MERGE_RESIDUE
+    )
+    cblock = (
+        emb.where((F.col("vec_id") % _IVF_STRIDE == 0) & ~is_new)
+        .groupBy(F.lit(1).alias("g"))
+        .agg(
+            F.collect_list("vec_id").alias("c_ids"),
+            F.collect_list("embedding").alias("c_vecs"),
+        )
+        .drop("g")
+    )
+    blocks = (
+        emb.withColumn("blk", (F.col("vec_id") / _BLOCK).cast("int"))
+        .groupBy("blk")
+        .agg(
+            F.collect_list("vec_id").alias("ids"),
+            F.collect_list("embedding").alias("vecs"),
+        )
+    )
+    tiles = blocks.crossJoin(F.broadcast(cblock))
+
+    def _assign(batches):
+        """Top-1 cell per vector: argmax over ROUND(cos, 6), ties to the
+        smaller seed id — the exact semantic the oracle restates."""
+        for pdf in batches:
+            out_v, out_c = [], []
+            for r in pdf.itertuples(index=False):
+                if r.c_ids is None or len(r.c_ids) == 0:
+                    continue  # no index cells: nothing to merge into
+                ids = np.asarray(r.ids, dtype=np.int64)
+                c_ids = np.asarray(r.c_ids, dtype=np.int64)
+                corder = np.argsort(c_ids)  # id-asc so argmax ties break low
+                c_ids = c_ids[corder]
+                E = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in r.vecs]
+                )
+                C = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in r.c_vecs]
+                )[corder]
+                ne = np.sqrt((E * E).sum(axis=1))
+                nc = np.sqrt((C * C).sum(axis=1))
+                cos = np.round((E @ C.T) / np.outer(ne, nc), 6)
+                # argmax returns the FIRST maximum; columns are id-ascending
+                best = cos.argmax(axis=1)
+                out_v.extend(ids.tolist())
+                out_c.extend(c_ids[best].tolist())
+            yield pd.DataFrame({"vec_id": out_v, "cell": out_c})
+
+    assigned = tiles.mapInPandas(_assign, schema="vec_id BIGINT, cell BIGINT")
+    return (
+        assigned.withColumn("is_new", is_new.cast("long"))
+        .groupBy("cell")
+        .agg(
+            F.sum(1 - F.col("is_new")).cast("long").alias("n_base"),
+            F.sum("is_new").cast("long").alias("n_added"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .orderBy("cell")
+    )
+
+
+_SQL_IVF_MERGE = f"""
+WITH {{SQL_VALID_EMB}},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings_valid WHERE {{SQL_NONZERO_EMB}}),
+seeds AS (
+  SELECT vec_id AS cell, v AS cv, n AS cn FROM e
+  WHERE vec_id % {_IVF_STRIDE} = 0
+    AND ((vec_id % {_IVF_MERGE_MOD}) + {_IVF_MERGE_MOD})
+          % {_IVF_MERGE_MOD} <> {_IVF_MERGE_RESIDUE}
+), assign AS (
+  SELECT e.vec_id,
+         ((e.vec_id % {_IVF_MERGE_MOD}) + {_IVF_MERGE_MOD})
+           % {_IVF_MERGE_MOD} = {_IVF_MERGE_RESIDUE} AS is_new,
+         s.cell,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY ROUND(list_dot_product(e.v, s.cv) / (e.n * s.cn), 6)
+                      DESC,
+                    s.cell ASC) AS rn
+  FROM e CROSS JOIN seeds s
+)
+SELECT cell,
+       CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+       CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM assign WHERE rn = 1
+GROUP BY cell ORDER BY cell
+""".replace("{SQL_VALID_EMB}", SQL_VALID_EMB).replace(
+    "{SQL_NONZERO_EMB}", SQL_NONZERO_EMB
+)
+
+# STAGED FOR ROUND 10 (r08 VERDICT item 1/8): see plans/lake.py R10_QUERIES.
+R10_QUERIES = {"similarity_ivf_merge": similarity_ivf_merge}
+R10_ORACLE = {"similarity_ivf_merge": _SQL_IVF_MERGE}

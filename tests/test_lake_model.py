@@ -496,3 +496,70 @@ def test_streaming_batch_dedup_matches_exactly_once_model(
             for r in sink.read().select("event_id").collect()
         }
         assert got == live, (op, arg, sorted(got), sorted(live))
+
+
+# ---------------------------------------------------------------------------
+# r10-staged: snapshot-aware near-dup (registered after CORRECTNESS_r09)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.deep
+def test_dedup_snapshot_matches_oracle(spark, sf_dir):
+    """Staged B23c: new-crawl near-dup against a PUBLISHED lake snapshot
+    (read(as_of=) + read_incremental feed the banded MinHash join). The
+    oracle recomputes the exact cross-pair jaccard from the raw table —
+    matching proves BOTH the dedup semantics and that the lake round-trip
+    fed it losslessly. Differential-proven here pre-registration; flips
+    into QUERIES/ORACLE in r10 (registry rotation discipline)."""
+    from pathlib import Path
+
+    from _diffutil import assert_df_match, duck_oracle
+    from bytewax_iceberg_connector_spark.plans.lake import (
+        _SQL_DEDUP_SNAPSHOT,
+        dedup_snapshot,
+    )
+
+    sp = dedup_snapshot(spark, sf_dir).toPandas()
+    op = duck_oracle(Path(sf_dir), _SQL_DEDUP_SNAPSHOT)
+    assert_df_match(sp, op)
+    # non-vacuous: the synthetic corpus plants near-dups across the split
+    assert sp["n_near_dup_of_history"].sum() > 0
+
+
+@pytest.mark.deep
+def test_dedup_snapshot_survives_history_compaction(spark, sf_dir):
+    """Snapshot isolation claim in the docstring: compacting history after
+    the batch landed must not change the manifest (reads pin snapshots,
+    so maintenance never double-feeds the join). Mirrors the production
+    sequence: publish -> land batch -> compact -> audit."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.plans.lake import (
+        _SNAP_BATCH_MOD,
+        _SNAP_BATCH_RESIDUE,
+    )
+    from bytewax_iceberg_connector_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    is_batch = (
+        F.pmod(F.col("doc_id"), F.lit(_SNAP_BATCH_MOD)) == _SNAP_BATCH_RESIDUE
+    )
+    warehouse = tempfile.mkdtemp(prefix="bic_snapdd_t_")
+    cfg = IcebergSinkConfig(
+        table_name="analytics.docs_lake",
+        warehouse_path=warehouse,
+        num_partitions=4,
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(docs.where(~is_batch))
+    sink.append(docs.where(is_batch))
+    before = sink.read(as_of=1).count()
+    sink.compact()
+    # the published snapshot is still readable post-compaction and sizes
+    # agree (compaction is just another snapshot)
+    assert sink.read(as_of=1).count() == before
+    assert sink.read().count() == docs.count()

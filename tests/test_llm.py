@@ -460,3 +460,55 @@ def test_near_ngram_family_rows_reconstruct_exact_pairs(spark, sf_dir):
                 for b in mb:
                     rebuilt.add((min(a, b), max(a, b), round(r.jaccard, 9)))
     assert rebuilt == exact
+
+
+# ---------------------------------------------------------------------------
+# r10-staged: IVF index maintenance (registered after CORRECTNESS_r09)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.deep
+def test_similarity_ivf_merge_matches_oracle(spark, sf_dir):
+    """Staged B18e: batch vectors merge into the FROZEN cell grid; the
+    oracle restates the exact argmax-cosine assignment (rounded 6 dp,
+    ties to the smaller seed id) with a cross join. Conservation: every
+    valid nonzero vector lands in exactly one cell."""
+    from pathlib import Path
+
+    from _diffutil import assert_df_match, duck_oracle
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _SQL_IVF_MERGE,
+        similarity_ivf_merge,
+    )
+    from bytewax_iceberg_connector_spark.sources.tables import load_vectors
+
+    sp = similarity_ivf_merge(spark, sf_dir).toPandas()
+    op = duck_oracle(Path(sf_dir), _SQL_IVF_MERGE)
+    assert_df_match(sp, op)
+    assert sp["n_added"].sum() > 0, "batch must be non-vacuous"
+    n_valid = load_vectors(spark, sf_dir, nonzero=True).count()
+    assert int(sp["n_total"].sum()) == n_valid  # conservation
+
+
+def test_similarity_ivf_merge_empty_index(spark, tmp_path):
+    """A corpus smaller than the seed stride has NO cells — the merge
+    reports an empty census on both engines instead of crashing the GEMM
+    kernel on a zero-column cosine matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.plans.llm import similarity_ivf_merge
+
+    dim = 8
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([1, 2, 3], pa.int64()),  # no id % 61 == 0
+            "embedding": pa.array(
+                [[float(i + j) for j in range(dim)] for i in range(3)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 1, 0], pa.int32()),
+        }),
+        tmp_path / "embeddings.parquet",
+    )
+    assert similarity_ivf_merge(spark, str(tmp_path)).count() == 0
