@@ -77,6 +77,18 @@ def asof_join(
         raise ValueError(
             f"direction must be backward|forward|nearest, got {direction!r}"
         )
+    # NULL-timestamp contract (r09 family #13 sweep): a row without a
+    # timestamp has NO position in time, so it can never be an as-of
+    # MATCH — DuckDB's ASOF JOIN (l.ts >= r.ts is NULL) and pandas
+    # merge_asof agree. Before this filter, Spark's NULLS FIRST window
+    # order made a NULL-ts RIGHT row the running-last candidate for
+    # every early left row (it attributed purchases in
+    # event_attribution where the oracle never matched it), and a
+    # NULL-ts LEFT row could match under direction="forward" (DESC
+    # order puts NULLs last, behind real rows). Right side: dropped
+    # here; left side: rows are KEPT (left-join semantics) with null
+    # enrichment via the mask below.
+    right = right.where(F.col(ts_col).isNotNull())
     carried = [ts_col, *value_cols]
     left_cols = left.columns
     rtypes = dict(right.dtypes)
@@ -139,6 +151,10 @@ def asof_join(
             F.unix_micros(F.col(ts_col)) - F.unix_micros(chosen.getField(ts_col))
         )
         chosen = F.when(gap <= int(tolerance_seconds * 1_000_000), chosen)
+    # NULL-ts left rows keep their row but match nothing (see contract
+    # note above) — without the mask, backward order happens to yield
+    # NULL anyway but forward/nearest would enrich from a real row
+    chosen = F.when(F.col(ts_col).isNotNull(), chosen)
     enriched = l_tagged.unionByName(r_tagged).select(
         F.col(on), F.col(ts_col), F.col("_side"),
         *[F.col(f"_l_{c}") for c in left_cols if c not in (on, ts_col)],

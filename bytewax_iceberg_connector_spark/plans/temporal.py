@@ -66,11 +66,18 @@ WITH p AS (
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )
+-- NULL-ts contract (r09 family #13): a row without a timestamp has no
+-- position in time and can never MATCH — DuckDB's ASOF binary-search
+-- sorts a NULL probe HIGH (matching the last right row) and never
+-- rejects NULL build rows, so both sides are made explicit here, same
+-- as the engine operator (operators/asof.py).
 SELECT p.event_id, p.user_id, p.ts,
-       c.ts AS last_click_ts,
-       c.value AS last_click_value,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.ts END AS last_click_ts,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.value END
+         AS last_click_value,
        (EPOCH_US(p.ts) - EPOCH_US(c.ts)) // 1000000 AS gap_seconds
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+FROM p ASOF LEFT JOIN (SELECT * FROM c WHERE ts IS NOT NULL) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 """
 
 def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,11 +123,18 @@ WITH p AS (
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )
+-- NULL-ts contract (r09 family #13): a row without a timestamp has no
+-- position in time and can never MATCH — DuckDB's ASOF binary-search
+-- sorts a NULL probe HIGH (matching the last right row) and never
+-- rejects NULL build rows, so both sides are made explicit here, same
+-- as the engine operator (operators/asof.py).
 SELECT p.event_id, p.user_id, p.ts,
-       c.ts AS next_click_ts,
-       c.value AS next_click_value,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.ts END AS next_click_ts,
+       CASE WHEN p.ts IS NULL THEN NULL ELSE c.value END
+         AS next_click_value,
        (EPOCH_US(c.ts) - EPOCH_US(p.ts)) // 1000000 AS wait_seconds
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+FROM p ASOF LEFT JOIN (SELECT * FROM c WHERE ts IS NOT NULL) c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
 """
 
 # ---------------------------------------------------------------------------
@@ -181,6 +195,39 @@ ORDER BY band
 # ---------------------------------------------------------------------------
 
 
+
+#: maximum per-user gapfill span, in grid hours (~30 years). The dense
+#: grid is span×users rows by DESIGN — bounded because real dashboards
+#: chart bounded ranges. ONE corrupt timestamp (year 0001 / 9999 — the
+#: r09 family #13 sweep's find) silently turned the grid into ~87.6M
+#: rows PER USER on BOTH engines: agreement without an answer, the
+#: runaway-materialization twin of the non-finite measure class. The
+#: guard ABORTS (both engines, same message) instead of materializing —
+#: filter the time range or raise the bound deliberately.
+_GAPFILL_MAX_HOURS = 8_766 * 30
+
+
+def _bounded_span(span):
+    """Abort-guarded hi bound for the gapfill grid (see
+    _GAPFILL_MAX_HOURS)."""
+    hours = (F.unix_seconds("hi") - F.unix_seconds("lo")) / 3600
+    return span.withColumn(
+        "hi",
+        F.when(hours <= _GAPFILL_MAX_HOURS, F.col("hi")).otherwise(
+            F.raise_error(F.lit(
+                "gapfill span exceeds the declared grid domain"
+            ))
+        ),
+    )
+
+
+_SQL_BOUNDED_HI = (
+    f"CASE WHEN DATEDIFF('hour', MIN(h), MAX(h)) <= {_GAPFILL_MAX_HOURS} "
+    "THEN MAX(h) "
+    "ELSE error('gapfill span exceeds the declared grid domain') END"
+)
+
+
 def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style ``time_bucket_gapfill`` + ``locf``: a dense hourly
     grid per user over that user's observed span, empty hours filled with
@@ -204,9 +251,9 @@ def gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count("*").alias("n_events"), dsum("value").alias("hour_value"))
     )
-    span = hourly.groupBy("user_id").agg(
+    span = _bounded_span(hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
+    ))
     grid = span.select(
         "user_id",
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
@@ -233,7 +280,7 @@ hourly AS (
          {sql_dsum('value')} AS hour_value
   FROM ev GROUP BY 1, 2
 ),
-span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+span AS (SELECT user_id, MIN(h) AS lo, {_SQL_BOUNDED_HI} AS hi FROM hourly GROUP BY 1),
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM span
 )
@@ -283,9 +330,9 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal-exact measure
         (F.sum(dec("value")) * 100).cast("long").alias("cents"),
     )
-    span = hourly.groupBy("user_id").agg(
+    span = _bounded_span(hourly.groupBy("user_id").agg(
         F.min("h").alias("lo"), F.max("h").alias("hi")
-    )
+    ))
     grid = span.select(
         "user_id",
         F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("h"),
@@ -324,7 +371,7 @@ def gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "h")
 
 
-_SQL_GAPFILL_LINEAR = """
+_SQL_GAPFILL_LINEAR = f"""
 WITH ev AS (SELECT user_id, ts, value FROM events WHERE user_id < 10),
 hourly AS (
   SELECT user_id, CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS h,
@@ -332,7 +379,7 @@ hourly AS (
          CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
   FROM ev GROUP BY 1, 2
 ),
-span AS (SELECT user_id, MIN(h) AS lo, MAX(h) AS hi FROM hourly GROUP BY 1),
+span AS (SELECT user_id, MIN(h) AS lo, {_SQL_BOUNDED_HI} AS hi FROM hourly GROUP BY 1),
 grid AS (
   SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
   FROM span
@@ -455,8 +502,12 @@ WITH flagged AS (
   SELECT user_id, run_id, MIN(event_type) AS state, MIN(ts) AS valid_from
   FROM runs0 GROUP BY 1, 2
 ), hist AS (
+  -- NULLS FIRST: Spark's ASC default; a run whose every event has NULL ts
+  -- yields valid_from NULL, and DuckDB's NULLS-LAST default LEAD-ordered
+  -- it differently (r09 family #13 sweep find — n_closed diverged)
   SELECT *, LEAD(valid_from) OVER (PARTITION BY user_id
-                                   ORDER BY valid_from, run_id) AS valid_to
+                                   ORDER BY valid_from NULLS FIRST, run_id)
+              AS valid_to
   FROM runs
 )
 SELECT state,
@@ -713,11 +764,16 @@ WITH p AS (
     FROM events WHERE event_type = 'click'
   ) WHERE rn = 1
 )
-SELECT CASE WHEN c.k IS NULL THEN 'unattributed'
+SELECT CASE WHEN c.k IS NULL OR p.ts IS NULL THEN 'unattributed'
             ELSE 'ch_' || CAST(c.k % 4 AS VARCHAR) END AS channel,
        CAST(COUNT(*) AS BIGINT) AS n_purchases,
        {sql_dsum('p.value')} AS revenue
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+-- NULL-ts contract (r09 family #13): timestamp-less clicks can never be
+-- "most recent prior" and timestamp-less purchases match nothing — made
+-- explicit because DuckDB's ASOF sorts NULL probes high instead of
+-- rejecting them (see _SQL_ASOF)
+FROM p ASOF LEFT JOIN (SELECT * FROM c WHERE ts IS NOT NULL) c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
 GROUP BY 1
 ORDER BY 1
 """

@@ -30,6 +30,42 @@ def duck_oracle(dirpath, sql: str) -> pd.DataFrame:
         con.close()
 
 
+def spark_to_pandas(df) -> pd.DataFrame:
+    """``toPandas`` that survives timestamps outside pandas' ns range.
+
+    Spark's Arrow collection coerces timestamp columns to datetime64[ns],
+    so a query whose OUTPUT carries year-0001/9999 values (SCD2
+    sentinels, corrupt-upstream rows the ts-extremes sweep plants) raises
+    ArrowInvalid even though the engine computed fine. Fall back to row
+    collection: JVM timestamps arrive as python datetime (years 1-9999),
+    normalized by assert_df_match onto datetime64[us]."""
+    spark = df.sparkSession
+    # Spark's toPandas silently falls back to its NON-Arrow path on Arrow
+    # errors, which converts through the hybrid Julian calendar — pre-1582
+    # values shift by up to 2 days (or ValueError on year 0) instead of
+    # failing loudly. Disable that fallback so the error reaches US, then
+    # collect through java.time (proleptic Gregorian — matching Arrow,
+    # DuckDB, and the engine's own arithmetic).
+    fb_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+    old_fb = spark.conf.get(fb_key, "true")
+    spark.conf.set(fb_key, "false")
+    try:
+        return df.toPandas()
+    except Exception:
+        j8_key = "spark.sql.datetime.java8API.enabled"
+        old_j8 = spark.conf.get(j8_key, "false")
+        spark.conf.set(j8_key, "true")
+        try:
+            rows = df.collect()
+        finally:
+            spark.conf.set(j8_key, old_j8)
+        return pd.DataFrame(
+            [r.asDict(recursive=True) for r in rows], columns=df.columns
+        )
+    finally:
+        spark.conf.set(fb_key, old_fb)
+
+
 def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
     """Order-insensitive frame equality under a shared canonical form:
     columns sorted by name, rows sorted by every column. Column SETS must
@@ -73,6 +109,11 @@ def assert_df_match(spdf: pd.DataFrame, opdf: pd.DataFrame) -> None:
                     df[c] = s.map(
                         lambda v: v.date() if isinstance(v, dt.datetime) else v
                     )
+                else:
+                    # spark_to_pandas' collect() fallback carries python
+                    # datetimes as objects — unify on [us] like the
+                    # datetime64 branch so they compare against DuckDB
+                    df[c] = s.astype("datetime64[us]")
         return df.sort_values(cols).reset_index(drop=True)
 
     pd.testing.assert_frame_equal(_norm(spdf), _norm(opdf), check_dtype=False)

@@ -24,7 +24,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
-from _diffutil import assert_df_match, duck_oracle
+from _diffutil import assert_df_match, duck_oracle, spark_to_pandas
 
 
 @pytest.fixture(scope="module")
@@ -854,7 +854,7 @@ def _sweep_match_or_both_abort(spark, d, names, min_matches: int,
         sp_err = ora_err = None
         sp = op = None
         try:
-            sp = qs[name](spark, str(d)).toPandas()
+            sp = spark_to_pandas(qs[name](spark, str(d)))
         except Exception as e:  # noqa: BLE001
             sp_err = f"{type(e).__name__}: {str(e)[:120]}"
         try:
@@ -965,5 +965,125 @@ def test_bucketing_aborts_on_nonfinite_not_bucket_zero(spark):
             "(SELECT 123.45::DOUBLE AS x)"
         ).fetchone()
         assert val == (123.45, 123.45)
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------------------
+# Extreme-timestamp sweep (r09, family #13)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def extreme_ts_events_dir(tmp_path_factory):
+    """events with boundary timestamps in ~5% of ts rows: year-1 week 2
+    (0001-01-08 — exactly 0001-01-01T00:00 is datetime.min and pyspark's
+    Instant→datetime conversion cannot materialize it, a documented
+    python-boundary, not an engine one: the engine's week-trunc of it
+    string-casts identically on both engines), deep pre-epoch (1890), the
+    microsecond before epoch, year 9999, and NULL.
+
+    Classes the full sweep (scratch/extreme_ts_sweep.py, 54 match /
+    2 both-abort / 0 divergences) caught and this fixture pins:
+    - gapfill grid runaway: ONE corrupt timestamp made the hourly grid
+      ~87.6M rows PER USER on both engines (agreement without an answer)
+      → _GAPFILL_MAX_HOURS span guard aborts on both;
+    - as-of NULL-ts contract: Spark's NULLS FIRST window order made a
+      NULL-ts click the running-last candidate (and DuckDB's ASOF
+      binary-search MATCHES a NULL probe — it sorts high, it doesn't
+      reject) → operator drops NULL-ts right rows / null-enriches
+      NULL-ts left rows, oracles encode the same;
+    - scd2's LEAD window: oracle lacked NULLS FIRST on valid_from
+      (NULL-ts-only runs ordered differently than Spark)."""
+    import duckdb
+
+    d = tmp_path_factory.mktemp("extreme_ts")
+    con = duckdb.connect()
+    con.execute(
+        """COPY (SELECT event_id,
+           CASE WHEN event_id % 90 = 7
+                  THEN TIMESTAMP '1890-03-04 01:02:03.123456'
+                WHEN event_id % 90 = 23
+                  THEN TIMESTAMP '0001-01-08 03:00:00'
+                WHEN event_id % 90 = 41
+                  THEN TIMESTAMP '9999-12-31 23:59:59.999999'
+                WHEN event_id % 90 = 59
+                  THEN TIMESTAMP '1969-12-31 23:59:59.999999'
+                WHEN event_id % 90 = 77 THEN NULL
+                ELSE ts END AS ts,
+           user_id, event_type, value, props
+           FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+           TO '{}' (FORMAT PARQUET)""".format(d / "events.parquet")
+    )
+    con.close()
+    _copy_other_tables(d, "events")
+    return d
+
+
+#: the queries family #13 diverged on (or that exercise its classes):
+#: as-of joins + consumers, gaps-and-islands windows, time-grid builders
+#: (both-abort via the span guard), week/day truncation at the year-1 and
+#: year-9999 boundaries, and watermark-ordered streaming twins. The full
+#: 56-query sweep lives in scratch/extreme_ts_sweep.py.
+_TS_SWEEP_QUERIES = [
+    "asof_join_events", "asof_join_forward", "asof_join_nearest",
+    "event_attribution", "scd2_history", "sketch_rollup",
+    "gapfill_locf", "gapfill_linear", "time_rollup", "window_analytic",
+    "streaming_tumbling", "streaming_session", "ohlc_bars",
+    "interarrival_stats", "weekly_growth",
+]
+
+
+@pytest.mark.deep
+def test_events_queries_on_extreme_timestamps_match_or_both_abort(
+    spark, extreme_ts_events_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    available = set(registry.all_oracles())
+    names = [n for n in _TS_SWEEP_QUERIES if n in available]
+    assert len(names) >= 12, names
+    _sweep_match_or_both_abort(spark, extreme_ts_events_dir, names, 10,
+                               min_aborts=2)
+
+
+def test_gapfill_span_guard_aborts_on_runaway_grid(spark, tmp_path):
+    """Reduced form of the family #13 grid-runaway find: one corrupt
+    year-9999 timestamp must ABORT the gapfill (same message both
+    engines), never materialize an ~87M-row-per-user grid."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.plans.temporal import (
+        _SQL_GAPFILL,
+        gapfill_locf,
+    )
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([1, 2, 3], pa.int64()),
+            "ts": pa.array(
+                [1704067200000000, 1704070800000000, 253402300799000000],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([1, 1, 1], pa.int64()),
+            "event_type": pa.array(["click"] * 3, pa.string()),
+            "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+            "props": pa.array(["{}"] * 3, pa.string()),
+        }),
+        tmp_path / "events.parquet",
+    )
+    with pytest.raises(Exception, match="grid domain"):
+        gapfill_locf(spark, str(tmp_path)).collect()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM read_parquet('{}')".format(
+                tmp_path / "events.parquet"
+            )
+        )
+        with pytest.raises(Exception, match="grid domain"):
+            con.execute(_SQL_GAPFILL).fetchall()
     finally:
         con.close()
