@@ -252,9 +252,19 @@ WITH planted AS (
               THEN substr(props, 1, len(props) - 1) ELSE props END AS praw
   FROM events
 ), parsed AS (
+  -- from_json('k INT') twin (r09 family #14 sweep): the engine yields a
+  -- value ONLY for integer JSON tokens that fit int32 — string "7",
+  -- 1.9, booleans, arrays, objects, and out-of-range ints are all NULL
+  -- (= classified malformed). The old bare CAST crashed the ORACLE on a
+  -- non-scalar k ('[1,2]') — the validation query whose entire job is
+  -- classifying such shapes must never abort. json_type gates to
+  -- integer tokens (UBIGINT/BIGINT); TRY_CAST nulls the >int32 tail.
   SELECT event_type,
          CASE WHEN json_valid(praw)
-              THEN CAST(json_extract(praw, '$.k') AS INTEGER) END AS pk
+                AND json_type(json_extract(praw, '$.k'))
+                      IN ('UBIGINT', 'BIGINT')
+              THEN TRY_CAST(json_extract_string(praw, '$.k') AS INTEGER)
+         END AS pk
   FROM planted
 )
 SELECT event_type,

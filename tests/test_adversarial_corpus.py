@@ -1087,3 +1087,79 @@ def test_gapfill_span_guard_aborts_on_runaway_grid(spark, tmp_path):
             con.execute(_SQL_GAPFILL).fetchall()
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Adversarial props JSON (r09, family #14)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_props_dir(tmp_path_factory):
+    """events with schema-drift props shapes in ~18% of rows: malformed,
+    nested object/array k, string/float/huge/boolean k, array/null
+    roots, unicode-escaped key, case-variant key, empty, whitespace,
+    NULL. Duplicate-key objects are EXCLUDED — Spark keeps the last
+    value, DuckDB the first (RFC-undefined; pinned as a dialect boundary
+    in test_property.py::test_json_duplicate_key_dialect_boundary).
+
+    r09 find: json_ingest_errors — the VALIDATION query whose job is
+    classifying these shapes — crashed its ORACLE on a non-scalar k
+    (bare CAST of '[1,2]'); the oracle now gates on json_type like the
+    engine's from_json('k INT') leniency. The strict-cast analytics
+    (enrich/json_extract/attribution) abort on BOTH engines for
+    non-scalar k — the documented malformed-upstream posture."""
+    import duckdb
+
+    shapes = [
+        '{"k":',
+        "{k:1}",
+        '{"k":{"a":1}}',
+        '{"k":[1,2]}',
+        '{"k":"7"}',
+        '{"k":1.9}',
+        '{"k":99999999999999999999}',
+        '{"k":-3}',
+        '{"k":null}',
+        "{}",
+        "null",
+        "[1,2,3]",
+        "   ",
+        '{"K":1}',
+        '{"k":true}',
+        '{"\\u006b":5}',
+        '{"a":{"b":{"c":{"d":{"e":{"k":1}}}}}}',
+    ]
+    d = tmp_path_factory.mktemp("adv_props")
+    con = duckdb.connect()
+    cases = " ".join(
+        "WHEN event_id % 97 = {} THEN '{}'".format(
+            3 + i * 5, s.replace("'", "''")
+        )
+        for i, s in enumerate(shapes)
+    )
+    con.execute(
+        """COPY (SELECT event_id, ts, user_id, event_type, value,
+           CASE {} WHEN event_id % 97 = 93 THEN NULL
+                ELSE props END AS props
+           FROM read_parquet('/root/testdata/sf0.001/events.parquet'))
+           TO '{}' (FORMAT PARQUET)""".format(cases, d / "events.parquet")
+    )
+    con.close()
+    _copy_other_tables(d, "events")
+    return d
+
+
+@pytest.mark.deep
+def test_props_queries_on_adversarial_json_match_or_both_abort(
+    spark, adversarial_props_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    oracles = registry.all_oracles()
+    names = sorted(n for n, sql in oracles.items() if "props" in sql)
+    assert len(names) >= 5, names
+    # the classifiers must MATCH (their job is surviving these shapes);
+    # the strict-cast analytics both-abort
+    _sweep_match_or_both_abort(spark, adversarial_props_dir, names, 2,
+                               min_aborts=2)

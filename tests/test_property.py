@@ -935,3 +935,27 @@ def test_levenshtein_unit_dialect_boundary(spark):
         "SELECT levenshtein('héllo 世界', 'hello xy')"
     ).fetchone()[0]
     assert duck > row.lev  # byte-based: every multibyte char costs extra
+
+
+def test_json_duplicate_key_dialect_boundary(spark):
+    """RFC 8259 leaves duplicate-key objects undefined, and the engines
+    pick opposite conventions: Spark's Jackson parser keeps the LAST
+    value, DuckDB's json_extract the FIRST — a DOCUMENTED oracle-dialect
+    boundary (r09 props sweep: sum_k_valid diverged by exactly the
+    duplicate-key rows). Scalar-typed, valid, unique-key JSON — the whole
+    registered surface — is unaffected; this pin records the convention
+    split so a future dup-key corpus red isn't mistaken for an engine
+    bug."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.createDataFrame([('{"k":1,"k":2}',)], "praw string")
+        .select(F.from_json("praw", "k INT")["k"].alias("pk"))
+        .collect()[0]
+    )
+    assert row.pk == 2  # Jackson: last wins
+    duck = duckdb.connect().execute(
+        """SELECT json_extract_string('{"k":1,"k":2}', '$.k')"""
+    ).fetchone()[0]
+    assert duck == "1"  # DuckDB: first wins
