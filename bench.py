@@ -137,8 +137,12 @@ def main() -> None:
     drift = None
     norm = None
     if sf == "0.1" and all(
-        passes.get(c) == 2 for c in _CONTROL_CLEAN_SF01
+        passes.get(c) == 2 and timings.get(c, 0) > 0
+        for c in _CONTROL_CLEAN_SF01
     ):
+        # the >0 gate: timings round to 3 dp, and log(0) after a full
+        # 480 s run would crash BEFORE the stdout line prints — the
+        # normalization must degrade to None, never lose the record
         import math
 
         drift = round(

@@ -373,15 +373,17 @@ class SnapshotLog:
         (first declaration wins, matching main's evolve_schema contract).
         Consumed by (a) the write-time schema check, so a later branch
         commit cannot re-add a pending column with a conflicting type, and
-        (b) :meth:`publish`, which folds them into the declared schema."""
-        head = self.current_id(branch)
-        if head == 0:
-            return []
+        (b) :meth:`publish`, which folds them into the declared schema.
+
+        ONE snapshots() directory scan: branch commits are totally
+        ordered by snapshot id (a branch has a single lineage), so
+        ascending-id iteration over branch-tagged snapshots equals the
+        ancestor walk without re-reading one v-file per ancestor (review
+        find: the walk form doubled the per-write O(history) cost)."""
         out: list[dict] = []
         have: set[str] = set()
-        for sid in reversed(self.ancestors(head)):  # oldest → newest
-            s = self._maybe_snapshot(sid)
-            if s is None or s.get("branch", "main") != branch:
+        for s in sorted(self.snapshots(), key=lambda s: s["snapshot_id"]):
+            if s.get("branch", "main") != branch:
                 continue
             for fj in s.get("new_fields", []):
                 if fj["name"] not in have:

@@ -706,23 +706,26 @@ def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         == _SNAP_BATCH_RESIDUE
     )
     warehouse = tempfile.mkdtemp(prefix="bic_snapdd_")
-    cfg = IcebergSinkConfig(
-        table_name="analytics.docs_lake",
-        warehouse_path=warehouse,
-        num_partitions=4,
-    )
-    sink = LakeSink(spark, cfg)
-    sink.append(docs.where(~is_batch))   # snapshot 1: the published corpus
-    sink.append(docs.where(is_batch))    # snapshot 2: the crawl landing
-    history = sink.read(as_of=1)
-    incoming = sink.read_incremental(1)
+    persisted = []  # band-index frames to unpersist on every exit path
     try:
+        cfg = IcebergSinkConfig(
+            table_name="analytics.docs_lake",
+            warehouse_path=warehouse,
+            num_partitions=4,
+        )
+        sink = LakeSink(spark, cfg)
+        sink.append(docs.where(~is_batch))   # snapshot 1: published corpus
+        sink.append(docs.where(is_batch))    # snapshot 2: the crawl landing
+        history = sink.read(as_of=1)
+        incoming = sink.read_incremental(1)
         hb_base, hb_banded, _ = _minhash_band_index(
             spark, sf_dir, docs=history
         )
+        persisted += [hb_base, hb_banded]
         nb_base, nb_banded, _ = _minhash_band_index(
             spark, sf_dir, docs=incoming
         )
+        persisted += [nb_base, nb_banded]
         cand = (
             nb_banded.alias("a")
             .join(hb_banded.alias("b"), F.col("a.bk") == F.col("b.bk"))
@@ -761,17 +764,18 @@ def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("source")
         )
-        # materialize THROUGH the persisted band frames, then unpersist
-        result = _materialize_and_clean(spark, out, warehouse)
+        # materialize THROUGH the persisted band frames, then unpersist;
+        # _materialize_and_clean also rmtrees the warehouse on success
+        return _materialize_and_clean(spark, out, warehouse)
     finally:
-        for fr in ("hb_base", "hb_banded", "nb_base", "nb_banded"):
-            f = locals().get(fr)
-            if f is not None:
-                try:
-                    f.unpersist()
-                except Exception:
-                    pass
-    return result
+        # every exit path: drop the persisted frames and the warehouse
+        # (a failing query must not leak /tmp across bench/driver runs)
+        for f in persisted:
+            try:
+                f.unpersist()
+            except Exception:
+                pass
+        shutil.rmtree(warehouse, ignore_errors=True)
 
 
 _SQL_DEDUP_SNAPSHOT = rf"""

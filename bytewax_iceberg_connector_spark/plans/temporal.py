@@ -209,11 +209,17 @@ _GAPFILL_MAX_HOURS = 8_766 * 30
 
 def _bounded_span(span):
     """Abort-guarded hi bound for the gapfill grid (see
-    _GAPFILL_MAX_HOURS)."""
+    _GAPFILL_MAX_HOURS). A NULL span (a user whose every event has NULL
+    ts — lo/hi both NULL) passes through: sequence(NULL, NULL) explodes
+    to zero grid rows on both engines, which is the correct answer for
+    an unknown span, not a runaway one (review find: the first guard
+    form aborted on it)."""
     hours = (F.unix_seconds("hi") - F.unix_seconds("lo")) / 3600
     return span.withColumn(
         "hi",
-        F.when(hours <= _GAPFILL_MAX_HOURS, F.col("hi")).otherwise(
+        F.when(
+            hours.isNull() | (hours <= _GAPFILL_MAX_HOURS), F.col("hi")
+        ).otherwise(
             F.raise_error(F.lit(
                 "gapfill span exceeds the declared grid domain"
             ))
@@ -222,7 +228,8 @@ def _bounded_span(span):
 
 
 _SQL_BOUNDED_HI = (
-    f"CASE WHEN DATEDIFF('hour', MIN(h), MAX(h)) <= {_GAPFILL_MAX_HOURS} "
+    "CASE WHEN DATEDIFF('hour', MIN(h), MAX(h)) IS NULL "
+    f"OR DATEDIFF('hour', MIN(h), MAX(h)) <= {_GAPFILL_MAX_HOURS} "
     "THEN MAX(h) "
     "ELSE error('gapfill span exceeds the declared grid domain') END"
 )

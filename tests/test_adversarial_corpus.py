@@ -1026,7 +1026,9 @@ def extreme_ts_events_dir(tmp_path_factory):
 #: year-9999 boundaries, and watermark-ordered streaming twins. The full
 #: 56-query sweep lives in scratch/extreme_ts_sweep.py.
 _TS_SWEEP_QUERIES = [
-    "asof_join_events", "asof_join_forward", "asof_join_nearest",
+    "asof_join_events", "asof_join_forward",
+    # nearest has no registered query; its NULL-ts mask is driven
+    # directly by test_asof_nearest_null_ts_never_matches below
     "event_attribution", "scd2_history", "sketch_rollup",
     "gapfill_locf", "gapfill_linear", "time_rollup", "window_analytic",
     "streaming_tumbling", "streaming_session", "ohlc_bars",
@@ -1163,3 +1165,27 @@ def test_props_queries_on_adversarial_json_match_or_both_abort(
     # the strict-cast analytics both-abort
     _sweep_match_or_both_abort(spark, adversarial_props_dir, names, 2,
                                min_aborts=2)
+
+
+def test_asof_nearest_null_ts_never_matches(spark):
+    """The nearest direction's NULL-ts mask, driven directly (no
+    registered query uses it): a NULL-ts left row keeps its row with
+    null enrichment, and a NULL-ts right row is never a candidate in
+    EITHER time direction."""
+    from bytewax_iceberg_connector_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, "a"), (1, "2024-01-01 10:00:00", "b")],
+        "k int, ts string, tag string",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "tag")
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-01 09:00:00", 1.0),
+         (1, "2024-01-01 11:00:00", 2.0)],
+        "k int, ts string, v double",
+    ).selectExpr("k", "cast(ts as timestamp) ts", "v")
+    rows = {r.tag: r for r in asof_join(
+        left, right, on="k", ts_col="ts", value_cols=("v",),
+        suffix="_r", direction="nearest",
+    ).collect()}
+    assert rows["a"].v_r is None and rows["a"].ts_r is None  # NULL-ts left
+    assert rows["b"].v_r == 1.0  # backward wins the 1h tie; 99.0 never
