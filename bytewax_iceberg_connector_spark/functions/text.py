@@ -27,19 +27,31 @@ STOPWORDS = {
 }
 
 
+#: the engine's token-separator class, EXPLICIT (r09 family #15 sweep):
+#: the ASCII whitespace set [space, \t, \n, \v, \f, \r]. Spelled out
+#: because the three regex dialects in play disagree about shorthand
+#: \s — Java and Python-ASCII include \x0b (vertical tab), DuckDB's
+#: RE2 does NOT — so a \v-separated document tokenized differently on
+#: the two engines (28 token-count divergences from one codepoint).
+#: Same rendered class everywhere: JVM split, Python kernels, and every
+#: DuckDB oracle (WS_CLASS_SQL).
+WS_CLASS = r"[ \t\n\x0B\f\r]"
+WS_CLASS_SQL = r"[ \t\n\x0b\f\r]"
+
+
 def tokens(col: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokenization → array<string> (empties removed)."""
     c = F.col(col) if isinstance(col, str) else col
     if lowercase:
         c = F.lower(c)
-    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    return F.filter(F.split(c, WS_CLASS + "+"), lambda t: t != "")
 
 
 def token_count(col: Column | str) -> Column:
     return F.size(tokens(col)).cast("long")
 
 
-_BPE_RUNS = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+_BPE_RUNS = r"[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]"
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -74,7 +86,7 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 SQL_BPE_COUNT = (
     "CASE WHEN {col} IS NULL THEN NULL ELSE "
     "COALESCE(list_sum(list_transform("
-    "  regexp_extract_all(lower({col}), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),"
+    r"  regexp_extract_all(lower({col}), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0b\f\r]'),"
     "  x -> CASE WHEN regexp_matches(x, '^[0-9]') THEN CAST(CEIL(LENGTH(x)/3.0) AS BIGINT)"
     "            WHEN regexp_matches(x, '^[a-z]') THEN CAST(CEIL(LENGTH(x)/4.0) AS BIGINT)"
     "            ELSE 1 END)), 0) END"
@@ -161,7 +173,7 @@ def redact_pii(col: Column | str) -> Column:
 def normalize_text(col: Column | str) -> Column:
     """Dedup normalization: lowercase, collapse whitespace, trim."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_CLASS + "+", " "))
 
 
 def fingerprint(col: Column | str) -> Column:
@@ -218,17 +230,20 @@ def shingle_hashes_np(n: int = 3):
     first 8 bytes of md5 (process-stable, engine-neutral); downstream only
     needs identity, so the hash family is interchangeable with xxhash64.
 
-    Tokenization MUST match the JVM's ``\\s+`` regex split (and the DuckDB
-    oracles') exactly: Python's bare ``str.split()`` also breaks on
-    UNICODE whitespace (NBSP, ideographic space) where Java/RE2 ``\\s`` is
-    ASCII-only, so a document containing one NBSP used to tokenize
-    differently on the engine's own two code paths (r06 find) — hence the
-    ``re.ASCII`` split here.
+    Tokenization MUST match the JVM split (and the DuckDB oracles')
+    exactly — both now spell the shared WS_CLASS explicitly: Python's
+    bare ``str.split()`` breaks on UNICODE whitespace (NBSP, ideographic
+    space) where the class is ASCII-only (r06 find), and the shorthand
+    ``\\s`` itself is dialect-split on \\x0b — Java/Python-ASCII include
+    it, DuckDB's RE2 does not (r09 family #15 find).
     """
     import hashlib
     import re
 
-    ws = re.compile(r"\s+", re.ASCII)
+    # the EXPLICIT shared separator class (WS_CLASS): python re.ASCII
+    # \s happens to equal it, but spelling it out keeps the
+    # three-dialect agreement self-evident (r09 family #15)
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
     @F.pandas_udf("array<long>")
     def _sh(texts: pd.Series) -> pd.Series:

@@ -8,7 +8,7 @@ All four are oracle-checked. The repo's standard parity discipline holds:
 every reported ratio is integer ppm/milli math (`div` / `//`) over exact
 bigint sums, thresholds are rank-based (no engine-specific percentile
 interpolation), and the oracle replays the same whitespace tokenization
-(`list_filter(string_split_regex(lower(text),'\\s+'), x -> x <> '')`).
+(`list_filter(string_split_regex(lower(text),'[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')`).
 
 Scale notes are inline per query; the common thread: corpus-sized state
 always shuffles as 8-byte hashes or vocabulary-sized aggregates, never as
@@ -25,7 +25,7 @@ from ..functions import text as X
 from ..sources.tables import load_table
 
 #: DuckDB mirror of X.tokens — the repo-standard tokenizer SQL.
-_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')"
+_SQL_TOKS = r"list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')"
 
 # ---------------------------------------------------------------------------
 # vocab_build — tokenizer-vocabulary construction with coverage accounting
@@ -764,7 +764,7 @@ def _bpe_sql(n_merges: int = _BPE_MERGES, vocab: int = _BPE_VOCAB) -> str:
   FROM (
     SELECT term AS word, CAST(COUNT(*) AS BIGINT) AS freq
     FROM (
-      SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                     x -> x <> '')) AS term
       FROM documents
     )

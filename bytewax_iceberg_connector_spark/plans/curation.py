@@ -164,7 +164,7 @@ _SQL_REPETITION = """
 -- the previous doc_id-keyed LEFT JOIN silently zeroed the distinct count
 -- of NULL-keyed documents (r06 adversarial-sweep find)
 WITH toks AS (
-  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens
+  SELECT lang, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens
   FROM documents
 ), per AS (
   SELECT lang,
@@ -235,7 +235,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CONTAMINATION = f"""
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -303,7 +303,7 @@ WITH assigned AS (
            ELSE 'test'
          END AS split,
          len(text) AS n_chars,
-         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tokens
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n_tokens
   FROM documents
 )
 SELECT split,
@@ -404,7 +404,7 @@ WITH scored AS (
                                           COALESCE(source, '?')), 1, 6))::BIGINT
                       % 16 + 1) * 62500
               THEN 1 ELSE 0 END AS admitted,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
              x -> x <> '')) AS n_tokens
   FROM documents
 )
@@ -477,7 +477,7 @@ def token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_BUDGET = f"""
 WITH d AS (
   SELECT lang, source,
-         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n_tok,
          md5(CAST(doc_id AS VARCHAR)) AS h, doc_id
   FROM documents
 ), c AS (
@@ -684,7 +684,7 @@ _SQL_CHUNKING = f"""
 -- depend on the key, and the previous form dropped NULL-keyed documents
 -- from n_docs (r06 adversarial-sweep find)
 WITH toks AS (
-  SELECT lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+  SELECT lang, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS t
   FROM documents
 ), per AS (
   SELECT lang,
@@ -771,9 +771,9 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PIPELINE = rf"""
 WITH {SQL_VALID_EMB}, t AS (
   SELECT doc_id, lang, text,
-         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tok,
          LENGTH(text) AS n_len,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
              x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
   FROM documents
 ), kept AS (
@@ -788,7 +788,7 @@ WITH {SQL_VALID_EMB}, t AS (
   FROM (
     SELECT doc_id, lang, n_tok,
            ROW_NUMBER() OVER (
-             PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
              ORDER BY doc_id) AS rn
     FROM kept
   ) WHERE rn = 1
@@ -873,7 +873,7 @@ def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_MIX_WEIGHTS = rf"""
 WITH per_src AS (
   SELECT lang, source,
-         SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+         SUM(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                              x -> x <> ''))) AS tokens
   FROM documents GROUP BY lang, source
 ), shared AS (
@@ -940,7 +940,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_PACKING = rf"""
 WITH toks AS (
   SELECT lang, source, doc_id,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '')) AS n_tok
   FROM documents
 ), binned AS (
@@ -1025,7 +1025,7 @@ def unigram_surprise(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SURPRISE = rf"""
 WITH tok AS (
   SELECT doc_id, lang, source,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                             x -> x <> '')) AS term
   FROM documents
 ), tf AS (
@@ -1128,7 +1128,7 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DUP_FRACTION = rf"""
 WITH toks AS (
   SELECT doc_id, lang, source,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS t
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, lang, source,
@@ -1230,7 +1230,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DSIR = rf"""
 WITH tok AS (
   SELECT doc_id, lang, source,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                             x -> x <> '')) AS term
   FROM documents
 ), tf AS (
@@ -1327,7 +1327,7 @@ def shard_shuffle_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_SHUFFLE = rf"""
 WITH keyed AS (
   SELECT doc_id,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '')) AS n_tok,
          md5(doc_id || '{_SHUFFLE_SEED}') AS hk
   FROM documents
@@ -1391,7 +1391,7 @@ def length_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_LENGTH_BUCKETS = rf"""
 WITH toks AS (
-  SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '')) AS n_tok
   FROM documents
 ), binned AS (
@@ -1655,7 +1655,7 @@ def cluster_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_CLUSTER_QUALITY = r"""
 SELECT CAST(label AS BIGINT) AS label,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+       CAST(SUM(len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                                 x -> x <> ''))) AS BIGINT) AS sum_tok,
        CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS mean_chars,
        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
@@ -1713,10 +1713,10 @@ def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DATASET_CARD = r"""
 WITH per AS (
-  SELECT len(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                          x -> x <> '')) AS n_tok,
          n_chars, lang, source,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
   FROM documents
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -1779,7 +1779,7 @@ def hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_HAPAX = r"""
 WITH tok AS (
   SELECT source,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                             x -> x <> '')) AS term
   FROM documents
 ), tf AS (
@@ -1896,7 +1896,7 @@ def bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_BIGRAM = rf"""
 WITH tok AS (
   SELECT doc_id, lang, source,
-         list_filter(string_split_regex(lower(text), '\s+'),
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                      x -> x <> '') AS ts
   FROM documents
 ), pos AS (

@@ -781,7 +781,7 @@ def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DEDUP_SNAPSHOT = rf"""
 WITH toks AS (
   SELECT doc_id, source,
-         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')
+         list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')
            AS tokens
   FROM documents WHERE doc_id IS NOT NULL
 ), sh AS (

@@ -62,9 +62,9 @@ _SQL_DEDUP_EXACT = r"""
 SELECT doc_id, fp, copy_rank, copy_rank = 1 AS is_kept
 FROM (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+         md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
          CAST(ROW_NUMBER() OVER (
-           PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+           PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
            ORDER BY doc_id) AS BIGINT) AS copy_rank
   FROM documents
 ) t
@@ -248,7 +248,7 @@ def _near_ngram_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NEAR_NGRAM = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -450,7 +450,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_INCR_LSH = rf"""
 WITH toks AS (
-  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS tokens
+  SELECT doc_id, source, list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '') AS tokens
   FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
@@ -628,7 +628,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_CLUSTERS = """
 WITH RECURSIVE toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -772,7 +772,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SIMHASH_AUDIT = """
 WITH toks AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -1795,9 +1795,9 @@ def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TEXT_ANALYSIS = r"""
 WITH t AS (
   SELECT lang, source,
-         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tok,
          LENGTH(text) AS n_len,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
              x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw,
          CASE WHEN n_chars = LENGTH(text) THEN 1 ELSE 0 END AS chars_ok
   FROM documents
@@ -1847,7 +1847,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_TOKEN_STATS = rf"""
 WITH t AS (
   SELECT source,
-         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS ws,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS ws,
          {X.SQL_BPE_COUNT.format(col='text')} AS bpe
   FROM documents
 )
@@ -1880,7 +1880,7 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_hits(lang: str) -> str:
     words = ",".join(f"'{w}'" for w in X.STOPWORDS[lang])
     return (
-        r"len(list_filter(string_split_regex(lower(text), '\s+'),"
+        r"len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),"
         f" x -> x IN ({words})))"
     )
 
@@ -1888,7 +1888,7 @@ def _sql_hits(lang: str) -> str:
 _SQL_LANG_ID = f"""
 WITH t AS (
   SELECT lang,
-         len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n,
+         len(list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '')) AS n,
          {_sql_hits('en')} AS he, {_sql_hits('es')} AS hs, {_sql_hits('de')} AS hd
   FROM documents
 ), e AS (
@@ -1927,10 +1927,10 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_FINGERPRINT = r"""
 WITH t AS (
   SELECT doc_id,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
-         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tok,
          LENGTH(text) AS n_len,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
              x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
   FROM documents
 )
@@ -1987,7 +1987,7 @@ def ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_NGRAM_TOPK = """
 WITH toks AS (
-  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS tokens FROM documents
+  SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0b\\f\\r]+'), x -> x <> '') AS tokens FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id, lang,
          tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS s
@@ -2137,7 +2137,7 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_HEAVY = r"""
 WITH tok AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
   FROM documents
 ), c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1)
 SELECT rnk, term, n FROM (
@@ -2191,7 +2191,7 @@ def keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_KEYWORDS = r"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
@@ -2259,7 +2259,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_INVERTED_INDEX = rf"""
 WITH tok AS (
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
   FROM documents
 ), tf AS (
   SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
@@ -2355,7 +2355,7 @@ _SQL_BM25_CORE = r"""tok AS (
   -- DISTINCT rows: byte-identical re-ingested rows are one document (the
   -- engine's dropDuplicates twin); dl/tf then aggregate per doc_id
   SELECT doc_id,
-         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+         unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS term
   FROM (SELECT DISTINCT doc_id, text FROM documents)
 ), dl AS (
   SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY 1
@@ -2528,9 +2528,9 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_QUALITY = r"""
 WITH t AS (
   SELECT lang, source,
-         len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS n_tok,
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')) AS n_tok,
          LENGTH(text) AS n_len,
-         len(list_filter(string_split_regex(lower(text), '\s+'),
+         len(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
              x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS sw
   FROM documents
 ), q AS (
@@ -3300,7 +3300,7 @@ def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_ZIPF = rf"""
 WITH tok AS (
-  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'),
                             t -> t <> '')) AS term
   FROM documents
 ), freq AS (
@@ -3370,7 +3370,7 @@ _SQL_KEEP_BEST = r"""
 WITH ranked AS (
   SELECT source, n_chars,
          CASE WHEN ROW_NUMBER() OVER (
-                PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                PARTITION BY md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g')))
                 ORDER BY n_chars DESC, doc_id ASC) = 1
               THEN 1 ELSE 0 END AS keep
   FROM documents
@@ -3452,7 +3452,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_DEDUP_INCR = rf"""
 WITH fp AS (
   SELECT doc_id, source,
-         md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+         md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp
   FROM documents
 ), batch AS (
   SELECT * FROM fp WHERE doc_id % {_INCR_STRIDE} = 0
@@ -3614,7 +3614,7 @@ def dup_family_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_DUP_FAMILY_HISTOGRAM = r"""
 WITH fams AS (
-  SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp,
+  SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\x0b\f\r]+', ' ', 'g'))) AS fp,
          CAST(COUNT(*) AS BIGINT) AS k
   FROM documents GROUP BY 1
 ), tot AS (

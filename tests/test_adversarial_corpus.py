@@ -1189,3 +1189,99 @@ def test_asof_nearest_null_ts_never_matches(spark):
     ).collect()}
     assert rows["a"].v_r is None and rows["a"].ts_r is None  # NULL-ts left
     assert rows["b"].v_r == 1.0  # backward wins the 1h tie; 99.0 never
+
+
+# ---------------------------------------------------------------------------
+# Control characters / NUL bytes in text (r09, family #15)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def control_char_docs_dir(tmp_path_factory):
+    """documents with NUL bytes, C0/C1 control chars, vertical-tab and
+    form-feed separators, CR-only/CRLF newlines, zero-width joiners and a
+    BOM planted into text. The class this pins: the THREE regex dialects
+    in play disagree about shorthand ``\\s`` — Java and Python-ASCII
+    include \\x0b (vertical tab), DuckDB's RE2 does NOT — so one
+    \\v-separated document tokenized differently on the two engines (28
+    token-count divergences from a single codepoint, r09 family #15).
+    Both engines now spell the shared separator class explicitly
+    (functions/text.WS_CLASS and its SQL twin in every oracle)."""
+    import duckdb
+
+    shapes = [
+        "alpha\x00beta gamma",
+        "alpha \x00 beta",
+        "ctl\x01\x02\x03chars here",
+        "del\x7fchar and bell\x07 token",
+        "vtab\x0bsep and formfeed\x0csep",
+        "cr\ronly line sep",
+        "crlf\r\nline sep",
+        "zwsp​joined and zwj‍joined",
+        "﻿bom prefixed text",
+        "tab\tand multi  space",
+    ]
+    d = tmp_path_factory.mktemp("ctl_docs")
+    con = duckdb.connect()
+    base = con.execute(
+        "SELECT doc_id, text, lang, source, n_chars FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    ).df()
+    con.close()
+    for i, s in enumerate(shapes):
+        base.loc[
+            base.index[(base["doc_id"] % 53) == (5 + i * 4)], "text"
+        ] = s
+    pq.write_table(
+        pa.Table.from_pandas(base, preserve_index=False),
+        d / "documents.parquet",
+    )
+    return d
+
+
+@pytest.mark.deep
+def test_documents_queries_match_oracle_on_control_chars(
+    spark, control_char_docs_dir
+):
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _documents_only_targets()
+    assert len(targets) >= 40, targets
+    failures = []
+    for name in targets:
+        try:
+            sp = spark_to_pandas(qs[name](spark, str(control_char_docs_dir)))
+            op = duck_oracle(control_char_docs_dir, oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
+
+
+def test_ws_class_dialect_agreement(spark):
+    """The reduced form of the family #15 find: shorthand \\s splits on
+    \\x0b in Java/Python-ASCII but NOT in DuckDB's RE2; the explicit
+    WS_CLASS renders identically in all three."""
+    import duckdb
+    import re
+
+    from pyspark.sql import functions as F
+
+    from bytewax_iceberg_connector_spark.functions import text as X
+
+    s = "vtab\x0bsep and formfeed\x0csep"
+    eng = spark.createDataFrame([(s,)], "t string").select(
+        X.tokens("t").alias("tok")
+    ).collect()[0].tok
+    duck = duckdb.connect().execute(
+        r"SELECT list_filter(string_split_regex(lower(?),"
+        r" '[ \t\n\x0b\f\r]+'), x -> x <> '')", [s]
+    ).fetchone()[0]
+    py = [w for w in re.split(r"[ \t\n\x0b\f\r]+", s.lower()) if w]
+    assert eng == duck == py == ["vtab", "sep", "and", "formfeed", "sep"]
+    # the shorthand the class replaced really is dialect-split:
+    assert duckdb.connect().execute(
+        r"SELECT len(string_split_regex('a\x0bb', '\s+'))"
+    ).fetchone()[0] == 1  # RE2 \s does NOT split on \v

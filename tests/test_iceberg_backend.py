@@ -155,3 +155,39 @@ def test_iceberg_tag_and_read_by_ref(iceberg_sink, batch):
     assert "release-v1" in iceberg_sink.tags()
     iceberg_sink.drop_tag("release-v1")
     assert "release-v1" not in iceberg_sink.tags()
+
+
+def test_iceberg_wap_branch_routing_and_publish(iceberg_sink, batch, spark):
+    """WAP on the real backend: branch append requires spark.wap.branch
+    (two-directional _assert_wap_routing), fast_forward publishes, and a
+    post-publish type change of a branch-added column is rejected —
+    the parquet backend proves the same contract via the snapshot-carried
+    new_fields fold (test_sink.py::test_publish_folds_branch_added_columns)."""
+    from pyspark.sql import functions as F
+
+    iceberg_sink.append(batch)
+    iceberg_sink.spark.sql(
+        f"ALTER TABLE {iceberg_sink._qualified} CREATE BRANCH audit"
+    )
+    staged = batch.withColumn("quality", (F.col("v") * 10).cast("long"))
+    # without the conf: routing guard fires before any write
+    with pytest.raises(ValueError, match="spark.wap.branch"):
+        iceberg_sink.append(staged, branch="audit")
+    spark.conf.set("spark.wap.branch", "audit")
+    try:
+        iceberg_sink.append(staged, branch="audit")
+        # main-targeting writes must refuse while the conf lingers
+        with pytest.raises(ValueError, match="spark.wap.branch"):
+            iceberg_sink.append(batch)
+        with pytest.raises(ValueError, match="spark.wap.branch"):
+            iceberg_sink.overwrite(batch)
+    finally:
+        spark.conf.unset("spark.wap.branch")
+    iceberg_sink.publish("audit")
+    back = iceberg_sink.read()
+    assert "quality" in back.columns
+    # post-publish type change on the published column: the runtime's own
+    # schema enforcement rejects (the fold contract, enforced natively)
+    bad = batch.withColumn("quality", F.col("v") / 10.0)
+    with pytest.raises(Exception):
+        iceberg_sink.append(bad)
