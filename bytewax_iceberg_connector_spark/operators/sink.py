@@ -333,19 +333,37 @@ class LakeSink:
                 "explicitly via append(branch=...)"
             )
 
-    def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
+    def _ref(self, branch: str) -> str | None:
+        """Branch name → ``read(branch=)`` ref for copy-on-write
+        maintenance (parquet backend). ``main`` reads the plain head
+        (valid even on an empty table); a branch with NO commits yet
+        also reads main's head — its first commit forks from main, so
+        maintenance staged on a fresh branch rewrites what it forks
+        from, matching Iceberg's ``spark.wap.branch`` fork-on-first-
+        write semantics."""
+        if branch == "main":
+            return None
+        return branch if self._log.current_id(branch) else None
+
+    def overwrite(self, df: DataFrame, batch_id: int | None = None,
+                  branch: str = "main") -> None:
         """Replace the table contents in one snapshot (the copy-on-write
         commit MERGE compiles to on the parquet backend). ``batch_id``
         tags the snapshot with a caller-meaningful watermark (e.g. the
-        base-table snapshot a materialized view was refreshed to)."""
+        base-table snapshot a materialized view was refreshed to).
+        ``branch`` stages the replacing commit on a WAP branch (r09
+        ADVICE: maintenance is stageable, not append-only — Iceberg
+        routes DML through the same ``spark.wap.branch`` conf)."""
         self.ensure_table(df)
         if self.backend == "iceberg":
-            self._assert_wap_routing("overwrite")
+            self._assert_wap_routing("overwrite", branch=branch)
             df.writeTo(self._qualified).createOrReplace()
             return
-        self._write_commit(df, operation="overwrite", batch_id=batch_id)
+        self._write_commit(df, operation="overwrite", batch_id=batch_id,
+                           branch=branch)
 
-    def overwrite_partitions(self, df: DataFrame) -> None:
+    def overwrite_partitions(self, df: DataFrame,
+                             branch: str = "main") -> None:
         """Dynamic partition overwrite (backfill/restatement): replace ONLY
         the partitions ``df``'s rows fall into, leaving every other
         partition untouched — Iceberg's ``overwritePartitions`` / Spark's
@@ -360,13 +378,13 @@ class LakeSink:
         """
         self.ensure_table(df)
         if self.backend == "iceberg":
-            self._assert_wap_routing("overwrite_partitions")
+            self._assert_wap_routing("overwrite_partitions", branch=branch)
             df.writeTo(self._qualified).overwritePartitions()
             return
         pcols = partition_columns(self._spec)
         if not pcols:
             # unpartitioned table: replacing "its partitions" = everything
-            self.overwrite(df)
+            self.overwrite(df, branch=branch)
             return
         new_keyed = partition_key(df, self._spec)
         affected = new_keyed.select(*pcols).distinct()
@@ -374,7 +392,7 @@ class LakeSink:
         # ever committed — a plain read takes one file's schema and
         # silently WIPES evolved columns from the survivors (r06 find:
         # a no-op delete on an evolved table nulled the evolved column)
-        current = self.read(merge_schema=True)
+        current = self.read(merge_schema=True, branch=self._ref(branch))
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         # partition membership is LOGICAL — the current spec's transforms
         # over the data columns — not the stored _p_* layout: rows from
@@ -390,7 +408,7 @@ class LakeSink:
         # a frame that never had them (r06 model-test find)
         self._write_commit(
             survivors.unionByName(df, allowMissingColumns=True),
-            operation="overwrite",
+            operation="overwrite", branch=branch,
         )
 
     def _write_commit(self, df: DataFrame, operation: str,
@@ -519,6 +537,12 @@ class LakeSink:
         """
         if not self._log.exists():
             return []
+        # self-heal torn publish folds BEFORE reading the declared schema:
+        # a publish whose fold step crashed left its branch-added columns
+        # undeclared, so a type-changing write of one would pass this
+        # check as "new" (r09 ADVICE) — folding here closes that window
+        # at the next write, the exact moment the declaration matters
+        self._log.heal_publish_folds()
         meta = self._log.table_meta()
         declared = StructType.fromJson(meta["schema_json"])
         declared_types = {f.name: f.dataType for f in declared.fields}
@@ -645,7 +669,8 @@ class LakeSink:
 
     def merge(self, updates: DataFrame, keys: list[str],
               tiebreak: str | None = None,
-              batch_id: int | None = None) -> None:
+              batch_id: int | None = None,
+              branch: str = "main") -> None:
         """MERGE INTO this table: matched keys update, unmatched insert.
 
         iceberg backend: the real ``MERGE INTO`` statement (copy-on-write /
@@ -654,9 +679,15 @@ class LakeSink:
         → one overwrite commit — the same copy-on-write plan Iceberg builds
         internally, with time travel preserved (the pre-merge snapshot
         remains readable via read(as_of=...)).
+
+        ``branch`` stages the merge on a WAP branch instead of main (r09
+        ADVICE: WAP-staged maintenance — e.g. a MERGE audited before
+        publish — is legitimate; Iceberg routes DML through the same
+        ``spark.wap.branch`` session conf as appends). Parquet backend:
+        the upsert reads the BRANCH head and commits back to the branch.
         """
         if self.backend == "iceberg":
-            self._assert_wap_routing("merge")
+            self._assert_wap_routing("merge", branch=branch)
             if tiebreak is not None:
                 # same within-batch winner selection merge_upsert applies
                 # on the parquet path — without it, duplicate source keys
@@ -683,7 +714,7 @@ class LakeSink:
         # ever committed — a plain read takes one file's schema and
         # silently WIPES evolved columns from the survivors (r06 find:
         # a no-op delete on an evolved table nulled the evolved column)
-        current = self.read(merge_schema=True)
+        current = self.read(merge_schema=True, branch=self._ref(branch))
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         # project updates to THEIR OWN data columns only — merge_upsert
         # null-fills target columns the update batch predates (schema
@@ -693,7 +724,7 @@ class LakeSink:
             current.select(*data_cols), updates.select(*upd_cols),
             keys, tiebreak=tiebreak,
         )
-        self.overwrite(merged, batch_id=batch_id)
+        self.overwrite(merged, batch_id=batch_id, branch=branch)
 
     # -- time travel / maintenance ----------------------------------------
 
@@ -715,6 +746,21 @@ class LakeSink:
             "snapshot_id BIGINT, parent_id BIGINT, timestamp_ms BIGINT, "
             "operation STRING, batch_id BIGINT, n_live_commits INT",
         )
+
+    def current_snapshot_id(self, branch: str = "main") -> int:
+        """Head snapshot id of ``branch`` (0 = no commits). Callers that
+        need a time-travel anchor should capture THIS after a commit
+        instead of assuming sequential ids: the parquet backend's
+        SnapshotLog happens to issue 1, 2, 3, … but the real Iceberg
+        runtime issues random longs (r09 ADVICE — a literal ``as_of=1``
+        silently misreads there)."""
+        if self.backend == "iceberg":
+            rows = self.spark.sql(
+                f"SELECT snapshot_id FROM {self._qualified}.refs "
+                f"WHERE name = '{branch}'"
+            ).collect()
+            return int(rows[0][0]) if rows else 0
+        return self._log.current_id(branch)
 
     def tag(self, name: str, snapshot_id: int | None = None) -> int:
         """Tag a snapshot (default: current head) with a stable name —
@@ -781,29 +827,33 @@ class LakeSink:
             return []
         return self._log.drop_branch(branch)
 
-    def rollback(self, snapshot_id: int) -> None:
+    def rollback(self, snapshot_id: int, branch: str = "main") -> None:
         """Restore an earlier snapshot's live set as a NEW snapshot (history
-        is append-only — Iceberg's rollback_to_snapshot semantics)."""
+        is append-only — Iceberg's rollback_to_snapshot semantics).
+        ``branch`` lands the restoring snapshot on a WAP branch (r09
+        ADVICE: stageable maintenance)."""
         if self.backend == "iceberg":
-            self._assert_wap_routing("rollback")
+            self._assert_wap_routing("rollback", branch=branch)
             cat = self.config.catalog_name
             self.spark.sql(
                 f"CALL {cat}.system.rollback_to_snapshot"
                 f"('{self.config.table_name}', {snapshot_id})"
             )
             return
-        self._log.commit("rollback", [], rollback_to=snapshot_id)
+        self._log.commit("rollback", [], rollback_to=snapshot_id,
+                         branch=branch)
 
-    def delete(self, condition: str) -> None:
+    def delete(self, condition: str, branch: str = "main") -> None:
         """Row-level DELETE (SQL predicate string) — the GDPR/right-to-be-
         forgotten path. iceberg backend: real ``DELETE FROM`` (position/
         equality deletes per table mode, file-pruned). parquet backend:
         copy-on-write overwrite commit of the survivors; pre-delete
         snapshots remain until expire_snapshots reclaims them — matching
         Iceberg semantics, where hard erasure = DELETE + expire.
+        ``branch`` stages the delete on a WAP branch (r09 ADVICE).
         """
         if self.backend == "iceberg":
-            self._assert_wap_routing("delete")
+            self._assert_wap_routing("delete", branch=branch)
             self.spark.sql(
                 f"DELETE FROM {self._qualified} WHERE {condition}"
             )
@@ -812,7 +862,7 @@ class LakeSink:
         # ever committed — a plain read takes one file's schema and
         # silently WIPES evolved columns from the survivors (r06 find:
         # a no-op delete on an evolved table nulled the evolved column)
-        current = self.read(merge_schema=True)
+        current = self.read(merge_schema=True, branch=self._ref(branch))
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         # coalesce: SQL DELETE removes only cond=TRUE rows; a bare
         # NOT(cond) would also drop rows where cond is NULL (NOT NULL is
@@ -820,9 +870,10 @@ class LakeSink:
         survivors = current.select(*data_cols).where(
             f"NOT coalesce(({condition}), false)"
         )
-        self._write_commit(survivors, operation="delete")
+        self._write_commit(survivors, operation="delete", branch=branch)
 
-    def compact(self, zorder_by: list[str] | None = None) -> None:
+    def compact(self, zorder_by: list[str] | None = None,
+                branch: str = "main") -> None:
         """Rewrite the table's live data as ONE fresh commit (Iceberg's
         rewrite_data_files): N streaming micro-commits × P partitions of
         small files collapse to ``num_partitions`` right-sized files, while
@@ -833,10 +884,11 @@ class LakeSink:
         snapshots/day; unmaintained, file count — not data size — becomes
         the scan bottleneck (driver-side file listing + per-file open
         cost). Compaction is the amortizing counterpart of the sink's
-        hash-distribution on write.
+        hash-distribution on write. ``branch`` stages the rewrite on a
+        WAP branch (r09 ADVICE: stageable maintenance).
         """
         if self.backend == "iceberg":
-            self._assert_wap_routing("compact")
+            self._assert_wap_routing("compact", branch=branch)
             cat = self.config.catalog_name
             if zorder_by:
                 zcols = ", ".join(zorder_by)
@@ -854,11 +906,12 @@ class LakeSink:
         # ever committed — a plain read takes one file's schema and
         # silently WIPES evolved columns from the survivors (r06 find:
         # a no-op delete on an evolved table nulled the evolved column)
-        current = self.read(merge_schema=True)
+        current = self.read(merge_schema=True, branch=self._ref(branch))
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
         live = current.select(*data_cols)
         cluster = zorder_key(live, zorder_by) if zorder_by else None
-        self._write_commit(live, operation="replace", cluster_expr=cluster)
+        self._write_commit(live, operation="replace", cluster_expr=cluster,
+                           branch=branch)
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop history older than the newest ``keep_last`` snapshots and

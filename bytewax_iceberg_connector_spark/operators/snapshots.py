@@ -391,6 +391,42 @@ class SnapshotLog:
                     out.append(fj)
         return out
 
+    def heal_publish_folds(self) -> int:
+        """Re-apply publish-recorded column folds the declared schema is
+        missing. publish() writes its fast-forward snapshot and folds the
+        branch's staged columns (``evolve_schema``) as TWO metadata
+        writes; a crash between them left published branch-added columns
+        undeclared — re-opening the r08 type-change hole — and nothing
+        re-folded later (r09 ADVICE). Publish snapshots therefore carry
+        their fold set (``staged_new_fields``), and this heal — run
+        before every write-time schema check (sink._check_write_schema)
+        and at the top of every publish — folds any still-undeclared
+        ones back in. ``evolve_schema`` is idempotent, so repeated heals
+        are no-ops. Returns the number of fields folded.
+
+        Expiry note: if the torn publish snapshot is itself expired
+        before any later write/publish runs, the fold record goes with
+        it — the same exposure as pre-r10, now shrunk to a
+        crash-then-expire-with-zero-intervening-writes corner."""
+        if not self.exists():
+            return 0
+        meta = self.table_meta()
+        have = {
+            f["name"]
+            for f in (meta.get("schema_json") or {}).get("fields", [])
+        }
+        pending: list[dict] = []
+        for s in self.snapshots():
+            if s.get("operation") != "publish":
+                continue
+            for fj in s.get("staged_new_fields") or []:
+                if fj["name"] not in have:
+                    pending.append(fj)
+                    have.add(fj["name"])
+        if pending:
+            self.evolve_schema(pending)
+        return len(pending)
+
     def publish(self, branch: str, retries: int = 3) -> int:
         """Fast-forward main to ``branch``'s head (Iceberg's
         ``fast_forward`` procedure — the publish step of write-audit-
@@ -419,6 +455,11 @@ class SnapshotLog:
         b_head = self.current_id(branch)
         if b_head == 0:
             raise LookupError(f"branch {branch!r} has no commits")
+        # fold-before-this-publish healing: a PRIOR publish that crashed
+        # between its snapshot write and its schema fold left published
+        # columns undeclared (r09 ADVICE) — repair before stacking more
+        self.heal_publish_folds()
+        staged = self.branch_new_fields(branch)
         b_chain = self.ancestors(b_head)
         batch_ids = sorted({
             s["batch_id"]
@@ -455,12 +496,18 @@ class SnapshotLog:
                 "source_branch": branch,
                 "published_head": b_head,
             }
+            if staged:
+                # the publish snapshot CARRIES its fold set: if the
+                # evolve_schema below never runs (crash between the two
+                # non-atomic metadata writes — r09 ADVICE), the next
+                # heal_publish_folds() re-derives it from the snapshot
+                # instead of leaving published columns undeclared forever
+                snap["staged_new_fields"] = list(staged)
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),
                     snap,
                 )
-                staged = self.branch_new_fields(branch)
                 if staged:
                     # fold AFTER the publish snapshot lands: the staged
                     # data is now main-visible, so declaring its columns

@@ -669,6 +669,11 @@ ORACLE = {
 _SNAP_BATCH_MOD = 3
 _SNAP_BATCH_RESIDUE = 1
 
+# single source of truth for the verify threshold on BOTH engine and oracle
+# sides (r09 ADVICE: a hard-coded 0.8 in the rf-string would silently split
+# them if plans/llm.py ever moved the constant)
+from .llm import _JACCARD_THRESHOLD as _SNAP_JACCARD  # noqa: E402
+
 
 def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-aware incremental near-dup: a new crawl batch is checked
@@ -714,10 +719,14 @@ def dedup_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_partitions=4,
         )
         sink = LakeSink(spark, cfg)
-        sink.append(docs.where(~is_batch))   # snapshot 1: published corpus
-        sink.append(docs.where(is_batch))    # snapshot 2: the crawl landing
-        history = sink.read(as_of=1)
-        incoming = sink.read_incremental(1)
+        sink.append(docs.where(~is_batch))   # commit 1: published corpus
+        # capture the REAL head id instead of assuming it is 1: snapshot
+        # ids are sequential on the parquet backend but random longs on
+        # the Iceberg runtime (r09 ADVICE — backend portability)
+        history_snap = sink.current_snapshot_id()
+        sink.append(docs.where(is_batch))    # commit 2: the crawl landing
+        history = sink.read(as_of=history_snap)
+        incoming = sink.read_incremental(history_snap)
         hb_base, hb_banded, _ = _minhash_band_index(
             spark, sf_dir, docs=history
         )
@@ -804,7 +813,7 @@ WITH toks AS (
   FROM cross_pairs
   JOIN sizes na ON na.doc_id = cross_pairs.doc_n
   JOIN sizes nb ON nb.doc_id = cross_pairs.doc_h
-  WHERE inter * 1.0 / (na.sz + nb.sz - inter) >= 0.8
+  WHERE inter * 1.0 / (na.sz + nb.sz - inter) >= {_SNAP_JACCARD}
 ), batch_docs AS (
   SELECT DISTINCT doc_id, source FROM documents
   WHERE doc_id IS NOT NULL
@@ -819,10 +828,8 @@ FROM batch_docs bd LEFT JOIN flagged f USING (doc_id)
 GROUP BY source ORDER BY source
 """
 
-# STAGED FOR ROUND 10 (r08 VERDICT item 1/8): registering a new query
-# before the r09 driver gate would displace the 50 r05-stale records from
-# the rotation window (new registrations rank ahead of stale greens).
-# These are differential-proven NOW by tests/test_lake_model.py; flip
-# them into QUERIES/ORACLE after CORRECTNESS_r09 lands.
-R10_QUERIES = {"dedup_snapshot": dedup_snapshot}
-R10_ORACLE = {"dedup_snapshot": _SQL_DEDUP_SNAPSHOT}
+# Registered in r10 (r09 VERDICT item 1): staged through the r09 gate so it
+# would not displace the r05-stale rotation window, registered now — it
+# enters the window at the never-checked tier.
+QUERIES["dedup_snapshot"] = dedup_snapshot
+ORACLE["dedup_snapshot"] = _SQL_DEDUP_SNAPSHOT

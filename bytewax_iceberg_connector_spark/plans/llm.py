@@ -3771,6 +3771,7 @@ GROUP BY cell ORDER BY cell
     "{SQL_NONZERO_EMB}", SQL_NONZERO_EMB
 )
 
-# STAGED FOR ROUND 10 (r08 VERDICT item 1/8): see plans/lake.py R10_QUERIES.
-R10_QUERIES = {"similarity_ivf_merge": similarity_ivf_merge}
-R10_ORACLE = {"similarity_ivf_merge": _SQL_IVF_MERGE}
+# Registered in r10 (r09 VERDICT item 1): staged through the r09 gate,
+# registered now — enters the window at the never-checked tier.
+QUERIES["similarity_ivf_merge"] = similarity_ivf_merge
+ORACLE["similarity_ivf_merge"] = _SQL_IVF_MERGE

@@ -1027,3 +1027,126 @@ def test_type_change_rejected_at_write_history_stays_readable(spark, tmp_path):
     with pytest.raises(ValueError, match="additive-only"):
         sink.append(spark.createDataFrame(
             [Row(event_id=4, ts=dt.datetime(2024, 1, 1), v=12, q=7)]))  # long
+
+
+def test_wap_staged_maintenance_on_branch(spark, tmp_path, batches):
+    """Maintenance is WAP-stageable, not append-only (r09 ADVICE): a
+    DELETE, MERGE, and compaction staged on a branch rewrite the BRANCH
+    head while main stays untouched; publish then fast-forwards the
+    audited, maintained state to main in one step. (Iceberg routes all
+    DML through the same ``spark.wap.branch`` conf; the parquet backend
+    mirrors that by reading the branch head and committing back to it.)"""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)  # main: 0..9
+
+    def ids(**kw):
+        return {r.event_id for r in sink.read(**kw).select("event_id").collect()}
+
+    # stage a crawl batch, then AUDIT-FIX it on the branch: delete two
+    # bad rows, upsert a corrected one, compact the branch's file litter
+    sink.append(b2.where("event_id < 20"), branch="audit")   # stage 10..19
+    sink.delete("event_id IN (18, 19)", branch="audit")
+    sink.merge(
+        spark.createDataFrame(
+            [Row(event_id=10, ts=dt.datetime(2024, 1, 2, 10), v=99.0)]
+        ),
+        keys=["event_id"], branch="audit",
+    )
+    sink.compact(branch="audit")
+
+    # main never saw any of it
+    assert ids() == set(range(10))
+    # the branch head reflects every staged maintenance op
+    assert ids(branch="audit") == set(range(18))
+    assert {
+        r.v for r in sink.read(branch="audit")
+        .where("event_id = 10").collect()
+    } == {99.0}
+
+    # publish: the audited state lands on main atomically
+    sink.publish("audit")
+    assert ids() == set(range(18))
+    assert {r.v for r in sink.read().where("event_id = 10").collect()} == {99.0}
+
+
+def test_rollback_on_branch_leaves_main_untouched(spark, tmp_path, batches):
+    """rollback(branch=) restores an earlier live set as a BRANCH commit
+    (r09 ADVICE: stageable maintenance) — main's head is unchanged until
+    the branch publishes."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)                                  # snap 1: 0..9
+    first = sink.current_snapshot_id()
+    sink.append(b2.where("event_id < 15"))           # snap 2: 0..14
+    sink.rollback(first, branch="undo")              # staged restore
+    assert sink.read().count() == 15                 # main untouched
+    assert sink.read(branch="undo").count() == 10    # branch = restored set
+    sink.publish("undo")
+    assert sink.read().count() == 10
+
+
+def test_current_snapshot_id_tracks_head(spark, tmp_path, batches):
+    """current_snapshot_id() is the time-travel anchor callers capture
+    instead of assuming sequential ids (r09 ADVICE: the Iceberg runtime
+    issues random longs, so a literal as_of=1 is not portable)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    assert sink.current_snapshot_id() == 0  # no commits yet
+    sink.append(b1)
+    s1 = sink.current_snapshot_id()
+    sink.append(b2)
+    s2 = sink.current_snapshot_id()
+    assert s2 != s1
+    assert sink.read(as_of=s1).count() == 10
+    assert sink.read(as_of=s2).count() == 30
+    # branch heads are tracked independently
+    sink.append(b2.limit(0), branch="audit")
+    assert sink.current_snapshot_id("audit") != s2
+
+
+def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
+    """A publish that crashes BETWEEN its fast-forward snapshot and its
+    schema fold must not reopen the r08 type-change hole (r09 ADVICE):
+    the publish snapshot carries its fold set, and the next write-time
+    schema check heals the declaration before validating — so a
+    type-changing write of the published-but-undeclared column is still
+    rejected, and heal_publish_folds() reports the repair."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+
+    # stage a branch commit that ADDS column q (double)
+    sink.append(
+        spark.createDataFrame(
+            [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                 v=1.0, q=2.5)]
+        ),
+        branch="audit",
+    )
+
+    # publish, but simulate the crash: the fold step never runs
+    orig = SnapshotLog.evolve_schema
+    SnapshotLog.evolve_schema = lambda self, fields: None
+    try:
+        sink.publish("audit")
+    finally:
+        SnapshotLog.evolve_schema = orig
+
+    # torn state: q is main-visible data but NOT in the declared schema
+    assert "q" in sink.read(merge_schema=True).columns
+    declared = {f["name"] for f in
+                sink._log.table_meta()["schema_json"]["fields"]}
+    assert "q" not in declared
+
+    # the hole the heal closes: a LONG write of q must still be rejected
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(spark.createDataFrame(
+            [Row(event_id=101, ts=dt.datetime(2024, 1, 3, 10),
+                 v=2.0, q=7)]))  # q: long vs published double
+
+    # and the heal itself declared the column (idempotent thereafter)
+    declared = {f["name"] for f in
+                sink._log.table_meta()["schema_json"]["fields"]}
+    assert "q" in declared
+    assert sink._log.heal_publish_folds() == 0
