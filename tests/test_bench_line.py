@@ -58,3 +58,35 @@ def test_final_line_carries_drift_normalization():
     # absent when no drift estimate (non-sf0.1 or cold controls)
     line = _final_line(100.0, {"a": 1.0}, 0.01)
     assert "drift_factor" not in json.loads(line)
+
+
+def test_final_line_carries_median_ratio_normalization():
+    """r10 (r09 VERDICT item 3): the burst-proof drift estimate — the
+    median warm per-query ratio vs BENCH_REF.json — rides the stdout
+    line next to the 3-point trio factor."""
+    line = _final_line(
+        100.0, {"a": 1.0, "b": 2.0}, 0.1, drift=1.25, norm=80.0,
+        drift_median=1.1,
+    )
+    payload = json.loads(line)
+    assert payload["drift_median"] == 1.1
+    assert payload["value_normalized_median"] == round(100.0 / 1.1, 3)
+    # absent when no per-query reference data was available
+    line = _final_line(100.0, {"a": 1.0}, 0.1, drift=1.25, norm=80.0)
+    assert "drift_median" not in json.loads(line)
+
+
+def test_bench_ref_seed_matches_running_minimum_semantics():
+    """BENCH_REF.json is a running minimum of warm timings: the seeder
+    and bench.py's in-run update must agree that a LOWER warm timing
+    rebases the reference and a higher one never does."""
+    import bench as benchmod  # noqa: F401  (import proves no side effects)
+
+    ref = {"q1": 2.0, "q2": 1.0}
+    timings = {"q1": 1.5, "q2": 3.0, "q3": 0.7}
+    passes = {"q1": 2, "q2": 2, "q3": 1}
+    # replicate bench.py's update rule
+    for n, sec in timings.items():
+        if passes.get(n) == 2 and sec > 0 and (n not in ref or sec < ref[n]):
+            ref[n] = sec
+    assert ref == {"q1": 1.5, "q2": 1.0}  # q3 cold: never enters the ref
