@@ -92,6 +92,62 @@ class PartitionField:
         return self.source if t == "identity" else f"{self.source}_{t}"
 
 
+# -- hostile partition-VALUE encoding (parquet backend dir layout) ----------
+#
+# Partition values become Hive-style directory components
+# (``_p_col=<escaped>``). Spark's own escaping round-trips almost everything
+# (slash, equals, newline, unicode, control chars — r10 sweep), but four
+# classes break the dir encoding itself:
+#   - ``""`` and the literal ``__HIVE_DEFAULT_PARTITION__`` both collapse
+#     into NULL's default dir — three distinct logical values, ONE path:
+#     the dynamic partition writer crashes with FileAlreadyExists when two
+#     land in one task, or silently merges partitions when they don't;
+#   - values whose escaped form pushes the path component past the
+#     filesystem's 255-byte limit crash the write task;
+#   - values that spoof our own escape marker would decode wrongly.
+# The write side diverts exactly these to marker strings (injective, safe
+# dir names); the read side RECOMPUTES flagged columns from the source data
+# columns (transforms are deterministic and the source columns are stored
+# in full inside the files), so every hostile value round-trips exactly.
+# Clean values are untouched: no marker, no recompute, dir-level partition
+# pruning intact — the cost is paid only by commits that contain hostile
+# values (recorded per-commit in ``_bic_spec.json`` as ``esc_pcols``).
+# The real Iceberg runtime avoids this class by making manifests — not
+# paths — authoritative for partition values; recompute-from-source is the
+# same principle at this fallback's fidelity.
+
+HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+ESC_MARK = "__BIC_ESC__"
+# byte budget for one "_p_name=<escaped>" component: ext4/HDFS cap 255,
+# minus headroom for the "_p_<name>=" prefix; Hive escaping turns each
+# escapable ASCII byte into 3 ("%XX"), counted exactly below
+_COMPONENT_BUDGET = 224
+# the characters Hive's escapePathName %-encodes (all single-byte ASCII)
+_ESCAPABLE_RE = "[\\x00-\\x1f\\x7f\"#%'*/:=?\\\\{\\[\\]\\^]"
+
+
+def encode_hostile_pcol(col: Column) -> Column:
+    """Divert dir-encoding-hostile string partition values to injective
+    marker strings (see module comment above). NULL passes through (its
+    default-partition dir is unambiguous once "" and the literal sentinel
+    are diverted); every other value keeps its exact self."""
+    esc_cnt = F.length(col) - F.length(
+        F.regexp_replace(col, _ESCAPABLE_RE, "")
+    )
+    too_long = (F.octet_length(col) + 2 * esc_cnt) > _COMPONENT_BUDGET
+    hashed = F.lower(F.hex(F.xxhash64(col)))
+    return (
+        F.when(too_long, F.concat(F.lit(ESC_MARK + "long_"), hashed))
+        .when(col == "", F.lit(ESC_MARK + "empty"))
+        .when(col == HIVE_DEFAULT, F.lit(ESC_MARK + "hive"))
+        .when(
+            col.startswith(ESC_MARK),
+            F.concat(F.lit(ESC_MARK + "esc_"), hashed),
+        )
+        .otherwise(col)
+    )
+
+
 def partition_key(df: DataFrame, spec: list[PartitionField | tuple]) -> DataFrame:
     """Attach the Iceberg-style partition key columns (prefix ``_p_``).
 

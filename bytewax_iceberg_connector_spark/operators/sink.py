@@ -50,10 +50,13 @@ from ..config import IcebergSinkConfig
 from ..functions.zorder import zorder_key
 from .merge import merge_upsert
 from .partitioning import (
+    ESC_MARK,
     PartitionField,
+    encode_hostile_pcol,
     parse_transform,
     partition_columns,
     partition_key,
+    transform_column,
 )
 from .snapshots import SnapshotLog
 
@@ -400,8 +403,23 @@ class LakeSink:
         # recompute the key for every live row exactly as Iceberg
         # evaluates the current spec against old files
         cur_keyed = partition_key(current.select(*data_cols), self._spec)
-        survivors = cur_keyed.join(
-            F.broadcast(affected), on=pcols, how="left_anti"
+        # NULL-SAFE key match (r10 sweep): plain equality never matches
+        # NULL = NULL, so rows in the NULL partition survived the anti
+        # join while the new batch still appended — overwriting the NULL
+        # partition silently DUPLICATED it instead of replacing it
+        from functools import reduce as _reduce
+
+        cur_a = cur_keyed.alias("_bic_cur")
+        aff_a = affected.alias("_bic_aff")
+        cond = _reduce(
+            lambda a, b: a & b,
+            [
+                F.col(f"_bic_cur.{c}").eqNullSafe(F.col(f"_bic_aff.{c}"))
+                for c in pcols
+            ],
+        )
+        survivors = cur_a.join(
+            F.broadcast(aff_a), on=cond, how="left_anti"
         ).select(*data_cols)
         # the incoming batch may predate a schema evolution: align by name
         # with null-fill instead of projecting the table's columns out of
@@ -441,7 +459,21 @@ class LakeSink:
                 *pcols, *_sort_exprs(self.config.sort_order)
             )
         name, path = self._log.new_commit_dir()
-        w = keyed.write.mode("errorifexists").format(self._file_format())
+        # dir-encoding-hostile string partition VALUES ("" / the literal
+        # Hive default sentinel / overlong / marker-spoofing) are diverted
+        # to injective marker strings on the SAVE frame only (r10 sweep:
+        # "" and NULL and the literal sentinel all collapsed into ONE
+        # directory — FileAlreadyExists mid-write or silent partition
+        # merge). `keyed` stays logical for stats and schema; the read
+        # side recomputes flagged columns from the source data columns
+        # (operators/partitioning.py has the full design note).
+        save_df = keyed
+        str_pcols = [
+            c for c, t in keyed.dtypes if c in pcols and t == "string"
+        ]
+        for c in str_pcols:
+            save_df = save_df.withColumn(c, encode_hostile_pcol(F.col(c)))
+        w = save_df.write.mode("errorifexists").format(self._file_format())
         if pcols:
             w = w.partitionBy(*pcols)
         w.save(path)
@@ -455,12 +487,16 @@ class LakeSink:
         # added-data-files count in Iceberg) — at scale the per-read walk
         # is an O(total files) driver-side stat storm.
         ext = f".{self._file_format()}"
-        n_files = sum(
-            1
-            for _, _, files in os.walk(path)
-            for fname in files
-            if fname.endswith(ext)
-        )
+        n_files = 0
+        esc_pcols: set[str] = set()
+        for _, dirnames, files in os.walk(path):
+            n_files += sum(1 for fname in files if fname.endswith(ext))
+            # any "_p_col=__BIC_ESC__..." component marks that column as
+            # write-escaped in THIS commit; the read side recomputes it
+            for dn in dirnames:
+                col, eq, val = dn.partition("=")
+                if eq and val.startswith(ESC_MARK):
+                    esc_pcols.add(col)
         # schema_fp: a fingerprint of the commit's write schema (Iceberg's
         # per-manifest schema-id). Readers force a footer merge whenever one
         # load group spans >1 fingerprint, so NO read path — plain read(),
@@ -478,15 +514,15 @@ class LakeSink:
                        for f in keyed.schema.fields)
             ).encode()
         ).hexdigest()[:16]
+        marker = {"spec_id": self._log.current_spec_id()
+                  if self._log.exists() else 0,
+                  "pcols": pcols,
+                  "n_files": n_files,
+                  "schema_fp": schema_fp}
+        if esc_pcols:
+            marker["esc_pcols"] = sorted(esc_pcols)
         with open(os.path.join(path, "_bic_spec.json"), "w") as f:
-            json.dump(
-                {"spec_id": self._log.current_spec_id()
-                 if self._log.exists() else 0,
-                 "pcols": pcols,
-                 "n_files": n_files,
-                 "schema_fp": schema_fp},
-                f,
-            )
+            json.dump(marker, f)
         self._log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
@@ -1323,6 +1359,12 @@ class LakeSink:
             # `_c` is the commit-dir partition component — implementation
             # detail, dropped from the user-visible schema
             df = reader.format(self._file_format()).load(group).drop("_c")
+            esc = {
+                c
+                for d in group
+                for c in markers[d].get("esc_pcols", [])
+            }
+            df = self._restore_pcols(df, spec_id, esc)
             if with_spec_id:
                 df = df.withColumn("_spec_id", F.lit(spec_id).cast("int"))
             return df
@@ -1392,6 +1434,71 @@ class LakeSink:
                 key = (0, *fallback)
             groups.setdefault(key, []).append(d)
         return groups
+
+    def _spec_fields_for_id(self, spec_id: int) -> list[PartitionField]:
+        """The partition spec a commit group was written under: the
+        current spec when ids match, else the archived entry in
+        ``spec_history`` (evolve_spec archives the outgoing spec under
+        its id — Iceberg's per-manifest spec lookup)."""
+        if not self._log.exists():
+            return list(self._spec)
+        meta = self._log.table_meta()
+        if spec_id == int(meta.get("spec_id", 0)):
+            raw = meta.get("partition_spec", [])
+        else:
+            raw = meta.get("spec_history", {}).get(str(spec_id), [])
+        return [PartitionField(*f) for f in raw]
+
+    def _restore_pcols(self, df: DataFrame, spec_id: int,
+                       esc_cols: set) -> DataFrame:
+        """Make directory-decoded ``_p_*`` columns exact again (r10
+        hostile-partition-values sweep):
+
+        1. CAST each to its DECLARED type. Partition-dir type inference is
+           disabled session-wide (a string value "0123" inferred as int
+           123 loses the leading zero before any cast can help), so every
+           ``_p_*`` arrives as the exact literal string and the cast to
+           the declared transform type (timestamp for day-truncs, int for
+           buckets, ...) is lossless. String-typed columns skip the no-op
+           cast so their dir-level PartitionFilters pruning is untouched.
+        2. RECOMPUTE columns the write side flagged as escape-encoded
+           (``esc_pcols`` in the commit marker): their dir values are
+           injective markers, not data; the transform over the in-file
+           source columns reproduces the exact logical value for every
+           row — hostile or clean — at projection cost. Only flagged
+           commits pay this (and lose dir-pruning on that column); clean
+           commits keep the raw dir column and full pruning.
+        """
+        declared: dict[str, str] = {}
+        if self._log.exists():
+            declared = {
+                f.name: f.dataType.simpleString()
+                for f in StructType.fromJson(
+                    self._log.table_meta()["schema_json"]
+                ).fields
+            }
+        dtypes = dict(df.dtypes)
+        for c in df.columns:
+            if not c.startswith("_p_"):
+                continue
+            want = declared.get(c)
+            if want and dtypes.get(c) != want:
+                df = df.withColumn(c, F.col(c).cast(want))
+        if esc_cols:
+            fields = {
+                f"_p_{f.field_name}": f
+                for f in self._spec_fields_for_id(spec_id)
+            }
+            for c in sorted(esc_cols):
+                f = fields.get(c)
+                if f is not None and f.source in df.columns:
+                    df = df.withColumn(
+                        c,
+                        transform_column(
+                            f.source, f.transform, dtypes.get(f.source, "")
+                        ),
+                    )
+        return df
 
     # -- partition evolution ----------------------------------------------
 

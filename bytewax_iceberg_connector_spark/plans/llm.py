@@ -3673,9 +3673,15 @@ def similarity_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
+    # DISTINCT rows: a byte-identical re-ingested vector is the same index
+    # entry and must merge once (the semantic_dedup/slice-audit identity
+    # convention — r10 adversarial-embeddings find: the duplicate row
+    # double-counted its cell's census). Same-id-DIFFERENT-payload rows
+    # stay distinct entries (an IVF index stores vectors, not ids); the
+    # oracle partitions its assignment window by (vec_id, v) to match.
     emb = load_vectors(spark, sf_dir, nonzero=True).select(
         "vec_id", "embedding"
-    )
+    ).dropDuplicates()
     is_new = (
         F.pmod(F.col("vec_id"), F.lit(_IVF_MERGE_MOD)) == _IVF_MERGE_RESIDUE
     )
@@ -3740,7 +3746,10 @@ def similarity_ivf_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_IVF_MERGE = f"""
 WITH {{SQL_VALID_EMB}},
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+-- DISTINCT rows: a byte-identical re-ingested vector is ONE index entry
+-- (engine side dropDuplicates); same-id-different-payload rows stay
+-- distinct, so the assignment window partitions by the full row identity
+e AS (SELECT DISTINCT vec_id, CAST(embedding AS DOUBLE[]) AS v,
              sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                    CAST(embedding AS DOUBLE[]))) AS n
       FROM embeddings_valid WHERE {{SQL_NONZERO_EMB}}),
@@ -3755,7 +3764,7 @@ seeds AS (
            % {_IVF_MERGE_MOD} = {_IVF_MERGE_RESIDUE} AS is_new,
          s.cell,
          ROW_NUMBER() OVER (
-           PARTITION BY e.vec_id
+           PARTITION BY e.vec_id, e.v
            ORDER BY ROUND(list_dot_product(e.v, s.cv) / (e.n * s.cn), 6)
                       DESC,
                     s.cell ASC) AS rn

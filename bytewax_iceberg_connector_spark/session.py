@@ -34,6 +34,13 @@ _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow for all pandas_udf boundaries
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # partition-dir values must decode as EXACT strings: inference turns a
+    # string partition value "0123" into int 123 (leading zero gone) and
+    # "1e5" into a double — lossy before any cast can help. The sink casts
+    # each _p_* column to its DECLARED type after load (operators/sink.py
+    # _restore_pcols), which is exact from the literal string; r10
+    # hostile-partition-values sweep.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
 }
 
 _BUILD_CONF = {

@@ -1150,3 +1150,74 @@ def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
                 sink._log.table_meta()["schema_json"]["fields"]}
     assert "q" in declared
     assert sink._log.heal_publish_folds() == 0
+
+
+@pytest.mark.deep
+def test_hostile_partition_values_roundtrip_lifecycle(spark, tmp_path):
+    """Family #16 (r10): partition VALUES become directory names on the
+    parquet backend, and four value classes break the Hive dir encoding
+    itself — "" and the literal __HIVE_DEFAULT_PARTITION__ collapse into
+    NULL's default dir (FileAlreadyExists mid-write or silent partition
+    merge), overlong values blow the 255-byte path-component cap, and
+    marker-spoofing values would decode wrongly. The write side diverts
+    exactly these to injective markers and the read side recomputes the
+    flagged columns from the in-file source data; numeric-looking strings
+    additionally pin the inference-off + cast-to-declared contract
+    ("0123" must NOT come back as int 123). Full lifecycle: append ->
+    read -> _p_ filters -> overwrite_partitions (incl. the NULL partition
+    — plain equality anti-joins never match NULL=NULL and silently
+    DUPLICATED it) -> partition evolution."""
+    from bytewax_iceberg_connector_spark.operators.partitioning import (
+        ESC_MARK,
+        HIVE_DEFAULT,
+    )
+
+    values = [
+        "", " ", "a/b", "a=b", "a\nb", "日本語", HIVE_DEFAULT,
+        "0123", "1e5", ESC_MARK + "spoof", "v" * 400, None,
+    ]
+    rows = [Row(rid=i, source=v, payload=f"p{i}")
+            for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "rid int, source string, payload string")
+    cfg = IcebergSinkConfig(
+        table_name="db.hostile_pv", warehouse_path=str(tmp_path),
+        num_partitions=2, partition_spec=[("source", "identity")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(df)
+
+    back = sink.read()
+    got = {(r.rid, r.source, r["_p_source"]) for r in back.collect()}
+    want = {(i, v, v) for i, v in enumerate(values)}
+    assert got == want, (sorted(want - got), sorted(got - want))
+    # declared-type contract: the mirror column stays string; "0123"
+    # survives exactly (inference would have made it int 123)
+    assert dict(back.dtypes)["_p_source"] == "string"
+
+    # partition filters find every value (incl. via the recomputed path)
+    for i, v in enumerate(values):
+        cond = (F.col("_p_source").isNull() if v is None
+                else F.col("_p_source") == v)
+        assert back.where(cond & (F.col("rid") == i)).count() == 1, v
+
+    # overwrite the NULL and "" partitions: replaced, not duplicated
+    null_rid = values.index(None)
+    sink.overwrite_partitions(spark.createDataFrame(
+        [Row(rid=100, source=None, payload="n2"),
+         Row(rid=101, source="", payload="e2")],
+        "rid int, source string, payload string"))
+    back2 = sink.read()
+    assert back2.where(F.col("source").isNull()).count() == 1
+    assert back2.where(F.col("source") == "").count() == 1
+    assert back2.where(F.col("rid") == null_rid).count() == 0
+    assert back2.count() == len(values)  # 2 replaced, 2 added, 2 removed
+
+    # evolution boundary: hostile history stays readable under a new spec
+    sink.evolve_partition_spec([("rid", "bucket[4]", "rid_b")])
+    sink.append(spark.createDataFrame(
+        [Row(rid=200, source="post", payload="pe")],
+        "rid int, source string, payload string"))
+    back3 = sink.read()
+    assert back3.count() == len(values) + 1
+    assert back3.where(F.col("source") == HIVE_DEFAULT).count() == 1
+    assert back3.where(F.col("source") == "v" * 400).count() == 1
