@@ -1335,13 +1335,23 @@ def _ivf_parts(spark: SparkSession, sf_dir: str):
             for r in pdf.itertuples(index=False):
                 ids = np.asarray(r.ids, dtype=np.int64)
                 c_ids = np.asarray(r.c_ids, dtype=np.int64)
+                # id-sorted centroid block + STABLE sort: exactly-tied
+                # cosines must break to the SMALLER centroid id, not to
+                # collect_list order or quicksort internals (r10
+                # third-reference pin caught the default argsort flipping
+                # a tied member cell — nondeterministic across numpy
+                # versions and collect orders)
+                corder = np.argsort(c_ids)
+                c_ids = c_ids[corder]
                 E = np.asarray([np.asarray(v, dtype=np.float64) for v in r.vecs])
-                C = np.asarray([np.asarray(v, dtype=np.float64) for v in r.c_vecs])
+                C = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in r.c_vecs]
+                )[corder]
                 ne = np.sqrt((E * E).sum(axis=1))
                 nc = np.sqrt((C * C).sum(axis=1))
                 cos = (E @ C.T) / np.outer(ne, nc)
                 k = min(_ivf_nprobe(cos.shape[1]), cos.shape[1])
-                near = np.argsort(-cos, axis=1)[:, :k]
+                near = np.argsort(-cos, axis=1, kind="stable")[:, :k]
                 for i in range(len(ids)):
                     # probe ranks matter only for QUERY vectors; the rest
                     # of the corpus contributes just its member (rank-0)
@@ -1594,7 +1604,10 @@ def _ivf_pq_parts(spark: SparkSession, sf_dir: str):
                 nc = np.sqrt((C * C).sum(axis=1))
                 cos = (E @ C.T) / np.outer(ne, nc)
                 kp = min(_ivf_nprobe(cos.shape[1]), cos.shape[1])
-                near = np.argsort(-cos, axis=1)[:, :kp]
+                # STABLE: tied cosines break to the smaller centroid id
+                # (C is id-sorted by _pq_train_ctx) — see the IVF-flat
+                # kernel note; r10 third-reference pin
+                near = np.argsort(-cos, axis=1, kind="stable")[:, :kp]
                 # residual to the MEMBER cell centroid (probe rank 0)
                 R = E - C[near[:, 0]]
                 sub = E.shape[1] // _PQ_M
