@@ -1302,3 +1302,68 @@ def test_wide_schema_evolution_fifty_commits_scales(spark, tmp_path):
     assert half.count() == mid * n_rows
     assert f"c{mid - 1}" in half.columns
     assert f"c{mid}" not in half.columns
+
+
+def test_branch_maintenance_interleavings(spark, tmp_path, batches):
+    """r10 sweep pins for the branch-threaded maintenance surface
+    (scratch/branch_maintenance_sweep.py, 15 scenarios, 0 bugs): a
+    DELETE as a branch's FIRST operation forks from main's head
+    (Iceberg's fork-on-first-write under spark.wap.branch); expire keeps
+    a branch's replacing commit readable; streaming batch ids survive a
+    compact-interleaved WAP lifecycle through publish + drop_branch."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)  # main: 0..9
+
+    # fork-on-first-maintenance
+    sink.delete("event_id >= 5", branch="fixup")
+    assert sink.read(branch="fixup").count() == 5
+    assert sink.read().count() == 10
+    sink.publish("fixup")
+    assert sink.read().count() == 5
+
+    # expire with a replacing commit on a live branch
+    sink.append(b2.where("event_id < 13"), batch_id=7, branch="stage")
+    sink.delete("event_id = 12", branch="stage")
+    sink.expire_snapshots(keep_last=1)
+    assert sink.read(branch="stage").count() == 7  # 0..4 + 10,11
+    sink.compact(branch="stage")
+    sink.append(b2.where("event_id >= 13 and event_id < 15"),
+                batch_id=8, branch="stage")
+    sink.publish("stage")
+    sink.drop_branch("stage")
+    assert {r.event_id for r in sink.read().collect()} == (
+        set(range(5)) | {10, 11, 13, 14}
+    )
+    # exactly-once ids survive the compact-interleaved lifecycle
+    assert {7, 8} <= sink._log.committed_batch_ids()
+
+
+def test_long_string_stats_prune_is_conservative(spark, tmp_path):
+    """r10 probe pin (scratch/stats_truncation_probe.py): parquet
+    footers don't yield usable min/max for 10KB strings, so the stats
+    harvester must OMIT the column (prune then keeps every dir) rather
+    than record truncated bounds that could drop a dir holding matching
+    rows."""
+    import json
+
+    p = "P" * 10000
+    sink = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.longstr", warehouse_path=str(tmp_path),
+        num_partitions=1))
+    sink.append(spark.createDataFrame(
+        [Row(rid=i, s=p + c) for i, c in enumerate("abc")]))
+    sink.append(spark.createDataFrame(
+        [Row(rid=10 + i, s=p + c) for i, c in enumerate("xyz")]))
+
+    data = tmp_path / "db" / "longstr" / "data"
+    for d in data.iterdir():
+        stats = d / "_bic_stats.json"
+        if stats.exists():
+            assert "s" not in json.loads(stats.read_text()), (
+                "long-string bounds recorded — if parquet truncated them, "
+                "pruning on s could silently drop matching dirs"
+            )
+    got = sink.read(prune={"s": (p + "x", None)}).where(
+        F.col("s") >= p + "x").count()
+    assert got == 3
