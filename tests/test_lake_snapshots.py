@@ -1367,3 +1367,58 @@ def test_long_string_stats_prune_is_conservative(spark, tmp_path):
     got = sink.read(prune={"s": (p + "x", None)}).where(
         F.col("s") >= p + "x").count()
     assert got == 3
+
+
+@pytest.mark.deep
+def test_extreme_timestamps_through_partitioned_lake(spark, tmp_path):
+    """r10 probe pin (scratch/extreme_ts_lake_probe.py): year-1 /
+    pre-Gregorian / year-9999 / pre-epoch / NULL timestamps through day
+    partitioning — dir rendering, the inference-off cast restore,
+    partition filters, overwrite_partitions, and time travel all stay
+    proleptic-exact. Also pins the ts_lit boundary the probe found: a
+    plain Python datetime literal hybrid-shifts pre-1582 by up to 2 days
+    (pyspark's py4j converter routes through java.sql.Timestamp), so
+    `== datetime(1,1,3)` matches NOTHING while `== ts_lit(...)` is
+    exact — functions/temporal.py documents the wart."""
+    from bytewax_iceberg_connector_spark.functions.temporal import ts_lit
+
+    ts_vals = [
+        dt.datetime(1, 1, 3, 4, 5, 6),
+        dt.datetime(1582, 10, 4, 12),
+        dt.datetime(1969, 12, 31, 23, 59, 59, 999999),
+        dt.datetime(9999, 12, 31, 23, 59, 59, 999999),
+        None,
+    ]
+    sink = _sink(spark, tmp_path)
+    sink.append(spark.createDataFrame(
+        [Row(event_id=i, ts=t, v=float(i)) for i, t in enumerate(ts_vals)]))
+    back = sink.read()
+
+    got = {(r.event_id, r.ts) for r in back.collect()}
+    assert got == {(i, t) for i, t in enumerate(ts_vals)}
+    # the restored partition mirror equals the day-trunc for every row
+    assert back.where(~F.col("_p_ts_day").eqNullSafe(
+        F.date_trunc("day", F.col("ts")))).count() == 0
+
+    # partition filters via ts_lit find every extreme day
+    for i, t in enumerate(ts_vals):
+        cond = (F.col("_p_ts_day").isNull() if t is None
+                else F.col("_p_ts_day") == ts_lit(
+                    t.replace(hour=0, minute=0, second=0, microsecond=0)))
+        assert back.where(cond & (F.col("event_id") == i)).count() == 1, t
+
+    # the documented upstream wart: the plain datetime literal misses
+    # (if a pyspark upgrade ever fixes the converter, this assertion
+    # flips and the ts_lit docstring should be revisited)
+    assert back.where(
+        F.col("_p_ts_day") == dt.datetime(1, 1, 3)).count() == 0
+
+    # overwrite the year-1 and NULL partitions: replaced, not duplicated
+    sink.overwrite_partitions(spark.createDataFrame(
+        [Row(event_id=100, ts=dt.datetime(1, 1, 3, 9), v=0.5),
+         Row(event_id=101, ts=None, v=0.25)]))
+    back2 = sink.read()
+    assert back2.where("event_id = 0").count() == 0
+    assert back2.where(F.col("ts").isNull()).count() == 1
+    assert back2.count() == len(ts_vals)
+    assert sink.read(as_of=1).count() == len(ts_vals)  # history intact
