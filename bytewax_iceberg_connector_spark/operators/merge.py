@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import qcol
+
 
 def merge_upsert(
     target: DataFrame,
@@ -59,8 +61,13 @@ def merge_upsert(
             f"updates carry columns the target lacks: {sorted(extra)} — "
             "evolve the table schema first (append), then MERGE"
         )
+    # qcol everywhere a name becomes a Column: F.col("a.b")/select("a.b")
+    # parse the dot as struct access and fail on a literally-dotted
+    # column name (r10 hostile-column-names find)
     if tiebreak is not None:
-        w = Window.partitionBy(*keys).orderBy(F.col(tiebreak).desc())
+        w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(
+            qcol(tiebreak).desc()
+        )
         updates = (
             updates.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -71,5 +78,9 @@ def merge_upsert(
         updates = updates.withColumn(
             c, F.lit(None).cast(dict(target.dtypes)[c])
         )
-    survivors = target.join(updates.select(*keys), on=keys, how="left_anti")
-    return survivors.unionByName(updates.select(*target.columns))
+    survivors = target.join(
+        updates.select(*[qcol(k) for k in keys]), on=keys, how="left_anti"
+    )
+    return survivors.unionByName(
+        updates.select(*[qcol(c) for c in target.columns])
+    )

@@ -37,6 +37,14 @@ from pyspark.sql import functions as F
 _TIME_TRUNCS = {"year": "year", "month": "month", "day": "day", "hour": "hour"}
 
 
+def qcol(name: str) -> Column:
+    """Column reference by EXACT name. ``F.col("a.b")`` parses the dot as
+    struct-field access (`a`.`b`) and fails to resolve a column literally
+    named ``a.b`` (r10 hostile-column-names find: MERGE keyed on a dotted
+    name crashed); backtick-quoting pins the literal name."""
+    return F.col("`" + name.replace("`", "``") + "`")
+
+
 def parse_transform(transform: str) -> tuple[str, int | None]:
     """Normalize an Iceberg transform spec string to ``(kind, param)``.
 
@@ -62,17 +70,17 @@ def transform_column(source: str, transform: str, dtype: str = "") -> Column:
     """
     kind, param = parse_transform(transform)
     if kind == "identity":
-        return F.col(source)
+        return qcol(source)
     if kind == "void":
         return F.lit(None)
     if kind in _TIME_TRUNCS:
-        return F.date_trunc(_TIME_TRUNCS[kind], F.col(source))
+        return F.date_trunc(_TIME_TRUNCS[kind], qcol(source))
     if kind == "bucket":
-        return F.pmod(F.hash(F.col(source)), F.lit(param))
+        return F.pmod(F.hash(qcol(source)), F.lit(param))
     # truncate: Iceberg spec int form v - (((v % W) + W) % W), negative-safe
     if dtype.startswith("string"):
-        return F.substring(F.col(source), 1, param)
-    c = F.col(source)
+        return F.substring(qcol(source), 1, param)
+    c = qcol(source)
     return c - F.pmod(F.pmod(c, F.lit(param)) + F.lit(param), F.lit(param))
 
 

@@ -56,6 +56,7 @@ from .partitioning import (
     parse_transform,
     partition_columns,
     partition_key,
+    qcol,
     transform_column,
 )
 from .snapshots import SnapshotLog
@@ -390,7 +391,7 @@ class LakeSink:
             self.overwrite(df, branch=branch)
             return
         new_keyed = partition_key(df, self._spec)
-        affected = new_keyed.select(*pcols).distinct()
+        affected = new_keyed.select(*[qcol(c) for c in pcols]).distinct()
         # merge_schema: the copy-on-write rewrite must carry EVERY column
         # ever committed — a plain read takes one file's schema and
         # silently WIPES evolved columns from the survivors (r06 find:
@@ -402,7 +403,9 @@ class LakeSink:
         # pre-evolution commits carry other (or no) layout columns, so
         # recompute the key for every live row exactly as Iceberg
         # evaluates the current spec against old files
-        cur_keyed = partition_key(current.select(*data_cols), self._spec)
+        cur_keyed = partition_key(
+            current.select(*[qcol(c) for c in data_cols]), self._spec
+        )
         # NULL-SAFE key match (r10 sweep): plain equality never matches
         # NULL = NULL, so rows in the NULL partition survived the anti
         # join while the new batch still appended — overwriting the NULL
@@ -420,7 +423,7 @@ class LakeSink:
         )
         survivors = cur_a.join(
             F.broadcast(aff_a), on=cond, how="left_anti"
-        ).select(*data_cols)
+        ).select(*[qcol(c) for c in data_cols])
         # the incoming batch may predate a schema evolution: align by name
         # with null-fill instead of projecting the table's columns out of
         # a frame that never had them (r06 model-test find)
@@ -731,14 +734,20 @@ class LakeSink:
                 # opposite outcome of the same call on the fallback
                 from pyspark.sql import Window
 
-                w = Window.partitionBy(*keys).orderBy(F.desc(tiebreak))
+                w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(
+                    F.desc(qcol(tiebreak))
+                )
                 updates = (
                     updates.withColumn("_bic_rn", F.row_number().over(w))
                     .where(F.col("_bic_rn") == 1)
                     .drop("_bic_rn")
                 )
             updates.createOrReplaceTempView("_bic_merge_src")
-            cond = " AND ".join(f"t.{k} = s.{k}" for k in keys)
+
+            def _q(k: str) -> str:
+                return "`" + k.replace("`", "``") + "`"
+
+            cond = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
             self.spark.sql(
                 f"MERGE INTO {self._qualified} t USING _bic_merge_src s "
                 f"ON {cond} "
@@ -757,7 +766,8 @@ class LakeSink:
         # evolution), and rejects columns the target lacks
         upd_cols = [c for c in updates.columns if not c.startswith("_p_")]
         merged = merge_upsert(
-            current.select(*data_cols), updates.select(*upd_cols),
+            current.select(*[qcol(c) for c in data_cols]),
+            updates.select(*[qcol(c) for c in upd_cols]),
             keys, tiebreak=tiebreak,
         )
         self.overwrite(merged, batch_id=batch_id, branch=branch)
@@ -903,7 +913,7 @@ class LakeSink:
         # coalesce: SQL DELETE removes only cond=TRUE rows; a bare
         # NOT(cond) would also drop rows where cond is NULL (NOT NULL is
         # NULL, filtered) — silent data loss vs the iceberg branch
-        survivors = current.select(*data_cols).where(
+        survivors = current.select(*[qcol(c) for c in data_cols]).where(
             f"NOT coalesce(({condition}), false)"
         )
         self._write_commit(survivors, operation="delete", branch=branch)
@@ -944,7 +954,7 @@ class LakeSink:
         # a no-op delete on an evolved table nulled the evolved column)
         current = self.read(merge_schema=True, branch=self._ref(branch))
         data_cols = [c for c in current.columns if not c.startswith("_p_")]
-        live = current.select(*data_cols)
+        live = current.select(*[qcol(c) for c in data_cols])
         cluster = zorder_key(live, zorder_by) if zorder_by else None
         self._write_commit(live, operation="replace", cluster_expr=cluster,
                            branch=branch)
@@ -1183,7 +1193,8 @@ class LakeSink:
             if not c.startswith("_p_") and c not in new_types:
                 new = new.withColumn(c, F.lit(None).cast(t))
         data_cols = [c for c in new.columns if not c.startswith("_p_")]
-        old, new = old.select(*data_cols), new.select(*data_cols)
+        old, new = (old.select(*[qcol(c) for c in data_cols]),
+                    new.select(*[qcol(c) for c in data_cols]))
         return (
             new.exceptAll(old).withColumn("_change_type", F.lit("insert"))
             .unionByName(

@@ -1422,3 +1422,55 @@ def test_extreme_timestamps_through_partitioned_lake(spark, tmp_path):
     assert back2.where(F.col("ts").isNull()).count() == 1
     assert back2.count() == len(ts_vals)
     assert sink.read(as_of=1).count() == len(ts_vals)  # history intact
+
+
+def test_hostile_column_names_roundtrip_and_merge(spark, tmp_path):
+    """r10 sweep pins (scratch/hostile_column_names.py, 19 name shapes):
+    Spark 4's parquet writer accepts every hostile name swept (spaces,
+    newlines, unicode, quotes, backticks, parens — the old invalid-char
+    rejection is gone), so the sink must round-trip them and keep every
+    maintenance op working. The sweep's one real find: every place a
+    column NAME LIST becomes a select/window (merge keys, copy-on-write
+    projections) parsed dots as struct access — ``select("a.b")`` failed
+    to resolve a literally-dotted column — fixed by exact-name
+    backtick quoting (partitioning.qcol). Case-duplicate columns get a
+    clean pre-commit rejection (head unchanged)."""
+    sink = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.hostile_names", warehouse_path=str(tmp_path),
+        num_partitions=1))
+    name = "a.b c`d日"
+    sink.append(spark.createDataFrame([(1, 2.0, 3.0)],
+                                      ["rid", name, "vcol"]))
+    back = sink.read()
+    assert name in back.columns
+    assert back.collect()[0][name] == 2.0
+
+    # merge keyed on the hostile name (the sweep's crash site)
+    sink.merge(spark.createDataFrame([(2.0, 1, 9.0)],
+                                     [name, "rid", "vcol"]),
+               keys=[name], tiebreak="vcol")
+    got = {(r["rid"], r[name], r["vcol"]) for r in sink.read().collect()}
+    assert got == {(1, 2.0, 9.0)}
+
+    # delete + compact rewrite projections on the hostile name
+    sink.append(spark.createDataFrame([(5, 7.0, 1.0)],
+                                      ["rid", name, "vcol"]))
+    sink.delete("rid = 5")
+    sink.compact()
+    assert {r[name] for r in sink.read().collect()} == {2.0}
+
+    # case-duplicate columns: clean pre-commit rejection, table untouched
+    head = sink.current_snapshot_id()
+    with pytest.raises(Exception):
+        sink.append(spark.createDataFrame([(1, 2.0, 3.0)],
+                                          ["rid", "VCOL", "vcol"]))
+    assert sink.current_snapshot_id() == head
+
+    # hostile name as a PARTITION source (qcol in transform_column)
+    sink2 = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.hostile_pspec", warehouse_path=str(tmp_path),
+        num_partitions=1, partition_spec=[("a b", "identity")]))
+    sink2.append(spark.createDataFrame([(1, "x")], ["rid", "a b"]))
+    back2 = sink2.read()
+    assert "_p_a b" in back2.columns
+    assert back2.where(F.col("`_p_a b`") == "x").count() == 1
