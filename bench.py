@@ -151,7 +151,9 @@ def main() -> None:
     ref_q: dict[str, float] = {}
     try:
         with open(os.path.join(repo_dir, "BENCH_REF.json")) as f:
-            ref_q = json.load(f).get("queries", {})
+            loaded = json.load(f)
+        if isinstance(loaded, dict) and isinstance(loaded.get("queries"), dict):
+            ref_q = loaded["queries"]
     except (OSError, ValueError):
         pass
     ratios: dict[str, float] = {}
@@ -169,30 +171,37 @@ def main() -> None:
         )
     # keep the reference fresh: a warm timing below the stored min becomes
     # the new clean-band estimate (never raised — regressions must show as
-    # persistent ratio > 1, not silently rebase the bar)
+    # persistent ratio > 1, not silently rebase the bar). runs_seen counts
+    # every sf0.1 run consumed (the seeder's definition), so the file is
+    # rewritten each run whether or not a minimum moved. The whole block
+    # is corruption-tolerant: a hand-mangled BENCH_REF.json must degrade
+    # to a reseed, never crash main() between timing and the stdout line.
     if sf == "0.1":
-        changed = False
-        for n, sec in timings.items():
-            if passes.get(n) == 2 and sec > 0 and (
-                n not in ref_q or sec < ref_q[n]
-            ):
-                ref_q[n] = sec
-                changed = True
-        if changed:
+        try:
+            for n, sec in timings.items():
+                r = ref_q.get(n)
+                if passes.get(n) == 2 and sec > 0 and (
+                    not isinstance(r, (int, float)) or sec < r
+                ):
+                    ref_q[n] = sec
             try:
                 with open(os.path.join(repo_dir, "BENCH_REF.json")) as f:
                     payload = json.load(f)
+                if not isinstance(payload, dict):
+                    raise ValueError("non-dict payload")
             except (OSError, ValueError):
                 payload = {"note": "per-query clean-band reference = min "
                            "warm (best-of-2) sf0.1 timing ever recorded",
                            "runs_seen": 0}
             payload["queries"] = {n: ref_q[n] for n in sorted(ref_q)}
-            payload["runs_seen"] = int(payload.get("runs_seen", 0)) + 1
             try:
-                with open(os.path.join(repo_dir, "BENCH_REF.json"), "w") as f:
-                    json.dump(payload, f, indent=1)
-            except OSError:
-                pass
+                payload["runs_seen"] = int(payload.get("runs_seen", 0)) + 1
+            except (TypeError, ValueError):
+                payload["runs_seen"] = 1
+            with open(os.path.join(repo_dir, "BENCH_REF.json"), "w") as f:
+                json.dump(payload, f, indent=1)
+        except Exception:
+            pass  # the stdout record must survive any ref-file trouble
     # control-normalized total (sf0.1 only; see _CONTROL_CLEAN_SF01).
     # Requires all three controls timed warm (best-of-2): a cold-tail
     # control would overstate drift and flatter the normalized number.

@@ -37,12 +37,20 @@ from pyspark.sql import functions as F
 _TIME_TRUNCS = {"year": "year", "month": "month", "day": "day", "hour": "hour"}
 
 
+def qname(name: str) -> str:
+    """Backtick-quoted EXACT identifier — the single spelling of the
+    quoting rule for both Column refs (``qcol``) and SQL identifier
+    strings (the Iceberg MERGE condition), so the convention cannot
+    drift between the two."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def qcol(name: str) -> Column:
     """Column reference by EXACT name. ``F.col("a.b")`` parses the dot as
     struct-field access (`a`.`b`) and fails to resolve a column literally
     named ``a.b`` (r10 hostile-column-names find: MERGE keyed on a dotted
     name crashed); backtick-quoting pins the literal name."""
-    return F.col("`" + name.replace("`", "``") + "`")
+    return F.col(qname(name))
 
 
 def parse_transform(transform: str) -> tuple[str, int | None]:
@@ -126,23 +134,35 @@ class PartitionField:
 
 HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
 ESC_MARK = "__BIC_ESC__"
-# byte budget for one "_p_name=<escaped>" component: ext4/HDFS cap 255,
-# minus headroom for the "_p_<name>=" prefix; Hive escaping turns each
-# escapable ASCII byte into 3 ("%XX"), counted exactly below
-_COMPONENT_BUDGET = 224
+# byte cap for one "<colname>=<escaped value>" path component (ext4/HDFS
+# 255) with slack for the writer's task-attempt suffixing; the budget for
+# the VALUE subtracts the actual column-name prefix per call, and Hive
+# escaping turns each escapable ASCII byte into 3 ("%XX"), counted exactly
+_COMPONENT_CAP = 240
 # the characters Hive's escapePathName %-encodes (all single-byte ASCII)
 _ESCAPABLE_RE = "[\\x00-\\x1f\\x7f\"#%'*/:=?\\\\{\\[\\]\\^]"
 
 
-def encode_hostile_pcol(col: Column) -> Column:
+def encode_hostile_pcol(col: Column, colname: str) -> Column:
     """Divert dir-encoding-hostile string partition values to injective
     marker strings (see module comment above). NULL passes through (its
     default-partition dir is unambiguous once "" and the literal sentinel
-    are diverted); every other value keeps its exact self."""
+    are diverted); every other value keeps its exact self. ``colname`` is
+    the partition column's name — the dir component is
+    ``<name>=<escaped value>``, so a long NAME shrinks the value budget
+    (a fixed headroom let a 36-char name + 220-byte clean value blow the
+    255-byte cap the guard exists to prevent)."""
+    import re as _re
+
     esc_cnt = F.length(col) - F.length(
         F.regexp_replace(col, _ESCAPABLE_RE, "")
     )
-    too_long = (F.octet_length(col) + 2 * esc_cnt) > _COMPONENT_BUDGET
+    # the NAME is Hive-escaped in the component too: bytes + 2/escapable
+    name_bytes = len(colname.encode()) + 2 * len(
+        _re.findall(_ESCAPABLE_RE, colname)
+    )
+    budget = _COMPONENT_CAP - name_bytes - 1  # "<escaped name>="
+    too_long = (F.octet_length(col) + 2 * esc_cnt) > budget
     hashed = F.lower(F.hex(F.xxhash64(col)))
     return (
         F.when(too_long, F.concat(F.lit(ESC_MARK + "long_"), hashed))

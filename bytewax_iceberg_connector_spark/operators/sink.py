@@ -57,6 +57,7 @@ from .partitioning import (
     partition_columns,
     partition_key,
     qcol,
+    qname,
     transform_column,
 )
 from .snapshots import SnapshotLog
@@ -414,10 +415,15 @@ class LakeSink:
 
         cur_a = cur_keyed.alias("_bic_cur")
         aff_a = affected.alias("_bic_aff")
+        # qname inside the alias qualifier: a dotted/backticked partition
+        # field name would otherwise parse as nested access (r10
+        # self-review find — the same class qcol fixes elsewhere)
         cond = _reduce(
             lambda a, b: a & b,
             [
-                F.col(f"_bic_cur.{c}").eqNullSafe(F.col(f"_bic_aff.{c}"))
+                F.col(f"_bic_cur.{qname(c)}").eqNullSafe(
+                    F.col(f"_bic_aff.{qname(c)}")
+                )
                 for c in pcols
             ],
         )
@@ -438,6 +444,26 @@ class LakeSink:
         new_fields = self._check_write_schema(df, branch=branch)
         keyed = partition_key(df, self._spec)
         pcols = partition_columns(self._spec)
+        # dir-encoding-hostile string partition VALUES ("" / the literal
+        # Hive default sentinel / overlong / marker-spoofing) are diverted
+        # to injective marker strings (r10 sweep: "" and NULL and the
+        # literal sentinel all collapsed into ONE directory —
+        # FileAlreadyExists mid-write or silent partition merge); the read
+        # side recomputes flagged columns from the source data columns
+        # (operators/partitioning.py has the full design note). Applied
+        # BEFORE the repartition/sort chain: the encoding is injective so
+        # co-location is unchanged, and the writer's required
+        # partition-column ordering must hold on the column VALUES BEING
+        # WRITTEN — encoding after the sort replaced the sorted attribute
+        # and the V1 writer re-sorted by partition columns only,
+        # clobbering config.sort_order / z-order file ordering (r10
+        # self-review find). Footer stats and schema_fp are unaffected:
+        # _p_ columns are dir-encoded, never stored in files.
+        for c, t in keyed.dtypes:
+            if c in pcols and t == "string":
+                keyed = keyed.withColumn(
+                    c, encode_hostile_pcol(qcol(c), c)
+                )
         if cluster_expr is not None:
             # multi-dimensional clustering (z-order): ONE range exchange on
             # the interleaved key, files sorted by it → tight min/max stats
@@ -446,12 +472,13 @@ class LakeSink:
             keyed = (
                 keyed.withColumn("_bic_z", cluster_expr)
                 .repartitionByRange(self.config.num_partitions, "_bic_z")
-                .sortWithinPartitions(*pcols, "_bic_z")
+                .sortWithinPartitions(*[qcol(c) for c in pcols], "_bic_z")
                 .drop("_bic_z")
             )
         else:
-            keyed = keyed.repartition(self.config.num_partitions, *pcols) if pcols \
-                else keyed.repartition(self.config.num_partitions)
+            keyed = keyed.repartition(
+                self.config.num_partitions, *[qcol(c) for c in pcols]
+            ) if pcols else keyed.repartition(self.config.num_partitions)
         if cluster_expr is None and self.config.sort_order:
             # file-level ordering: Iceberg's WRITE ORDERED BY analogue —
             # sorted row groups → tighter min/max stats → better file skips.
@@ -459,24 +486,11 @@ class LakeSink:
             # requires its output ordered by them and would inject its OWN
             # sort (clobbering ours) if the order didn't already satisfy it
             keyed = keyed.sortWithinPartitions(
-                *pcols, *_sort_exprs(self.config.sort_order)
+                *[qcol(c) for c in pcols],
+                *_sort_exprs(self.config.sort_order)
             )
         name, path = self._log.new_commit_dir()
-        # dir-encoding-hostile string partition VALUES ("" / the literal
-        # Hive default sentinel / overlong / marker-spoofing) are diverted
-        # to injective marker strings on the SAVE frame only (r10 sweep:
-        # "" and NULL and the literal sentinel all collapsed into ONE
-        # directory — FileAlreadyExists mid-write or silent partition
-        # merge). `keyed` stays logical for stats and schema; the read
-        # side recomputes flagged columns from the source data columns
-        # (operators/partitioning.py has the full design note).
-        save_df = keyed
-        str_pcols = [
-            c for c, t in keyed.dtypes if c in pcols and t == "string"
-        ]
-        for c in str_pcols:
-            save_df = save_df.withColumn(c, encode_hostile_pcol(F.col(c)))
-        w = save_df.write.mode("errorifexists").format(self._file_format())
+        w = keyed.write.mode("errorifexists").format(self._file_format())
         if pcols:
             w = w.partitionBy(*pcols)
         w.save(path)
@@ -743,11 +757,9 @@ class LakeSink:
                     .drop("_bic_rn")
                 )
             updates.createOrReplaceTempView("_bic_merge_src")
-
-            def _q(k: str) -> str:
-                return "`" + k.replace("`", "``") + "`"
-
-            cond = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+            cond = " AND ".join(
+                f"t.{qname(k)} = s.{qname(k)}" for k in keys
+            )
             self.spark.sql(
                 f"MERGE INTO {self._qualified} t USING _bic_merge_src s "
                 f"ON {cond} "
@@ -1489,17 +1501,37 @@ class LakeSink:
                 ).fields
             }
         dtypes = dict(df.dtypes)
+        fields = {
+            f"_p_{f.field_name}": f
+            for f in self._spec_fields_for_id(spec_id)
+        }
+
+        def _spec_type(c: str) -> str | None:
+            """Transform-derived type for _p_ columns the declared schema
+            missed: init_table declares the ORIGINAL spec's _p_ columns,
+            but spec EVOLUTION adds new layout columns only to the data
+            dirs — without this fallback a post-evolution bucket column
+            silently regressed from int to string once dir inference
+            went off (r10 self-review find)."""
+            f = fields.get(c)
+            if f is None:
+                return None
+            kind, _ = parse_transform(f.transform)
+            if kind == "bucket":
+                return "int"
+            if kind in ("year", "month", "day", "hour"):
+                return "timestamp"
+            if kind in ("identity", "truncate"):
+                return dtypes.get(f.source)
+            return None  # void: stays null
+
         for c in df.columns:
             if not c.startswith("_p_"):
                 continue
-            want = declared.get(c)
+            want = declared.get(c) or _spec_type(c)
             if want and dtypes.get(c) != want:
-                df = df.withColumn(c, F.col(c).cast(want))
+                df = df.withColumn(c, qcol(c).cast(want))
         if esc_cols:
-            fields = {
-                f"_p_{f.field_name}": f
-                for f in self._spec_fields_for_id(spec_id)
-            }
             for c in sorted(esc_cols):
                 f = fields.get(c)
                 if f is not None and f.source in df.columns:

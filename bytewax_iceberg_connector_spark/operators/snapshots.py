@@ -407,10 +407,19 @@ class SnapshotLog:
         Expiry note: if the torn publish snapshot is itself expired
         before any later write/publish runs, the fold record goes with
         it — the same exposure as pre-r10, now shrunk to a
-        crash-then-expire-with-zero-intervening-writes corner."""
+        crash-then-expire-with-zero-intervening-writes corner.
+
+        Cost: the scan is O(retained history), so it is gated on the
+        ``pending_publish_folds`` flag publish() raises BEFORE staging a
+        fold and this heal clears after folding — the common no-publish
+        write path pays ONE table.json read, not a v-file sweep (r10
+        self-review find: a streaming sink paid a full metadata parse per
+        micro-batch for a fold set that is almost always empty)."""
         if not self.exists():
             return 0
         meta = self.table_meta()
+        if not meta.get("pending_publish_folds"):
+            return 0
         have = {
             f["name"]
             for f in (meta.get("schema_json") or {}).get("fields", [])
@@ -425,6 +434,13 @@ class SnapshotLog:
                     have.add(fj["name"])
         if pending:
             self.evolve_schema(pending)
+        # clear the flag (re-read: evolve_schema rewrote table.json). A
+        # publish racing this clear re-raises the flag before its own
+        # snapshot lands, so a fold can be deferred to the NEXT heal at
+        # worst, never lost.
+        meta = self.table_meta()
+        meta.pop("pending_publish_folds", None)
+        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
         return len(pending)
 
     def publish(self, branch: str, retries: int = 3) -> int:
@@ -503,6 +519,16 @@ class SnapshotLog:
                 # heal_publish_folds() re-derives it from the snapshot
                 # instead of leaving published columns undeclared forever
                 snap["staged_new_fields"] = list(staged)
+                # raise the heal gate FIRST: flag-then-snapshot-then-fold
+                # means a crash at any point leaves either nothing to do
+                # or a raised flag the next heal acts on; a spurious flag
+                # (crash before the snapshot) costs one scan, never a hole
+                meta = self.table_meta()
+                if not meta.get("pending_publish_folds"):
+                    meta["pending_publish_folds"] = True
+                    self._atomic_write(
+                        os.path.join(self.meta_dir, "table.json"), meta
+                    )
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),

@@ -1474,3 +1474,69 @@ def test_hostile_column_names_roundtrip_and_merge(spark, tmp_path):
     back2 = sink2.read()
     assert "_p_a b" in back2.columns
     assert back2.where(F.col("`_p_a b`") == "x").count() == 1
+
+
+def test_review_findings_partition_hardening(spark, tmp_path):
+    """r10 self-review regression pins:
+    (1) a DOTTED partition field name survives overwrite_partitions (the
+        null-safe join's alias refs needed qname);
+    (2) a post-spec-evolution bucket column keeps its INT type (declared
+        schema never learns evolved _p_ columns, so the restore derives
+        the type from the spec transform — without it, inference-off
+        regressed it to string);
+    (3) config.sort_order still orders rows inside files when a STRING
+        partition column triggers the hostile-value encode (applied
+        before the sort chain, not after);
+    (4) a long partition NAME shrinks the value budget: 36-char name +
+        220-byte clean value diverts instead of blowing the 255-byte
+        path component cap."""
+    import pyarrow.parquet as papq
+
+    # (1) dotted partition SOURCE column -> dotted `_p_a.b` field name
+    s1 = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.dotted", warehouse_path=str(tmp_path),
+        num_partitions=1, partition_spec=[("a.b", "identity")]))
+    s1.append(spark.createDataFrame([(1, "a"), (2, "b")], ["rid", "a.b"]))
+    s1.overwrite_partitions(
+        spark.createDataFrame([(9, "a")], ["rid", "a.b"]))
+    got = {(r["rid"], r["a.b"]) for r in s1.read().collect()}
+    assert got == {(9, "a"), (2, "b")}
+
+    # (2) post-evolution bucket column type
+    s2 = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.evotype", warehouse_path=str(tmp_path),
+        num_partitions=1, partition_spec=[("ts", "day")]))
+    s2.append(spark.createDataFrame(
+        [Row(event_id=1, ts=dt.datetime(2024, 1, 1))]))
+    s2.evolve_partition_spec([("event_id", "bucket[4]", "eb")])
+    s2.append(spark.createDataFrame(
+        [Row(event_id=10, ts=dt.datetime(2024, 1, 2))]))
+    back = s2.read()
+    assert dict(back.dtypes)["_p_eb"] == "int", back.dtypes
+    assert back.where(F.col("_p_eb").isNotNull()).count() == 1
+
+    # (3) sort_order survives the hostile-value encode on a string pcol
+    s3 = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.sorted_str", warehouse_path=str(tmp_path),
+        num_partitions=1, partition_spec=[("grp", "identity")],
+        sort_order=["v desc"]))
+    s3.append(spark.createDataFrame(
+        [Row(rid=i, grp="g" + str(i % 2), v=float(i)) for i in range(40)]))
+    data_dir = os.path.join(str(tmp_path), "db", "sorted_str", "data")
+    files = [os.path.join(dp, f) for dp, _, fs in os.walk(data_dir)
+             for f in fs if f.endswith(".parquet")]
+    assert files
+    for f in files:
+        vs = papq.read_table(f, columns=["v"]).column("v").to_pylist()
+        assert vs == sorted(vs, reverse=True), f
+
+    # (4) long name + long clean value diverts, round-trips
+    long_name = "customer_email_domain_normalized_v2"
+    s4 = LakeSink(spark, IcebergSinkConfig(
+        table_name="db.longname", warehouse_path=str(tmp_path),
+        num_partitions=1, partition_spec=[(long_name, "identity")]))
+    val = "v" * 220
+    s4.append(spark.createDataFrame([(1, val)], ["rid", long_name]))
+    back4 = s4.read()
+    assert back4.collect()[0][long_name] == val
+    assert back4.where(F.col(f"`_p_{long_name}`") == val).count() == 1
