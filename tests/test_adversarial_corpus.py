@@ -827,20 +827,44 @@ def _sweep_match_or_both_abort(spark, d, names, min_matches: int,
     this sweep exists for. Vacuity guards on BOTH outcomes: the
     dec()-routed majority must actually abort (min_aborts) and the
     double-math survivors must actually match (min_matches)."""
+    from concurrent.futures import ThreadPoolExecutor
     from pathlib import Path
+
+    import pandas as pd
 
     from bytewax_iceberg_connector_spark.plans import registry
 
     qs = registry.all_queries()
     oracles = registry.all_oracles()
-    matches = 0
-    aborts = 0
-    failures = []
-    for name in names:
+
+    # CONCURRENT form of the r09 serial loop (suite-trim): the per-query
+    # conf toggles spark_to_pandas does are NOT thread-safe, so instead
+    # set both confs ONCE for the whole sweep — Arrow fallback off (a
+    # silent non-Arrow fallback converts through the hybrid calendar and
+    # shifts pre-1582 rows) and java8API on (so the row-collect rescue
+    # path below converts through proleptic java.time) — and restore
+    # after. Workers then need no session mutation at all.
+    fb_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
+    j8_key = "spark.sql.datetime.java8API.enabled"
+    saved = {k: spark.conf.get(k, None) for k in (fb_key, j8_key)}
+
+    def _collect(df) -> pd.DataFrame:
+        try:
+            return df.toPandas()
+        except Exception:
+            # extreme-timestamp outputs: Arrow's ns range can't hold them;
+            # row collection via java.time (proleptic) — see _diffutil
+            rows = df.collect()
+            return pd.DataFrame(
+                [r.asDict(recursive=True) for r in rows], columns=df.columns
+            )
+
+    def one(name: str):
+        """Returns (name, 'abort'|'match'|failure-string)."""
         sp_err = ora_err = None
         sp = op = None
         try:
-            sp = spark_to_pandas(qs[name](spark, str(d)))
+            sp = _collect(qs[name](spark, str(d)))
         except Exception as e:  # noqa: BLE001
             sp_err = f"{type(e).__name__}: {str(e)[:120]}"
         try:
@@ -848,18 +872,29 @@ def _sweep_match_or_both_abort(spark, d, names, min_matches: int,
         except Exception as e:  # noqa: BLE001
             ora_err = f"{type(e).__name__}: {str(e)[:120]}"
         if sp_err and ora_err:
-            aborts += 1
-            continue  # both-abort: the documented poisoned-measure posture
+            return "abort"  # both-abort: the poisoned-measure posture
         if sp_err or ora_err:
-            failures.append(
-                f"{name}: ONE-SIDED ABORT spark={sp_err} duck={ora_err}"
-            )
-            continue
+            return f"{name}: ONE-SIDED ABORT spark={sp_err} duck={ora_err}"
         try:
             assert_df_match(sp, op)
-            matches += 1
+            return "match"
         except AssertionError as e:
-            failures.append(f"{name}: {str(e)[:200]}")
+            return f"{name}: {str(e)[:200]}"
+
+    spark.conf.set(fb_key, "false")
+    spark.conf.set(j8_key, "true")
+    try:
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(one, names))
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    matches = sum(1 for r in results if r == "match")
+    aborts = sum(1 for r in results if r == "abort")
+    failures = [r for r in results if r not in ("match", "abort")]
     assert not failures, "\n".join(failures)
     assert matches >= min_matches, f"sweep went vacuous: {matches} matches"
     assert aborts >= min_aborts, f"abort arm went vacuous: {aborts} aborts"
