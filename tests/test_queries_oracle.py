@@ -94,31 +94,57 @@ def _driver_fidelity_check(spdf, opdf, name):
         )
 
 
+@pytest.fixture(scope="module")
+def spark_results(spark, sf_dir):
+    """Concurrent Spark-side prefetch for the whole battery (r10 suite
+    trim): the 202 per-query tests serially paid ~0.5–9 s of driver/job
+    latency each; a shared 8-worker executor overlaps them while the
+    parametrized tests below keep their per-query identity (each still
+    fails individually with its own diff). Workers touch ONLY Spark
+    (thread-safe: plain collect/toPandas, no session-conf toggles); the
+    DuckDB side stays in the test body on the module connection.
+
+    Single-test selection (-k name) still triggers the full prefetch —
+    the documented single-query iteration loop is tools/diffcheck.py.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(name):
+        # persist: the frame is executed twice (collect for the value
+        # multiset, toPandas for driver fidelity) — heavy queries would
+        # otherwise pay their full plan cost twice
+        sdf = _QUERIES[name](spark, sf_dir).persist()
+        try:
+            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas() if name in _ORACLES else None
+            return (list(sdf.columns), srows, spdf)
+        finally:
+            sdf.unpersist()
+
+    ex = ThreadPoolExecutor(max_workers=8)
+    futures = {n: ex.submit(one, n) for n in sorted(_QUERIES)}
+    yield futures
+    ex.shutdown(wait=False, cancel_futures=True)
+
+
 @pytest.mark.parametrize("name", sorted(_QUERIES))
-def test_query_matches_oracle(name, spark, sf_dir, duck):
-    # persist: the frame is executed twice (collect for the value multiset,
-    # toPandas for driver fidelity) — the heavy queries would otherwise pay
-    # their full plan cost twice per test
-    sdf = _QUERIES[name](spark, sf_dir).persist()
-    try:
-        srows = [tuple(r) for r in sdf.collect()]
-        if name not in _ORACLES:
-            # rows-only contract: must at least run and return a stable schema
-            assert sdf.columns
-            return
-        res = duck.execute(_ORACLES[name])
-        dcols = [d[0] for d in res.description]
-        drows = res.fetchall()
-        assert sorted(sdf.columns) == sorted(dcols), "column names must match"
-        assert len(srows) == len(drows), "row counts must match"
-        assert _norm(sdf.columns, srows) == _norm(dcols, drows), (
-            "values must match"
-        )
-        _driver_fidelity_check(
-            sdf.toPandas(), duck.execute(_ORACLES[name]).df(), name
-        )
-    finally:
-        sdf.unpersist()
+def test_query_matches_oracle(name, spark_results, duck):
+    cols, srows, spdf = spark_results[name].result()
+    if name not in _ORACLES:
+        # rows-only contract: must at least run and return a stable schema
+        assert cols
+        return
+    res = duck.execute(_ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(cols) == sorted(dcols), "column names must match"
+    assert len(srows) == len(drows), "row counts must match"
+    assert _norm(cols, srows) == _norm(dcols, drows), (
+        "values must match"
+    )
+    _driver_fidelity_check(
+        spdf, duck.execute(_ORACLES[name]).df(), name
+    )
 
 
 def test_no_duplicate_query_names_across_plan_modules():
