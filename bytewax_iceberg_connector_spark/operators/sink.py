@@ -121,6 +121,15 @@ class LakeSink:
             # parity: IcebergSink.__init__ validates config type
             # (connector.py:451-454)
             raise TypeError("config must be an IcebergSinkConfig")
+        # defensive runtime conf on DRIVER-PROVIDED sessions: the read
+        # path's _restore_pcols contract assumes partition-dir type
+        # inference is OFF (a string partition value "0123" inferred as
+        # int 123 is lossy before any cast) — a session built by
+        # get_spark already has it, but a user driving the sink directly
+        # on a vanilla session would silently re-enter the lossy path
+        from ..session import ensure_engine_conf
+
+        ensure_engine_conf(spark)
         self.spark = spark
         self.config = config
         self.backend = "iceberg" if iceberg_runtime_available(spark) else "parquet"
