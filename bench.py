@@ -97,8 +97,35 @@ def main() -> None:
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "480"))
     t_start = time.perf_counter()
 
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    # per-query clean-band references (BENCH_REF.json = min warm sf0.1
+    # timing ever recorded; bursts/drift only inflate timings, so the
+    # cross-run minimum converges on the clean-host steady-state cost).
+    # Loaded BEFORE the timing loop so a query whose in-run ratio blows
+    # past the burst threshold can be re-timed immediately (see below).
+    ref_q: dict[str, float] = {}
+    try:
+        with open(os.path.join(repo_dir, "BENCH_REF.json")) as f:
+            loaded = json.load(f)
+        if isinstance(loaded, dict) and isinstance(loaded.get("queries"), dict):
+            ref_q = loaded["queries"]
+    except (OSError, ValueError):
+        pass
+    # burst-retest (r10 VERDICT item 2): a GC/scheduler burst on a loaded
+    # host can inflate ONE query's best-of-2 well past its clean band —
+    # r10 archived similarity_ivf_pq at 2.178x when its true warm cost was
+    # ~1.07x. When a warm in-run ratio vs BENCH_REF exceeds this, the
+    # query is re-timed once more in the SAME process and BOTH numbers are
+    # recorded (BENCH_DETAIL.json: sec_pre_retest + burst_suspect); the
+    # min becomes the query's number, so a burst can never be archived as
+    # the cost while a true plan regression (retest also slow) still
+    # shows. BASELINE.md documents the read rule.
+    burst_ratio = float(os.environ.get("SPARK_GRAFT_BURST_RATIO", "2.0"))
+
     timings: dict[str, float] = {}
     passes: dict[str, int] = {}
+    burst_pre: dict[str, float] = {}
     unrun_names: list[str] = []
     unrun = 0
     single_pass = 0
@@ -133,29 +160,32 @@ def main() -> None:
         else:
             single_pass += 1
             passes[name] = 1
+        # burst-retest: only meaningful against a warm (best-of-2) number
+        # at the ref's scale; the retest still honors the wall budget (a
+        # killed run records nothing) with headroom for one more pass
+        ref = ref_q.get(name)
+        if (
+            sf == "0.1"
+            and passes[name] == 2
+            and isinstance(ref, (int, float))
+            and ref > 0
+            and best / ref > burst_ratio
+            and time.perf_counter() - t_start + best < budget
+        ):
+            burst_pre[name] = round(best, 3)
+            t0 = time.perf_counter()
+            _force(qs[name](spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    # per-query clean-band references (BENCH_REF.json = min warm sf0.1
-    # timing ever recorded; bursts/drift only inflate timings, so the
-    # cross-run minimum converges on the clean-host steady-state cost).
     # Each warm query gets ratio = sec/ref in BENCH_DETAIL.json, and the
     # MEDIAN warm ratio is a ~200-point drift estimate no single burst
     # can move (r09 VERDICT: the 3-point control trio read 1.07 on a run
     # where one query absorbed a 2x burst) — a query whose ratio stands
     # far above the run median is a burst or a true plan regression, and
     # comparing its ratio across rounds separates the two.
-    ref_q: dict[str, float] = {}
-    try:
-        with open(os.path.join(repo_dir, "BENCH_REF.json")) as f:
-            loaded = json.load(f)
-        if isinstance(loaded, dict) and isinstance(loaded.get("queries"), dict):
-            ref_q = loaded["queries"]
-    except (OSError, ValueError):
-        pass
     ratios: dict[str, float] = {}
     if sf == "0.1":
         for n, sec in timings.items():
@@ -251,6 +281,16 @@ def main() -> None:
                 "sec": timings[n],
                 "passes": passes[n],
                 **({"ratio": ratios[n]} if n in ratios else {}),
+                # burst-retest record: sec_pre_retest is the inflated
+                # best-of-2 the >2x in-run ratio triggered on; `sec` is
+                # min(pre, retest). burst_suspect stays true even if the
+                # retest confirmed the slowness (then sec ≈ sec_pre_retest
+                # and the ratio marks a real regression, not a burst).
+                **(
+                    {"sec_pre_retest": burst_pre[n], "burst_suspect": True}
+                    if n in burst_pre
+                    else {}
+                ),
             }
             for n in timings
         },
@@ -266,7 +306,8 @@ def main() -> None:
         pass  # a read-only checkout must not kill the stdout contract
     print(
         _final_line(total, timings, float(sf) if sf else None, unrun,
-                    single_pass, drift, norm, drift_median)
+                    single_pass, drift, norm, drift_median,
+                    len(burst_pre))
     )
     spark.stop()
 
@@ -283,6 +324,7 @@ def _final_line(
     total: float, timings: dict[str, float], sf, unrun: int = 0,
     single_pass: int = 0, drift: float | None = None,
     norm: float | None = None, drift_median: float | None = None,
+    burst_retests: int = 0,
 ) -> str:
     def render(q: dict[str, float], omitted: int, omitted_sec: float) -> str:
         payload = {
@@ -316,6 +358,11 @@ def _final_line(
             # per-query flag lives in BENCH_DETAIL.json (`passes`), since
             # execution order alternates between runs
             payload["single_pass_tail"] = single_pass
+        if burst_retests:
+            # queries whose warm in-run ratio vs BENCH_REF exceeded the
+            # burst threshold and were re-timed in-process; both numbers
+            # live in BENCH_DETAIL.json (sec_pre_retest / burst_suspect)
+            payload["burst_retests"] = burst_retests
         return json.dumps(payload, separators=(",", ":"))
 
     line = render(timings, 0, 0.0)

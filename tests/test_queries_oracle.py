@@ -225,7 +225,14 @@ def test_rotation_keeps_every_oracle_query_fresh():
     """With a 50-slot gate window and 146+ queries, a full regression
     rotation takes ~3 rounds. If registration outpaces the window, some
     oracle-checked query's latest driver record ages beyond that — this
-    contract catches rotation starvation the round it starts."""
+    contract catches rotation STARVATION, not sanctioned displacement:
+    registering new queries (which take never-checked priority) can push
+    up to that many stale greens one round past the ``max_round - 3``
+    horizon, and the artifact-derived ordering guarantees those lead the
+    very next window. So the property asserted is the one that matters:
+    every over-age query must sit inside the NEXT gate window (it will be
+    re-proven before it can age further). A query that is over-age AND
+    outside the next window is genuinely starved — that still fails."""
     import pytest
 
     from bytewax_iceberg_connector_spark.plans import registry
@@ -234,11 +241,24 @@ def test_rotation_keeps_every_oracle_query_fresh():
     if not recs:
         pytest.skip("no driver artifacts (fresh checkout)")
     max_rnd = max(r[0] for r in recs.values())
+    oracles = registry.all_oracles()
     stale = {
         n: recs[n][0]
-        for n in registry.all_oracles()
+        for n in oracles
         if n in recs and recs[n][0] < max_rnd - 3
     }
-    assert not stale, (
-        f"oracle-checked queries starved out of the gate rotation: {stale}"
+    if not stale:
+        return
+    next_window = list(registry.all_queries())[: registry._GATE_WINDOW]
+    starved = {n: r for n, r in stale.items() if n not in next_window}
+    assert not starved, (
+        "oracle-checked queries starved out of the gate rotation (over-age "
+        f"AND not in the next {registry._GATE_WINDOW}-slot window): {starved}"
+    )
+    # displaced-but-healing queries are capped at one round over-age:
+    # anything two+ rounds past the horizon means the heal never landed
+    twice_stale = {n: r for n, r in stale.items() if r < max_rnd - 4}
+    assert not twice_stale, (
+        f"queries over-age by 2+ rounds — the next-window heal never ran: "
+        f"{twice_stale}"
     )
