@@ -362,3 +362,28 @@ def test_ivf_pq_topk_matches_pure_python_pipeline(spark, pq_corpus,
         sorted(set(want) - set(got))[:5],
         sorted(set(got) - set(want))[:5],
     )
+
+
+def test_topk_cols_stable_matches_full_stable_argsort():
+    """The r11 top-slice selection must be bit-identical to the full-row
+    stable argsort it replaced — including exact ties AT the k-th
+    boundary (the case plain argpartition gets wrong) and NaN rows."""
+    import numpy as np
+
+    from bytewax_iceberg_connector_spark.plans.llm import _topk_cols_stable
+
+    rng = np.random.default_rng(7)
+    for K in (3, 64, 65, 200, 513):
+        for k in (1, 3, min(17, K), K):
+            cos = rng.random((40, K))
+            # force heavy exact ties, incl. at the selection boundary
+            cos[::2] = np.round(cos[::2], 1)
+            cos[5] = 0.5                         # whole row tied
+            cos[7, : K // 2] = cos[7, K // 2]    # half row tied
+            if K > 64:                           # NaN fallback path
+                cos[9] = np.nan
+                cos[11, ::3] = np.nan
+            want = np.argsort(-cos, axis=1, kind="stable")[:, :k]
+            got = _topk_cols_stable(cos, k)
+            assert got.shape == want.shape, (K, k)
+            assert (got == want).all(), (K, k)
