@@ -143,6 +143,39 @@ _COMPONENT_CAP = 240
 _ESCAPABLE_RE = "[\\x00-\\x1f\\x7f\"#%'*/:=?\\\\{\\[\\]\\^]"
 
 
+def unescape_path_name(name: str) -> str:
+    """Hive/Spark ``ExternalCatalogUtils.unescapePathName``: decode every
+    ``%XX`` (two hex digits) back to its character; malformed ``%``
+    sequences pass through verbatim, matching the JVM implementation.
+
+    Needed because the dir component is ``<escaped name>=<escaped
+    value>``: the partition COLUMN NAME portion is escaped on disk too,
+    while everything engine-side (``_p_{field_name}`` columns, spec
+    fields, the esc_pcols recompute in ``_restore_pcols``) keys on the
+    LOGICAL name. r11 ADVICE fix: esc_pcols recorded the escaped dir
+    spelling, so a name with an escapable char (``a:b`` → ``a%3Ab``)
+    never matched the restore lookup and the injective marker
+    (``__BIC_ESC__empty`` etc.) leaked into reads."""
+    if "%" not in name:
+        return name
+    out = []
+    i = 0
+    while i < len(name):
+        c = name[i]
+        if (
+            c == "%"
+            and len(name) - i >= 3
+            and name[i + 1] in "0123456789abcdefABCDEF"
+            and name[i + 2] in "0123456789abcdefABCDEF"
+        ):
+            out.append(chr(int(name[i + 1 : i + 3], 16)))
+            i += 3
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def encode_hostile_pcol(col: Column, colname: str) -> Column:
     """Divert dir-encoding-hostile string partition values to injective
     marker strings (see module comment above). NULL passes through (its

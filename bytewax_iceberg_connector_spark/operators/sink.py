@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -59,6 +60,7 @@ from .partitioning import (
     qcol,
     qname,
     transform_column,
+    unescape_path_name,
 )
 from .snapshots import SnapshotLog
 
@@ -347,6 +349,22 @@ class LakeSink:
                 "explicitly via append(branch=...)"
             )
 
+    @staticmethod
+    def _safe_ref(name: str) -> str:
+        """Validate a branch/tag name before it is interpolated into SQL
+        on the iceberg backend (r11 ADVICE: an embedded quote broke the
+        statement — an injection surface, not just a crash). Iceberg ref
+        names are word-like; anything outside the allowlist raises LOUDLY
+        instead of reaching the parser. The parquet backend accepts
+        arbitrary names (no SQL is built from them), so this guard sits
+        only on the SQL-building paths."""
+        if not re.fullmatch(r"[A-Za-z0-9][A-Za-z0-9._\-]*", name or ""):
+            raise ValueError(
+                f"invalid branch/tag name {name!r}: must match "
+                "[A-Za-z0-9][A-Za-z0-9._-]* on the iceberg backend"
+            )
+        return name
+
     def _ref(self, branch: str) -> str | None:
         """Branch name → ``read(branch=)`` ref for copy-on-write
         maintenance (parquet backend). ``main`` reads the plain head
@@ -518,11 +536,16 @@ class LakeSink:
         for _, dirnames, files in os.walk(path):
             n_files += sum(1 for fname in files if fname.endswith(ext))
             # any "_p_col=__BIC_ESC__..." component marks that column as
-            # write-escaped in THIS commit; the read side recomputes it
+            # write-escaped in THIS commit; the read side recomputes it.
+            # The component's NAME portion is Hive-escaped on disk too —
+            # record the LOGICAL name (unescaped), which is what
+            # _restore_pcols keys its spec-field lookup on (r11 ADVICE:
+            # an escapable char in the column name, e.g. "a:b" → "a%3Ab",
+            # silently skipped the recompute and leaked the marker)
             for dn in dirnames:
                 col, eq, val = dn.partition("=")
                 if eq and val.startswith(ESC_MARK):
-                    esc_pcols.add(col)
+                    esc_pcols.add(unescape_path_name(col))
         # schema_fp: a fingerprint of the commit's write schema (Iceberg's
         # per-manifest schema-id). Readers force a footer merge whenever one
         # load group spans >1 fingerprint, so NO read path — plain read(),
@@ -824,7 +847,7 @@ class LakeSink:
         if self.backend == "iceberg":
             rows = self.spark.sql(
                 f"SELECT snapshot_id FROM {self._qualified}.refs "
-                f"WHERE name = '{branch}'"
+                f"WHERE name = '{self._safe_ref(branch)}'"
             ).collect()
             return int(rows[0][0]) if rows else 0
         return self._log.current_id(branch)
@@ -840,14 +863,18 @@ class LakeSink:
                 f" AS OF VERSION {snapshot_id}" if snapshot_id is not None else ""
             )
             self.spark.sql(
-                f"ALTER TABLE {self._qualified} CREATE TAG `{name}`{as_of}"
+                f"ALTER TABLE {self._qualified} "
+                f"CREATE TAG `{self._safe_ref(name)}`{as_of}"
             )
             return snapshot_id or 0
         return self._log.set_tag(name, snapshot_id)
 
     def drop_tag(self, name: str) -> None:
         if self.backend == "iceberg":
-            self.spark.sql(f"ALTER TABLE {self._qualified} DROP TAG `{name}`")
+            self.spark.sql(
+                f"ALTER TABLE {self._qualified} "
+                f"DROP TAG `{self._safe_ref(name)}`"
+            )
             return
         self._log.drop_tag(name)
 
@@ -871,7 +898,8 @@ class LakeSink:
             cat = self.config.catalog_name
             self.spark.sql(
                 f"CALL {cat}.system.fast_forward"
-                f"('{self.config.table_name}', 'main', '{branch}')"
+                f"('{self.config.table_name}', 'main', "
+                f"'{self._safe_ref(branch)}')"
             )
             # the publish snapshot id = main's post-fast-forward head,
             # read back from the refs metadata table (returning a dummy 0
@@ -889,7 +917,8 @@ class LakeSink:
         Returns the unlinked snapshot ids (parquet backend)."""
         if self.backend == "iceberg":
             self.spark.sql(
-                f"ALTER TABLE {self._qualified} DROP BRANCH `{branch}`"
+                f"ALTER TABLE {self._qualified} "
+                f"DROP BRANCH `{self._safe_ref(branch)}`"
             )
             return []
         return self._log.drop_branch(branch)
@@ -1312,7 +1341,7 @@ class LakeSink:
             if ref is not None:
                 return self.spark.sql(
                     f"SELECT {cols} FROM {self._qualified} "
-                    f"VERSION AS OF '{ref}'"
+                    f"VERSION AS OF '{self._safe_ref(ref)}'"
                 )
             if as_of is not None:
                 return self.spark.sql(
@@ -1391,8 +1420,10 @@ class LakeSink:
             # `_c` is the commit-dir partition component — implementation
             # detail, dropped from the user-visible schema
             df = reader.format(self._file_format()).load(group).drop("_c")
+            # unescape defensively: markers written before the r11 fix
+            # recorded the Hive-escaped dir spelling of the column name
             esc = {
-                c
+                unescape_path_name(c)
                 for d in group
                 for c in markers[d].get("esc_pcols", [])
             }

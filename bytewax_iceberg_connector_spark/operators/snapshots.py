@@ -414,18 +414,35 @@ class SnapshotLog:
         fold and this heal clears after folding — the common no-publish
         write path pays ONE table.json read, not a v-file sweep (r10
         self-review find: a streaming sink paid a full metadata parse per
-        micro-batch for a fold set that is almost always empty)."""
+        micro-batch for a fold set that is almost always empty).
+
+        Clear rule (r11 ADVICE — the old unconditional pop LOST a fold:
+        publish raises the flag, a racing heal scans before the publish
+        v-file lands and clears after, publisher crashes pre-fold →
+        healed never): the flag carries the raiser's TARGET snapshot id
+        as a watermark, and the heal clears only when its scan actually
+        covered that id. If the raiser's v-file hadn't landed at scan
+        time the flag survives for the next heal; if the raiser crashed
+        before creating the v-file, the very next commit of any kind
+        takes that same id (ids are max+1), so the flag still clears
+        after one extra scan — a spurious flag costs scans only until
+        the table's next commit, never forever, and a real fold is never
+        lost. Legacy boolean flags read as watermark 1 (bool is int) and
+        keep the old always-clear behavior."""
         if not self.exists():
             return 0
         meta = self.table_meta()
-        if not meta.get("pending_publish_folds"):
+        flag = meta.get("pending_publish_folds")
+        if not flag:
             return 0
         have = {
             f["name"]
             for f in (meta.get("schema_json") or {}).get("fields", [])
         }
         pending: list[dict] = []
+        seen_max = 0
         for s in self.snapshots():
+            seen_max = max(seen_max, int(s.get("snapshot_id") or 0))
             if s.get("operation") != "publish":
                 continue
             for fj in s.get("staged_new_fields") or []:
@@ -434,13 +451,17 @@ class SnapshotLog:
                     have.add(fj["name"])
         if pending:
             self.evolve_schema(pending)
-        # clear the flag (re-read: evolve_schema rewrote table.json). A
-        # publish racing this clear re-raises the flag before its own
-        # snapshot lands, so a fold can be deferred to the NEXT heal at
-        # worst, never lost.
+        # compare-and-keep clear (re-read: evolve_schema rewrote
+        # table.json, and a racing publish may have raised a HIGHER
+        # watermark mid-fold — keeping it defers that fold to the next
+        # heal at worst, never loses it)
         meta = self.table_meta()
-        meta.pop("pending_publish_folds", None)
-        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
+        cur = meta.get("pending_publish_folds")
+        if cur and int(cur) <= seen_max:
+            meta.pop("pending_publish_folds", None)
+            self._atomic_write(
+                os.path.join(self.meta_dir, "table.json"), meta
+            )
         return len(pending)
 
     def publish(self, branch: str, retries: int = 3) -> int:
@@ -521,11 +542,17 @@ class SnapshotLog:
                 snap["staged_new_fields"] = list(staged)
                 # raise the heal gate FIRST: flag-then-snapshot-then-fold
                 # means a crash at any point leaves either nothing to do
-                # or a raised flag the next heal acts on; a spurious flag
-                # (crash before the snapshot) costs one scan, never a hole
+                # or a raised flag the next heal acts on. The flag value
+                # is THIS attempt's target snapshot id (r11 ADVICE
+                # watermark): the heal clears only after its scan covers
+                # that id, so a heal racing between our raise and our
+                # v-file landing can no longer clear us away. Monotonic
+                # max so a concurrent publisher's higher target survives;
+                # re-raised per retry since each attempt targets a new id.
                 meta = self.table_meta()
-                if not meta.get("pending_publish_folds"):
-                    meta["pending_publish_folds"] = True
+                prior = meta.get("pending_publish_folds") or 0
+                if int(prior) < snap["snapshot_id"]:
+                    meta["pending_publish_folds"] = snap["snapshot_id"]
                     self._atomic_write(
                         os.path.join(self.meta_dir, "table.json"), meta
                     )

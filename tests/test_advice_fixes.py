@@ -407,3 +407,20 @@ def test_sign_lsh_keys_np_ragged_many_dims(spark):
         assert by_id[d * 2] is not None
         # equal vectors at the same dim hash identically even past the cap
         assert by_id[d * 2] == by_id[d * 2 + 1]
+
+
+def test_safe_ref_rejects_sql_hostile_branch_names():
+    """r11 ADVICE (low): branch/tag names are interpolated into SQL on
+    the iceberg backend (refs lookup, VERSION AS OF, CREATE/DROP
+    TAG/BRANCH) — an embedded quote broke the statement and was an
+    injection surface. The allowlist validator raises loudly instead."""
+    from bytewax_iceberg_connector_spark.operators.sink import LakeSink
+
+    for ok in ("main", "audit", "release-1.2", "a_b.c", "2024", "X"):
+        assert LakeSink._safe_ref(ok) == ok
+    for bad in (
+        "au'dit", "a' OR '1'='1", 'a"b', "a`b", "a b", "", None,
+        ".lead", "-lead", "a;DROP TABLE t", "日本語", "a\nb",
+    ):
+        with pytest.raises(ValueError, match="invalid branch/tag name"):
+            LakeSink._safe_ref(bad)

@@ -1152,6 +1152,64 @@ def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
     assert sink._log.heal_publish_folds() == 0
 
 
+def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
+                                                        batches):
+    """r11 ADVICE (low): the heal's flag clear raced a concurrent
+    publish — publish raises ``pending_publish_folds``, a heal scans
+    (publish v-file not yet written) and pops the flag afterward; if the
+    publisher then crashes before its fold, nothing ever heals it. The
+    flag now carries the raiser's target snapshot id as a watermark and
+    the heal clears only when its scan COVERED that id."""
+    import os as _os
+
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    log = sink._log
+
+    # (1) flag raised for a snapshot that hasn't landed (the racing-heal
+    # window): the heal must fold nothing AND keep the flag
+    target = log._max_version() + 1
+    meta = log.table_meta()
+    meta["pending_publish_folds"] = target
+    log._atomic_write(_os.path.join(log.meta_dir, "table.json"), meta)
+    assert log.heal_publish_folds() == 0
+    assert log.table_meta().get("pending_publish_folds") == target
+
+    # (2) the publisher's v-file now lands, carrying its fold set, and
+    # the publisher crashes pre-fold (simulated: fold step disabled).
+    # publish() re-raises the watermark itself; the next heal both folds
+    # the staged column and clears the now-covered flag.
+    sink.append(
+        spark.createDataFrame(
+            [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                 v=1.0, q=2.5)]
+        ),
+        branch="audit",
+    )
+    orig = SnapshotLog.evolve_schema
+    SnapshotLog.evolve_schema = lambda self, fields: None
+    try:
+        sink.publish("audit")
+    finally:
+        SnapshotLog.evolve_schema = orig
+    assert log.table_meta().get("pending_publish_folds")
+    assert log.heal_publish_folds() == 1
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "q" in declared
+    assert log.table_meta().get("pending_publish_folds") is None
+
+    # (3) spurious flag whose target id was taken by a non-publish
+    # commit (raiser crashed before its v-file): one heal clears it —
+    # the flag can never stick forever on an active table
+    meta = log.table_meta()
+    meta["pending_publish_folds"] = log._max_version()
+    log._atomic_write(_os.path.join(log.meta_dir, "table.json"), meta)
+    assert log.heal_publish_folds() == 0
+    assert log.table_meta().get("pending_publish_folds") is None
+
+
 @pytest.mark.deep
 def test_hostile_partition_values_roundtrip_lifecycle(spark, tmp_path):
     """Family #16 (r10): partition VALUES become directory names on the
@@ -1221,6 +1279,54 @@ def test_hostile_partition_values_roundtrip_lifecycle(spark, tmp_path):
     assert back3.count() == len(values) + 1
     assert back3.where(F.col("source") == HIVE_DEFAULT).count() == 1
     assert back3.where(F.col("source") == "v" * 400).count() == 1
+
+
+def test_hostile_name_AND_value_partition_column_recomputes(spark, tmp_path):
+    """r11 ADVICE (medium): the dir component is ``<escaped name>=
+    <escaped value>`` — the column NAME portion is Hive-escaped on disk
+    too. esc_pcols used to record the ESCAPED spelling (``_p_a:b`` →
+    ``_p_a%3Ab``), which never matched _restore_pcols' logical
+    ``_p_{field_name}`` lookup, so for a partition source column with an
+    escapable char in its NAME carrying a hostile VALUE the recompute was
+    silently skipped and the injective marker leaked into reads
+    (repro: col ``a:b``, value "" read back as ``__BIC_ESC__empty``)."""
+    from bytewax_iceberg_connector_spark.operators.partitioning import (
+        ESC_MARK,
+        unescape_path_name,
+    )
+
+    # the unescape itself: exact Hive semantics incl. malformed sequences
+    assert unescape_path_name("_p_a%3Ab") == "_p_a:b"
+    assert unescape_path_name("%2F%5C%25") == "/\\%"
+    assert unescape_path_name("plain") == "plain"
+    assert unescape_path_name("100%") == "100%"      # truncated escape
+    assert unescape_path_name("%zz%1") == "%zz%1"    # non-hex digits
+    assert unescape_path_name("%0041") == "\x0041"   # exactly 2 digits
+
+    values = ["", "ok", ESC_MARK + "spoof", None, "v" * 400]
+    rows = [Row(rid=i, payload=f"p{i}") for i in range(len(values))]
+    df = spark.createDataFrame(rows, "rid int, payload string").withColumn(
+        "a:b", F.array(*[F.lit(v) for v in values])[F.col("rid")]
+    )
+    cfg = IcebergSinkConfig(
+        table_name="db.escname", warehouse_path=str(tmp_path),
+        num_partitions=2, partition_spec=[("a:b", "identity")],
+    )
+    sink = LakeSink(spark, cfg)
+    sink.append(df)
+
+    back = sink.read()
+    got = sorted((r.rid, r["_p_a:b"]) for r in back.collect())
+    assert got == sorted((i, v) for i, v in enumerate(values)), got
+    # the recompute must make mirror == source on every row (the spoof
+    # value legitimately starts with ESC_MARK — only a mirror/source
+    # MISMATCH would be a leaked marker)
+    assert back.where(
+        ~(F.col("_p_a:b").eqNullSafe(F.col("a:b")))
+    ).count() == 0
+    # and the recomputed column still filters exactly
+    assert back.where(F.col("_p_a:b") == "").count() == 1
+    assert back.where(F.col("_p_a:b").isNull()).count() == 1
 
 
 @pytest.mark.deep
