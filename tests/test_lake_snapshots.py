@@ -6,6 +6,7 @@ These run against the parquet-warehouse backend and prove the SAME
 contract the iceberg backend provides natively (tests/test_iceberg_backend.py
 exercises that branch whenever iceberg-spark-runtime is on the classpath)."""
 
+import contextlib
 import datetime as dt
 import os
 
@@ -1646,3 +1647,288 @@ def test_review_findings_partition_hardening(spark, tmp_path):
     back4 = s4.read()
     assert back4.collect()[0][long_name] == val
     assert back4.where(F.col(f"`_p_{long_name}`") == val).count() == 1
+
+
+# -- hostile family #18: torn-process crash injection (r10 VERDICT item 5)
+#
+# Every multi-step metadata operation (publish's flag→v-file→fold,
+# expire's fold→tombstone→rmtree, drop_branch's rehome→tombstone→rmtree)
+# is swept with a simulated process kill between EVERY pair of steps: run
+# the op on a fresh copy of a pristine table with a step budget, let the
+# injected kill fire, REOPEN the table cold, and assert either a
+# consistent model state (pre-op, post-op, or a documented harmless
+# intermediate) or a documented loud error — never silent divergence.
+
+
+class _InjectedCrash(BaseException):
+    """Simulated kill — BaseException so no ``except Exception`` in the
+    engine can swallow it and carry on half-dead."""
+
+
+@contextlib.contextmanager
+def _crash_after_steps(log, limit):
+    """Patch the SnapshotLog instance's torn-able step primitives —
+    ``_atomic_write`` (flag/fold/rehome), ``_atomic_create`` (v-file
+    commit), ``_unlink_snapshot`` (tombstone rename) — plus
+    ``shutil.rmtree`` (data-dir removal) so that after ``limit``
+    completed steps the next one raises :class:`_InjectedCrash`.
+    ``limit=None`` counts steps without crashing. Yields the counter
+    dict (``steps``)."""
+    import shutil as _sh
+
+    state = {"steps": 0}
+
+    def wrap(fn):
+        def inner(*a, **kw):
+            if limit is not None and state["steps"] >= limit:
+                raise _InjectedCrash(f"killed before step {state['steps'] + 1}")
+            out = fn(*a, **kw)
+            state["steps"] += 1
+            return out
+
+        return inner
+
+    orig_rm = _sh.rmtree
+    log._atomic_write = wrap(SnapshotLog._atomic_write.__get__(log))
+    log._atomic_create = wrap(SnapshotLog._atomic_create.__get__(log))
+    log._unlink_snapshot = wrap(SnapshotLog._unlink_snapshot.__get__(log))
+    _sh.rmtree = wrap(orig_rm)
+    try:
+        yield state
+    finally:
+        _sh.rmtree = orig_rm
+        for n in ("_atomic_write", "_atomic_create", "_unlink_snapshot"):
+            log.__dict__.pop(n, None)
+
+
+def _sweep(pristine_table, op, tmp_path, tag):
+    """Run ``op(log)`` once per crash point over copies of the pristine
+    table dir; yield (crash_point, reopened_table_path). The final yield
+    is (n_steps, path-after-uncrashed-run) so callers can also assert
+    the clean completion on the same machinery."""
+    import shutil as _sh
+
+    scratch = str(tmp_path / f"{tag}_count")
+    _sh.copytree(pristine_table, scratch)
+    counter_log = SnapshotLog(scratch)
+    with _crash_after_steps(counter_log, None) as st:
+        op(counter_log)
+    total = st["steps"]
+    assert total >= 2, f"{tag}: op is not multi-step ({total})"
+    for k in range(total + 1):
+        dst = str(tmp_path / f"{tag}_{k}")
+        _sh.copytree(pristine_table, dst)
+        log = SnapshotLog(dst)
+        if k < total:
+            with _crash_after_steps(log, k):
+                with pytest.raises(_InjectedCrash):
+                    op(log)
+        else:
+            op(log)  # uncrashed control run through the same wrappers
+        yield k, dst
+
+
+def test_crash_sweep_torn_publish(spark, tmp_path, batches):
+    """Kill publish between ANY two of its metadata steps (heal-gate
+    flag write → fast-forward v-file → schema fold): reopened main must
+    read as exactly pre-publish or post-publish live state, streaming
+    batch ids are never lost, and whenever the v-file landed, a retried
+    publish + heal converges to the fully-published, fully-declared
+    state."""
+    b1, _ = batches
+    pristine = tmp_path / "pristine"
+    sink = _sink(spark, pristine)
+    sink.append(b1, batch_id=11)
+    sink.append(
+        spark.createDataFrame(
+            [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                 v=1.0, q=2.5)]
+        ),
+        branch="audit",
+    )
+    src = SnapshotLog(sink._path)
+    pre_live = frozenset(src.live_commits())
+    post_live = frozenset(src.live_commits(src.current_id("audit")))
+    assert pre_live != post_live
+
+    converged = []
+    for k, dst in _sweep(sink._path, lambda lg: lg.publish("audit"),
+                         tmp_path, "pub"):
+        log = SnapshotLog(dst)
+        live = frozenset(log.live_commits())
+        assert live in (pre_live, post_live), (k, live)
+        assert 11 in log.committed_batch_ids(), k
+        # retry from the reopened state: publish is re-enterable
+        # (republish-of-self) and the heal folds any torn declaration
+        log.publish("audit")
+        log.heal_publish_folds()
+        assert frozenset(log.live_commits()) == post_live, k
+        declared = {f["name"] for f in
+                    log.table_meta()["schema_json"]["fields"]}
+        assert "q" in declared, k
+        assert not log.table_meta().get("pending_publish_folds"), k
+        converged.append(dst)
+    # the converged state is actually readable (one Spark read, last copy)
+    reopened = LakeSink(spark, IcebergSinkConfig(
+        table_name=os.path.basename(converged[-1]),
+        warehouse_path=str(tmp_path), num_partitions=2,
+        partition_spec=[("ts", "day")], location=converged[-1],
+    ))
+    back = reopened.read(merge_schema=True)
+    assert back.count() == 11 and "q" in back.columns
+
+
+def test_crash_sweep_torn_expire(spark, tmp_path, batches):
+    """Kill expire between ANY two steps (batch-id fold → per-snapshot
+    tombstone unlinks → data-dir rmtrees): the head live set never
+    changes, committed batch ids are NEVER lost (the fold-before-unlink
+    exactly-once design), every still-retained snapshot stays readable,
+    an unlinked one fails loudly, and a re-run of expire from the torn
+    state converges."""
+    b1, b2 = batches
+    pristine = tmp_path / "pristine"
+    sink = _sink(spark, pristine)
+    sink.append(b1, batch_id=1)
+    sink.append(b2, batch_id=2)
+    sink.overwrite(b1.limit(3), batch_id=3)
+    src = SnapshotLog(sink._path)
+    head_live = frozenset(src.live_commits())
+    head_id = src.current_id()
+
+    last = None
+    for k, dst in _sweep(sink._path, lambda lg: lg.expire(keep_last=1),
+                         tmp_path, "exp"):
+        log = SnapshotLog(dst)
+        assert frozenset(log.live_commits()) == head_live, k
+        assert log.committed_batch_ids() >= {1, 2, 3}, k
+        # every dir the head references must still exist on disk
+        for d in head_live:
+            assert os.path.isdir(os.path.join(log.data_dir, d)), (k, d)
+        # unlinked snapshots fail loudly; retained ones resolve
+        for sid in (1, 2):
+            if log._maybe_snapshot(sid) is None:
+                with pytest.raises(LookupError):
+                    log.snapshot(sid)
+        # re-run converges: history trimmed, ids and head intact
+        log.expire(keep_last=1)
+        assert {s["snapshot_id"] for s in log.snapshots()} == {head_id}, k
+        assert log.committed_batch_ids() >= {1, 2, 3}, k
+        assert frozenset(log.live_commits()) == head_live, k
+        last = dst
+    reopened = LakeSink(spark, IcebergSinkConfig(
+        table_name=os.path.basename(last), warehouse_path=str(tmp_path),
+        num_partitions=2, partition_spec=[("ts", "day")], location=last,
+    ))
+    assert reopened.read().count() == 3
+
+
+def test_crash_sweep_torn_drop_branch(spark, tmp_path, batches):
+    """Kill drop_branch between ANY two steps (tagged-snapshot rehome →
+    tombstone unlinks → data-dir rmtrees): main's live set never
+    changes, the tag always keeps resolving to a readable snapshot
+    (rehome is one atomic write), and a retry either finishes the drop
+    or reports the branch already gone — never a half-dead branch that
+    reads differently from both."""
+    b1, _ = batches
+    pristine = tmp_path / "pristine"
+    sink = _sink(spark, pristine)
+    sink.append(b1)
+    sink.append(b1.limit(2), branch="audit")
+    sink.append(b1.limit(1), branch="audit")
+    src = SnapshotLog(sink._path)
+    first_branch_sid = min(
+        s["snapshot_id"] for s in src.snapshots()
+        if s.get("branch") == "audit"
+    )
+    src.set_tag("rel", first_branch_sid)
+    main_live = frozenset(src.live_commits())
+    tag_live = frozenset(src.snapshot(first_branch_sid)["live"])
+
+    last = None
+    for k, dst in _sweep(sink._path, lambda lg: lg.drop_branch("audit"),
+                         tmp_path, "drop"):
+        log = SnapshotLog(dst)
+        assert frozenset(log.live_commits()) == main_live, k
+        # the tag must resolve to a readable (rehomed or original)
+        # snapshot at every crash point, and its data dirs must exist
+        sid = log.resolve_tag("rel")
+        snap = log.snapshot(sid)
+        assert frozenset(snap["live"]) == tag_live, k
+        for d in snap["live"]:
+            assert os.path.isdir(os.path.join(log.data_dir, d)), (k, d)
+        # a rehomed tagged snapshot must never advance main
+        assert log.current_id() == max(
+            s["snapshot_id"] for s in log.snapshots()
+            if s.get("branch", "main") == "main"
+        ), k
+        # retry: either completes the drop or says the branch is gone
+        try:
+            log.drop_branch("audit")
+        except LookupError:
+            pass
+        assert "audit" not in log.branches(), k
+        assert frozenset(log.live_commits()) == main_live, k
+        assert frozenset(log.snapshot(log.resolve_tag("rel"))["live"]) \
+            == tag_live, k
+        last = dst
+    reopened = LakeSink(spark, IcebergSinkConfig(
+        table_name=os.path.basename(last), warehouse_path=str(tmp_path),
+        num_partitions=2, partition_spec=[("ts", "day")], location=last,
+    ))
+    assert reopened.read().count() == 10
+
+
+@pytest.mark.deep
+def test_crash_sweep_torn_publish_then_audit_fail_drop(spark, tmp_path,
+                                                       batches):
+    """After a publish killed at ANY step, the operator decides the
+    audit FAILED and drops the branch instead of retrying. If the
+    fast-forward v-file never landed, main must read exactly pre-publish
+    and the staged rows vanish with the branch; if it landed, the
+    published rows are main's and must survive the drop (the publish
+    snapshot carries its own live list). Either way the heal-gate flag
+    must not stick forever: the next main commit covers the torn
+    publish's target id and one heal clears it (the r11 watermark's
+    liveness guarantee)."""
+    b1, _ = batches
+    pristine = tmp_path / "pristine"
+    sink = _sink(spark, pristine)
+    sink.append(b1, batch_id=11)
+    sink.append(
+        spark.createDataFrame(
+            [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                 v=1.0, q=2.5)]
+        ),
+        branch="audit",
+    )
+    src = SnapshotLog(sink._path)
+    pre_live = frozenset(src.live_commits())
+    post_live = frozenset(src.live_commits(src.current_id("audit")))
+
+    for k, dst in _sweep(sink._path, lambda lg: lg.publish("audit"),
+                         tmp_path, "pubdrop"):
+        log = SnapshotLog(dst)
+        published = frozenset(log.live_commits()) == post_live
+        try:
+            log.drop_branch("audit")
+        except LookupError:
+            pass  # drop raced nothing here, but publish may have
+            # re-homed the branch pointer; gone is gone
+        assert "audit" not in log.branches(), k
+        live = frozenset(log.live_commits())
+        assert live == (post_live if published else pre_live), k
+        assert 11 in log.committed_batch_ids(), k
+        for d in live:
+            assert os.path.isdir(os.path.join(log.data_dir, d)), (k, d)
+        # flag liveness: one more main commit + heal clears any torn
+        # heal-gate flag (its watermark id is now covered)
+        reopened = LakeSink(spark, IcebergSinkConfig(
+            table_name=os.path.basename(dst), warehouse_path=str(tmp_path),
+            num_partitions=2, partition_spec=[("ts", "day")],
+            location=dst,
+        ))
+        reopened.append(b1.limit(1))
+        log.heal_publish_folds()
+        assert not log.table_meta().get("pending_publish_folds"), k
+        want = 10 + (1 if published else 0) + 1
+        assert reopened.read(merge_schema=True).count() == want, k
