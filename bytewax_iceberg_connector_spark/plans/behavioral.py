@@ -1698,3 +1698,102 @@ ORDER BY cohort_month, "offset"
 
 QUERIES["cohort_revenue_ltv"] = cohort_revenue_ltv
 ORACLE["cohort_revenue_ltv"] = _SQL_COHORT_LTV
+
+
+# ---------------------------------------------------------------------------
+# r11-staged: gaps-and-islands run-length profile (register after r11 gate)
+# ---------------------------------------------------------------------------
+
+
+def run_length_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal runs of consecutive same-type events per user — the
+    gaps-and-islands capability (rn − rn_by_type grouping): a user firing
+    ``click,click,click`` forms ONE 3-long run. Per event type: run
+    count, longest run, runs ≥ 3 (the burst signal), and exact mean run
+    length ×100 (integer division — the engine's integer-exact
+    discipline).
+
+    Parity discipline: NULL user/type/ts rows are excluded on both
+    engines (a run is undefined without an owner, a type, or a place in
+    time — the sessionize precedent); ordering is ``(ts, event_id NULLS
+    FIRST, event_type)`` so exact ts+id ties cannot flip island
+    boundaries between engines.
+
+    Scale: ONE hash exchange on ``user_id`` feeds both stacked
+    ROW_NUMBERs (the per-(user,type) window partitions by a superset of
+    the per-user one — same distribution, no second exchange); the
+    per-run aggregate groups by (user, type, island) on that same
+    partitioning, and only the |event types|-row profile shuffles again.
+    """
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(
+            F.col("user_id").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    order = [
+        F.col("ts").asc(),
+        F.col("event_id").asc_nulls_first(),
+        F.col("event_type").asc(),
+    ]
+    w_user = Window.partitionBy("user_id").orderBy(*order)
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(*order)
+    runs = (
+        ev.withColumn(
+            "island",
+            F.row_number().over(w_user) - F.row_number().over(w_type),
+        )
+        .groupBy("user_id", "event_type", "island")
+        .agg(F.count(F.lit(1)).cast("long").alias("run_len"))
+    )
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+            F.max("run_len").cast("long").alias("max_run"),
+            F.sum((F.col("run_len") >= 3).cast("long"))
+            .cast("long")
+            .alias("runs_ge3"),
+            F.expr("cast(sum(run_len) * 100 div count(*) as long)").alias(
+                "mean_len_x100"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+_SQL_RUN_LENGTH = """
+WITH ev AS (
+  SELECT user_id, event_type, ts, event_id
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL
+), isl AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+           ORDER BY ts, event_id NULLS FIRST, event_type)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+           ORDER BY ts, event_id NULLS FIRST, event_type) AS island
+  FROM ev
+), runs AS (
+  SELECT user_id, event_type, island,
+         CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(MAX(run_len) AS BIGINT) AS max_run,
+       CAST(SUM(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS runs_ge3,
+       CAST(SUM(run_len) * 100 // COUNT(*) AS BIGINT) AS mean_len_x100
+FROM runs
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+R11_QUERIES = {"run_length_segments": run_length_segments}
+R11_ORACLE = {"run_length_segments": _SQL_RUN_LENGTH}

@@ -961,6 +961,13 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     swap in similarity_ann_lsh's bucketed candidates; this exact form is
     the recall oracle.
     """
+    return _topk_scored(spark, sf_dir, _TOPK)
+
+
+def _topk_scored(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Shared exact-top-``k`` producer behind ``similarity_topk`` (k=5)
+    and the r11-staged ``similarity_mmr`` candidate stage (k=_MMR_C) —
+    same tile GEMM, same (score DESC, neighbor_id ASC) comparator."""
     import numpy as np
     import pandas as pd
 
@@ -998,11 +1005,11 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ne = np.sqrt((E * E).sum(axis=1))
                 cos = np.round((Q @ E.T) / np.outer(nq, ne), 6)
                 cos[q_ids[:, None] == ids[None, :]] = -np.inf  # self-pairs out
-                k = min(_TOPK, cos.shape[1])
+                kk = min(k, cos.shape[1])
                 for qi in range(len(q_ids)):
                     # comparator = (score DESC, neighbor_id ASC); lexsort's
                     # last key is primary
-                    order = np.lexsort((ids, -cos[qi]))[:k]
+                    order = np.lexsort((ids, -cos[qi]))[:kk]
                     for j in order:
                         if cos[qi, j] == -np.inf:
                             continue
@@ -1017,7 +1024,7 @@ def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= _TOPK)
+        .where(F.col("rank") <= k)
         .select("q_id", "neighbor_id", "score", "rank")
     )
 
@@ -1040,6 +1047,162 @@ SELECT q_id, neighbor_id, score, rank FROM (
   FROM scored
 ) t WHERE rank <= {_TOPK}
 """
+
+# ---------------------------------------------------------------------------
+# r11-staged: MMR diversity re-ranking (registered after CORRECTNESS_r11)
+# ---------------------------------------------------------------------------
+
+_MMR_C = 12  # candidate pool per query (exact top-C feeds the greedy)
+_MMR_K = 5   # results selected per query
+# MMR balance in integer micro-units: mmr_u = 7·rel_u − 3·max_sim_u
+# (λ = 0.7). Both engines compute cosines ROUND(·, 6) → ×1e6 BIGINT, so
+# the greedy argmax compares exact integers — no cross-engine FP drift.
+
+
+def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of each query's exact top-12
+    cosine candidates: greedily select 5, each step maximizing
+    ``7·rel_u − 3·max(sim_u to already-selected)`` (integer micro-units,
+    ties to the smaller candidate id) — the diversity-aware selection a
+    retrieval/training-data pipeline runs after ANN recall, so near-
+    duplicate neighbors don't crowd out coverage.
+
+    Plan shape for 100 TB: the candidate stage is the existing bounded
+    tile GEMM (``_topk_scored``); candidate vectors re-join by id (narrow
+    hash join, ≤_MMR_C rows/query); the greedy runs in a per-query
+    ``applyInPandas`` group of ≤_MMR_C rows — a bounded Arrow kernel, the
+    same sanctioned tier as the IVF/PQ kernels. No corpus-sized state
+    ever reaches the driver.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cands = _topk_scored(spark, sf_dir, _MMR_C)
+    emb = load_vectors(spark, sf_dir, nonzero=True).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    )
+    g = cands.join(emb, "neighbor_id").select(
+        "q_id", "neighbor_id", "score", "nv"
+    )
+
+    def _mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+        # candidate order is irrelevant to the math but sort for
+        # reproducible iteration
+        o = np.argsort(ids)
+        ids = ids[o]
+        rel_u = np.floor(
+            pdf["score"].to_numpy(dtype=np.float64)[o] * 1e6 + 0.5
+        ).astype(np.int64)
+        V = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in pdf["nv"].to_numpy()[o]]
+        )
+        n = np.sqrt((V * V).sum(axis=1))
+        sim_u = np.floor(
+            np.round((V @ V.T) / np.outer(n, n), 6) * 1e6 + 0.5
+        ).astype(np.int64)
+        picked: list[int] = []
+        rows = []
+        avail = np.ones(len(ids), dtype=bool)
+        for step in range(1, min(_MMR_K, len(ids)) + 1):
+            if picked:
+                max_sim = sim_u[:, picked].max(axis=1)
+            else:
+                max_sim = np.zeros(len(ids), dtype=np.int64)
+            mmr = 7 * rel_u - 3 * max_sim
+            mmr_masked = np.where(avail, mmr, np.iinfo(np.int64).min)
+            best = mmr_masked.max()
+            j = int(np.nonzero((mmr_masked == best))[0][0])  # id-asc ties
+            picked.append(j)
+            avail[j] = False
+            rows.append(
+                (int(pdf["q_id"].iloc[0]), step, int(ids[j]), int(mmr[j]))
+            )
+        return pd.DataFrame(
+            rows, columns=["q_id", "mmr_rank", "cand_id", "mmr_score_u"]
+        )
+
+    return g.groupBy("q_id").applyInPandas(
+        _mmr,
+        schema="q_id BIGINT, mmr_rank BIGINT, cand_id BIGINT, "
+               "mmr_score_u BIGINT",
+    )
+
+
+def _mmr_oracle_sql() -> str:
+    """DuckDB twin of the greedy: k − 1 unrolled selection steps (no
+    recursive CTE — portable and plan-stable), each picking the
+    integer-argmax of ``7·rel_u − 3·max_sim_u`` over the not-yet-picked
+    candidates, ties to the smaller id."""
+    base = f"""
+WITH {SQL_VALID_EMB},
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             list_dot_product(CAST(embedding AS DOUBLE[]),
+                              CAST(embedding AS DOUBLE[])) AS n2
+      FROM embeddings_valid WHERE {SQL_NONZERO_EMB}),
+q AS (SELECT vec_id AS q_id, v AS qv, n2 AS qn2 FROM e
+      WHERE vec_id % {_QUERY_STRIDE} = 0),
+scored AS (
+  SELECT q_id, e.vec_id AS cid,
+         ROUND(list_dot_product(qv, e.v) / SQRT(qn2 * e.n2), 6) AS score
+  FROM q CROSS JOIN e WHERE e.vec_id <> q.q_id
+),
+cands AS (
+  SELECT q_id, cid, CAST(FLOOR(score * 1e6 + 0.5) AS BIGINT) AS rel_u
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY score DESC, cid ASC) AS rn FROM scored) t
+  WHERE rn <= {_MMR_C}
+),
+pair AS (
+  SELECT a.q_id, a.cid AS c1, b.cid AS c2,
+         CAST(FLOOR(ROUND(list_dot_product(e1.v, e2.v)
+                          / SQRT(e1.n2 * e2.n2), 6) * 1e6 + 0.5) AS BIGINT)
+           AS sim_u
+  FROM cands a JOIN cands b ON a.q_id = b.q_id AND a.cid <> b.cid
+  JOIN e e1 ON e1.vec_id = a.cid
+  JOIN e e2 ON e2.vec_id = b.cid
+),
+s1 AS (
+  SELECT q_id, 1 AS step, cid AS pick, 7 * rel_u AS mmr_u FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      ORDER BY rel_u DESC, cid ASC) AS rn FROM cands) t WHERE rn = 1
+),
+picked1 AS (SELECT q_id, pick FROM s1)"""
+    parts = [base]
+    for t in range(2, _MMR_K + 1):
+        parts.append(f""",
+m{t} AS (
+  SELECT c.q_id, c.cid,
+         7 * c.rel_u - 3 * COALESCE((
+           SELECT MAX(p.sim_u) FROM pair p
+           WHERE p.q_id = c.q_id AND p.c1 = c.cid
+             AND p.c2 IN (SELECT pick FROM picked{t - 1} pk
+                          WHERE pk.q_id = c.q_id)
+         ), 0) AS mmr_u
+  FROM cands c
+  WHERE NOT EXISTS (SELECT 1 FROM picked{t - 1} pk
+                    WHERE pk.q_id = c.q_id AND pk.pick = c.cid)
+),
+s{t} AS (
+  SELECT q_id, {t} AS step, cid AS pick, mmr_u FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      ORDER BY mmr_u DESC, cid ASC) AS rn FROM m{t}) t WHERE rn = 1
+),
+picked{t} AS (SELECT q_id, pick FROM picked{t - 1}
+              UNION ALL SELECT q_id, pick FROM s{t})""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT q_id, CAST(step AS BIGINT) AS mmr_rank, pick AS cand_id, "
+        f"mmr_u AS mmr_score_u FROM s{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
+
+
+_SQL_SIM_MMR = _mmr_oracle_sql()
+
+R11_QUERIES = {"similarity_mmr": similarity_mmr}
+R11_ORACLE = {"similarity_mmr": _SQL_SIM_MMR}
 
 # ---------------------------------------------------------------------------
 # B18b: ANN via sign-LSH buckets (oracle-checked contract audit since r06)
