@@ -1420,13 +1420,19 @@ class LakeSink:
             # `_c` is the commit-dir partition component — implementation
             # detail, dropped from the user-visible schema
             df = reader.format(self._file_format()).load(group).drop("_c")
-            # unescape defensively: markers written before the r11 fix
-            # recorded the Hive-escaped dir spelling of the column name
-            esc = {
-                unescape_path_name(c)
-                for d in group
-                for c in markers[d].get("esc_pcols", [])
-            }
+            # keep BOTH spellings: markers written before the r11 fix
+            # recorded the Hive-escaped dir spelling (needs the
+            # unescape), new markers record the logical name — which may
+            # itself contain a literal %XX sequence that a second
+            # unescape would corrupt (self-review find: a column named
+            # 'a%3Ab' double-unescaped to 'a:b' and skipped the
+            # recompute). Spurious entries are harmless: _restore_pcols
+            # only acts on names present in the spec-field map.
+            esc = set()
+            for d in group:
+                for c in markers[d].get("esc_pcols", []):
+                    esc.add(c)
+                    esc.add(unescape_path_name(c))
             df = self._restore_pcols(df, spec_id, esc)
             if with_spec_id:
                 df = df.withColumn("_spec_id", F.lit(spec_id).cast("int"))

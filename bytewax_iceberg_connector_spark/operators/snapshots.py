@@ -410,30 +410,38 @@ class SnapshotLog:
         crash-then-expire-with-zero-intervening-writes corner.
 
         Cost: the scan is O(retained history), so it is gated on the
-        ``pending_publish_folds`` flag publish() raises BEFORE staging a
-        fold and this heal clears after folding — the common no-publish
-        write path pays ONE table.json read, not a v-file sweep (r10
-        self-review find: a streaming sink paid a full metadata parse per
-        micro-batch for a fold set that is almost always empty).
+        heal-gate flags publish() raises BEFORE staging a fold and this
+        heal clears after folding — the common no-publish write path pays
+        one meta-dir listing, not a v-file sweep (r10 self-review find: a
+        streaming sink paid a full metadata parse per micro-batch for a
+        fold set that is almost always empty).
 
-        Clear rule (r11 ADVICE — the old unconditional pop LOST a fold:
-        publish raises the flag, a racing heal scans before the publish
-        v-file lands and clears after, publisher crashes pre-fold →
-        healed never): the flag carries the raiser's TARGET snapshot id
-        as a watermark, and the heal clears only when its scan actually
-        covered that id. If the raiser's v-file hadn't landed at scan
-        time the flag survives for the next heal; if the raiser crashed
-        before creating the v-file, the very next commit of any kind
-        takes that same id (ids are max+1), so the flag still clears
-        after one extra scan — a spurious flag costs scans only until
-        the table's next commit, never forever, and a real fold is never
-        lost. Legacy boolean flags read as watermark 1 (bool is int) and
-        keep the old always-clear behavior."""
+        Flag protocol (r11, second revision): each raise is its OWN file
+        ``pending_fold.<target snapshot id>.json`` (atomic rename-in) and
+        the heal unlinks ONLY files whose target id its scan covered
+        (id ≤ max snapshot id seen). No read-modify-write exists anywhere
+        in the protocol, so concurrent raises and clears cannot clobber
+        each other — the first r11 design kept the flag as a table.json
+        field with a watermark, and its clear was still an RMW that could
+        erase a publish racing between the heal's re-read and its write
+        (self-review find). A file whose raiser crashed before creating
+        its v-file stays until the table's next commit takes that id
+        (ids are max+1) — one extra scan per write until then, never
+        forever, and a real fold is never lost. A legacy table.json
+        ``pending_publish_folds`` field (pre-revision crash artifact) is
+        honored and cleared under the old watermark rule."""
         if not self.exists():
             return 0
+        try:
+            flag_files = [
+                fn for fn in os.listdir(self.meta_dir)
+                if fn.startswith("pending_fold.")
+            ]
+        except FileNotFoundError:  # pragma: no cover
+            flag_files = []
         meta = self.table_meta()
-        flag = meta.get("pending_publish_folds")
-        if not flag:
+        legacy = meta.get("pending_publish_folds")
+        if not flag_files and not legacy:
             return 0
         have = {
             f["name"]
@@ -451,17 +459,24 @@ class SnapshotLog:
                     have.add(fj["name"])
         if pending:
             self.evolve_schema(pending)
-        # compare-and-keep clear (re-read: evolve_schema rewrote
-        # table.json, and a racing publish may have raised a HIGHER
-        # watermark mid-fold — keeping it defers that fold to the next
-        # heal at worst, never loses it)
-        meta = self.table_meta()
-        cur = meta.get("pending_publish_folds")
-        if cur and int(cur) <= seen_max:
-            meta.pop("pending_publish_folds", None)
-            self._atomic_write(
-                os.path.join(self.meta_dir, "table.json"), meta
-            )
+        # clear = unlink exactly the flag files this scan covered; a
+        # concurrent raise is a DIFFERENT file name and stays untouched
+        for fn in flag_files:
+            try:
+                tid = int(fn.split(".")[1])
+            except (IndexError, ValueError):
+                tid = 0  # malformed flag: treat as covered, remove
+            if tid <= seen_max:
+                try:
+                    os.unlink(os.path.join(self.meta_dir, fn))
+                except FileNotFoundError:
+                    pass  # another heal got it first — same outcome
+        if legacy and int(legacy) <= seen_max:
+            meta = self.table_meta()
+            if meta.pop("pending_publish_folds", None) is not None:
+                self._atomic_write(
+                    os.path.join(self.meta_dir, "table.json"), meta
+                )
         return len(pending)
 
     def publish(self, branch: str, retries: int = 3) -> int:
@@ -542,20 +557,24 @@ class SnapshotLog:
                 snap["staged_new_fields"] = list(staged)
                 # raise the heal gate FIRST: flag-then-snapshot-then-fold
                 # means a crash at any point leaves either nothing to do
-                # or a raised flag the next heal acts on. The flag value
-                # is THIS attempt's target snapshot id (r11 ADVICE
-                # watermark): the heal clears only after its scan covers
-                # that id, so a heal racing between our raise and our
-                # v-file landing can no longer clear us away. Monotonic
-                # max so a concurrent publisher's higher target survives;
-                # re-raised per retry since each attempt targets a new id.
-                meta = self.table_meta()
-                prior = meta.get("pending_publish_folds") or 0
-                if int(prior) < snap["snapshot_id"]:
-                    meta["pending_publish_folds"] = snap["snapshot_id"]
-                    self._atomic_write(
-                        os.path.join(self.meta_dir, "table.json"), meta
-                    )
+                # or a raised flag the next heal acts on. The flag is its
+                # OWN file named by THIS attempt's target snapshot id —
+                # the heal unlinks a flag only after its scan covered
+                # that id, and since no read-modify-write exists in the
+                # protocol a racing heal/raise pair cannot clobber each
+                # other (r11 self-review: the previous table.json-field
+                # watermark still lost a concurrent raise to the clear's
+                # RMW). One file per retry attempt; superseded attempts'
+                # files are swept by the next heal once any commit takes
+                # their target id.
+                self._atomic_write(
+                    os.path.join(
+                        self.meta_dir,
+                        f"pending_fold.{snap['snapshot_id']}.json",
+                    ),
+                    {"target": snap["snapshot_id"],
+                     "source_branch": branch},
+                )
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),
@@ -566,6 +585,15 @@ class SnapshotLog:
                     # data is now main-visible, so declaring its columns
                     # can no longer strand a declared column without data
                     self.evolve_schema(staged)
+                    # fold done: retire this attempt's heal-gate flag
+                    # (crash before this line → the next heal sweeps it)
+                    try:
+                        os.unlink(os.path.join(
+                            self.meta_dir,
+                            f"pending_fold.{snap['snapshot_id']}.json",
+                        ))
+                    except FileNotFoundError:
+                        pass
                 return snap["snapshot_id"]
             except FileExistsError:
                 continue

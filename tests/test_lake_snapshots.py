@@ -1126,11 +1126,21 @@ def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
         branch="audit",
     )
 
-    # publish, but simulate the crash: the fold step never runs
+    # publish, but simulate the crash: the process DIES at the fold step
+    # (a raising stub, not a no-op — publish retires its heal-gate flag
+    # inline after a successful fold, so a no-op stub would wrongly run
+    # that cleanup and gate the heal off)
+    class _Died(BaseException):
+        pass
+
+    def _crash(self, fields):
+        raise _Died()
+
     orig = SnapshotLog.evolve_schema
-    SnapshotLog.evolve_schema = lambda self, fields: None
+    SnapshotLog.evolve_schema = _crash
     try:
-        sink.publish("audit")
+        with pytest.raises(_Died):
+            sink.publish("audit")
     finally:
         SnapshotLog.evolve_schema = orig
 
@@ -1153,14 +1163,25 @@ def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
     assert sink._log.heal_publish_folds() == 0
 
 
+def _pending_flags(log):
+    return sorted(
+        fn for fn in os.listdir(log.meta_dir)
+        if fn.startswith("pending_fold.")
+    )
+
+
 def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
                                                         batches):
     """r11 ADVICE (low): the heal's flag clear raced a concurrent
-    publish — publish raises ``pending_publish_folds``, a heal scans
-    (publish v-file not yet written) and pops the flag afterward; if the
-    publisher then crashes before its fold, nothing ever heals it. The
-    flag now carries the raiser's target snapshot id as a watermark and
-    the heal clears only when its scan COVERED that id."""
+    publish — publish raises the heal gate, a heal scans (publish v-file
+    not yet written) and clears the gate afterward; if the publisher
+    then crashes before its fold, nothing ever heals it. The gate is now
+    one FILE per raise, named by the raiser's target snapshot id; the
+    heal unlinks only files whose id its scan covered, and — second r11
+    revision, self-review find — there is no read-modify-write anywhere
+    in the protocol, so a racing raise can never be clobbered by a
+    clear (the first revision's table.json watermark field still could
+    be)."""
     import os as _os
 
     b1, _ = batches
@@ -1169,18 +1190,22 @@ def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
     log = sink._log
 
     # (1) flag raised for a snapshot that hasn't landed (the racing-heal
-    # window): the heal must fold nothing AND keep the flag
-    target = log._max_version() + 1
-    meta = log.table_meta()
-    meta["pending_publish_folds"] = target
-    log._atomic_write(_os.path.join(log.meta_dir, "table.json"), meta)
+    # window) PLUS one whose target a commit already covered: the heal
+    # must fold nothing, sweep only the covered file, and keep the
+    # uncovered one — a concurrent raiser's file is untouchable by name
+    covered, uncovered = log._max_version(), log._max_version() + 1
+    for t in (covered, uncovered):
+        log._atomic_write(
+            _os.path.join(log.meta_dir, f"pending_fold.{t}.json"),
+            {"target": t},
+        )
     assert log.heal_publish_folds() == 0
-    assert log.table_meta().get("pending_publish_folds") == target
+    assert _pending_flags(log) == [f"pending_fold.{uncovered}.json"]
 
     # (2) the publisher's v-file now lands, carrying its fold set, and
     # the publisher crashes pre-fold (simulated: fold step disabled).
-    # publish() re-raises the watermark itself; the next heal both folds
-    # the staged column and clears the now-covered flag.
+    # The next heal both folds the staged column and sweeps every flag
+    # (the crash attempt's and the stale one from part 1).
     sink.append(
         spark.createDataFrame(
             [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
@@ -1188,22 +1213,40 @@ def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
         ),
         branch="audit",
     )
+    class _Died(BaseException):
+        pass
+
+    def _crash(self, fields):
+        raise _Died()
+
     orig = SnapshotLog.evolve_schema
-    SnapshotLog.evolve_schema = lambda self, fields: None
+    SnapshotLog.evolve_schema = _crash
     try:
-        sink.publish("audit")
+        with pytest.raises(_Died):
+            sink.publish("audit")
     finally:
         SnapshotLog.evolve_schema = orig
-    assert log.table_meta().get("pending_publish_folds")
+    assert _pending_flags(log)
     assert log.heal_publish_folds() == 1
     declared = {f["name"] for f in
                 log.table_meta()["schema_json"]["fields"]}
     assert "q" in declared
-    assert log.table_meta().get("pending_publish_folds") is None
+    assert _pending_flags(log) == []
 
-    # (3) spurious flag whose target id was taken by a non-publish
-    # commit (raiser crashed before its v-file): one heal clears it —
-    # the flag can never stick forever on an active table
+    # (3) a clean publish retires its own flag inline — no heal needed
+    sink.append(
+        spark.createDataFrame(
+            [Row(event_id=101, ts=dt.datetime(2024, 1, 3, 10),
+                 v=2.0, q=3.5, r="x")]
+        ),
+        branch="audit2",
+    )
+    sink.publish("audit2")
+    assert _pending_flags(log) == []
+
+    # (4) legacy table.json field (pre-revision crash artifact) whose
+    # target a commit covered: one heal clears it — the gate can never
+    # stick forever on an active table
     meta = log.table_meta()
     meta["pending_publish_folds"] = log._max_version()
     log._atomic_write(_os.path.join(log.meta_dir, "table.json"), meta)
@@ -1293,6 +1336,7 @@ def test_hostile_name_AND_value_partition_column_recomputes(spark, tmp_path):
     (repro: col ``a:b``, value "" read back as ``__BIC_ESC__empty``)."""
     from bytewax_iceberg_connector_spark.operators.partitioning import (
         ESC_MARK,
+        qcol,
         unescape_path_name,
     )
 
@@ -1305,29 +1349,37 @@ def test_hostile_name_AND_value_partition_column_recomputes(spark, tmp_path):
     assert unescape_path_name("%0041") == "\x0041"   # exactly 2 digits
 
     values = ["", "ok", ESC_MARK + "spoof", None, "v" * 400]
-    rows = [Row(rid=i, payload=f"p{i}") for i in range(len(values))]
-    df = spark.createDataFrame(rows, "rid int, payload string").withColumn(
-        "a:b", F.array(*[F.lit(v) for v in values])[F.col("rid")]
-    )
-    cfg = IcebergSinkConfig(
-        table_name="db.escname", warehouse_path=str(tmp_path),
-        num_partitions=2, partition_spec=[("a:b", "identity")],
-    )
-    sink = LakeSink(spark, cfg)
-    sink.append(df)
+    # 'a:b' = the original ADVICE repro (escapable char); 'a%3Ab' = the
+    # self-review follow-up (a LOGICAL name containing a literal %XX —
+    # a second unescape on read corrupted it back to 'a:b' and skipped
+    # the recompute); '100%' = a truncated escape sequence
+    for tno, name in enumerate(("a:b", "a%3Ab", "100%")):
+        rows = [Row(rid=i, payload=f"p{i}") for i in range(len(values))]
+        df = spark.createDataFrame(
+            rows, "rid int, payload string"
+        ).withColumn(
+            name, F.array(*[F.lit(v) for v in values])[F.col("rid")]
+        )
+        cfg = IcebergSinkConfig(
+            table_name=f"db.escname{tno}", warehouse_path=str(tmp_path),
+            num_partitions=2, partition_spec=[(name, "identity")],
+        )
+        sink = LakeSink(spark, cfg)
+        sink.append(df)
 
-    back = sink.read()
-    got = sorted((r.rid, r["_p_a:b"]) for r in back.collect())
-    assert got == sorted((i, v) for i, v in enumerate(values)), got
-    # the recompute must make mirror == source on every row (the spoof
-    # value legitimately starts with ESC_MARK — only a mirror/source
-    # MISMATCH would be a leaked marker)
-    assert back.where(
-        ~(F.col("_p_a:b").eqNullSafe(F.col("a:b")))
-    ).count() == 0
-    # and the recomputed column still filters exactly
-    assert back.where(F.col("_p_a:b") == "").count() == 1
-    assert back.where(F.col("_p_a:b").isNull()).count() == 1
+        back = sink.read()
+        got = sorted((r.rid, r[f"_p_{name}"]) for r in back.collect())
+        assert got == sorted((i, v) for i, v in enumerate(values)), (
+            name, got)
+        # the recompute must make mirror == source on every row (the
+        # spoof value legitimately starts with ESC_MARK — only a
+        # mirror/source MISMATCH would be a leaked marker)
+        assert back.where(
+            ~(qcol(f"_p_{name}").eqNullSafe(qcol(name)))
+        ).count() == 0, name
+        # and the recomputed column still filters exactly
+        assert back.where(qcol(f"_p_{name}") == "").count() == 1, name
+        assert back.where(qcol(f"_p_{name}").isNull()).count() == 1, name
 
 
 @pytest.mark.deep
@@ -1767,6 +1819,7 @@ def test_crash_sweep_torn_publish(spark, tmp_path, batches):
                     log.table_meta()["schema_json"]["fields"]}
         assert "q" in declared, k
         assert not log.table_meta().get("pending_publish_folds"), k
+        assert _pending_flags(log) == [], k
         converged.append(dst)
     # the converged state is actually readable (one Spark read, last copy)
     reopened = LakeSink(spark, IcebergSinkConfig(
@@ -1930,5 +1983,6 @@ def test_crash_sweep_torn_publish_then_audit_fail_drop(spark, tmp_path,
         reopened.append(b1.limit(1))
         log.heal_publish_folds()
         assert not log.table_meta().get("pending_publish_folds"), k
+        assert _pending_flags(log) == [], k
         want = 10 + (1 if published else 0) + 1
         assert reopened.read(merge_schema=True).count() == want, k
