@@ -572,17 +572,21 @@ class LakeSink:
             marker["esc_pcols"] = sorted(esc_pcols)
         with open(os.path.join(path, "_bic_spec.json"), "w") as f:
             json.dump(marker, f)
-        self._log.commit(
+        log = self._log
+        sid = log.commit(
             operation, [name],
             overwrite=operation in _REPLACING_OPS, batch_id=batch_id,
             branch=branch,
-            # branch commits carry their column adds ON the snapshot so
-            # publish() can fold them into the declared schema (r08
-            # ADVICE: without the fold, a post-publish type-changing main
-            # write of a branch-added column passed the additive-only
-            # guard and poisoned cross-commit reads)
+            # EVERY commit carries its column adds ON the snapshot: branch
+            # commits so publish() can fold them into the declared schema
+            # (r08 ADVICE: without the fold, a post-publish type-changing
+            # main write of a branch-added column passed the additive-only
+            # guard and poisoned cross-commit reads); main commits so
+            # heal_publish_folds() can re-fold if the evolve_schema below
+            # never runs (r11 crash-injection find: a crash in that window
+            # reopened the same r08 hole on the main path)
             new_fields=[f.jsonValue() for f in new_fields]
-            if (new_fields and branch != "main") else None,
+            if new_fields else None,
         )
         # record column adds AFTER the commit succeeds, and only for MAIN
         # commits: a failed write can then never leave a declared column
@@ -592,7 +596,8 @@ class LakeSink:
         # auto-merged either way, so the declared schema is validation/
         # convenience, never load-bearing for correctness)
         if new_fields and branch == "main":
-            self._log.evolve_schema([f.jsonValue() for f in new_fields])
+            log.evolve_schema([f.jsonValue() for f in new_fields])
+            log.retire_fold_flag(sid)  # fold done; crash above → heal
 
     def _check_write_schema(
         self, df: DataFrame, branch: str = "main"

@@ -296,13 +296,18 @@ class SnapshotLog:
         branches (one version sequence), so two writers on different
         branches still serialize through the same atomic v-file create.
 
-        ``new_fields`` (branch commits only): the columns this commit ADDS
-        relative to the declared schema, carried ON the snapshot so
+        ``new_fields``: the columns this commit ADDS relative to the
+        declared schema, carried ON the snapshot. Branch commits: so
         :meth:`publish` can fold them into the declared schema when the
         branch fast-forwards to main — without it, branch-added columns
         stayed undeclared after publish and a later type-changing main
         write of the same column slipped past the additive-only write
-        guard (r08 ADVICE, medium).
+        guard (r08 ADVICE, medium). Main commits (r11 crash-injection
+        find): so :meth:`heal_publish_folds` can re-fold them if the
+        caller crashes between this commit and its evolve_schema —
+        main commits also raise the heal-gate flag file here, retired
+        by the caller via :meth:`retire_fold_flag` after a successful
+        fold.
         """
         for _ in range(retries + 1):
             version = self._max_version()
@@ -326,8 +331,25 @@ class SnapshotLog:
             }
             if branch != "main":
                 snap["branch"] = branch
-                if new_fields:
-                    snap["new_fields"] = list(new_fields)
+            if new_fields:
+                # ALL commits carry their column adds on the snapshot
+                # (r11 crash-injection find: main commits used to rely on
+                # the caller's post-commit evolve_schema alone — a crash
+                # between the two left the column in committed data but
+                # undeclared, reopening the r08 type-change hole on the
+                # MAIN path; branch commits already carried theirs for
+                # publish to fold). Main-carried fields are folded by
+                # heal_publish_folds; the flag file below gates that scan
+                # exactly like publish's.
+                snap["new_fields"] = list(new_fields)
+                if branch == "main":
+                    self._atomic_write(
+                        os.path.join(
+                            self.meta_dir,
+                            f"pending_fold.{version + 1}.json",
+                        ),
+                        {"target": version + 1, "source_branch": "main"},
+                    )
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{version + 1}.json"), snap
@@ -451,9 +473,21 @@ class SnapshotLog:
         seen_max = 0
         for s in self.snapshots():
             seen_max = max(seen_max, int(s.get("snapshot_id") or 0))
-            if s.get("operation") != "publish":
+            if s.get("operation") == "publish":
+                # a publish's fold set (the branch's staged columns)
+                carried = s.get("staged_new_fields") or []
+            elif s.get("branch", "main") == "main":
+                # a MAIN commit's own column adds (r11 crash-injection
+                # find: a crash between commit and evolve_schema left
+                # them undeclared with nothing re-folding). Branch
+                # snapshots are deliberately EXCLUDED (their adds fold
+                # at publish, never before) and so are detached ones
+                # (branch=None — a dropped branch's tag-pinned survivor
+                # must not declare a column main has no data for).
+                carried = s.get("new_fields") or []
+            else:
                 continue
-            for fj in s.get("staged_new_fields") or []:
+            for fj in carried:
                 if fj["name"] not in have:
                     pending.append(fj)
                     have.add(fj["name"])
@@ -478,6 +512,17 @@ class SnapshotLog:
                     os.path.join(self.meta_dir, "table.json"), meta
                 )
         return len(pending)
+
+    def retire_fold_flag(self, snapshot_id: int) -> None:
+        """Remove the heal-gate flag a commit/publish raised for
+        ``snapshot_id`` — called by the owner AFTER its fold succeeded
+        (a crash before this leaves the flag for the next heal)."""
+        try:
+            os.unlink(os.path.join(
+                self.meta_dir, f"pending_fold.{snapshot_id}.json"
+            ))
+        except FileNotFoundError:
+            pass  # a heal swept it first — same outcome
 
     def publish(self, branch: str, retries: int = 3) -> int:
         """Fast-forward main to ``branch``'s head (Iceberg's
@@ -587,13 +632,7 @@ class SnapshotLog:
                     self.evolve_schema(staged)
                     # fold done: retire this attempt's heal-gate flag
                     # (crash before this line → the next heal sweeps it)
-                    try:
-                        os.unlink(os.path.join(
-                            self.meta_dir,
-                            f"pending_fold.{snap['snapshot_id']}.json",
-                        ))
-                    except FileNotFoundError:
-                        pass
+                    self.retire_fold_flag(snap["snapshot_id"])
                 return snap["snapshot_id"]
             except FileExistsError:
                 continue

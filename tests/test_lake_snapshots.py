@@ -1163,6 +1163,62 @@ def test_torn_publish_fold_self_heals(spark, tmp_path, batches):
     assert sink._log.heal_publish_folds() == 0
 
 
+def test_torn_main_evolve_self_heals(spark, tmp_path, batches):
+    """r11 crash-injection find (family #18's first real hole): a MAIN
+    commit that ADDS a column writes the v-file and THEN declares the
+    column (evolve_schema) — a crash between the two left the column in
+    committed data but undeclared, and unlike the publish path nothing
+    re-folded it: a later type-changing write of that column passed the
+    additive-only guard and poisoned cross-commit reads (repro'd live:
+    'q' stored double, conflicting long write ACCEPTED). Main commits
+    now carry their new_fields on the snapshot + raise the heal-gate
+    flag, exactly like publish — the next write-time heal re-folds."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    log = sink._log
+
+    class _Died(BaseException):
+        pass
+
+    def _crash(self, fields):
+        raise _Died()
+
+    orig = SnapshotLog.evolve_schema
+    SnapshotLog.evolve_schema = _crash
+    try:
+        with pytest.raises(_Died):
+            sink.append(spark.createDataFrame(
+                [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                     v=1.0, q=2.5)]))
+    finally:
+        SnapshotLog.evolve_schema = orig
+
+    # torn state: q is committed main data but NOT declared; gate raised
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "q" not in declared
+    assert _pending_flags(log)
+
+    # the hole: a LONG write of q must be rejected (heal runs pre-check)
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(spark.createDataFrame(
+            [Row(event_id=101, ts=dt.datetime(2024, 1, 3, 10),
+                 v=2.0, q=7)]))
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "q" in declared
+    assert _pending_flags(log) == []
+
+    # clean evolved append retires its own flag inline, no heal debt
+    sink.append(spark.createDataFrame(
+        [Row(event_id=102, ts=dt.datetime(2024, 1, 4, 10),
+             v=3.0, q=4.5, r="x")]))
+    assert _pending_flags(log) == []
+    back = sink.read(merge_schema=True)
+    assert back.count() == 12 and {"q", "r"} <= set(back.columns)
+
+
 def _pending_flags(log):
     return sorted(
         fn for fn in os.listdir(log.meta_dir)
