@@ -314,3 +314,54 @@ def test_expire_folds_batch_ids_without_main_snapshots(log):
     # batch id 7 folded into the retained branch snapshot, dedup intact
     assert 7 in log.committed_batch_ids()
     assert 8 in log.committed_batch_ids()
+
+
+def test_publish_vs_heal_thread_race_never_loses_a_fold(log):
+    """r11: the heal-gate flag is one FILE per raise precisely so a
+    racing heal can never clobber a concurrent publish's raise (the
+    table.json-field design lost that race via read-modify-write). Hammer
+    it for real: publishers fold columns on staged branches while a heal
+    thread spins heal_publish_folds() the whole time. Afterward every
+    published column must be declared and every flag drained."""
+    import threading
+
+    rounds = 6
+    errors: list[BaseException] = []
+    stop = threading.Event()
+
+    def healer():
+        while not stop.is_set():
+            try:
+                log.heal_publish_folds()
+            except BaseException as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    t = threading.Thread(target=healer)
+    t.start()
+    try:
+        for i in range(rounds):
+            b = f"b{i}"
+            name, path = log.new_commit_dir()
+            os.makedirs(path)
+            with open(os.path.join(path, "part-0.parquet"), "w") as f:
+                f.write("x")
+            log.commit(
+                "append", [name], branch=b,
+                new_fields=[{"name": f"c{i}", "type": "double",
+                             "nullable": True, "metadata": {}}],
+            )
+            log.publish(b)
+    finally:
+        stop.set()
+        t.join()
+    assert not errors, errors
+    # one final heal (publishes may have finished after the last spin)
+    log.heal_publish_folds()
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert {f"c{i}" for i in range(rounds)} <= declared
+    flags = [fn for fn in os.listdir(log.meta_dir)
+             if fn.startswith("pending_fold.")]
+    assert flags == []
+    assert not log.table_meta().get("pending_publish_folds")
