@@ -426,10 +426,12 @@ class SnapshotLog:
         ones back in. ``evolve_schema`` is idempotent, so repeated heals
         are no-ops. Returns the number of fields folded.
 
-        Expiry note: if the torn publish snapshot is itself expired
-        before any later write/publish runs, the fold record goes with
-        it — the same exposure as pre-r10, now shrunk to a
-        crash-then-expire-with-zero-intervening-writes corner.
+        Expiry note (corner CLOSED in r11): ``expire`` folds a doomed
+        main-line snapshot's still-undeclared fold set forward into the
+        retained fold target's ``new_fields`` — the same carry-the-
+        lineage mechanism as streaming batch ids — so even
+        crash-then-expire-with-zero-intervening-writes keeps the heal
+        chain alive.
 
         Cost: the scan is O(retained history), so it is gated on the
         heal-gate flags publish() raises BEFORE staging a fold and this
@@ -473,20 +475,23 @@ class SnapshotLog:
         seen_max = 0
         for s in self.snapshots():
             seen_max = max(seen_max, int(s.get("snapshot_id") or 0))
-            if s.get("operation") == "publish":
-                # a publish's fold set (the branch's staged columns)
-                carried = s.get("staged_new_fields") or []
-            elif s.get("branch", "main") == "main":
-                # a MAIN commit's own column adds (r11 crash-injection
-                # find: a crash between commit and evolve_schema left
-                # them undeclared with nothing re-folding). Branch
-                # snapshots are deliberately EXCLUDED (their adds fold
-                # at publish, never before) and so are detached ones
-                # (branch=None — a dropped branch's tag-pinned survivor
-                # must not declare a column main has no data for).
-                carried = s.get("new_fields") or []
-            else:
+            if s.get("branch", "main") != "main":
+                # branch snapshots are deliberately EXCLUDED (their adds
+                # fold at publish, never before) and so are detached
+                # ones (branch=None — a dropped branch's tag-pinned
+                # survivor must not declare a column main has no data
+                # for). Publish snapshots carry no branch field, so they
+                # pass this gate.
                 continue
+            # both fold-carrying keys: ``staged_new_fields`` (a publish's
+            # fold set — the branch's staged columns) and ``new_fields``
+            # (a MAIN commit's own adds, r11 crash-injection find: a
+            # crash between commit and evolve_schema left them
+            # undeclared with nothing re-folding; ALSO the key expire()
+            # folds doomed snapshots' sets forward into)
+            carried = (s.get("staged_new_fields") or []) + (
+                s.get("new_fields") or []
+            )
             for fj in carried:
                 if fj["name"] not in have:
                     pending.append(fj)
@@ -788,7 +793,32 @@ class SnapshotLog:
             if s.get("batch_id") is not None:
                 expired_batch_ids.add(s["batch_id"])
             expired_batch_ids.update(s.get("batch_ids", []))
-        if expired_batch_ids:
+        # Schema folds ride the same forward-carry (r11: closes the
+        # documented crash-then-expire corner): a doomed MAIN-LINE
+        # snapshot carrying a fold set the declared schema is still
+        # missing (torn publish or torn main evolve whose heal never ran)
+        # would take the fold record with it — a later conflicting-type
+        # write would then pass the additive-only guard. Merge those
+        # still-undeclared sets into the fold target's ``new_fields``;
+        # heal_publish_folds reads that key on main-line snapshots, so
+        # the heal chain survives expiry exactly like the batch-id chain.
+        declared_names = {
+            f["name"]
+            for f in (self.table_meta().get("schema_json") or {}).get(
+                "fields", []
+            )
+        }
+        doomed_folds: list[dict] = []
+        for s in doomed:
+            if s.get("branch", "main") != "main":
+                continue  # dropped-branch leftovers never fold
+            for fj in (s.get("staged_new_fields") or []) + (
+                s.get("new_fields") or []
+            ):
+                if fj["name"] not in declared_names:
+                    declared_names.add(fj["name"])
+                    doomed_folds.append(fj)
+        if expired_batch_ids or doomed_folds:
             # fold target: oldest retained MAIN snapshot, else ANY oldest
             # retained snapshot (a branch-only history — every main
             # snapshot expired, survivors retained via refs/branches —
@@ -815,6 +845,22 @@ class SnapshotLog:
             merged = set(tgt.get("batch_ids", []))
             merged |= expired_batch_ids
             tgt["batch_ids"] = sorted(merged)
+            if doomed_folds and tgt.get("branch", "main") == "main":
+                # fold_ids prefers main snapshots, so a non-main target
+                # only happens in a branch-only history where every main
+                # snapshot (and its data) is leaving — the undeclared-
+                # column hazard leaves with it, dropping the fold is
+                # correct there
+                have_t = {
+                    f["name"]
+                    for f in (tgt.get("new_fields") or [])
+                    + (tgt.get("staged_new_fields") or [])
+                }
+                add = [f for f in doomed_folds if f["name"] not in have_t]
+                if add:
+                    tgt["new_fields"] = list(
+                        tgt.get("new_fields") or []
+                    ) + add
             self._atomic_write(
                 os.path.join(self.meta_dir, f"v{tgt_id}.json"),
                 tgt,

@@ -2042,3 +2042,59 @@ def test_crash_sweep_torn_publish_then_audit_fail_drop(spark, tmp_path,
         assert _pending_flags(log) == [], k
         want = 10 + (1 if published else 0) + 1
         assert reopened.read(merge_schema=True).count() == want, k
+
+
+def test_torn_fold_survives_expiry_of_its_carrier(spark, tmp_path, batches):
+    """r11: the heal docstring used to document a crash-then-expire
+    corner — if the torn snapshot carrying an undeclared fold set was
+    itself expired before any heal ran, the fold record died with it.
+    expire() now folds doomed main-line snapshots' undeclared sets
+    forward into the retained fold target (the batch-id carry mechanism),
+    so the additive-only guard still fires afterward."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    log = sink._log
+
+    class _Died(BaseException):
+        pass
+
+    def _crash(self, fields):
+        raise _Died()
+
+    orig = SnapshotLog.evolve_schema
+    SnapshotLog.evolve_schema = _crash
+    try:
+        with pytest.raises(_Died):
+            sink.append(spark.createDataFrame(
+                [Row(event_id=100, ts=dt.datetime(2024, 1, 2, 10),
+                     v=1.0, q=2.5)]))
+    finally:
+        SnapshotLog.evolve_schema = orig
+
+    # bury the torn carrier under plain commits, then expire it away —
+    # WITHOUT any intervening schema check (append of existing columns
+    # does trigger the heal; monkeypatch it off to model the
+    # zero-intervening-heal corner exactly)
+    orig_heal = SnapshotLog.heal_publish_folds
+    SnapshotLog.heal_publish_folds = lambda self: 0
+    try:
+        sink.append(b1.limit(1))
+        sink.append(b1.limit(1))
+        expired, _ = log.expire(keep_last=1)
+    finally:
+        SnapshotLog.heal_publish_folds = orig_heal
+    assert expired  # the torn carrier is gone
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "q" not in declared  # still torn — only the CARRY moved
+
+    # the guard must still fire: the fold set rode the expire carry
+    with pytest.raises(ValueError, match="additive-only"):
+        sink.append(spark.createDataFrame(
+            [Row(event_id=101, ts=dt.datetime(2024, 1, 3, 10),
+                 v=2.0, q=7)]))
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "q" in declared
+    assert _pending_flags(log) == []
