@@ -27,8 +27,10 @@ Design (Iceberg's HadoopTableOperations in miniature):
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
+import re
 import time
 import uuid
 
@@ -36,6 +38,12 @@ import uuid
 #: concurrent writer's saved-but-not-yet-committed data (same role as
 #: Iceberg remove_orphan_files' older_than)
 _ORPHAN_GRACE_S = 3600.0
+
+#: heal-gate flag files — the STRICT pattern matters: _atomic_write's
+#: in-flight temp files ("pending_fold.7.json.tmp.<hex>") share the
+#: prefix, and a heal that swept one would crash the raiser's os.replace
+#: mid-commit (r11 second-review find)
+_FOLD_FLAG_RE = re.compile(r"^pending_fold\.(\d+)\.json$")
 
 
 class CommitConflict(RuntimeError):
@@ -49,6 +57,49 @@ class SnapshotLog:
         self.table_path = table_path
         self.meta_dir = os.path.join(table_path, "metadata")
         self.data_dir = os.path.join(table_path, "data")
+        #: heal-gate flag files live in their own subdir so the per-write
+        #: gate check lists O(#flags) entries — almost always zero — not
+        #: the O(history) v-file population (r11 second-review find)
+        self.folds_dir = os.path.join(self.meta_dir, "pending_folds")
+
+    @contextlib.contextmanager
+    def _meta_lock(self, timeout_s: float = 5.0, stale_s: float = 10.0):
+        """Advisory cross-process lock serializing table.json
+        read-modify-writes (``evolve_schema``, ``evolve_spec``, the
+        legacy flag clear). Without it two concurrent evolutions could
+        interleave their RMWs and the loser's column add was silently
+        erased — and since each writer retires its own heal-gate flag
+        after its evolve returns, the erased fold lost its gate too,
+        reopening the r08 type-change hole (r11 second-review find).
+        O_EXCL-create is the acquire; a crashed holder's lock goes stale
+        after ``stale_s`` and is stolen (the steal re-races through
+        O_EXCL, so two stealers still serialize)."""
+        path = os.path.join(self.meta_dir, "table.json.lock")
+        deadline = time.time() + timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(path) > stale_s:
+                        os.unlink(path)  # dead holder — steal
+                        continue
+                except OSError:
+                    continue  # holder released between checks — re-race
+                if time.time() > deadline:
+                    raise CommitConflict(
+                        "timed out waiting for the table.json lock"
+                    )
+                time.sleep(0.005)
+        try:
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:  # pragma: no cover
+                pass  # a staleness steal took it — already re-raced
 
     # -- identity ----------------------------------------------------------
 
@@ -73,27 +124,32 @@ class SnapshotLog:
         schema is archived under ``schema_history`` and the named fields
         are APPENDED to ``schema_json`` — Iceberg's schema-evolution
         metadata swap. The union is computed HERE against a fresh read of
-        the metadata (not from a caller-supplied full schema), so two
-        concurrent writers adding DIFFERENT columns can only interleave
-        within this read-modify-write — and even a lost update degrades
-        gracefully: reads stay correct regardless (the per-commit schema
-        fingerprints force the footer merge), and a type conflict on the
-        dropped entry fails loudly at read (CANNOT_MERGE_SCHEMAS) instead
-        of silently. Callers invoke this AFTER the data commit succeeds,
-        so a failed write can never leave a declared column with no data.
-        Fields already present (by name) are skipped — idempotent."""
-        meta = self.table_meta()
-        schema = meta.get("schema_json") or {"type": "struct", "fields": []}
-        have = {f["name"] for f in schema.get("fields", [])}
-        fresh = [f for f in new_fields_json if f["name"] not in have]
-        if not fresh:
-            return
-        history = meta.setdefault("schema_history", [])
-        history.append(json.loads(json.dumps(schema)))
-        schema = dict(schema)
-        schema["fields"] = list(schema.get("fields", [])) + fresh
-        meta["schema_json"] = schema
-        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
+        the metadata (not from a caller-supplied full schema) UNDER the
+        table.json lock: two concurrent writers adding DIFFERENT columns
+        used to interleave this read-modify-write and the loser's add was
+        silently erased — which, once r11's carry-and-heal retired the
+        loser's heal-gate flag (its evolve "succeeded"), reopened the
+        r08 type-change hole with no gate left (r11 second-review find).
+        Callers invoke this AFTER the data commit succeeds, so a failed
+        write can never leave a declared column with no data. Fields
+        already present (by name) are skipped — idempotent."""
+        with self._meta_lock():
+            meta = self.table_meta()
+            schema = meta.get("schema_json") or {
+                "type": "struct", "fields": []
+            }
+            have = {f["name"] for f in schema.get("fields", [])}
+            fresh = [f for f in new_fields_json if f["name"] not in have]
+            if not fresh:
+                return
+            history = meta.setdefault("schema_history", [])
+            history.append(json.loads(json.dumps(schema)))
+            schema = dict(schema)
+            schema["fields"] = list(schema.get("fields", [])) + fresh
+            meta["schema_json"] = schema
+            self._atomic_write(
+                os.path.join(self.meta_dir, "table.json"), meta
+            )
 
     # -- partition-spec evolution ------------------------------------------
 
@@ -110,18 +166,22 @@ class SnapshotLog:
         Iceberg contract (spec evolution is a metadata-only operation).
 
         Returns the new spec id. Safe against concurrent data commits:
-        they create v-files and never touch table.json; two concurrent
-        evolves are last-wins (same as Iceberg's metadata swap at this
-        fallback's fidelity level).
+        they create v-files and never touch table.json; concurrent
+        evolves and schema folds serialize on the table.json lock (so a
+        spec swap can no longer erase a concurrent evolve_schema's
+        column add, or vice versa).
         """
-        meta = self.table_meta()
-        old_id = int(meta.get("spec_id", 0))
-        history = meta.setdefault("spec_history", {})
-        history[str(old_id)] = meta.get("partition_spec", [])
-        meta["partition_spec"] = [list(f) for f in new_spec]
-        meta["spec_id"] = old_id + 1
-        self._atomic_write(os.path.join(self.meta_dir, "table.json"), meta)
-        return old_id + 1
+        with self._meta_lock():
+            meta = self.table_meta()
+            old_id = int(meta.get("spec_id", 0))
+            history = meta.setdefault("spec_history", {})
+            history[str(old_id)] = meta.get("partition_spec", [])
+            meta["partition_spec"] = [list(f) for f in new_spec]
+            meta["spec_id"] = old_id + 1
+            self._atomic_write(
+                os.path.join(self.meta_dir, "table.json"), meta
+            )
+            return old_id + 1
 
     # -- snapshot access ---------------------------------------------------
 
@@ -343,13 +403,7 @@ class SnapshotLog:
                 # exactly like publish's.
                 snap["new_fields"] = list(new_fields)
                 if branch == "main":
-                    self._atomic_write(
-                        os.path.join(
-                            self.meta_dir,
-                            f"pending_fold.{version + 1}.json",
-                        ),
-                        {"target": version + 1, "source_branch": "main"},
-                    )
+                    self._raise_fold_flag(version + 1, "main")
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{version + 1}.json"), snap
@@ -457,11 +511,13 @@ class SnapshotLog:
         if not self.exists():
             return 0
         try:
+            # strict-match: _atomic_write temp files share the prefix and
+            # must never be swept (the raiser's os.replace would crash)
             flag_files = [
-                fn for fn in os.listdir(self.meta_dir)
-                if fn.startswith("pending_fold.")
+                fn for fn in os.listdir(self.folds_dir)
+                if _FOLD_FLAG_RE.match(fn)
             ]
-        except FileNotFoundError:  # pragma: no cover
+        except FileNotFoundError:
             flag_files = []
         meta = self.table_meta()
         legacy = meta.get("pending_publish_folds")
@@ -501,22 +557,36 @@ class SnapshotLog:
         # clear = unlink exactly the flag files this scan covered; a
         # concurrent raise is a DIFFERENT file name and stays untouched
         for fn in flag_files:
-            try:
-                tid = int(fn.split(".")[1])
-            except (IndexError, ValueError):
-                tid = 0  # malformed flag: treat as covered, remove
+            tid = int(_FOLD_FLAG_RE.match(fn).group(1))
             if tid <= seen_max:
                 try:
-                    os.unlink(os.path.join(self.meta_dir, fn))
+                    os.unlink(os.path.join(self.folds_dir, fn))
                 except FileNotFoundError:
                     pass  # another heal got it first — same outcome
         if legacy and int(legacy) <= seen_max:
-            meta = self.table_meta()
-            if meta.pop("pending_publish_folds", None) is not None:
-                self._atomic_write(
-                    os.path.join(self.meta_dir, "table.json"), meta
-                )
+            # legacy-field clear under the table.json lock: this RMW
+            # could otherwise erase a concurrent evolve_schema's column
+            # add (r11 second-review find) — live only while a
+            # pre-revision crash artifact exists, but that upgrade
+            # window is exactly when correctness matters most
+            with self._meta_lock():
+                meta = self.table_meta()
+                if meta.pop("pending_publish_folds", None) is not None:
+                    self._atomic_write(
+                        os.path.join(self.meta_dir, "table.json"), meta
+                    )
         return len(pending)
+
+    def _raise_fold_flag(self, target: int, source_branch: str) -> None:
+        """Raise the heal gate for the commit/publish targeting snapshot
+        ``target`` — one file per raise in ``pending_folds/`` (its own
+        subdir so the per-write gate check lists O(#flags) entries,
+        almost always zero, not the O(history) v-file population)."""
+        os.makedirs(self.folds_dir, exist_ok=True)
+        self._atomic_write(
+            os.path.join(self.folds_dir, f"pending_fold.{target}.json"),
+            {"target": target, "source_branch": source_branch},
+        )
 
     def retire_fold_flag(self, snapshot_id: int) -> None:
         """Remove the heal-gate flag a commit/publish raised for
@@ -524,7 +594,7 @@ class SnapshotLog:
         (a crash before this leaves the flag for the next heal)."""
         try:
             os.unlink(os.path.join(
-                self.meta_dir, f"pending_fold.{snapshot_id}.json"
+                self.folds_dir, f"pending_fold.{snapshot_id}.json"
             ))
         except FileNotFoundError:
             pass  # a heal swept it first — same outcome
@@ -617,14 +687,7 @@ class SnapshotLog:
                 # RMW). One file per retry attempt; superseded attempts'
                 # files are swept by the next heal once any commit takes
                 # their target id.
-                self._atomic_write(
-                    os.path.join(
-                        self.meta_dir,
-                        f"pending_fold.{snap['snapshot_id']}.json",
-                    ),
-                    {"target": snap["snapshot_id"],
-                     "source_branch": branch},
-                )
+                self._raise_fold_flag(snap["snapshot_id"], branch)
             try:
                 self._atomic_create(
                     os.path.join(self.meta_dir, f"v{snap['snapshot_id']}.json"),

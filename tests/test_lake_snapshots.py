@@ -1220,10 +1220,13 @@ def test_torn_main_evolve_self_heals(spark, tmp_path, batches):
 
 
 def _pending_flags(log):
-    return sorted(
-        fn for fn in os.listdir(log.meta_dir)
-        if fn.startswith("pending_fold.")
-    )
+    try:
+        return sorted(
+            fn for fn in os.listdir(log.folds_dir)
+            if fn.startswith("pending_fold.")
+        )
+    except FileNotFoundError:
+        return []
 
 
 def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
@@ -1251,10 +1254,7 @@ def test_heal_clear_cannot_lose_concurrent_publish_fold(spark, tmp_path,
     # uncovered one — a concurrent raiser's file is untouchable by name
     covered, uncovered = log._max_version(), log._max_version() + 1
     for t in (covered, uncovered):
-        log._atomic_write(
-            _os.path.join(log.meta_dir, f"pending_fold.{t}.json"),
-            {"target": t},
-        )
+        log._raise_fold_flag(t, "main")
     assert log.heal_publish_folds() == 0
     assert _pending_flags(log) == [f"pending_fold.{uncovered}.json"]
 

@@ -361,7 +361,46 @@ def test_publish_vs_heal_thread_race_never_loses_a_fold(log):
     declared = {f["name"] for f in
                 log.table_meta()["schema_json"]["fields"]}
     assert {f"c{i}" for i in range(rounds)} <= declared
-    flags = [fn for fn in os.listdir(log.meta_dir)
-             if fn.startswith("pending_fold.")]
+    try:
+        flags = [fn for fn in os.listdir(log.folds_dir)
+                 if fn.startswith("pending_fold.")]
+    except FileNotFoundError:
+        flags = []
     assert flags == []
     assert not log.table_meta().get("pending_publish_folds")
+
+
+def test_concurrent_evolve_schema_never_loses_a_column(log):
+    """r11 second-review find: evolve_schema was a table.json
+    read-modify-write, so two concurrent evolutions could interleave
+    and the loser's column add was silently erased — and since r11's
+    carry-and-heal retires each owner's heal-gate flag after its evolve
+    RETURNS, the erased fold also lost its gate. The table.json lock
+    serializes the RMW; hammer it with two threads adding disjoint
+    column sets and require every add to survive."""
+    import threading
+
+    log.evolve_schema([{"name": "base", "type": "long",
+                        "nullable": True, "metadata": {}}])
+    errors: list[BaseException] = []
+
+    def evolver(prefix):
+        try:
+            for i in range(25):
+                log.evolve_schema([{"name": f"{prefix}{i}",
+                                    "type": "double",
+                                    "nullable": True, "metadata": {}}])
+        except BaseException as e:  # pragma: no cover
+            errors.append(e)
+
+    ts = [threading.Thread(target=evolver, args=(p,)) for p in ("a", "b")]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    want = {"base"} | {f"a{i}" for i in range(25)} | {
+        f"b{i}" for i in range(25)}
+    assert want <= declared, sorted(want - declared)
