@@ -63,7 +63,7 @@ class SnapshotLog:
         self.folds_dir = os.path.join(self.meta_dir, "pending_folds")
 
     @contextlib.contextmanager
-    def _meta_lock(self, timeout_s: float = 5.0, stale_s: float = 10.0):
+    def _meta_lock(self, timeout_s: float = 15.0, stale_s: float = 10.0):
         """Advisory cross-process lock serializing table.json
         read-modify-writes (``evolve_schema``, ``evolve_spec``, the
         legacy flag clear). Without it two concurrent evolutions could
@@ -73,7 +73,11 @@ class SnapshotLog:
         reopening the r08 type-change hole (r11 second-review find).
         O_EXCL-create is the acquire; a crashed holder's lock goes stale
         after ``stale_s`` and is stolen (the steal re-races through
-        O_EXCL, so two stealers still serialize)."""
+        O_EXCL, so two stealers still serialize). ``timeout_s`` >
+        ``stale_s`` deliberately: a waiter arriving just after a kill
+        outlives the staleness window and steals instead of erroring, so
+        a crashed holder costs at most ``stale_s`` of blocking, never a
+        CommitConflict storm."""
         path = os.path.join(self.meta_dir, "table.json.lock")
         deadline = time.time() + timeout_s
         while True:

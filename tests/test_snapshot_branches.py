@@ -404,3 +404,22 @@ def test_concurrent_evolve_schema_never_loses_a_column(log):
     want = {"base"} | {f"a{i}" for i in range(25)} | {
         f"b{i}" for i in range(25)}
     assert want <= declared, sorted(want - declared)
+
+
+def test_meta_lock_steals_a_dead_holders_lock(log):
+    """A process killed while holding the table.json lock must not brick
+    the table: once the lock file goes stale (mtime older than stale_s)
+    the next writer steals it and proceeds."""
+    import time
+
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    with open(lock_path, "w"):
+        pass
+    old = time.time() - 120
+    os.utime(lock_path, (old, old))  # a long-dead holder
+    log.evolve_schema([{"name": "stolen", "type": "long",
+                        "nullable": True, "metadata": {}}])
+    declared = {f["name"] for f in
+                log.table_meta()["schema_json"]["fields"]}
+    assert "stolen" in declared
+    assert not os.path.exists(lock_path)  # released after the steal
