@@ -283,18 +283,24 @@ def test_stateful_state_carries_across_microbatch_boundaries(spark, tmp_path):
 
     # update mode re-emits per batch — identify each key's LATEST
     # emission by its monotonically-growing n_suppressed
+    emitted = _drain_rows(dedup_first_seen(_stream()), tmp_path / "cp_mb")
     got = {}
-    for r in _drain_rows(dedup_first_seen(_stream()), tmp_path / "cp_mb"):
+    for r in emitted:
         cur = got.get(r.user_id)
         if cur is None or r.n_suppressed > cur[1]:
             got[r.user_id] = (r.first_ts, r.n_suppressed)
-    assert got[1] == (t0, 2)  # min arrived in batch 2; NaT never reset it
-    assert got[2] == (t0 + dt.timedelta(minutes=1), 1)
+    # raw emissions ride the assert message: this test has flaked ~once
+    # a round under heavy host load (r09/r10 verdicts; never solo, never
+    # reproduced under 3x synthetic load) and the mechanism is still
+    # unidentified — the next flake must show WHICH emissions arrived
+    assert got.get(1) == (t0, 2), emitted  # min in batch 2; NaT no reset
+    assert got.get(2) == (t0 + dt.timedelta(minutes=1), 1), emitted
 
+    emitted = _drain_rows(running_counter(_stream()), tmp_path / "cp_cmb")
     got = {}
-    for r in _drain_rows(running_counter(_stream()), tmp_path / "cp_cmb"):
+    for r in emitted:
         cur = got.get(r.event_type)
         if cur is None or r.n_events > cur[0]:
             got[r.event_type] = (r.n_events, r.total_cents)
     # 5 rows total; the NULL value drops out of the cents sum only
-    assert got["view"] == (5, 4200)
+    assert got.get("view") == (5, 4200), emitted
