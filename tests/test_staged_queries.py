@@ -66,3 +66,217 @@ def test_staged_r11_dicts_are_not_registered():
     live = set(registry.all_queries())
     assert not (staged & live)
     assert set(llm.R11_ORACLE) | set(behavioral.R11_ORACLE) == staged
+
+
+# -- third-reference pins (r10 methodology): the differential gate is
+# blind to both-engines-agree-but-wrong, so each staged query also gets
+# an INDEPENDENT pure-Python reference implementing the documented spec
+# from scratch — different algorithm where possible (linear-scan islands
+# vs the engines' rn-difference trick), integer-valued fixture vectors so
+# every dot product is exact in float64 regardless of summation order.
+
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _dot(a, b):
+    s = 0.0
+    for x, y in zip(a, b):
+        s += x * y
+    return s
+
+
+def test_similarity_mmr_matches_pure_python_reference(spark, tmp_path):
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _MMR_C,
+        _MMR_K,
+        _QUERY_STRIDE,
+        similarity_mmr,
+    )
+
+    DIM = 8
+    rows = [
+        (0, [4, 0, 0, 0, 0, 0, 0, 0]),       # query
+        (50, [0, 4, 0, 0, 0, 0, 0, 0]),      # query
+        (-100, [1, 1, 0, 0, 0, 0, 0, 0]),    # negative-id query
+        # a near-duplicate cluster: pure relevance ranks all three high,
+        # MMR must push the redundant copies down
+        (1, [4, 1, 0, 0, 0, 0, 0, 0]),
+        (2, [4, 1, 0, 0, 0, 0, 0, 0]),       # exact tie with 1 (id-asc)
+        (3, [8, 2, 0, 0, 0, 0, 0, 0]),       # same direction, scaled
+        # diverse spread
+        (4, [3, 3, 0, 0, 0, 0, 0, 0]),
+        (5, [0, 3, 3, 0, 0, 0, 0, 0]),
+        (6, [1, 0, 5, 0, 0, 0, 0, 0]),
+        (8, [2, 2, 2, 2, 0, 0, 0, 0]),
+        (9, [0, 0, 0, 7, 0, 0, 0, 0]),
+        (11, [5, 0, 0, 5, 0, 0, 0, 0]),
+        (13, [1, 2, 3, 4, 0, 0, 0, 0]),
+        (-7, [0, 1, 1, 1, 1, 0, 0, 0]),
+        # quarantine rows
+        (None, [9] * DIM),
+        (21, None),
+        (22, [0] * DIM),
+        (23, [1, 2]),
+    ]
+    d = tmp_path / "mmr"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([i for i, _ in rows], pa.int64()),
+            "embedding": pa.array(
+                [None if v is None else [float(x) for x in v]
+                 for _, v in rows],
+                pa.list_(pa.float32()),
+            ),
+        }),
+        d / "embeddings.parquet",
+    )
+
+    got = {
+        (r.q_id, r.mmr_rank): (r.cand_id, r.mmr_score_u)
+        for r in similarity_mmr(spark, str(d)).collect()
+    }
+
+    # pure-python reference, from the spec
+    modal = {}
+    for i, v in rows:
+        if v is not None:
+            modal[len(v)] = modal.get(len(v), 0) + 1
+    dim = max(sorted(modal), key=lambda k: (modal[k], k))
+    valid = [
+        (i, v) for i, v in rows
+        if i is not None and v is not None and len(v) == dim
+        and any(x != 0 for x in v)
+    ]
+    vecs = dict(valid)
+    want = {}
+    for qid, qv in valid:
+        if qid % _QUERY_STRIDE != 0:
+            continue
+        scored = sorted(
+            (
+                (cid, round(_dot(qv, cv)
+                            / (math.sqrt(_dot(qv, qv))
+                               * math.sqrt(_dot(cv, cv))), 6))
+                for cid, cv in valid if cid != qid
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )[:_MMR_C]
+        rel = {c: math.floor(s * 1e6 + 0.5) for c, s in scored}
+        sim = {
+            (a, b): math.floor(
+                round(_dot(vecs[a], vecs[b])
+                      / (math.sqrt(_dot(vecs[a], vecs[a]))
+                         * math.sqrt(_dot(vecs[b], vecs[b]))), 6)
+                * 1e6 + 0.5
+            )
+            for a, _ in scored for b, _ in scored if a != b
+        }
+        picked = []
+        for step in range(1, min(_MMR_K, len(scored)) + 1):
+            best = None
+            for cid, _ in scored:
+                if cid in picked:
+                    continue
+                ms = max((sim[(cid, p)] for p in picked), default=0)
+                mmr = 7 * rel[cid] - 3 * ms
+                if best is None or (-mmr, cid) < best[0]:
+                    best = ((-mmr, cid), cid, mmr)
+            picked.append(best[1])
+            want[(qid, step)] = (best[1], best[2])
+    assert got == want, (
+        sorted(set(want) - set(got)), sorted(set(got) - set(want)),
+        {k: (got.get(k), want.get(k)) for k in want if got.get(k) != want[k]},
+    )
+    # the fixture must actually exercise the diversity trade: some
+    # query's picks must not be the pure-relevance prefix
+    assert any(
+        [want[(q, s)][0] for s in range(1, 6) if (q, s) in want]
+        != [c for c, _ in sorted(
+            ((cid, round(_dot(vecs[q], cv)
+                         / (math.sqrt(_dot(vecs[q], vecs[q]))
+                            * math.sqrt(_dot(cv, cv))), 6))
+             for cid, cv in valid if cid != q),
+            key=lambda t: (-t[1], t[0]))][:5]
+        for q in {k[0] for k in want}
+    )
+
+
+def test_run_length_segments_matches_pure_python_reference(spark, tmp_path):
+    import datetime as dt
+
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        run_length_segments,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    # (event_id, ts, user_id, event_type): exact-ts ties with NULL
+    # event_ids, interleaved users, NULL-field rows that must drop
+    ev = [
+        (1, t0, 10, "a"), (2, t0 + m, 10, "a"), (3, t0 + 2 * m, 10, "a"),
+        (4, t0 + 3 * m, 10, "b"), (5, t0 + 4 * m, 10, "a"),
+        (None, t0 + 4 * m, 10, "a"),        # NULL id tied with id 5's ts
+        (None, t0 + 4 * m, 10, "b"),        # second NULL id, same ts
+        (6, t0, 20, "b"), (7, t0, 20, "b"),  # exact tie, ids order
+        (8, t0 + m, 20, "a"),
+        (9, None, 20, "a"),                  # NULL ts: dropped
+        (10, t0 + m, None, "a"),             # NULL user: dropped
+        (11, t0 + 2 * m, 20, None),          # NULL type: dropped
+        (12, t0 + 2 * m, 20, "b"),
+    ]
+    d = tmp_path / "rls"
+    d.mkdir()
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in ev], pa.int64()),
+            "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ev], pa.int64()),
+            "event_type": pa.array([r[3] for r in ev], pa.string()),
+            "value": pa.array([1.0] * len(ev), pa.float64()),
+            "props": pa.array(["{}"] * len(ev), pa.string()),
+        }),
+        d / "events.parquet",
+    )
+
+    got = {
+        r.event_type: (r.n_runs, r.max_run, r.runs_ge3, r.mean_len_x100)
+        for r in run_length_segments(spark, str(d)).collect()
+    }
+
+    # independent formulation: per-user linear scan over the pinned
+    # order, counting maximal constant runs directly (no row-number
+    # difference trick)
+    keep = [r for r in ev
+            if r[1] is not None and r[2] is not None and r[3] is not None]
+    runs = []
+    for u in sorted({r[2] for r in keep}):
+        seq = sorted(
+            (r for r in keep if r[2] == u),
+            key=lambda r: (
+                r[1],
+                (0, 0) if r[0] is None else (1, r[0]),  # NULLS FIRST
+                r[3],
+            ),
+        )
+        cur_t, cur_n = None, 0
+        for r in seq:
+            if r[3] == cur_t:
+                cur_n += 1
+            else:
+                if cur_t is not None:
+                    runs.append((cur_t, cur_n))
+                cur_t, cur_n = r[3], 1
+        if cur_t is not None:
+            runs.append((cur_t, cur_n))
+    want = {}
+    for t in sorted({t for t, _ in runs}):
+        ls = [n for tt, n in runs if tt == t]
+        want[t] = (len(ls), max(ls), sum(1 for n in ls if n >= 3),
+                   sum(ls) * 100 // len(ls))
+    assert got == want, (got, want)
+    # the tie rows must actually have landed where the pinned order says
+    assert want["a"][1] >= 3  # user 10's leading a-run survives the tie
