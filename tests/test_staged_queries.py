@@ -88,6 +88,7 @@ def _dot(a, b):
     return s
 
 
+@pytest.mark.deep
 def test_similarity_mmr_matches_pure_python_reference(spark, tmp_path):
     from bytewax_iceberg_connector_spark.plans.llm import (
         _MMR_C,
@@ -205,6 +206,7 @@ def test_similarity_mmr_matches_pure_python_reference(spark, tmp_path):
     )
 
 
+@pytest.mark.deep
 def test_run_length_segments_matches_pure_python_reference(spark, tmp_path):
     import datetime as dt
 
