@@ -1044,6 +1044,19 @@ class LakeSink:
 
         ``trigger_override`` replaces the config's processing-time trigger
         (e.g. ``{"availableNow": True}`` to drain a bounded source).
+
+        CONTRACT — one logical stream per table: the dedup key is the raw
+        micro-batch epoch, which makes exactly-once survive even
+        CHECKPOINT LOSS (a fresh checkpoint replaying the source from
+        scratch re-issues epochs 0..N and every one is skipped — pinned
+        in tests/test_lake_snapshots.py), the reference's A7 posture and
+        strictly stronger than vanilla Spark's checkpoint-scoped
+        guarantee. The flip side: a SECOND independent streaming query
+        writing the same table would collide on those same epoch numbers
+        and lose batches — multi-stream ingestion must fan in upstream
+        (union the sources into one query), write to distinct WAP
+        branches, or use batch ``append(batch_id=)`` with caller-managed
+        disjoint id ranges.
         """
         trigger = trigger_override or self.config.trigger()
         if self.backend == "iceberg":
