@@ -2098,3 +2098,43 @@ def test_torn_fold_survives_expiry_of_its_carrier(spark, tmp_path, batches):
                 log.table_meta()["schema_json"]["fields"]}
     assert "q" in declared
     assert _pending_flags(log) == []
+
+
+def test_corrupted_metadata_fails_loudly_never_silently(spark, tmp_path,
+                                                        batches):
+    """Family #19 seed (external tampering / disk corruption): a v-file
+    that no longer parses — or parses to an empty object — must make
+    metadata consumers RAISE, never silently skip the snapshot (a silent
+    skip would shrink live sets and regress heads with no signal; our
+    own crashes can't produce torn v-files — writes are atomic renames —
+    so any unparseable file is external damage the engine must refuse to
+    guess around)."""
+    b1, b2 = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    sink.append(b2)
+    log = sink._log
+    target = os.path.join(log.meta_dir, "v1.json")
+    original = open(target).read()
+
+    # (1) garbled JSON: every metadata consumer raises
+    with open(target, "w") as f:
+        f.write(original[: len(original) // 2])
+    for fn in (log.snapshots, log.current_id, lambda: log.snapshot(1),
+               log.committed_batch_ids, lambda: sink.read().count()):
+        with pytest.raises(Exception) as exc:
+            fn()
+        assert not isinstance(exc.value, LookupError)  # not "expired"
+
+    # (2) valid-but-empty JSON object: consumers that need its fields
+    # still fail loudly instead of treating it as an empty snapshot
+    with open(target, "w") as f:
+        f.write("{}")
+    with pytest.raises(Exception):
+        sink.read(as_of=1).count()
+
+    # (3) restored: everything reads again, nothing was "healed" away
+    with open(target, "w") as f:
+        f.write(original)
+    assert sink.read().count() == 30
+    assert sink.read(as_of=1).count() == 10
