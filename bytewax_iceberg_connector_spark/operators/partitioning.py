@@ -187,6 +187,17 @@ def encode_hostile_pcol(col: Column, colname: str) -> Column:
     255-byte cap the guard exists to prevent)."""
     import re as _re
 
+    # scientific-notation DoS guard (r11): Spark's partition-dir parser
+    # evaluates its decimal Try EAGERLY even with type inference OFF
+    # (upstream bug), so a VALUE like "1e438614392" written verbatim as a
+    # dir component makes every later read of the table materialize
+    # 10^438614392 as a BigInteger — an hours-long driver spin. Divert
+    # any full numeric-with-exponent form whose exponent has 4+ digits
+    # (≥1e1000 — no sane partition value; small exponents like "1e5"
+    # keep round-tripping verbatim, pinned since r10).
+    sci_bomb = col.rlike(
+        r"^[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)[eE][+-]?[0-9]{4,}$"
+    )
     esc_cnt = F.length(col) - F.length(
         F.regexp_replace(col, _ESCAPABLE_RE, "")
     )
@@ -201,6 +212,7 @@ def encode_hostile_pcol(col: Column, colname: str) -> Column:
         F.when(too_long, F.concat(F.lit(ESC_MARK + "long_"), hashed))
         .when(col == "", F.lit(ESC_MARK + "empty"))
         .when(col == HIVE_DEFAULT, F.lit(ESC_MARK + "hive"))
+        .when(sci_bomb, F.concat(F.lit(ESC_MARK + "num_"), hashed))
         .when(
             col.startswith(ESC_MARK),
             F.concat(F.lit(ESC_MARK + "esc_"), hashed),

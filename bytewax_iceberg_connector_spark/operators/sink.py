@@ -570,8 +570,14 @@ class LakeSink:
                   "schema_fp": schema_fp}
         if esc_pcols:
             marker["esc_pcols"] = sorted(esc_pcols)
-        with open(os.path.join(path, "_bic_spec.json"), "w") as f:
+        # atomic rename-in: our own crashes can then never leave a TORN
+        # marker in a dir a snapshot references (the commit below comes
+        # after), so readers may treat any unparseable marker as external
+        # damage and refuse loudly instead of silently degrading
+        mtmp = os.path.join(path, "_bic_spec.json.tmp")
+        with open(mtmp, "w") as f:
             json.dump(marker, f)
+        os.replace(mtmp, os.path.join(path, "_bic_spec.json"))
         log = self._log
         sid = log.commit(
             operation, [name],
@@ -1415,8 +1421,21 @@ class LakeSink:
             try:
                 with open(os.path.join(d, "_bic_spec.json")) as f:
                     return json.load(f)
-            except (OSError, ValueError):
-                return {}
+            except FileNotFoundError:
+                return {}  # pre-marker-era commit dir: legacy defaults
+            except ValueError as exc:
+                # marker writes are atomic (rename-in) and precede the
+                # commit, so a referenced dir can never carry a torn
+                # marker from our own crashes — unparseable means
+                # EXTERNAL damage, and degrading to {} here would
+                # silently skip the esc_pcols recompute (marker values
+                # leaking into reads) and mis-group the schema
+                # fingerprint. Refuse loudly instead.
+                raise ValueError(
+                    f"corrupt commit marker {d}/_bic_spec.json — external "
+                    "damage; restore the file or expire the snapshot(s) "
+                    f"referencing this commit: {exc}"
+                ) from exc
 
         markers = {d: _marker(d) for d in dirs}
 
@@ -1517,8 +1536,16 @@ class LakeSink:
                     marker = json.load(f)
                 key = (int(marker.get("spec_id", 0)),
                        *marker.get("pcols", []))
-            except (FileNotFoundError, json.JSONDecodeError):
-                key = (0, *fallback)
+            except FileNotFoundError:
+                key = (0, *fallback)  # pre-marker-era commit dir
+            except json.JSONDecodeError as exc:
+                # unparseable = external damage (marker writes are
+                # atomic); mis-grouping under the fallback spec would
+                # silently mis-read partitioned history — refuse loudly
+                raise ValueError(
+                    f"corrupt commit marker {d}/_bic_spec.json — external "
+                    f"damage; restore or expire: {exc}"
+                ) from exc
             groups.setdefault(key, []).append(d)
         return groups
 

@@ -330,8 +330,20 @@ class SnapshotLog:
 
     def new_commit_dir(self) -> tuple[str, str]:
         """Reserve a fresh commit directory (name, absolute path). The
-        ``_c=`` prefix makes it a partition-style path component."""
-        name = f"_c={uuid.uuid4().hex[:16]}"
+        ``_c=`` prefix makes it a partition-style path component.
+
+        The name LEADS WITH ``g`` (not a hex digit, not an exponent
+        marker) so it can never parse as a number: Spark's partition-dir
+        parser evaluates its decimal ``Try`` EAGERLY even with
+        ``partitionColumnTypeInference.enabled=false`` (upstream bug, r11
+        find), so a pure-hex name that happens to match
+        ``<digits>e<digits>`` — probability ~1/1100 per random 16-hex
+        name — made ``new JBigDecimal("670286e438614392")`` materialize
+        10^438614392 via ``BigInteger.pow``: an hours-long driver spin on
+        EVERY read of the table (observed live: a suite run wedged 25
+        minutes inside ``PartitioningUtils.inferPartitionColumnValue``).
+        """
+        name = f"_c=g{uuid.uuid4().hex[:16]}"
         return name, os.path.join(self.data_dir, name)
 
     def commit(

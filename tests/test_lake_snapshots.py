@@ -1333,6 +1333,10 @@ def test_hostile_partition_values_roundtrip_lifecycle(spark, tmp_path):
     values = [
         "", " ", "a/b", "a=b", "a\nb", "日本語", HIVE_DEFAULT,
         "0123", "1e5", ESC_MARK + "spoof", "v" * 400, None,
+        # scientific-notation DoS values (r11): written verbatim these
+        # made Spark's eagerly-evaluated partition-dir decimal Try
+        # materialize 10^exponent — hours per read; now diverted
+        "1e438614392", "-3.2E99999",
     ]
     rows = [Row(rid=i, source=v, payload=f"p{i}")
             for i, v in enumerate(values)]
@@ -2138,3 +2142,79 @@ def test_corrupted_metadata_fails_loudly_never_silently(spark, tmp_path,
         f.write(original)
     assert sink.read().count() == 30
     assert sink.read(as_of=1).count() == 10
+
+
+def test_corrupted_commit_marker_fails_loudly(spark, tmp_path, batches):
+    """Family #19, marker arm: _bic_spec.json writes are atomic and
+    precede the snapshot commit, so a referenced dir can never carry a
+    torn marker from our own crashes — an unparseable marker is external
+    damage, and the old degrade-to-{} path silently skipped the
+    esc_pcols recompute (marker values leaking into reads) and
+    mis-grouped the schema fingerprint. Reads must refuse loudly;
+    a MISSING marker (pre-marker-era dir) keeps its legacy fallback."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    log = sink._log
+    d = log.commit_paths()[0]
+    marker = os.path.join(d, "_bic_spec.json")
+    original = open(marker).read()
+
+    with open(marker, "w") as f:
+        f.write(original[: len(original) // 2])
+    with pytest.raises(ValueError, match="corrupt commit marker"):
+        sink.read().count()
+
+    os.unlink(marker)  # legacy dir: falls back, still readable
+    assert sink.read().count() == 10
+
+    with open(marker, "w") as f:
+        f.write(original)
+    assert sink.read().count() == 10
+
+
+def test_sci_notation_dir_components_never_reach_the_parser(spark,
+                                                            tmp_path,
+                                                            batches):
+    """r11 DoS find: Spark's partition-dir parser evaluates its decimal
+    ``Try`` EAGERLY even with type inference disabled (upstream bug), so
+    any dir component matching ``<digits>e<huge digits>`` materializes
+    10^exponent as a BigInteger — an hours-long driver spin per read.
+    Two engine-side guarantees pin the workaround:
+    1. commit-dir names lead with ``g`` (``_c=g<hex>``) so a random hex
+       like ``670286e438614392`` (~1/1100 per name — this EXACT name
+       wedged a live suite run for 25 minutes) can never parse;
+    2. hostile VALUES in full numeric-with-big-exponent form are
+       diverted to injective markers at write and recomputed exactly at
+       read (small exponents like "1e5" stay verbatim)."""
+    b1, _ = batches
+    sink = _sink(spark, tmp_path)
+    sink.append(b1)
+    assert all(c.startswith("_c=g") for c in sink._log.live_commits())
+
+    cfg = IcebergSinkConfig(
+        table_name="db.scibomb", warehouse_path=str(tmp_path),
+        num_partitions=2, partition_spec=[("source", "identity")],
+    )
+    s2 = LakeSink(spark, cfg)
+    s2.append(spark.createDataFrame(
+        [Row(rid=0, source="1e438614392", payload="a"),
+         Row(rid=1, source="1e5", payload="b"),
+         Row(rid=2, source="-3.2E99999", payload="c"),
+         Row(rid=3, source="2024e7", payload="d")],
+        "rid int, source string, payload string"))
+    got = sorted((r.rid, r["_p_source"]) for r in s2.read().collect())
+    assert got == [(0, "1e438614392"), (1, "1e5"),
+                   (2, "-3.2E99999"), (3, "2024e7")], got
+    # the small-exponent values really are verbatim dir components
+    # (pruning intact); the bombs really are diverted
+    import os as _os
+
+    comps = {
+        dn.split("=", 1)[1]
+        for d in s2._log.commit_paths()
+        for dn in _os.listdir(d)
+        if dn.startswith("_p_")
+    }
+    assert "1e5" in comps and "2024e7" in comps
+    assert not any("438614392" in c or "99999" in c for c in comps)
