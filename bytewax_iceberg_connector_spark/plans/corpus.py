@@ -1202,3 +1202,173 @@ ORDER BY source, rank
 
 QUERIES["boilerplate_prefixes"] = boilerplate_prefixes
 ORACLE["boilerplate_prefixes"] = _SQL_BOILERPLATE
+
+
+# ---------------------------------------------------------------------------
+# r11-staged: MOSS-style winnowing fingerprints (register after r12 gate)
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 4            # tokens per k-gram
+_WINNOW_W = 5            # winnowing window (grams) — guarantee: any match
+#                          of >= K + W - 1 tokens shares a fingerprint
+_WINNOW_B = 2147483648   # packed-key base: key = (B - h)·B + gpos, so
+#                          arg_max picks the RIGHTMOST MINIMUM hash (the
+#                          winnowing tie rule); h < 2^24, gpos < 2^31
+
+
+def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    the MOSS algorithm): hash every positional token ``_WINNOW_K``-gram,
+    slide a ``_WINNOW_W``-gram window, keep each window's RIGHTMOST
+    minimum hash — the canonical local fingerprinting scheme whose
+    guarantee (every shared substring of ≥ K+W−1 tokens shares a
+    selected fingerprint) the rolling-hash ``doc_fingerprint`` cannot
+    give. Output: per-document fingerprint profile (gram count, selected
+    count, integer-ppm density, checksum and minimum of the selected
+    hashes — the min doubles as a fast equality prefilter for pairing).
+    Documents too short for a full window contribute their global
+    rightmost-min (the last partial window); gram-less docs report
+    zeros.
+
+    Cross-engine determinism: gram hash = first 24 bits of md5 (the
+    repo-standard portable hash), selection by integer ``arg_max`` /
+    ``max_by`` over the packed ``(B−h)·B+gpos`` key — no float, no
+    engine-specific tie behavior. DISTINCT (doc, gpos, h) first, so a
+    byte-identical re-ingested document row cannot double the profile.
+
+    Scale: grams ship as (doc_id, int pos, int hash) — text never
+    shuffles past the tokenizer projection; ONE hash exchange on doc_id
+    feeds both stacked windows AND the per-doc aggregates (subset
+    grouping key ⇒ no second exchange); output is |docs| narrow rows. At
+    100 TB the selected-fingerprint stream (≈ 2/(W+1) of grams) is what
+    you'd bucket-join for MOSS-style overlap pairing.
+    """
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    t = X.tokens(F.col("text"))
+    cnt = F.greatest(F.size(t) - (_WINNOW_K - 1), F.lit(0))
+    grams = F.slice(t, 1, cnt)
+    for i in range(1, _WINNOW_K):
+        grams = F.zip_with(
+            grams, F.slice(t, i + 1, cnt),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    g = (
+        docs.select("doc_id", F.posexplode(grams).alias("gpos", "gram"))
+        .select(
+            "doc_id",
+            F.col("gpos").cast("long").alias("gpos"),
+            F.conv(F.substring(F.md5("gram"), 1, 6), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    wsel = (
+        Window.partitionBy("doc_id")
+        .orderBy("gpos")
+        .rowsBetween(-(_WINNOW_W - 1), 0)
+    )
+    key = (
+        f"(CAST({_WINNOW_B} AS BIGINT) - h) "
+        f"* CAST({_WINNOW_B} AS BIGINT) + gpos"
+    )
+    sel = g.select(
+        "doc_id",
+        "gpos",
+        F.expr(f"max_by(gpos, {key})").over(wsel).alias("pick"),
+        F.expr(f"max_by(h, {key})").over(wsel).alias("hpick"),
+        F.max("gpos").over(Window.partitionBy("doc_id")).alias("maxpos"),
+    )
+    fp = (
+        sel.where(
+            (F.col("gpos") >= _WINNOW_W - 1)
+            | (F.col("gpos") == F.col("maxpos"))
+        )
+        .select("doc_id", "pick", "hpick")
+        .distinct()
+    )
+    prof = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp"),
+        F.sum("hpick").cast("long").alias("fp_checksum"),
+        F.min("hpick").cast("long").alias("fp_min"),
+    )
+    ng = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams")
+    )
+    base = docs.select("doc_id").distinct()
+    return (
+        base.join(ng, "doc_id", "left")
+        .join(prof, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce("n_fp", F.lit(0)).cast("long").alias("n_fp"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) > 0,
+                F.expr("coalesce(n_fp, 0) * 1000000 div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("fp_density_ppm"),
+            F.coalesce("fp_checksum", F.lit(0))
+            .cast("long")
+            .alias("fp_checksum"),
+            F.coalesce("fp_min", F.lit(0)).cast("long").alias("fp_min"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SQL_WINNOWING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         COALESCE({_SQL_TOKS}, []) AS tk
+  FROM documents WHERE doc_id IS NOT NULL
+), g AS (
+  SELECT DISTINCT doc_id, CAST(u.i AS BIGINT) AS gpos,
+         ('0x' || substr(md5(tk[u.i + 1] || ' ' || tk[u.i + 2] || ' ' ||
+                             tk[u.i + 3] || ' ' || tk[u.i + 4]), 1, 6))::BIGINT
+           AS h
+  FROM toks
+  CROSS JOIN UNNEST(range(GREATEST(len(tk) - {_WINNOW_K - 1}, 0))) AS u(i)
+), sel AS (
+  SELECT doc_id, gpos,
+         arg_max(gpos, (CAST({_WINNOW_B} AS BIGINT) - h)
+                       * CAST({_WINNOW_B} AS BIGINT) + gpos) OVER wsel
+           AS pick,
+         arg_max(h, (CAST({_WINNOW_B} AS BIGINT) - h)
+                    * CAST({_WINNOW_B} AS BIGINT) + gpos) OVER wsel
+           AS hpick,
+         MAX(gpos) OVER (PARTITION BY doc_id) AS maxpos
+  FROM g
+  WINDOW wsel AS (PARTITION BY doc_id ORDER BY gpos
+                  ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
+), fp AS (
+  SELECT DISTINCT doc_id, pick, hpick
+  FROM sel WHERE gpos >= {_WINNOW_W - 1} OR gpos = maxpos
+), prof AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         CAST(SUM(hpick) AS BIGINT) AS fp_checksum,
+         CAST(MIN(hpick) AS BIGINT) AS fp_min
+  FROM fp GROUP BY doc_id
+), ng AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(COALESCE(ng.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(prof.n_fp, 0) AS BIGINT) AS n_fp,
+       CAST(CASE WHEN COALESCE(ng.n_grams, 0) > 0
+                 THEN COALESCE(prof.n_fp, 0) * 1000000 // ng.n_grams
+                 ELSE 0 END AS BIGINT) AS fp_density_ppm,
+       CAST(COALESCE(prof.fp_checksum, 0) AS BIGINT) AS fp_checksum,
+       CAST(COALESCE(prof.fp_min, 0) AS BIGINT) AS fp_min
+FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL) b
+LEFT JOIN ng ON ng.doc_id = b.doc_id
+LEFT JOIN prof ON prof.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+R11_QUERIES = {"doc_winnowing": doc_winnowing}
+R11_ORACLE = {"doc_winnowing": _SQL_WINNOWING}

@@ -59,13 +59,39 @@ def test_staged_r11_dicts_are_not_registered():
     """Stage discipline: the staged names must NOT be in the live
     registry (registration would displace the r11 rotation window the
     r10 verdict ordered — zero headroom this round)."""
-    from bytewax_iceberg_connector_spark.plans import behavioral, llm, registry
+    from bytewax_iceberg_connector_spark.plans import (
+        behavioral,
+        corpus,
+        llm,
+        registry,
+    )
 
-    staged = set(llm.R11_QUERIES) | set(behavioral.R11_QUERIES)
-    assert staged == {"similarity_mmr", "run_length_segments"}
+    staged = (set(llm.R11_QUERIES) | set(behavioral.R11_QUERIES)
+              | set(corpus.R11_QUERIES))
+    assert staged == {"similarity_mmr", "run_length_segments",
+                      "doc_winnowing"}
     live = set(registry.all_queries())
     assert not (staged & live)
-    assert set(llm.R11_ORACLE) | set(behavioral.R11_ORACLE) == staged
+    assert (set(llm.R11_ORACLE) | set(behavioral.R11_ORACLE)
+            | set(corpus.R11_ORACLE)) == staged
+
+
+@pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
+def test_staged_doc_winnowing_matches_oracle(spark):
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        _SQL_WINNOWING,
+        doc_winnowing,
+    )
+
+    sp = spark_to_pandas(doc_winnowing(spark, _SF))
+    du = duck_oracle(Path(_SF), _SQL_WINNOWING)
+    assert len(sp)
+    assert_df_match(sp, du)
+    # winnowing density guarantee: expected 2/(w+1) of grams selected;
+    # must also never exceed 1 fingerprint/gram
+    full = sp[sp["n_grams"] >= 20]
+    assert len(full) and (full["n_fp"] <= full["n_grams"]).all()
+    assert 100_000 < full["fp_density_ppm"].median() < 600_000
 
 
 # -- third-reference pins (r10 methodology): the differential gate is
@@ -282,3 +308,81 @@ def test_run_length_segments_matches_pure_python_reference(spark, tmp_path):
     assert got == want, (got, want)
     # the tie rows must actually have landed where the pinned order says
     assert want["a"][1] >= 3  # user 10's leading a-run survives the tie
+
+
+@pytest.mark.deep
+def test_doc_winnowing_matches_pure_python_reference(spark, tmp_path):
+    """From-scratch winnowing reference: the paper's imperative
+    formulation (slide a window of W gram hashes, record each window's
+    rightmost minimum, keep the distinct selections) — no window
+    functions, no packed keys — over a crafted corpus with heavy hash
+    ties (repeated grams), short docs (partial-window rule), empty and
+    NULL texts, and a byte-identical duplicate row."""
+    import hashlib
+
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        _WINNOW_K,
+        _WINNOW_W,
+        doc_winnowing,
+    )
+
+    texts = {
+        1: "a b c d e f g h i j k l m n o p",          # normal doc
+        2: "x x x x x x x x x x",                       # all grams tied
+        3: "a b c d",                                   # exactly one gram
+        4: "a b c",                                     # too short: 0 grams
+        5: "",                                          # empty: 0 grams
+        6: None,                                        # NULL text
+        7: "a b c d e f g h i j k l m n o p",          # same text as 1
+    }
+    rows = list(texts.items()) + [(7, texts[7])]        # duplicate row
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["s"] * len(rows), pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_fp, r.fp_density_ppm, r.fp_checksum,
+                   r.fp_min)
+        for r in doc_winnowing(spark, str(tmp_path)).collect()
+    }
+
+    def winnow(text):
+        if not text:
+            return 0, []
+        tk = [w for w in text.lower().split() if w]
+        grams = [" ".join(tk[i:i + _WINNOW_K])
+                 for i in range(max(len(tk) - _WINNOW_K + 1, 0))]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:6], 16)
+              for g in grams]
+        picked = set()
+        for j in range(len(hs)):
+            lo = max(j - _WINNOW_W + 1, 0)
+            if j >= _WINNOW_W - 1 or j == len(hs) - 1:
+                window = hs[lo:j + 1]
+                m = min(window)
+                # rightmost minimum — scan from the right
+                for off in range(len(window) - 1, -1, -1):
+                    if window[off] == m:
+                        picked.add((lo + off, hs[lo + off]))
+                        break
+        return len(hs), sorted(picked)
+
+    for d, t in texts.items():
+        n_grams, picks = winnow(t)
+        n_fp = len(picks)
+        checksum = sum(h for _, h in picks)
+        fmin = min((h for _, h in picks), default=0)
+        dens = n_fp * 1_000_000 // n_grams if n_grams else 0
+        assert got[d] == (n_grams, n_fp, dens, checksum, fmin), (
+            d, got[d], (n_grams, n_fp, dens, checksum, fmin))
+    assert got[1] == got[7]  # duplicate row + same text elsewhere agree
+    # the all-tied doc: every window picks its RIGHTMOST gram
+    n2, picks2 = winnow(texts[2])
+    assert [p for p, _ in picks2] == list(range(_WINNOW_W - 1, n2))
