@@ -126,6 +126,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     passes: dict[str, int] = {}
     burst_pre: dict[str, float] = {}
+    _running_ratios: list[float] = []  # warm ratios vs ref, loop-order
     unrun_names: list[str] = []
     unrun = 0
     single_pass = 0
@@ -162,20 +163,49 @@ def main() -> None:
             passes[name] = 1
         # burst-retest: only meaningful against a warm (best-of-2) number
         # at the ref's scale; the retest still honors the wall budget (a
-        # killed run records nothing) with headroom for one more pass
+        # killed run records nothing) with headroom for one more pass.
+        # r12 (VERDICT item 4): the trigger is the ratio OVER THE RUNNING
+        # MEDIAN of warm ratios so far, not the raw ratio vs ref — on a
+        # sustained-slow host every query reads 1.5-2x its clean band and
+        # the old raw trigger fired 8 retests that all "confirmed slow"
+        # (the host, not the query). Dividing by the run's own drift makes
+        # the trigger mean "this query is slow RELATIVE TO THIS RUN".
+        # Before 10 warm ratios exist the raw ratio is the only signal.
         ref = ref_q.get(name)
+        raw_ratio = (
+            best / ref
+            if isinstance(ref, (int, float)) and ref > 0
+            else None
+        )
+        run_med = None
+        if len(_running_ratios) >= 10:
+            vals = sorted(_running_ratios)
+            mid = len(vals) // 2
+            run_med = (
+                vals[mid] if len(vals) % 2
+                else (vals[mid - 1] + vals[mid]) / 2
+            )
         if (
             sf == "0.1"
             and passes[name] == 2
-            and isinstance(ref, (int, float))
-            and ref > 0
-            and best / ref > burst_ratio
+            and raw_ratio is not None
+            and (raw_ratio / run_med if run_med else raw_ratio)
+            > burst_ratio
             and time.perf_counter() - t_start + best < budget
         ):
             burst_pre[name] = round(best, 3)
             t0 = time.perf_counter()
             _force(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
+            passes[name] = 3  # the retest IS a third timed pass (r12
+            # ADVICE: the warm/cold bookkeeping must reflect it)
+        if (
+            sf == "0.1"
+            and passes[name] >= 2
+            and isinstance(ref, (int, float))
+            and ref > 0
+        ):
+            _running_ratios.append(best / ref)
         timings[name] = round(best, 3)
         spark.catalog.clearCache()
 
@@ -190,7 +220,7 @@ def main() -> None:
     if sf == "0.1":
         for n, sec in timings.items():
             r = ref_q.get(n)
-            if passes.get(n) == 2 and isinstance(r, (int, float)) and r > 0:
+            if passes.get(n, 0) >= 2 and isinstance(r, (int, float)) and r > 0:
                 ratios[n] = round(sec / r, 3)
     drift_median = None
     if len(ratios) >= 20:
@@ -210,7 +240,7 @@ def main() -> None:
         try:
             for n, sec in timings.items():
                 r = ref_q.get(n)
-                if passes.get(n) == 2 and sec > 0 and (
+                if passes.get(n, 0) >= 2 and sec > 0 and (
                     not isinstance(r, (int, float)) or sec < r
                 ):
                     ref_q[n] = sec
@@ -238,7 +268,7 @@ def main() -> None:
     drift = None
     norm = None
     if sf == "0.1" and all(
-        passes.get(c) == 2 and timings.get(c, 0) > 0
+        passes.get(c, 0) >= 2 and timings.get(c, 0) > 0
         for c in _CONTROL_CLEAN_SF01
     ):
         # the >0 gate: timings round to 3 dp, and log(0) after a full
@@ -281,14 +311,37 @@ def main() -> None:
                 "sec": timings[n],
                 "passes": passes[n],
                 **({"ratio": ratios[n]} if n in ratios else {}),
-                # burst-retest record: sec_pre_retest is the inflated
-                # best-of-2 the >2x in-run ratio triggered on; `sec` is
-                # min(pre, retest). burst_suspect stays true even if the
-                # retest confirmed the slowness (then sec ≈ sec_pre_retest
-                # and the ratio marks a real regression, not a burst).
+                # drift-relative ratio (r12 VERDICT item 4): per-query
+                # ratio / the run's median warm ratio. A sustained-slow
+                # host inflates `ratio` uniformly but leaves this ~1, so
+                # an archived number can only pattern-match a plan
+                # regression when the query is slow RELATIVE TO ITS OWN
+                # RUN. The read rule: >2.0 here = regression candidate.
                 **(
-                    {"sec_pre_retest": burst_pre[n], "burst_suspect": True}
+                    {
+                        "ratio_over_run_median": round(
+                            ratios[n] / drift_median, 3
+                        )
+                    }
+                    if n in ratios and drift_median
+                    else {}
+                ),
+                # burst-retest record: sec_pre_retest is the inflated
+                # best-of-2 that tripped the trigger; `sec` is
+                # min(pre, retest). burst_suspect (r12): set ONLY when
+                # the FINAL number still stands >2x the run median — a
+                # retest that recovered, or a number the run's own drift
+                # explains, is not a suspect.
+                **(
+                    {"sec_pre_retest": burst_pre[n]}
                     if n in burst_pre
+                    else {}
+                ),
+                **(
+                    {"burst_suspect": True}
+                    if n in ratios
+                    and drift_median
+                    and ratios[n] / drift_median > burst_ratio
                     else {}
                 ),
             }

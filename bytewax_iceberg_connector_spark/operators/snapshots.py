@@ -77,33 +77,79 @@ class SnapshotLog:
         ``stale_s`` deliberately: a waiter arriving just after a kill
         outlives the staleness window and steals instead of erroring, so
         a crashed holder costs at most ``stale_s`` of blocking, never a
-        CommitConflict storm."""
+        CommitConflict storm.
+
+        Identity discipline (r12 ADVICE — the bare mtime-check+unlink
+        steal was a TOCTOU): every acquirer writes a pid+uuid token into
+        its lock file; a steal RENAMES the stale lock to a unique name
+        (two stealers can't both win a rename of the same inode) and
+        re-checks the renamed file's mtime — a LIVE lock renamed by
+        mistake (re-acquired between the mtime check and the rename) is
+        restored with a no-clobber ``os.link``; release unlinks only if
+        the file still holds the releaser's own token, so a
+        slow-but-alive holder whose lock was stolen can never delete its
+        successor's lock. The residual overlap needs a holder to exceed
+        ``stale_s`` (1000x the ms-scale table.json RMW) AND lose two
+        sub-ms interleavings — defense-in-depth, with staleness as the
+        backstop either way."""
         path = os.path.join(self.meta_dir, "table.json.lock")
+        token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.time() + timeout_s
         while True:
             try:
                 fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                try:
+                    os.write(fd, token.encode())
+                finally:
+                    os.close(fd)
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(path) > stale_s:
-                        os.unlink(path)  # dead holder — steal
-                        continue
+                    stale = (
+                        time.time() - os.path.getmtime(path) > stale_s
+                    )
                 except OSError:
-                    continue  # holder released between checks — re-race
+                    stale = False  # released between checks — re-race
+                if stale:
+                    grab = f"{path}.steal.{uuid.uuid4().hex}"
+                    try:
+                        os.rename(path, grab)
+                    except OSError:
+                        pass  # lost the steal race — re-race O_EXCL
+                    else:
+                        try:
+                            fresh = (
+                                time.time() - os.path.getmtime(grab)
+                                <= stale_s
+                            )
+                        except OSError:  # pragma: no cover
+                            fresh = False
+                        if fresh:
+                            # renamed a LIVE successor's lock: restore
+                            # without clobbering a third acquirer
+                            with contextlib.suppress(OSError):
+                                os.link(grab, path)
+                        with contextlib.suppress(OSError):
+                            os.unlink(grab)
+                # deadline applies on EVERY loop path (r12 ADVICE: a
+                # persistent getmtime/unlink error must not spin forever)
                 if time.time() > deadline:
                     raise CommitConflict(
                         "timed out waiting for the table.json lock"
                     )
-                time.sleep(0.005)
+                if not stale:
+                    time.sleep(0.005)
         try:
             yield
         finally:
             try:
-                os.unlink(path)
-            except FileNotFoundError:  # pragma: no cover
-                pass  # a staleness steal took it — already re-raced
+                with open(path) as f:
+                    mine = f.read() == token
+            except OSError:  # pragma: no cover
+                mine = False  # stolen/vanished — successor owns the path
+            if mine:
+                with contextlib.suppress(OSError):
+                    os.unlink(path)
 
     # -- identity ----------------------------------------------------------
 

@@ -1795,5 +1795,115 @@ GROUP BY event_type
 ORDER BY event_type
 """
 
-R11_QUERIES = {"run_length_segments": run_length_segments}
-R11_ORACLE = {"run_length_segments": _SQL_RUN_LENGTH}
+# registered r12 (staged r11 per the stage-then-register cadence)
+QUERIES["run_length_segments"] = run_length_segments
+ORACLE["run_length_segments"] = _SQL_RUN_LENGTH
+
+
+# ---------------------------------------------------------------------------
+# r12-staged: per-user behavioral entropy (register after the r12 gate)
+# ---------------------------------------------------------------------------
+
+_ENTROPY_LOW_MICRO = 300_000  # < 0.3 nats with >= _ENTROPY_MIN_EVENTS
+_ENTROPY_MIN_EVENTS = 10      # ... events = bot-like repetition flag
+
+
+def session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution, rolled up
+    by behavioral breadth (``n_types`` = distinct event types the user
+    touched): the classic bot / scripted-traffic detector — a user with
+    hundreds of events but near-zero entropy is a loop, not a person.
+    Flags users with >= 10 events and entropy < 0.3 nats.
+
+    Determinism: the ``char_entropy`` integer discipline — each
+    (user, type) term quantizes ``ln(n) - ln(c)`` to micro-nats ONCE
+    (both engines round the same double), totals are bigint sums,
+    per-user entropy is one integer division. No float re-accumulates.
+
+    NULL user_id / event_type rows drop out (entropy needs a keyed
+    distribution; SQL GROUP BY would invent a NULL cohort).
+
+    Scale: ONE hash exchange on (user_id, event_type) builds the count
+    table with map-side partials; ``n`` comes from a user-keyed window
+    over that already-partitioned frame (same exchange — subset key), and
+    the final rollup groups |users| narrow rows by n_types (tiny). No
+    join, no second corpus pass, no UDF — the whole score is codegen'd
+    scalar math riding the aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    per_ut = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("user_id")
+    per_u = (
+        per_ut.select(
+            "user_id",
+            "c",
+            F.sum("c").over(w).alias("n"),
+            F.count(F.lit(1)).over(w).alias("n_types"),
+        )
+        .groupBy("user_id", "n", "n_types")
+        .agg(
+            F.expr(
+                "sum(c * cast(round((ln(cast(n as double)) "
+                "- ln(cast(c as double))) * 1000000) as bigint)) div n"
+            ).alias("entropy_micro")
+        )
+    )
+    return (
+        per_u.groupBy(F.col("n_types").cast("long").alias("n_types"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("sum(entropy_micro) div count(*)")
+            .alias("avg_entropy_micro"),
+            F.min("entropy_micro").cast("long").alias("min_entropy_micro"),
+            F.max("entropy_micro").cast("long").alias("max_entropy_micro"),
+            F.sum(
+                (
+                    (F.col("entropy_micro") < _ENTROPY_LOW_MICRO)
+                    & (F.col("n") >= _ENTROPY_MIN_EVENTS)
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_bot_like"),
+        )
+        .orderBy("n_types")
+    )
+
+
+_SQL_SESSION_ENTROPY = f"""
+WITH per_ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+  GROUP BY 1, 2
+), windowed AS (
+  SELECT user_id, c,
+         SUM(c) OVER (PARTITION BY user_id) AS n,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_types
+  FROM per_ut
+), per_u AS (
+  SELECT user_id, n, n_types,
+         SUM(c * CAST(ROUND((ln(CAST(n AS DOUBLE))
+                             - ln(CAST(c AS DOUBLE))) * 1000000)
+                      AS BIGINT)) // n AS entropy_micro
+  FROM windowed
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(n_types AS BIGINT) AS n_types,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(entropy_micro) // COUNT(*) AS BIGINT) AS avg_entropy_micro,
+       CAST(MIN(entropy_micro) AS BIGINT) AS min_entropy_micro,
+       CAST(MAX(entropy_micro) AS BIGINT) AS max_entropy_micro,
+       CAST(SUM(CASE WHEN entropy_micro < {_ENTROPY_LOW_MICRO}
+                      AND n >= {_ENTROPY_MIN_EVENTS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_bot_like
+FROM per_u
+GROUP BY 1
+ORDER BY 1
+"""
+
+R12_QUERIES = {"session_entropy": session_entropy}
+R12_ORACLE = {"session_entropy": _SQL_SESSION_ENTROPY}

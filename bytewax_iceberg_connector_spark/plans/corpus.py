@@ -1265,9 +1265,13 @@ def doc_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Secondary order key `h`: gpos is unique per doc for well-formed input,
+    # but if a doc_id ever carried two texts the DISTINCT above keeps two
+    # rows per gpos and a gpos-only ROWS frame would be tie-order dependent
+    # (engine vs oracle could legitimately diverge). (gpos, h) is total.
     wsel = (
         Window.partitionBy("doc_id")
-        .orderBy("gpos")
+        .orderBy("gpos", "h")
         .rowsBetween(-(_WINNOW_W - 1), 0)
     )
     key = (
@@ -1343,7 +1347,7 @@ WITH toks AS (
            AS hpick,
          MAX(gpos) OVER (PARTITION BY doc_id) AS maxpos
   FROM g
-  WINDOW wsel AS (PARTITION BY doc_id ORDER BY gpos
+  WINDOW wsel AS (PARTITION BY doc_id ORDER BY gpos, h
                   ROWS BETWEEN {_WINNOW_W - 1} PRECEDING AND CURRENT ROW)
 ), fp AS (
   SELECT DISTINCT doc_id, pick, hpick
@@ -1370,5 +1374,116 @@ LEFT JOIN prof ON prof.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
 
-R11_QUERIES = {"doc_winnowing": doc_winnowing}
-R11_ORACLE = {"doc_winnowing": _SQL_WINNOWING}
+# registered r12 (staged r11 per the stage-then-register cadence)
+QUERIES["doc_winnowing"] = doc_winnowing
+ORACLE["doc_winnowing"] = _SQL_WINNOWING
+
+
+# ---------------------------------------------------------------------------
+# r12-staged: first-seer n-gram novelty (register after the r12 gate lands)
+# ---------------------------------------------------------------------------
+
+_NOVELTY_N = 3  # trigram shingles — the dup_ngram_fraction family unit
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the share (ppm) of a document's
+    distinct trigrams whose FIRST occurrence in the corpus — minimum
+    ``doc_id`` over every document containing the gram, the ingest-order
+    stand-in — is this document. The streaming-curation diversity signal
+    (SlimPajama/RefinedWeb-style): a crawl whose late documents add no
+    new grams is saturated, and a source whose docs are mostly first-
+    seers is the one worth crawling deeper. Complements
+    ``dup_ngram_fraction`` (symmetric global duplication share — a doc
+    and its copy score identically there; HERE the original scores high
+    and the copy scores zero). Rolled up per source: docs, mean novelty
+    ppm, fully-novel docs, dead docs (zero novel grams).
+
+    NULL ``doc_id`` rows drop out: first-seer needs a total order on
+    documents and NULL is unordered (same posture as ``doc_winnowing``).
+
+    Scale: grams shuffle as 8-byte hashes, never text — one gram-keyed
+    exchange builds the first-seer table (min is an algebraic aggregate:
+    map-side partials), one hash join back scores every (doc, gram)
+    pair, then a doc-keyed rollup. The same two-exchange budget as
+    ``dup_ngram_fraction`` at any corpus size; the first-seer table is
+    the only corpus-wide state and it is one row per DISTINCT gram.
+    """
+    from ._cache import scoped
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull()
+    )
+    # kernel emits DISTINCT hashes per doc; (doc, gram) distinct guards
+    # byte-identical re-ingested rows (duplicate rows must not change
+    # per-doc novelty, and min(doc_id) is insensitive to them anyway)
+    sh = (
+        docs.select(
+            "doc_id", "source",
+            F.explode(X.shingle_hashes_np(_NOVELTY_N)(F.col("text")))
+            .alias("s"),
+        )
+        .distinct()
+        .persist()
+    )
+    first = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "s")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.expr(
+                "sum(case when first_doc = doc_id then 1 else 0 end) "
+                "* 1000000L div count(*)"
+            ).alias("novel_ppm")
+        )
+    )
+    return scoped(
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.expr("sum(novel_ppm) div count(*)").alias("avg_novel_ppm"),
+            F.sum((F.col("novel_ppm") == 1_000_000).cast("long"))
+            .cast("long")
+            .alias("n_fully_novel"),
+            F.sum((F.col("novel_ppm") == 0).cast("long"))
+            .cast("long")
+            .alias("n_zero_novel"),
+        )
+        .orderBy("source"),
+        sh,
+    )
+
+
+_SQL_NGRAM_NOVELTY = rf"""
+WITH toks AS (
+  SELECT doc_id, source, {_SQL_TOKS} AS t
+  FROM documents WHERE doc_id IS NOT NULL
+), sh AS (
+  SELECT DISTINCT doc_id, source,
+         t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, LATERAL (
+    SELECT unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS i
+  )
+), first AS (
+  SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+), per_doc AS (
+  SELECT sh.doc_id, sh.source,
+         SUM(CASE WHEN first.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+           * 1000000 // COUNT(*) AS novel_ppm
+  FROM sh JOIN first USING (s)
+  GROUP BY 1, 2
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(novel_ppm) // COUNT(*) AS BIGINT) AS avg_novel_ppm,
+       CAST(SUM(CASE WHEN novel_ppm = 1000000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_fully_novel,
+       CAST(SUM(CASE WHEN novel_ppm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_novel
+FROM per_doc
+GROUP BY 1
+ORDER BY 1
+"""
+
+R12_QUERIES = {"ngram_novelty": ngram_novelty}
+R12_ORACLE = {"ngram_novelty": _SQL_NGRAM_NOVELTY}

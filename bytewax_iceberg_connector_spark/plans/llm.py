@@ -1201,8 +1201,9 @@ picked{t} AS (SELECT q_id, pick FROM picked{t - 1}
 
 _SQL_SIM_MMR = _mmr_oracle_sql()
 
-R11_QUERIES = {"similarity_mmr": similarity_mmr}
-R11_ORACLE = {"similarity_mmr": _SQL_SIM_MMR}
+# registered r12 (staged r11 per the stage-then-register cadence);
+# the QUERIES/ORACLE dicts are defined at the end of this module — the
+# registration lines live beside them
 
 # ---------------------------------------------------------------------------
 # B18b: ANN via sign-LSH buckets (oracle-checked contract audit since r06)
@@ -3845,6 +3846,10 @@ ORDER BY family_size
 QUERIES["dup_family_histogram"] = dup_family_histogram
 ORACLE["dup_family_histogram"] = _SQL_DUP_FAMILY_HISTOGRAM
 
+# registered r12 (staged r11 per the stage-then-register cadence)
+QUERIES["similarity_mmr"] = similarity_mmr
+ORACLE["similarity_mmr"] = _SQL_SIM_MMR
+
 
 # ---------------------------------------------------------------------------
 # B18e (staged for r10): IVF index MAINTENANCE — merge a new vector batch
@@ -3996,3 +4001,84 @@ GROUP BY cell ORDER BY cell
 # registered now — enters the window at the never-checked tier.
 QUERIES["similarity_ivf_merge"] = similarity_ivf_merge
 ORACLE["similarity_ivf_merge"] = _SQL_IVF_MERGE
+
+
+# ---------------------------------------------------------------------------
+# r12-staged: multimodal asset dedup (register after the r12 gate lands)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asset-level dedup census over opaque BINARY payloads — the
+    missing dedup member of the multimodal family (binary_meta counts
+    distinct payloads; this reports the dedup decision): per source,
+    byte-exact duplicate assets (same md5 of the raw payload) and
+    canonical duplicates (same md5 after the cheap deterministic
+    canonicalization — lowercase + collapse the shared WS_CLASS + trim —
+    the stand-in for the perceptual-hash slot a real image/audio
+    pipeline plugs in; see functions/multimodal.py for why the decode
+    stage itself is stubbed in this container). NULL payloads are
+    unhashable and drop out of both numerator and denominator.
+
+    Scale: both hashes are JVM expressions riding the scan (no UDF, no
+    explode); the only exchange is the final per-source rollup with
+    map-side partials — count-distinct over 16-byte digests, never
+    payload bytes, crosses the wire. At 100 TB the digests are the
+    bucketable pairing index; the payloads never shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.md5(F.col("text").cast("binary")).alias("h_exact"),
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.lower("text"), "[ \\t\\n\\x0b\\f\\r]+", " "
+                )
+            ).cast("binary")
+        ).alias("h_canon"),
+    )
+    return (
+        b.groupBy("source")
+        .agg(
+            F.count("h_exact").cast("long").alias("n_assets"),
+            (F.count("h_exact") - F.countDistinct("h_exact"))
+            .cast("long")
+            .alias("n_exact_dupes"),
+            (F.count("h_canon") - F.countDistinct("h_canon"))
+            .cast("long")
+            .alias("n_canon_dupes"),
+            F.expr(
+                "(count(h_exact) - count(distinct h_exact)) * 1000000L "
+                "div count(h_exact)"
+            ).alias("exact_dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+_SQL_MULTIMODAL_DEDUP = r"""
+WITH b AS (
+  -- DuckDB md5(VARCHAR) hashes the UTF-8 bytes == Spark md5(binary cast)
+  SELECT source,
+         md5(text) AS h_exact,
+         md5(trim(regexp_replace(lower(text),
+                                 '[ \t\n\x0b\f\r]+', ' ', 'g')))
+           AS h_canon
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(h_exact) AS BIGINT) AS n_assets,
+       CAST(COUNT(h_exact) - COUNT(DISTINCT h_exact) AS BIGINT)
+         AS n_exact_dupes,
+       CAST(COUNT(h_canon) - COUNT(DISTINCT h_canon) AS BIGINT)
+         AS n_canon_dupes,
+       CAST((COUNT(h_exact) - COUNT(DISTINCT h_exact)) * 1000000
+            // COUNT(h_exact) AS BIGINT) AS exact_dup_ppm
+FROM b
+GROUP BY source
+ORDER BY source
+"""
+
+R12_QUERIES = {"multimodal_dedup": multimodal_dedup}
+R12_ORACLE = {"multimodal_dedup": _SQL_MULTIMODAL_DEDUP}

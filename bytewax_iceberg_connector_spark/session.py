@@ -41,6 +41,30 @@ _RUNTIME_CONF = {
     # _restore_pcols), which is exact from the literal string; r10
     # hostile-partition-values sweep.
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+    # Broadcast threshold recalibrated to the box (r12 triangle_count
+    # adjudication): the 10 MB default left ~19 MB build sides (e.g. the
+    # basket-graph edge list) straddling the line, so AQE flipped the
+    # closure join between BHJ and a 41M-row SMJ sort run-to-run — the
+    # source of the bimodal 7 s / 12-15 s timings r09-r11 read as drift.
+    # 64 MB is trivially safe on a 16 g driver (32 tasks share ONE copy
+    # in local mode) and keeps join selection adaptive — a genuinely
+    # large side still merges. On a real cluster size this to a few %
+    # of executor memory, not the 10 MB 2015-era default.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # State store pinned to RocksDB (r12, verdict item 1b): the r11
+    # instrumented flake showed a key's applyInPandasWithState state
+    # reading back EMPTY one micro-batch later under heavy host load
+    # while a sibling key (different shuffle partition) carried — sink
+    # loss and timeout misfire excluded, leaving version loss in the
+    # default HDFSBackedStateStore's in-memory map under memory/GC
+    # pressure as the suspect (upstream, not our operator). RocksDB
+    # keeps state off-heap with its own WAL/versioning, is the
+    # production-scale choice anyway (bounded executor heap at 100 TB
+    # state), and is what transformWithState requires.
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
 }
 
 _BUILD_CONF = {

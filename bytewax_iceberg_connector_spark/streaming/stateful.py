@@ -95,6 +95,7 @@ def dedup_first_seen(
             return
 
         first_us, n_seen = state.get if state.exists else (None, 0)
+        batch_max_us = None
         for pdf in pdf_iter:
             n_seen += len(pdf)
             # NULL event times are un-orderable: SQL min(ts) ignores them
@@ -111,9 +112,19 @@ def dedup_first_seen(
             batch_min = int(ts_us.min())
             if first_us is None or batch_min < first_us:
                 first_us = batch_min
+            batch_max = int(ts_us.max())
+            if batch_max_us is None or batch_max > batch_max_us:
+                batch_max_us = batch_max
         state.update((first_us, n_seen))
-        # expire the key once the watermark passes its TTL horizon
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        # expire the key once the watermark passes its TTL horizon —
+        # anchored at max(watermark, this batch's max event time) so the
+        # FIRST batch (watermark still 0/epoch) can never set an
+        # epoch-anchored horizon already in the past of the very next
+        # watermark update (r11 verdict item 1c, defense-in-depth)
+        anchor_ms = state.getCurrentWatermarkMs()
+        if batch_max_us is not None:
+            anchor_ms = max(anchor_ms, batch_max_us // 1000)
+        state.setTimeoutTimestamp(anchor_ms + ttl_ms)
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
@@ -171,6 +182,7 @@ def running_counter(
             return
 
         n, cents = state.get if state.exists else (0, 0)
+        batch_max_us = None
         for pdf in pdf_iter:
             n += len(pdf)
             # decimal-exact in integer cents: float sum order never leaks.
@@ -178,8 +190,20 @@ def running_counter(
             # astype(int64) on a NaN raised and killed the stream (r06)
             vals = pdf[value_col].dropna()
             cents += int((vals * 100).round().astype("int64").sum())
+            ts_valid = pdf[ts_col].dropna()
+            if len(ts_valid):
+                mx = int(
+                    ts_valid.astype("datetime64[ns]").astype("int64").max()
+                    // 1000
+                )
+                if batch_max_us is None or mx > batch_max_us:
+                    batch_max_us = mx
         state.update((n, cents))
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttl_ms)
+        # watermark-or-event-time anchored TTL horizon (see dedup_first_seen)
+        anchor_ms = state.getCurrentWatermarkMs()
+        if batch_max_us is not None:
+            anchor_ms = max(anchor_ms, batch_max_us // 1000)
+        state.setTimeoutTimestamp(anchor_ms + ttl_ms)
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_cents": [cents]})
 
     src = events.withWatermark(ts_col, watermark) if events.isStreaming else events

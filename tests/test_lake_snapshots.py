@@ -2218,3 +2218,141 @@ def test_sci_notation_dir_components_never_reach_the_parser(spark,
     }
     assert "1e5" in comps and "2024e7" in comps
     assert not any("438614392" in c or "99999" in c for c in comps)
+
+
+# ---------------------------------------------------------------------------
+# r12 crash-grammar family #19: REAL multi-process lock contention + crash
+# INSIDE the table.json.lock hold window (r11 verdict item 5). The r11 lock
+# tests proved the protocol under threads; threads share the GIL and an
+# address space, so they cannot produce the interleavings that matter for an
+# O_EXCL file lock — forked processes can. Children touch ONLY files and
+# os._exit (never the inherited JVM gateway).
+# ---------------------------------------------------------------------------
+
+
+def _bare_log(tmp_path):
+    log = SnapshotLog(str(tmp_path / "t"))
+    log.init_table({
+        "schema_json": {"type": "struct", "fields": [
+            {"name": "a", "type": "long"}]},
+    })
+    return log
+
+
+def _wait_all(pids):
+    fails = []
+    for pid in pids:
+        _, status = os.waitpid(pid, 0)
+        if os.waitstatus_to_exitcode(status) != 0:
+            fails.append((pid, status))
+    return fails
+
+
+def test_forked_processes_contend_evolve_no_lost_update(tmp_path):
+    """8 REAL processes evolve 8 distinct columns concurrently: the
+    table.json RMW is lock-serialized, so every column must be declared
+    afterward (the r11 lost-update bug was exactly a loser's add erased
+    by an interleaved RMW — A/B-proven 8/8 lost unlocked) and no lock or
+    steal residue may remain."""
+    log = _bare_log(tmp_path)
+    pids = []
+    for i in range(8):
+        pid = os.fork()
+        if pid == 0:  # child: evolve one column, exit hard
+            code = 1
+            try:
+                log.evolve_schema([{"name": f"c{i}", "type": "long"}])
+                code = 0
+            finally:
+                os._exit(code)  # never run pytest teardown in the child
+        pids.append(pid)
+    assert _wait_all(pids) == []
+    declared = {f["name"] for f in log.table_meta()["schema_json"]["fields"]}
+    assert {f"c{i}" for i in range(8)} <= declared
+    # history archived once per successful evolve, in some serial order
+    assert len(log.table_meta().get("schema_history", [])) == 8
+    residue = [fn for fn in os.listdir(log.meta_dir)
+               if fn.startswith("table.json.lock")]
+    assert residue == [], residue
+
+
+def test_holder_killed_inside_lock_window_is_stolen(tmp_path):
+    """Crash INSIDE the critical section: a child acquires the lock and
+    dies (os._exit mid-hold = SIGKILL semantics — no finally, no unlink).
+    A waiter must block at most ~stale_s, steal the dead holder's lock by
+    RENAME (never unlink-in-place, r12 ADVICE), and complete its evolve;
+    the dead holder's token must be gone afterward."""
+    log = _bare_log(tmp_path)
+    pid = os.fork()
+    if pid == 0:
+        code = 1
+        try:
+            with log._meta_lock():
+                os._exit(9)  # die holding the lock
+        finally:
+            os._exit(code)
+    _, status = os.waitpid(pid, 0)
+    assert os.waitstatus_to_exitcode(status) == 9
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    assert os.path.exists(lock_path)  # the orphaned lock is really there
+    dead_token = open(lock_path).read()
+
+    import time as _time
+
+    t0 = _time.monotonic()
+    log.evolve_schema([{"name": "post_crash", "type": "long"}])
+    waited = _time.monotonic() - t0
+    declared = {f["name"] for f in log.table_meta()["schema_json"]["fields"]}
+    assert "post_crash" in declared
+    # blocked through the staleness window (evolve defaults stale_s=10),
+    # then stole and finished — NOT a CommitConflict storm
+    assert 9.0 <= waited < 20.0, waited
+    assert not os.path.exists(lock_path)
+    assert not any(fn.startswith("table.json.lock.steal")
+                   for fn in os.listdir(log.meta_dir))
+    assert dead_token  # the dead holder really had written its identity
+
+
+def test_two_stealers_race_a_dead_holder_both_land(tmp_path):
+    """Kill a holder, then TWO processes contend for the stale lock with
+    short windows: the rename-steal serializes them (only one rename of
+    the same inode can win), both evolves land, no residue. This is the
+    TOCTOU the r12 ADVICE closed — the old unlink-steal let the second
+    stealer delete the first stealer's freshly re-acquired lock and run
+    the RMW concurrently."""
+    log = _bare_log(tmp_path)
+    pid = os.fork()
+    if pid == 0:
+        try:
+            with log._meta_lock():
+                os._exit(9)
+        finally:
+            os._exit(1)
+    os.waitpid(pid, 0)
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    assert os.path.exists(lock_path)
+    # age the lock into staleness for the SHORT windows used below
+    old = __import__("time").time() - 5
+    os.utime(lock_path, (old, old))
+
+    pids = []
+    for i in range(2):
+        pid = os.fork()
+        if pid == 0:
+            code = 1
+            try:
+                with log._meta_lock(timeout_s=8.0, stale_s=2.0):
+                    meta = log.table_meta()
+                    meta.setdefault("steal_order", []).append(i)
+                    log._atomic_write(
+                        os.path.join(log.meta_dir, "table.json"), meta)
+                code = 0
+            finally:
+                os._exit(code)
+        pids.append(pid)
+    assert _wait_all(pids) == []
+    # both critical sections ran, serialized (no lost update on the list)
+    assert sorted(log.table_meta()["steal_order"]) == [0, 1]
+    assert not os.path.exists(lock_path)
+    assert not any(fn.startswith("table.json.lock.steal")
+                   for fn in os.listdir(log.meta_dir))

@@ -55,25 +55,23 @@ def test_staged_run_length_segments_matches_oracle(spark):
     assert (sp["max_run"] * 100 >= sp["mean_len_x100"]).all()
 
 
-def test_staged_r11_dicts_are_not_registered():
-    """Stage discipline: the staged names must NOT be in the live
-    registry (registration would displace the r11 rotation window the
-    r10 verdict ordered — zero headroom this round)."""
-    from bytewax_iceberg_connector_spark.plans import (
-        behavioral,
-        corpus,
-        llm,
-        registry,
-    )
+def test_r11_staged_queries_are_registered_r12():
+    """Stage-then-register cadence, r12 half: the three r11-staged
+    queries are now LIVE (moved into QUERIES/ORACLE at the start of
+    r12, entering the gate window at the never-checked tier — the
+    r11 verdict's item 2) and each carries an oracle."""
+    from bytewax_iceberg_connector_spark.plans import registry
 
-    staged = (set(llm.R11_QUERIES) | set(behavioral.R11_QUERIES)
-              | set(corpus.R11_QUERIES))
-    assert staged == {"similarity_mmr", "run_length_segments",
-                      "doc_winnowing"}
-    live = set(registry.all_queries())
-    assert not (staged & live)
-    assert (set(llm.R11_ORACLE) | set(behavioral.R11_ORACLE)
-            | set(corpus.R11_ORACLE)) == staged
+    registered = {"similarity_mmr", "run_length_segments",
+                  "doc_winnowing"}
+    live = registry.all_queries()
+    oracles = registry.all_oracles()
+    assert registered <= set(live)
+    assert registered <= set(oracles)
+    # they must lead the gate window (never driver-checked => rank
+    # right after any reds; there are no reds in the artifacts)
+    window = list(live)[:50]
+    assert registered <= set(window[:3]), window[:5]
 
 
 @pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
@@ -386,3 +384,288 @@ def test_doc_winnowing_matches_pure_python_reference(spark, tmp_path):
     # the all-tied doc: every window picks its RIGHTMOST gram
     n2, picks2 = winnow(texts[2])
     assert [p for p, _ in picks2] == list(range(_WINNOW_W - 1, n2))
+
+
+# =========================================================================
+# r12-staged queries (register at the start of r13): differential pins at
+# sf0.001 + from-scratch pure-Python third references, same discipline as
+# the r11 batch above.
+# =========================================================================
+
+
+def test_staged_r12_dicts_are_not_registered():
+    """Stage discipline, r12 half: the r12-staged names must NOT be in
+    the live registry until r13 (the r12 window is already committed to
+    the three r11 registrations + the r07/r08-stale greens)."""
+    from bytewax_iceberg_connector_spark.plans import (
+        behavioral,
+        corpus,
+        llm,
+        registry,
+    )
+
+    staged = (set(llm.R12_QUERIES) | set(behavioral.R12_QUERIES)
+              | set(corpus.R12_QUERIES))
+    assert staged == {"ngram_novelty", "session_entropy",
+                      "multimodal_dedup"}
+    live = set(registry.all_queries())
+    assert not (staged & live)
+    assert (set(llm.R12_ORACLE) | set(behavioral.R12_ORACLE)
+            | set(corpus.R12_ORACLE)) == staged
+
+
+@pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
+def test_staged_ngram_novelty_matches_oracle(spark):
+    from bytewax_iceberg_connector_spark.plans.corpus import (
+        _SQL_NGRAM_NOVELTY,
+        ngram_novelty,
+    )
+
+    sp = spark_to_pandas(ngram_novelty(spark, _SF))
+    du = duck_oracle(Path(_SF), _SQL_NGRAM_NOVELTY)
+    assert len(sp)
+    assert_df_match(sp, du)
+    # novelty sanity: ppm bounded, the corpus has SOME novelty
+    assert (sp["avg_novel_ppm"] <= 1_000_000).all()
+    assert sp["avg_novel_ppm"].max() > 0
+    assert (sp["n_fully_novel"] + sp["n_zero_novel"] <= sp["n_docs"]).all()
+
+
+@pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
+def test_staged_session_entropy_matches_oracle(spark):
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        _SQL_SESSION_ENTROPY,
+        session_entropy,
+    )
+
+    sp = spark_to_pandas(session_entropy(spark, _SF))
+    du = duck_oracle(Path(_SF), _SQL_SESSION_ENTROPY)
+    assert len(sp)
+    assert_df_match(sp, du)
+    # entropy of k types is bounded by ln(k) (+1 micro-nat of rounding)
+    import math
+
+    for _, r in sp.iterrows():
+        cap = int(math.log(r["n_types"]) * 1e6) + len(sp) + 1
+        assert 0 <= r["max_entropy_micro"] <= cap + 1
+
+
+@pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
+def test_staged_multimodal_dedup_matches_oracle(spark):
+    from bytewax_iceberg_connector_spark.plans.llm import (
+        _SQL_MULTIMODAL_DEDUP,
+        multimodal_dedup,
+    )
+
+    sp = spark_to_pandas(multimodal_dedup(spark, _SF))
+    du = duck_oracle(Path(_SF), _SQL_MULTIMODAL_DEDUP)
+    assert len(sp)
+    assert_df_match(sp, du)
+    # canonicalization can only MERGE classes: canon dupes >= exact dupes
+    assert (sp["n_canon_dupes"] >= sp["n_exact_dupes"]).all()
+
+
+@pytest.mark.deep
+def test_ngram_novelty_matches_pure_python_reference(spark, tmp_path):
+    """From-scratch reference: set-of-trigrams per doc, first-seer by min
+    doc_id — over a corpus with an exact copy (novelty 0), a partial
+    derivative, a short doc (no grams: absent from the census), a NULL
+    doc_id row (dropped), and a byte-identical duplicate row."""
+    texts = {
+        10: "the quick brown fox jumps over the lazy dog",
+        20: "the quick brown fox jumps over the lazy dog",   # exact copy
+        30: "the quick brown fox sat very still today ok",   # partial
+        40: "one two",                                       # no grams
+        50: "alpha beta gamma delta",                        # one gram.. 2
+    }
+    rows = ([(d, t, "s1" if d < 30 else "s2") for d, t in texts.items()]
+            + [(None, "null id doc text here", "s1"),
+               (30, texts[30], "s2")])                       # dup row
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from bytewax_iceberg_connector_spark.plans.corpus import ngram_novelty
+
+    got = {
+        r.source: (r.n_docs, r.avg_novel_ppm, r.n_fully_novel,
+                   r.n_zero_novel)
+        for r in ngram_novelty(spark, str(tmp_path)).collect()
+    }
+
+    def grams(t):
+        tk = [w for w in t.lower().split() if w]
+        return {" ".join(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    per = {d: grams(t) for d, t in texts.items() if grams(t)}
+    first = {}
+    for d in sorted(per):
+        for g in per[d]:
+            first.setdefault(g, d)
+    want = {}
+    for src in ("s1", "s2"):
+        docs = [d for d in per
+                if (("s1" if d < 30 else "s2") == src)]
+        ppms = {d: sum(1 for g in per[d] if first[g] == d) * 1_000_000
+                // len(per[d]) for d in docs}
+        want[src] = (
+            len(docs),
+            sum(ppms.values()) // len(docs),
+            sum(1 for p in ppms.values() if p == 1_000_000),
+            sum(1 for p in ppms.values() if p == 0),
+        )
+    assert got == want, (got, want)
+    assert want["s1"][3] >= 1  # the exact copy really scored zero
+
+
+@pytest.mark.deep
+def test_session_entropy_matches_pure_python_reference(spark, tmp_path):
+    """From-scratch reference: direct Shannon entropy with math.log and
+    the same micro-nat quantization — uniform user (max entropy),
+    single-type bot (0 nats, >=10 events: flagged), skewed user, NULL
+    user/type rows dropped."""
+    import datetime as dt
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    ev = []
+    eid = 0
+
+    def add(u, ty, k):
+        nonlocal eid
+        for _ in range(k):
+            ev.append((eid, t0, u, ty, 1.0))
+            eid += 1
+
+    add(1, "a", 5)          # uniform over 2 types
+    add(1, "b", 5)
+    add(2, "a", 20)         # bot: 20 events, 1 type -> flagged
+    add(3, "a", 9)          # low entropy but only 10 events? 9+1=10
+    add(3, "b", 1)
+    add(4, "a", 3)          # 3 types, skewed
+    add(4, "b", 2)
+    add(4, "c", 1)
+    ev.append((eid, t0, None, "a", 1.0)); eid += 1
+    ev.append((eid, t0, 5, None, 1.0)); eid += 1
+
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in ev], pa.int64()),
+            "ts": pa.array([r[1] for r in ev], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in ev], pa.int64()),
+            "event_type": pa.array([r[3] for r in ev], pa.string()),
+            "value": pa.array([r[4] for r in ev], pa.float64()),
+            "props": pa.array(["{}"] * len(ev), pa.string()),
+        }),
+        tmp_path / "events.parquet",
+    )
+    from bytewax_iceberg_connector_spark.plans.behavioral import (
+        session_entropy,
+    )
+
+    got = {
+        r.n_types: (r.n_users, r.avg_entropy_micro, r.min_entropy_micro,
+                    r.max_entropy_micro, r.n_bot_like)
+        for r in session_entropy(spark, str(tmp_path)).collect()
+    }
+
+    counts = {}
+    for _, _, u, ty, _ in ev:
+        if u is None or ty is None:
+            continue
+        counts.setdefault(u, {}).setdefault(ty, 0)
+        counts[u][ty] += 1
+    per_u = {}
+    for u, cs in counts.items():
+        n = sum(cs.values())
+        micro = sum(
+            c * int(math.floor(
+                (math.log(n) - math.log(c)) * 1e6 + 0.5))
+            for c in cs.values()
+        ) // n
+        per_u[u] = (len(cs), n, micro)
+    want = {}
+    for nt in sorted({v[0] for v in per_u.values()}):
+        us = [v for v in per_u.values() if v[0] == nt]
+        micros = [m for _, _, m in us]
+        want[nt] = (
+            len(us),
+            sum(micros) // len(us),
+            min(micros),
+            max(micros),
+            sum(1 for _, n, m in us if m < 300_000 and n >= 10),
+        )
+    assert got == want, (got, want)
+    assert want[1][4] >= 1          # the bot really got flagged
+    # uniform 2-type user sits at ln(2) up to quantization
+    assert abs(per_u[1][2] - 693147) <= 2
+
+
+@pytest.mark.deep
+def test_multimodal_dedup_matches_pure_python_reference(spark, tmp_path):
+    """From-scratch reference with hashlib: exact copies, whitespace
+    variants (canon dup, not exact), a unicode-NBSP variant (NOT
+    canon-collapsed: the shared WS_CLASS is ASCII-only by contract), and
+    NULL payloads dropping out of both counts."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = [
+        ("s1", "Hello World"),
+        ("s1", "Hello World"),            # exact dup
+        ("s1", "hello   world"),          # canon dup of the above
+        ("s1", "hello world"),       # NBSP: NOT a canon dup
+        ("s1", None),                     # unhashable: out of census
+        ("s2", "unique text"),
+        ("s2", "UNIQUE\ttext "),          # canon dup via tab+trim+case
+    ]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array([t for _, t in texts], pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+            "source": pa.array([s for s, _ in texts], pa.string()),
+            "n_chars": pa.array(
+                [len(t) if t else 0 for _, t in texts], pa.int64()),
+        }),
+        tmp_path / "documents.parquet",
+    )
+    from bytewax_iceberg_connector_spark.plans.llm import multimodal_dedup
+
+    got = {
+        r.source: (r.n_assets, r.n_exact_dupes, r.n_canon_dupes,
+                   r.exact_dup_ppm)
+        for r in multimodal_dedup(spark, str(tmp_path)).collect()
+    }
+
+    import re
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    want = {}
+    for src in ("s1", "s2"):
+        ts = [t for s, t in texts if s == src and t is not None]
+        ex = [hashlib.md5(t.encode()).hexdigest() for t in ts]
+        cn = [hashlib.md5(ws.sub(" ", t.lower()).strip(" \t\n\x0b\f\r")
+                          .encode()).hexdigest() for t in ts]
+        want[src] = (
+            len(ts),
+            len(ts) - len(set(ex)),
+            len(ts) - len(set(cn)),
+            (len(ts) - len(set(ex))) * 1_000_000 // len(ts),
+        )
+    assert got == want, (got, want)
+    assert want["s1"][2] > want["s1"][1]   # canon merged MORE than exact
