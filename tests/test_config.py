@@ -77,3 +77,22 @@ def test_spark_compilation():
     props = c.table_properties()
     assert props["commit.retry.num-retries"] == "3"  # connector.py:201 parity
     assert props["write.distribution-mode"] == "hash"
+
+
+def test_session_pins_broadcast_threshold_and_state_store():
+    """r12 pins: the 64 MB broadcast threshold (triangle_count closure
+    join de-bimodalized — BASELINE.md r12 adjudication) and the RocksDB
+    state-store provider (dedup_first_seen state-loss mitigation) are
+    session DEFAULTS; losing either in a session.py refactor would
+    silently reintroduce the flip / the flake."""
+    from bytewax_iceberg_connector_spark.session import _RUNTIME_CONF
+
+    assert _RUNTIME_CONF["spark.sql.autoBroadcastJoinThreshold"] == str(
+        64 * 1024 * 1024
+    )
+    assert _RUNTIME_CONF[
+        "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    ] == str(64 * 1024 * 1024)
+    assert _RUNTIME_CONF[
+        "spark.sql.streaming.stateStore.providerClass"
+    ].endswith("RocksDBStateStoreProvider")
