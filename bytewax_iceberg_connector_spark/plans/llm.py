@@ -1105,6 +1105,8 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = []
         avail = np.ones(len(ids), dtype=bool)
         for step in range(1, min(_MMR_K, len(ids)) + 1):
+            if not avail.any():
+                break  # fewer distinct ids than _MMR_K (dup re-ingests)
             if picked:
                 max_sim = sim_u[:, picked].max(axis=1)
             else:
@@ -1113,8 +1115,13 @@ def similarity_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
             mmr_masked = np.where(avail, mmr, np.iinfo(np.int64).min)
             best = mmr_masked.max()
             j = int(np.nonzero((mmr_masked == best))[0][0])  # id-asc ties
-            picked.append(j)
-            avail[j] = False
+            # a pick excludes the candidate ID, not just this row: a
+            # re-ingested duplicate (same vec_id twice) must never be
+            # selected twice, and every copy's vector joins the picked
+            # set so max_sim matches the oracle's MAX over pair rows
+            dup = np.nonzero(ids == ids[j])[0]
+            picked.extend(int(x) for x in dup)
+            avail[dup] = False
             rows.append(
                 (int(pdf["q_id"].iloc[0]), step, int(ids[j]), int(mmr[j]))
             )

@@ -41,6 +41,16 @@ _RUNTIME_CONF = {
     # _restore_pcols), which is exact from the literal string; r10
     # hostile-partition-values sweep.
     "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
+}
+
+# Engine TUNING defaults — unlike _RUNTIME_CONF these are not correctness
+# invariants, so ensure_engine_conf applies them ONCE per session (sentinel
+# below) and then respects whatever the user sets afterward. Force-reapplying
+# them on every load_table() silently clobbered legitimate per-workload
+# overrides (the r12 find: three plan-quality tests set
+# autoBroadcastJoinThreshold=-1 to pin shuffle-join behaviors and had it
+# reset to 64 MB mid-query).
+_TUNING_CONF = {
     # Broadcast threshold recalibrated to the box (r12 triangle_count
     # adjudication): the 10 MB default left ~19 MB build sides (e.g. the
     # basket-graph edge list) straddling the line, so AQE flipped the
@@ -66,6 +76,8 @@ _RUNTIME_CONF = {
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
 }
+
+_TUNING_SENTINEL = "spark.bytewax_iceberg.tuningApplied"
 
 _BUILD_CONF = {
     "spark.sql.adaptive.enabled": "true",
@@ -97,12 +109,25 @@ _BUILD_CONF = {
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs the engine needs on ANY session.
 
-    Idempotent; safe on driver-provided sessions.
+    Idempotent; safe on driver-provided sessions. Correctness invariants
+    (_RUNTIME_CONF) are re-applied every call; tuning defaults
+    (_TUNING_CONF) only the FIRST time this session is seen, so a user's
+    later ``spark.conf.set`` of a threshold sticks across load_table calls.
     """
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - conf locked by a strict session
+            pass
+    if spark.conf.get(_TUNING_SENTINEL, None) is None:
+        for k, v in _TUNING_CONF.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # pragma: no cover - conf locked
+                pass
+        try:
+            spark.conf.set(_TUNING_SENTINEL, "true")
+        except Exception:  # pragma: no cover - conf locked
             pass
     return spark
 
@@ -117,7 +142,11 @@ def get_spark(
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     builder = SparkSession.builder.master(master).appName(app_name)
-    for k, v in {**_BUILD_CONF, **_RUNTIME_CONF, **extra_conf}.items():
+    # the builder applies tuning defaults with extra_conf taking
+    # precedence; the sentinel stops ensure_engine_conf from re-applying
+    # them over a caller's explicit override
+    for k, v in {**_BUILD_CONF, **_RUNTIME_CONF, **_TUNING_CONF,
+                 _TUNING_SENTINEL: "true", **extra_conf}.items():
         builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     return ensure_engine_conf(spark)

@@ -84,15 +84,38 @@ def test_session_pins_broadcast_threshold_and_state_store():
     join de-bimodalized — BASELINE.md r12 adjudication) and the RocksDB
     state-store provider (dedup_first_seen state-loss mitigation) are
     session DEFAULTS; losing either in a session.py refactor would
-    silently reintroduce the flip / the flake."""
-    from bytewax_iceberg_connector_spark.session import _RUNTIME_CONF
+    silently reintroduce the flip / the flake. They live in _TUNING_CONF
+    (set-once per session), NOT _RUNTIME_CONF: re-applying them on every
+    load_table clobbered user threshold overrides mid-query (r12 find)."""
+    from bytewax_iceberg_connector_spark.session import (
+        _RUNTIME_CONF,
+        _TUNING_CONF,
+    )
 
-    assert _RUNTIME_CONF["spark.sql.autoBroadcastJoinThreshold"] == str(
+    assert _TUNING_CONF["spark.sql.autoBroadcastJoinThreshold"] == str(
         64 * 1024 * 1024
     )
-    assert _RUNTIME_CONF[
+    assert _TUNING_CONF[
         "spark.sql.adaptive.autoBroadcastJoinThreshold"
     ] == str(64 * 1024 * 1024)
-    assert _RUNTIME_CONF[
+    assert _TUNING_CONF[
         "spark.sql.streaming.stateStore.providerClass"
     ].endswith("RocksDBStateStoreProvider")
+    assert not set(_TUNING_CONF) & set(_RUNTIME_CONF)
+
+
+def test_ensure_engine_conf_respects_user_tuning_overrides(spark):
+    """A user's explicit threshold override must survive ensure_engine_conf
+    (load_table calls it on every load): tuning defaults are set-once."""
+    from bytewax_iceberg_connector_spark.session import ensure_engine_conf
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try:
+        ensure_engine_conf(spark)
+        assert spark.conf.get(key) == "-1"
+        # invariants DO re-apply
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set(key, old)

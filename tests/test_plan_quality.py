@@ -49,12 +49,18 @@ def test_multi_join_broadcasts_small_dims(spark, sf_dir):
     back to shuffle joins — broadcasting lineitem would OOM an executor."""
     from bytewax_iceberg_connector_spark.plans.relational import join_inner_multi
 
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold",
+    )
+    old = {k: spark.conf.get(k) for k in keys}
+    for k in keys:
+        spark.conf.set(k, "-1")
     try:
         plan = _plan(join_inner_multi(spark, sf_dir))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 

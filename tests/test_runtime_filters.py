@@ -15,7 +15,10 @@ import pytest
 from bytewax_iceberg_connector_spark.sources.tables import load_table
 
 _CONFS = {
+    # both thresholds: the session tunes them to 64MB (set-once), and the
+    # bloom injection only fires on shuffle joins — the regime under test
     "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
     "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
     "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",

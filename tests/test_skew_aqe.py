@@ -34,6 +34,10 @@ def test_aqe_splits_skewed_join_partitions(spark, skewed):
         "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
         "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join
+        # AQE consults its own threshold (session-tuned to 64MB) when
+        # re-planning — without this the SMJ flips to broadcast and the
+        # skew split never happens
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
         "spark.sql.adaptive.coalescePartitions.enabled": "false",
     }
     old = {k: spark.conf.get(k, None) for k in confs}

@@ -131,6 +131,9 @@ def test_similarity_mmr_matches_pure_python_reference(spark, tmp_path):
         (1, [4, 1, 0, 0, 0, 0, 0, 0]),
         (2, [4, 1, 0, 0, 0, 0, 0, 0]),       # exact tie with 1 (id-asc)
         (3, [8, 2, 0, 0, 0, 0, 0, 0]),       # same direction, scaled
+        # byte-identical re-ingest duplicate (the r12 adversarial-corpus
+        # find): a pick excludes the ID — 3 must never be selected twice
+        (3, [8, 2, 0, 0, 0, 0, 0, 0]),
         # diverse spread
         (4, [3, 3, 0, 0, 0, 0, 0, 0]),
         (5, [0, 3, 3, 0, 0, 0, 0, 0]),
