@@ -672,3 +672,56 @@ def test_multimodal_dedup_matches_pure_python_reference(spark, tmp_path):
         )
     assert got == want, (got, want)
     assert want["s1"][2] > want["s1"][1]   # canon merged MORE than exact
+
+
+# -- staged ADVERSARIAL gate (r12 lesson): a staged query must survive the
+# shared adversarial corpus for every table it reads BEFORE registration.
+# similarity_mmr passed its sf0.001 pin and still shipped a duplicate-id
+# re-selection bug that only the adversarial embeddings fixture (re-ingest
+# duplicate vec_id) could see — this gate makes that class of miss
+# impossible for future stagings. The corpora are the SAME conftest
+# fixtures the registered-query sweeps use.
+
+
+def _staged_surface():
+    from bytewax_iceberg_connector_spark.plans import behavioral, corpus, llm
+
+    qs = {**llm.R12_QUERIES, **behavioral.R12_QUERIES, **corpus.R12_QUERIES}
+    oracles = {**llm.R12_ORACLE, **behavioral.R12_ORACLE,
+               **corpus.R12_ORACLE}
+    return qs, oracles
+
+
+# table each staged query reads -> the adversarial fixture to run it on;
+# extend when staging a query over a new table
+_STAGED_ADV_TABLE = {
+    "ngram_novelty": "adv_dir",          # documents
+    "multimodal_dedup": "adv_dir",       # documents (binary from text)
+    "session_entropy": "adv_events_dir",  # events
+}
+
+
+def test_every_staged_query_has_an_adversarial_assignment():
+    qs, _ = _staged_surface()
+    assert set(qs) == set(_STAGED_ADV_TABLE), (
+        "new staged query lacks an adversarial-corpus assignment"
+    )
+
+
+@pytest.mark.deep
+def test_staged_queries_match_oracle_on_adversarial_corpus(
+    spark, adv_dir, adv_emb_dir, adv_events_dir
+):
+    dirs = {"adv_dir": adv_dir, "adv_emb_dir": adv_emb_dir,
+            "adv_events_dir": adv_events_dir}
+    qs, oracles = _staged_surface()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        d = dirs[_STAGED_ADV_TABLE[name]]
+        try:
+            sp = spark_to_pandas(fn(spark, str(d)))
+            du = duck_oracle(Path(str(d)), oracles[name])
+            assert_df_match(sp, du)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:300]}")
+    assert not failures, "\n".join(failures)
