@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from bytewax_iceberg_connector_spark.config import IcebergSinkConfig
 from bytewax_iceberg_connector_spark.operators.sink import LakeSink
-from bytewax_iceberg_connector_spark.operators.snapshots import SnapshotLog
+import time
+
+from bytewax_iceberg_connector_spark.operators.snapshots import (
+    CommitConflict,
+    SnapshotLog,
+)
 
 
 @pytest.fixture()
@@ -2356,3 +2361,55 @@ def test_two_stealers_race_a_dead_holder_both_land(tmp_path):
     assert not os.path.exists(lock_path)
     assert not any(fn.startswith("table.json.lock.steal")
                    for fn in os.listdir(log.meta_dir))
+
+
+def test_stealer_killed_mid_steal_does_not_wedge(tmp_path):
+    """Crash grammar #19c: a stealer that dies BETWEEN its rename and its
+    O_EXCL re-acquire leaves path absent + a .steal.<hex> residue. That
+    state must not wedge anyone: the next writer's O_EXCL acquires
+    IMMEDIATELY (no staleness wait — the lock file is simply gone) and
+    the orphaned grab file is inert."""
+    log = _bare_log(tmp_path)
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    # materialize the dead-stealer state by hand: an aged lock renamed
+    # away, owner gone before restore-or-unlink
+    with open(lock_path, "w") as f:
+        f.write("999999:deadbeef")
+    old = time.time() - 60
+    os.utime(lock_path, (old, old))
+    grab = f"{lock_path}.steal.{'f' * 32}"
+    os.rename(lock_path, grab)
+
+    t0 = time.monotonic()
+    log.evolve_schema([{"name": "after_dead_stealer", "type": "long"}])
+    waited = time.monotonic() - t0
+    assert waited < 2.0, waited  # immediate O_EXCL, no stale window
+    declared = {f["name"] for f in log.table_meta()["schema_json"]["fields"]}
+    assert "after_dead_stealer" in declared
+    assert not os.path.exists(lock_path)
+    assert os.path.exists(grab)  # inert residue, never re-linked
+
+
+def test_future_mtime_lock_fails_loudly_at_timeout(tmp_path):
+    """Crash grammar #19d: clock skew — a lock whose mtime sits in the
+    FUTURE never ages into staleness, so a waiter must raise
+    CommitConflict at timeout_s (loud, bounded) rather than stealing a
+    lock it cannot prove dead or spinning forever."""
+    import pytest
+
+    log = _bare_log(tmp_path)
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    with open(lock_path, "w") as f:
+        f.write("999999:skewed")
+    future = time.time() + 3600
+    os.utime(lock_path, (future, future))
+
+    t0 = time.monotonic()
+    with pytest.raises(CommitConflict):
+        with log._meta_lock(timeout_s=2.0, stale_s=1.0):
+            pass
+    waited = time.monotonic() - t0
+    assert 1.8 <= waited < 6.0, waited
+    # the skewed lock was NOT stolen or deleted
+    assert os.path.exists(lock_path)
+    assert open(lock_path).read() == "999999:skewed"
