@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -177,14 +178,11 @@ def main() -> None:
             if isinstance(ref, (int, float)) and ref > 0
             else None
         )
-        run_med = None
-        if len(_running_ratios) >= 10:
-            vals = sorted(_running_ratios)
-            mid = len(vals) // 2
-            run_med = (
-                vals[mid] if len(vals) % 2
-                else (vals[mid - 1] + vals[mid]) / 2
-            )
+        run_med = (
+            statistics.median(_running_ratios)
+            if len(_running_ratios) >= 10
+            else None
+        )
         if (
             sf == "0.1"
             and passes[name] == 2
@@ -222,13 +220,11 @@ def main() -> None:
             r = ref_q.get(n)
             if passes.get(n, 0) >= 2 and isinstance(r, (int, float)) and r > 0:
                 ratios[n] = round(sec / r, 3)
-    drift_median = None
-    if len(ratios) >= 20:
-        vals = sorted(ratios.values())
-        mid = len(vals) // 2
-        drift_median = round(
-            vals[mid] if len(vals) % 2 else (vals[mid - 1] + vals[mid]) / 2, 3
-        )
+    drift_median = (
+        round(statistics.median(ratios.values()), 3)
+        if len(ratios) >= 20
+        else None
+    )
     # keep the reference fresh: a warm timing below the stored min becomes
     # the new clean-band estimate (never raised — regressions must show as
     # persistent ratio > 1, not silently rebase the bar). runs_seen counts
@@ -337,11 +333,15 @@ def main() -> None:
                     if n in burst_pre
                     else {}
                 ),
+                # when <20 warm ratios exist (budget-truncated run) the
+                # drift context is unknowable — fall back to the raw
+                # ratio so a retested-and-still-slow query can never be
+                # archived flagless (r12 review find)
                 **(
                     {"burst_suspect": True}
                     if n in ratios
-                    and drift_median
-                    and ratios[n] / drift_median > burst_ratio
+                    and (ratios[n] / drift_median if drift_median
+                         else ratios[n]) > burst_ratio
                     else {}
                 ),
             }

@@ -79,20 +79,33 @@ class SnapshotLog:
         a crashed holder costs at most ``stale_s`` of blocking, never a
         CommitConflict storm.
 
-        Identity discipline (r12 ADVICE — the bare mtime-check+unlink
-        steal was a TOCTOU): every acquirer writes a pid+uuid token into
-        its lock file; a steal RENAMES the stale lock to a unique name
-        (two stealers can't both win a rename of the same inode) and
-        re-checks the renamed file's mtime — a LIVE lock renamed by
-        mistake (re-acquired between the mtime check and the rename) is
-        restored with a no-clobber ``os.link``; release unlinks only if
-        the file still holds the releaser's own token, so a
-        slow-but-alive holder whose lock was stolen can never delete its
-        successor's lock. The residual overlap needs a holder to exceed
-        ``stale_s`` (1000x the ms-scale table.json RMW) AND lose two
-        sub-ms interleavings — defense-in-depth, with staleness as the
-        backstop either way."""
+        Identity discipline (r12 ADVICE): every acquirer writes a
+        pid+uuid token into its lock file; release unlinks only if the
+        file still holds the releaser's own token, so a slow-but-alive
+        holder whose lock was stolen can never delete its successor's
+        lock.
+
+        Steal protocol (r12 second review — the earlier rename-AWAY
+        steal let a waiter acting on a pre-computed stale flag rename a
+        LIVE successor's lock, and while the path sat absent a third
+        O_EXCL acquirer could slip in before the no-clobber restore:
+        two holders in the critical section, the lost-update class this
+        lock exists to close). Stealers now (1) serialize on an O_EXCL
+        steal-mutex beside the lock, (2) RE-VERIFY the lock is still
+        stale under that mutex — a pre-computed flag is never acted on,
+        so a live successor's lock is never touched — and (3) REPLACE
+        the stale lock in place: write their own token to a temp name
+        and ``os.rename`` it onto the path. The path never transitions
+        through absent during a steal, so no O_EXCL acquirer can slip
+        into the window; the mutex itself goes stale after ``stale_s``
+        (a stealer's hold is ms-scale) so a stealer crash cannot wedge
+        stealing. The remaining overlap requires a holder ALIVE past
+        ``stale_s`` (1000x the ms-scale RMW) releasing in the sub-ms
+        between the mutex-held re-stat and the rename, with a third
+        acquirer landing in that same window — staleness is the
+        explicit backstop for holders that outlive it."""
         path = os.path.join(self.meta_dir, "table.json.lock")
+        mutex = f"{path}.steal"
         token = f"{os.getpid()}:{uuid.uuid4().hex}"
         deadline = time.time() + timeout_s
         while True:
@@ -110,35 +123,66 @@ class SnapshotLog:
                     )
                 except OSError:
                     stale = False  # released between checks — re-race
+                stole = False
                 if stale:
-                    grab = f"{path}.steal.{uuid.uuid4().hex}"
                     try:
-                        os.rename(path, grab)
-                    except OSError:
-                        pass  # lost the steal race — re-race O_EXCL
-                    else:
-                        try:
-                            fresh = (
-                                time.time() - os.path.getmtime(grab)
-                                <= stale_s
-                            )
-                        except OSError:  # pragma: no cover
-                            fresh = False
-                        if fresh:
-                            # renamed a LIVE successor's lock: restore
-                            # without clobbering a third acquirer
-                            with contextlib.suppress(OSError):
-                                os.link(grab, path)
+                        mfd = os.open(
+                            mutex, os.O_CREAT | os.O_EXCL | os.O_WRONLY
+                        )
+                    except FileExistsError:
+                        # another stealer is active; clear THEIR mutex
+                        # only if it outlived the staleness window (a
+                        # stealer crash — live steals are ms-scale)
                         with contextlib.suppress(OSError):
-                            os.unlink(grab)
+                            if (
+                                time.time() - os.path.getmtime(mutex)
+                                > stale_s
+                            ):
+                                os.unlink(mutex)
+                    except OSError:  # pragma: no cover
+                        pass  # mutex dir unwritable — fall to deadline
+                    else:
+                        os.close(mfd)
+                        try:
+                            # re-verify UNDER the mutex: the lock must
+                            # still be stale NOW (never act on the
+                            # pre-computed flag — the old TOCTOU)
+                            try:
+                                still = (
+                                    time.time() - os.path.getmtime(path)
+                                    > stale_s
+                                )
+                            except OSError:
+                                still = False  # released — re-race
+                            if still:
+                                tmp = f"{path}.claim.{uuid.uuid4().hex}"
+                                fd = os.open(
+                                    tmp,
+                                    os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                                )
+                                try:
+                                    os.write(fd, token.encode())
+                                finally:
+                                    os.close(fd)
+                                # atomic in-place replace: the path never
+                                # goes absent, so no O_EXCL window opens
+                                os.rename(tmp, path)
+                                stole = True
+                        finally:
+                            with contextlib.suppress(OSError):
+                                os.unlink(mutex)
+                if stole:
+                    break
                 # deadline applies on EVERY loop path (r12 ADVICE: a
                 # persistent getmtime/unlink error must not spin forever)
                 if time.time() > deadline:
                     raise CommitConflict(
                         "timed out waiting for the table.json lock"
                     )
-                if not stale:
-                    time.sleep(0.005)
+                # unconditional: a stale lock with a busy steal-mutex
+                # must not tight-spin (r12 review — the old stale branch
+                # skipped the sleep entirely)
+                time.sleep(0.005)
         try:
             yield
         finally:

@@ -52,6 +52,57 @@ def duration_ms(spec: str) -> int:
     return int(m.group(1)) * _UNIT_MS[m.group(2)]
 
 
+#: event-time plausibility bounds = the pandas datetime64[ns] range. Rows
+#: outside it are QUARANTINED (dropped) before the watermark, for three
+#: reasons at once (r12 review find): (1) Spark's Arrow→pandas serializer
+#: casts timestamp[us] to ns, so one year-9999 row CRASHES the stream at
+#: the applyInPandasWithState boundary; (2) uncapped, such a row pinned
+#: its key's state forever (see _ttl_horizon_ms); (3) worst of all, it
+#: poisons the GLOBAL watermark — every subsequent normal-time event
+#: becomes late and is silently dropped stream-wide. Same quarantine
+#: pattern as load_vectors' invalid-embedding contract: validate at the
+#: boundary, keep the kernel total.
+_TS_QUARANTINE_LO = "1677-09-22 00:00:00"
+_TS_QUARANTINE_HI = "2262-04-10 23:59:59"
+
+
+def _quarantine_ts(events: DataFrame, ts_col: str) -> DataFrame:
+    """Drop rows whose event time falls outside the representable pandas
+    ns range (NULL event times pass through — they are counted but
+    un-orderable, the pinned n_seen contract)."""
+    c = F.col(ts_col)
+    return events.where(
+        c.isNull()
+        | ((c >= F.lit(_TS_QUARANTINE_LO).cast("timestamp"))
+           & (c <= F.lit(_TS_QUARANTINE_HI).cast("timestamp")))
+    )
+
+
+def _ttl_horizon_ms(wm_ms: int, batch_max_ms: int | None, ttl_ms: int) -> int:
+    """Event-time TTL horizon for keyed state, bounded on both sides.
+
+    Anchor = max(watermark, batch max event time) — the r11 fix: the
+    FIRST batch (watermark still 0/epoch) must never set an
+    epoch-anchored horizon already in the past of the very next
+    watermark update. But the event-time anchor is CAPPED at
+    watermark + ttl once a real watermark exists (r12 review find): an
+    uncapped anchor let one corrupt far-future timestamp (year-9999
+    sentinel) pin its key's state forever — the horizon chased the
+    corrupt event time and no achievable watermark could pass it. With
+    the cap the horizon is always inside [wm + ttl, wm + 2·ttl], so
+    state lifetime is bounded by watermark progress no matter what the
+    data says. Trade-off: a key whose event time jumps more than ttl
+    ahead of the watermark in one batch can expire up to ttl early if
+    it then goes silent — bounded state beats unbounded retention; the
+    first batch (wm == 0) keeps the uncapped anchor by necessity and
+    re-caps on the key's next activity."""
+    anchor = wm_ms
+    if batch_max_ms is not None:
+        cap = wm_ms + ttl_ms if wm_ms > 0 else batch_max_ms
+        anchor = max(anchor, min(batch_max_ms, cap))
+    return anchor + ttl_ms
+
+
 def dedup_first_seen(
     events: DataFrame,
     key_col: str = "user_id",
@@ -105,7 +156,8 @@ def dedup_first_seen(
             valid = pdf[ts_col].dropna()
             if not len(valid):
                 continue
-            # normalize to ns first: pandas may hand datetime64[ns] or [us]
+            # normalize to ns first: pandas may hand datetime64[ns] or
+            # [us]; _quarantine_ts bounds the values to the ns range
             ts_us = (
                 valid.astype("datetime64[ns]").astype("int64") // 1000
             ).astype("int64")
@@ -116,28 +168,33 @@ def dedup_first_seen(
             if batch_max_us is None or batch_max > batch_max_us:
                 batch_max_us = batch_max
         state.update((first_us, n_seen))
-        # expire the key once the watermark passes its TTL horizon —
-        # anchored at max(watermark, this batch's max event time) so the
-        # FIRST batch (watermark still 0/epoch) can never set an
-        # epoch-anchored horizon already in the past of the very next
-        # watermark update (r11 verdict item 1c, defense-in-depth)
-        anchor_ms = state.getCurrentWatermarkMs()
-        if batch_max_us is not None:
-            anchor_ms = max(anchor_ms, batch_max_us // 1000)
-        state.setTimeoutTimestamp(anchor_ms + ttl_ms)
+        # watermark/event-time anchored + capped TTL horizon (see
+        # _ttl_horizon_ms for the bounds and the corrupt-future rationale)
+        state.setTimeoutTimestamp(
+            _ttl_horizon_ms(
+                state.getCurrentWatermarkMs(),
+                None if batch_max_us is None else batch_max_us // 1000,
+                ttl_ms,
+            )
+        )
+        # first_ts rides an EXPLICIT datetime64[us] series: pandas-2
+        # non-nano covers the full Spark timestamp range (year 9999),
+        # where a ns-default construction overflows at year 2262
+        fs = (
+            pd.Series([first_us], dtype="int64").astype("datetime64[us]")
+            if first_us is not None
+            else pd.Series([pd.NaT], dtype="datetime64[us]")
+        )
         yield pd.DataFrame(
             {
                 key_col: [key[0]],
-                "first_ts": [
-                    pd.Timestamp(first_us, unit="us")
-                    if first_us is not None
-                    else pd.NaT
-                ],
+                "first_ts": fs,
                 "n_suppressed": [n_seen - 1],
             }
         )
 
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    src = _quarantine_ts(events, ts_col)
+    src = src.withWatermark(ts_col, watermark) if events.isStreaming else src
     return (
         src.groupBy(key_col)
         .applyInPandasWithState(
@@ -199,14 +256,18 @@ def running_counter(
                 if batch_max_us is None or mx > batch_max_us:
                     batch_max_us = mx
         state.update((n, cents))
-        # watermark-or-event-time anchored TTL horizon (see dedup_first_seen)
-        anchor_ms = state.getCurrentWatermarkMs()
-        if batch_max_us is not None:
-            anchor_ms = max(anchor_ms, batch_max_us // 1000)
-        state.setTimeoutTimestamp(anchor_ms + ttl_ms)
+        # watermark/event-time anchored + capped TTL horizon
+        state.setTimeoutTimestamp(
+            _ttl_horizon_ms(
+                state.getCurrentWatermarkMs(),
+                None if batch_max_us is None else batch_max_us // 1000,
+                ttl_ms,
+            )
+        )
         yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total_cents": [cents]})
 
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    src = _quarantine_ts(events, ts_col)
+    src = src.withWatermark(ts_col, watermark) if events.isStreaming else src
     return src.groupBy(key_col).applyInPandasWithState(
         _acc,
         outputStructType=out_schema,

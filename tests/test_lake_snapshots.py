@@ -400,8 +400,6 @@ def test_concurrent_appends_all_land(spark, tmp_path, batches):
 def test_timestamp_as_of_resolves_to_snapshot(spark, tmp_path, batches):
     """TIMESTAMP AS OF: a wall-clock instant resolves to the latest
     snapshot committed at or before it; pre-table instants error."""
-    import time
-
     b1, b2 = batches
     sink = _sink(spark, tmp_path)
     sink.append(b1)
@@ -2302,11 +2300,9 @@ def test_holder_killed_inside_lock_window_is_stolen(tmp_path):
     assert os.path.exists(lock_path)  # the orphaned lock is really there
     dead_token = open(lock_path).read()
 
-    import time as _time
-
-    t0 = _time.monotonic()
+    t0 = time.monotonic()
     log.evolve_schema([{"name": "post_crash", "type": "long"}])
-    waited = _time.monotonic() - t0
+    waited = time.monotonic() - t0
     declared = {f["name"] for f in log.table_meta()["schema_json"]["fields"]}
     assert "post_crash" in declared
     # blocked through the staleness window (evolve defaults stale_s=10),
@@ -2337,7 +2333,7 @@ def test_two_stealers_race_a_dead_holder_both_land(tmp_path):
     lock_path = os.path.join(log.meta_dir, "table.json.lock")
     assert os.path.exists(lock_path)
     # age the lock into staleness for the SHORT windows used below
-    old = __import__("time").time() - 5
+    old = time.time() - 5
     os.utime(lock_path, (old, old))
 
     pids = []
@@ -2413,3 +2409,30 @@ def test_future_mtime_lock_fails_loudly_at_timeout(tmp_path):
     # the skewed lock was NOT stolen or deleted
     assert os.path.exists(lock_path)
     assert open(lock_path).read() == "999999:skewed"
+
+
+def test_dead_stealer_holding_the_steal_mutex_cannot_wedge_stealing(tmp_path):
+    """Crash grammar #19e: a stealer that dies while HOLDING the
+    steal-mutex leaves (stale lock + stale mutex). A later writer must
+    clear the stale mutex, re-verify and steal the lock, and finish —
+    bounded by ~stale_s, never a deadlock or CommitConflict storm."""
+    log = _bare_log(tmp_path)
+    lock_path = os.path.join(log.meta_dir, "table.json.lock")
+    mutex = lock_path + ".steal"
+    old = time.time() - 60
+    for p in (lock_path, mutex):
+        with open(p, "w") as f:
+            f.write("999999:dead")
+        os.utime(p, (old, old))
+
+    t0 = time.monotonic()
+    log.evolve_schema([{"name": "after_dead_mutex", "type": "long"}])
+    waited = time.monotonic() - t0
+    # one loop iteration clears the stale mutex, the next steals the
+    # (still-stale) lock — well under the evolve default stale_s=10
+    assert waited < 5.0, waited
+    declared = {f["name"] for f in log.table_meta()["schema_json"]["fields"]}
+    assert "after_dead_mutex" in declared
+    assert not os.path.exists(lock_path)
+    assert not os.path.exists(mutex)
+    assert not any(".claim." in fn for fn in os.listdir(log.meta_dir))

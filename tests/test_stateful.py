@@ -377,6 +377,13 @@ def test_stateful_soak_no_state_loss_200_keys_8_batches(spark, tmp_path):
             ),
             d / f"b{b}.parquet",
         )
+        # the file source orders by modification time; all 8 writes land
+        # in the same mtime second, so stamp ascending mtimes to make
+        # the micro-batch order (and the per-key trajectories asserted
+        # below) deterministic
+        import os as _os
+
+        _os.utime(d / f"b{b}.parquet", (1_700_000_000 + b, 1_700_000_000 + b))
 
     schema = spark.read.parquet(str(d)).schema
     stream = (
@@ -444,3 +451,117 @@ def test_stateful_soak_no_state_loss_200_keys_8_batches(spark, tmp_path):
     totals = [s.get("numRowsTotal") for s in store if s.get("numRowsTotal") is not None]
     assert totals and totals[-1] == n_keys, store
     assert all(a <= b for a, b in zip(totals, totals[1:])), store
+
+
+def test_ttl_horizon_bounds():
+    """Unit pin for _ttl_horizon_ms: horizon always lands in
+    [wm + ttl, wm + 2*ttl] once a real watermark exists, the first batch
+    (wm == 0) keeps the uncapped event-time anchor, and a NULL-only
+    batch anchors at the watermark."""
+    from bytewax_iceberg_connector_spark.streaming.stateful import (
+        _ttl_horizon_ms,
+    )
+
+    ttl = 60_000
+    wm = 1_700_000_000_000
+    # normal data: event max inside the cap — pure event-time anchor
+    assert _ttl_horizon_ms(wm, wm + 30_000, ttl) == wm + 30_000 + ttl
+    # corrupt far-future event: capped at wm + 2*ttl, never chases it
+    assert _ttl_horizon_ms(wm, 253_402_300_799_000, ttl) == wm + 2 * ttl
+    # event max behind the watermark (all-late batch): anchor = wm
+    assert _ttl_horizon_ms(wm, wm - 10_000, ttl) == wm + ttl
+    # NULL-only batch: anchor = wm
+    assert _ttl_horizon_ms(wm, None, ttl) == wm + ttl
+    # first batch, wm == 0: uncapped event anchor (the r11 fix)
+    assert _ttl_horizon_ms(0, 9_000_000, ttl) == 9_000_000 + ttl
+
+
+@_pytest.mark.deep
+def test_corrupt_far_future_event_is_quarantined_not_fatal(spark, tmp_path):
+    """r12 review find, upgraded on investigation: a year-9999 event was
+    not just a state-pinner — Spark's Arrow→pandas serializer casts
+    timestamp[us] to ns, so the corrupt row CRASHED the whole stream at
+    the applyInPandasWithState boundary, and had it survived it would
+    have poisoned the global watermark (every later normal event
+    silently dropped stream-wide). The operator now QUARANTINES rows
+    outside the pandas-ns-representable range before the watermark:
+    the stream completes, the corrupt row is not counted, the sibling
+    key's flow and the watermark are undisturbed."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t0 = dt.datetime(2024, 1, 1)
+    corrupt = dt.datetime(9999, 12, 31)
+    ancient = dt.datetime(1400, 1, 1)  # pre-1677: underflows ns too
+    batches = [
+        [(0, t0, 1), (1, t0, 2)],
+        [(2, corrupt, 1), (3, t0 + dt.timedelta(minutes=1), 2)],
+        [(4, ancient, 1), (5, t0 + dt.timedelta(minutes=2), 2)],
+    ]
+    d = tmp_path / "corrupt_src"
+    d.mkdir()
+    for i, rows in enumerate(batches):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                    "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            ),
+            d / f"b{i}.parquet",
+        )
+
+    schema = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    rows = []
+
+    def _sink(batch_df, epoch):
+        rows.extend((epoch, r) for r in batch_df.collect())
+
+    q = (
+        dedup_first_seen(stream, watermark="1 minute")
+        .writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "cp_corrupt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    # the stream must COMPLETE — pre-fix the corrupt row killed it with
+    # ArrowInvalid: casting timestamp[us] to [ns] out of bounds
+    assert q.awaitTermination(300), "drain timed out"
+    store = [
+        {
+            "batch": p["batchId"],
+            **{
+                k: so.get(k)
+                for so in p.get("stateOperators", [])
+                for k in ("numRowsTotal", "numRowsUpdated", "numRowsRemoved")
+            },
+        }
+        for p in q.recentProgress
+    ]
+    k1 = sorted((e, r.first_ts, r.n_suppressed) for e, r in rows
+                if r.user_id == 1)
+    k2 = sorted((e, r.first_ts, r.n_suppressed) for e, r in rows
+                if r.user_id == 2)
+    # key 1: ONLY its clean batch-1 emission — both corrupt rows are
+    # quarantined, never counted, never emitted, never duplicate-first
+    assert [(ts, n) for _, ts, n in k1] == [(t0, 0)], (k1, store)
+    # key 2's flow is untouched: the watermark was never poisoned, so
+    # its batch-3 event is NOT late and n_suppressed reaches 2
+    assert [(ts, n) for _, ts, n in k2] == [
+        (t0, 0), (t0, 1), (t0, 2)
+    ], (k2, store)
+    # both keys' state alive at the end (no corrupt watermark jump)
+    totals = [s["numRowsTotal"] for s in store
+              if s.get("numRowsTotal") is not None]
+    assert totals and totals[-1] == 2, store
