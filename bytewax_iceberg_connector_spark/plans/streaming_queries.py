@@ -237,7 +237,12 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     execution path is exercised in tests/test_stateful.py; THIS entry
     puts the operator's declared batch equivalence (its docstring:
     groupBy(key).min(ts)) under the differential oracle, so the stateful
-    kernel and the SQL semantics can never drift apart silently.
+    kernel and the SQL semantics can never drift apart silently. One
+    DELIBERATE carve-out (r12): the streaming operator quarantines rows
+    whose event time falls outside the pandas-ns range (year 1677-2262)
+    — such a row crashes the Arrow boundary and poisons the global
+    watermark in streaming, where batch SQL is unaffected; see
+    streaming/stateful._quarantine_ts.
 
     Scale: one narrow groupBy(key) with map-side partial min/count — the
     same state-per-key footprint the streaming operator carries, batch
