@@ -19,6 +19,8 @@ New documents-only queries are covered automatically via the registry.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -1176,3 +1178,74 @@ def test_ws_class_dialect_agreement(spark):
     assert duckdb.connect().execute(
         r"SELECT len(string_split_regex('a\x0bb', '\s+'))"
     ).fetchone()[0] == 1  # RE2 \s does NOT split on \v
+
+
+# ---------------------------------------------------------------------------
+# Extreme event times (r12): year-1400 and year-9999 rows through EVERY
+# events-only registered query. The engine and DuckDB agree on all of
+# them (proleptic-Gregorian arithmetic end to end) EXCEPT the gapfill
+# pair, whose DELIBERATE grid-domain guard fires instead of generating a
+# multi-million-bucket grid — the corrupt-row DoS the guard exists for.
+# Collection goes through spark_to_pandas (serial; plain .toPandas()
+# casts result timestamps to pandas-ns and dies at year 2262).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adv_extreme_events_dir(adv_events_dir, tmp_path_factory):
+    """The shared adversarial events corpus PLUS two extreme-ts rows —
+    built FROM the conftest fixture file so the base rows can never
+    drift between the two sweeps."""
+    import datetime as dt
+
+    d = tmp_path_factory.mktemp("adv_events_extreme")
+    base = pq.read_table(adv_events_dir / "events.parquet")
+    extreme = pa.table(
+        {
+            "event_id": pa.array([14, 15], pa.int64()),
+            "ts": pa.array(
+                [dt.datetime(1400, 1, 1), dt.datetime(9999, 12, 31)],
+                pa.timestamp("us"),
+            ),
+            "user_id": pa.array([5, 5], pa.int64()),
+            "event_type": pa.array(["view", "purchase"], pa.string()),
+            "value": pa.array([1.0, 2.0], pa.float64()),
+            "props": pa.array(['{"k": 10}', '{"k": 11}'], pa.string()),
+        }
+    )
+    pq.write_table(
+        pa.concat_tables([base, extreme.cast(base.schema)]),
+        d / "events.parquet",
+    )
+    return d
+
+
+@pytest.mark.deep
+def test_events_queries_survive_extreme_timestamps(
+    spark, adv_extreme_events_dir
+):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = _single_table_targets("events")
+    assert len(targets) >= 40, targets
+    d = adv_extreme_events_dir
+    failures = []
+    for name in targets:
+        if name.startswith("gapfill_"):
+            # the guard must fire LOUDLY — silent grid explosion (year
+            # 1400..9999 at fixed grain = millions of buckets per key)
+            # is the failure mode
+            with pytest.raises(SparkRuntimeException, match="grid domain"):
+                qs[name](spark, str(d)).collect()
+            continue
+        try:
+            sp = spark_to_pandas(qs[name](spark, str(d)))
+            op = duck_oracle(Path(str(d)), oracles[name])
+            assert_df_match(sp, op)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
+    assert not failures, "\n".join(failures)
