@@ -1224,28 +1224,16 @@ def adv_extreme_events_dir(adv_events_dir, tmp_path_factory):
 def test_events_queries_survive_extreme_timestamps(
     spark, adv_extreme_events_dir
 ):
-    from pyspark.errors.exceptions.captured import SparkRuntimeException
-
-    from bytewax_iceberg_connector_spark.plans import registry
-
-    qs = registry.all_queries()
-    oracles = registry.all_oracles()
+    """Match-or-both-abort over every events-only target: the 2024-era
+    rows keep every differential meaningful while the extreme rows probe
+    the arithmetic ends. The gapfill pair must abort on BOTH engines
+    (min_aborts=2) — engine error() and oracle guard carry the same
+    'grid domain' message, and a one-sided abort (one engine silently
+    materializing a 1400..9999 grid) is exactly the bug class the
+    shared sweep helper rejects."""
     targets = _single_table_targets("events")
     assert len(targets) >= 40, targets
-    d = adv_extreme_events_dir
-    failures = []
-    for name in targets:
-        if name.startswith("gapfill_"):
-            # the guard must fire LOUDLY — silent grid explosion (year
-            # 1400..9999 at fixed grain = millions of buckets per key)
-            # is the failure mode
-            with pytest.raises(SparkRuntimeException, match="grid domain"):
-                qs[name](spark, str(d)).collect()
-            continue
-        try:
-            sp = spark_to_pandas(qs[name](spark, str(d)))
-            op = duck_oracle(Path(str(d)), oracles[name])
-            assert_df_match(sp, op)
-        except Exception as exc:  # noqa: BLE001
-            failures.append(f"{name}: {type(exc).__name__}: {str(exc)[:200]}")
-    assert not failures, "\n".join(failures)
+    _sweep_match_or_both_abort(
+        spark, adv_extreme_events_dir, targets,
+        min_matches=40, min_aborts=2,
+    )
