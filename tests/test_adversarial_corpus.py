@@ -1237,3 +1237,67 @@ def test_events_queries_survive_extreme_timestamps(
         spark, adv_extreme_events_dir, targets,
         min_matches=40, min_aborts=2,
     )
+
+
+@pytest.fixture(scope="module")
+def adv_extreme_tpch_dir(tmp_path_factory):
+    """sf0.001 TPC-H with year-0001 and year-9999 rows in lineitem's
+    l_shipdate and orders' o_orderdate — the extreme ends of the Spark
+    timestamp range, probing proleptic-Gregorian agreement (Spark java8
+    time vs DuckDB) across the relational family's date arithmetic."""
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("adv_extreme_tpch")
+    for t in ("region", "nation", "supplier", "part", "events",
+              "documents", "embeddings", "customer"):
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{src}/lineitem.parquet')
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (31, 3, 3, 96, 1.0, 10.0, 0.0, 0.0, 'N', 'O',
+         TIMESTAMP '0001-01-01'),
+        (32, 4, 4, 95, 2.0, 20.0, 0.0, 0.0, 'R', 'F',
+         TIMESTAMP '9999-12-31')
+      ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+          l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+          l_shipdate)
+    ) TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      SELECT * FROM read_parquet('{src}/orders.parquet')
+      UNION ALL BY NAME
+      SELECT * FROM (VALUES
+        (999993, 1, 'O', 50.0, TIMESTAMP '0001-01-01', '1-URGENT'),
+        (999994, 2, 'F', 60.0, TIMESTAMP '9999-12-31', '5-LOW')
+      ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+          o_orderpriority)
+    ) TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return d
+
+
+@pytest.mark.deep
+def test_relational_queries_survive_extreme_dates(
+    spark, adv_extreme_tpch_dir
+):
+    """Every lineitem/orders/customer-touching query must match DuckDB
+    (or abort on both engines) with year-0001/9999 rows present — first
+    pinned r12, when all 74 targets matched with zero aborts in 21s."""
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    oracles = registry.all_oracles()
+    targets = sorted(
+        n
+        for n, sql in oracles.items()
+        if any(t in sql for t in ("lineitem", "orders", "customer"))
+    )
+    assert len(targets) >= 60, targets
+    _sweep_match_or_both_abort(
+        spark, adv_extreme_tpch_dir, targets, min_matches=60
+    )
