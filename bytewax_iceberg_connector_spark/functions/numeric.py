@@ -69,6 +69,24 @@ def davg(col: Column | str, scale: int = 2) -> Column:
     )
 
 
+def dec_sql(expr: str, scale: int = 2) -> str:
+    """Spark-dialect EXPRESSION-STRING twin of dec(): the guarded decimal
+    cast for plans that build aggregates via F.expr strings (r12 sweep
+    find: order_reconciliation and a dozen siblings cast measures with
+    bare `cast(x as decimal)` inside expr text, so a NaN-poisoned price
+    silently NULLed value mass on Spark while DuckDB's native CAST
+    aborted — a one-sided abort OUTSIDE the documented shared-text sql_*
+    boundary). The DuckDB oracle side needs no twin: its bare CAST
+    aborts on non-finite input natively."""
+    return (
+        f"CASE WHEN {expr} IS NULL OR NOT (isnan(cast({expr} as double)) "
+        f"OR abs(cast({expr} as double)) = cast('Infinity' as double)) "
+        f"THEN cast({expr} as decimal({_PREC},{scale})) "
+        f"ELSE raise_error('non-finite value in decimal-exact measure') "
+        f"END"
+    )
+
+
 def sql_dsum(expr: str, scale: int = 2) -> str:
     """DuckDB-side mirror of dsum()."""
     return f"CAST(SUM(CAST({expr} AS DECIMAL({_PREC},{scale}))) AS DOUBLE)"
@@ -103,6 +121,22 @@ def finite(col: Column | str) -> Column:
     bad = F.isnan(c) | (F.abs(c) == F.lit(float("inf")))
     return F.when(c.isNull() | ~bad, c).otherwise(
         F.raise_error(F.lit("non-finite value in measure"))
+    )
+
+
+def finite_expr(expr: str) -> str:
+    """Spark-dialect EXPRESSION-STRING twin of finite() (r12 sweep find:
+    percentile_rollup ran the SAME text on both engines, and with a NaN
+    measure Spark's percentile_disc ranked it greatest while DuckDB
+    skipped it — silently different quantiles, no abort anywhere). Use
+    this to build the Spark arm of a previously-shared text; the oracle
+    arm takes :func:`sql_finite`."""
+    return (
+        f"CASE WHEN {expr} IS NULL THEN {expr} "
+        f"WHEN isnan(cast({expr} as double)) "
+        f"OR abs(cast({expr} as double)) = cast('Infinity' as double) "
+        f"THEN raise_error('non-finite value in measure') "
+        f"ELSE {expr} END"
     )
 
 

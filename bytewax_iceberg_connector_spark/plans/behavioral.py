@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import measure_domain, sql_measure_domain
+from ..functions.numeric import dec_sql, measure_domain, sql_measure_domain
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -325,8 +325,12 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen; the shuffle carries (priority, bin, partial count) only.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # measure_domain: floor(double)->bigint silently saturates on
+    # NaN/Inf/1e307 (NaN lands in bucket 0!) where DuckDB's CAST aborts
+    # — abort on both (r12 TPC-H measure-poisoning sweep; the r09 events
+    # sweep fixed value consumers but never poisoned o_totalprice)
     bin_ = F.least(
-        F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+        F.floor(measure_domain("o_totalprice") / _HIST_WIDTH).cast("long"),
         F.lit(_HIST_BINS - 1).cast("long"),
     )
     return (
@@ -352,7 +356,8 @@ SELECT o_orderpriority,
             ELSE (bin + 1) * {_HIST_WIDTH} END AS hi
 FROM (
   SELECT o_orderpriority,
-         LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+         LEAST(CAST(FLOOR({sql_measure_domain('o_totalprice')}
+                          / {_HIST_WIDTH}) AS BIGINT),
                {_HIST_BINS - 1}) AS bin
   FROM orders
 ) t
@@ -1204,7 +1209,7 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderdate").alias("last_order"),
             F.count(F.lit(1)).cast("long").alias("n_orders"),
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents"),
         )
@@ -1309,7 +1314,7 @@ def quantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey",
             F.year("o_orderdate").cast("long").alias("o_year"),
             F.expr(
-                "cast(floor(cast(o_totalprice as decimal(18,2)) * 100)"
+                f"cast(floor({dec_sql('o_totalprice')} * 100)"
                 " as bigint)"
             ).alias("cents"),
         )
@@ -1515,7 +1520,8 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("dn"),
         F.least(
-            F.floor(F.col("o_totalprice") / _HIST_WIDTH).cast("long"),
+            F.floor(measure_domain("o_totalprice") / _HIST_WIDTH)
+            .cast("long"),
             F.lit(_HIST_BINS - 1).cast("long"),
         ).alias("bin"),
     )
@@ -1571,7 +1577,8 @@ _SQL_PSI = f"""
 WITH base AS (
   SELECT CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
               AS BIGINT) AS dn,
-         LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH}) AS BIGINT),
+         LEAST(CAST(FLOOR({sql_measure_domain('o_totalprice')}
+                          / {_HIST_WIDTH}) AS BIGINT),
                {_HIST_BINS - 1}) AS bin
   FROM orders WHERE o_orderdate IS NOT NULL
 ), span AS (
@@ -1638,7 +1645,7 @@ def cohort_revenue_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "year(o_orderdate) * 12 + month(o_orderdate) - 1"
         ).cast("long").alias("m"),
         F.expr(
-            "cast(floor(cast(o_totalprice as decimal(18,2)) * 100) as bigint)"
+            f"cast(floor({dec_sql('o_totalprice')} * 100) as bigint)"
         ).alias("cents"),
     )
     wc = Window.partitionBy("o_custkey")

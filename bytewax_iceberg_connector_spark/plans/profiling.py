@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dec_sql
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -627,7 +628,7 @@ def benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.substring(
                 F.expr(
-                    "cast(cast(floor(cast(o_totalprice as decimal(18,2))"
+                    f"cast(cast(floor({dec_sql('o_totalprice')}"
                     " * 100) as bigint) as string)"
                 ),
                 1,
@@ -712,7 +713,7 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.expr(
-            "cast(floor(cast(o_totalprice as decimal(18,2)) * 100)"
+            f"cast(floor({dec_sql('o_totalprice')} * 100)"
             " as bigint)"
         ).alias("head_cents"),
     )
@@ -722,9 +723,9 @@ def order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_orderkey").alias("o_orderkey"))
         .agg(
             F.expr(
-                "cast(floor(sum(cast(l_extendedprice as decimal(18,2))"
-                " * (1 - cast(l_discount as decimal(18,2)))"
-                " * (1 + cast(l_tax as decimal(18,2)))) * 100) as bigint)"
+                f"cast(floor(sum({dec_sql('l_extendedprice')}"
+                f" * (1 - {dec_sql('l_discount')})"
+                f" * (1 + {dec_sql('l_tax')})) * 100) as bigint)"
             ).alias("line_cents")
         )
     )
@@ -867,7 +868,7 @@ def revenue_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_custkey")
         .agg(
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents")
         )
@@ -1048,7 +1049,7 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             "c_mktsegment",
             F.expr(
-                "cast(floor(cast(c_acctbal as decimal(18,2)) * 100)"
+                f"cast(floor({dec_sql('c_acctbal')} * 100)"
                 " as bigint) div 10000"
             ).alias("bal_bucket"),
         )

@@ -22,8 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import (davg, dec, dsum, finite, sql_davg,
-                                 sql_dsum, sql_finite)
+from ..functions.numeric import (davg, dec, dec_sql, dsum, finite,
+                                 finite_expr, measure_domain, sql_davg,
+                                 sql_dsum, sql_finite, sql_measure_domain)
 from ..sources.tables import load_table, register_views
 
 # ---------------------------------------------------------------------------
@@ -826,13 +827,16 @@ def scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_to_1999"),
         F.round(F.col("o_totalprice"), 1).alias("price_round1"),
-        F.floor(F.col("o_totalprice")).cast("long").alias("price_floor"),
+        # measure_domain: floor(double)->bigint saturates silently on
+        # NaN/Inf/1e307 where DuckDB CAST aborts (r12 measure sweep)
+        F.floor(measure_domain("o_totalprice")).cast("long")
+        .alias("price_floor"),
         F.abs(F.col("o_totalprice") - 1000.0).alias("price_dist_1k"),
         F.sqrt(F.col("o_totalprice")).alias("price_sqrt"),
     )
 
 
-_SQL_SCALAR = r"""
+_SQL_SCALAR = rf"""
 SELECT
   o_orderkey,
   UPPER(o_orderstatus) AS status_upper,
@@ -844,7 +848,7 @@ SELECT
   CAST(YEAR(o_orderdate) AS BIGINT) AS order_year,
   CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS BIGINT) AS days_to_1999,
   ROUND(o_totalprice, 1) AS price_round1,
-  CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor,
+  CAST(FLOOR({sql_measure_domain('o_totalprice')}) AS BIGINT) AS price_floor,
   ABS(o_totalprice - 1000.0) AS price_dist_1k,
   SQRT(o_totalprice) AS price_sqrt
 FROM orders
@@ -1073,19 +1077,29 @@ def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate-then-join of orders with per-customer (count, sum).
     """
     register_views(spark, sf_dir, "orders")
-    return spark.sql(_SQL_CORRELATED)
+    return spark.sql(_SQL_CORRELATED_SPARK)
 
 
-_SQL_CORRELATED = """
+def _correlated_sql(cast_fn) -> str:
+    """One template, two decimal-cast dialects: the oracle's bare CAST
+    aborts on non-finite input natively; the Spark arm needs dec_sql's
+    raise_error guard or a NaN price silently NULLs out of the sum
+    (r12 measure-poisoning sweep)."""
+    c = cast_fn("o_totalprice")
+    return f"""
 SELECT o_orderpriority, COUNT(*) AS n_above
 FROM orders o
-WHERE CAST(o_totalprice AS DECIMAL(18,2)) *
+WHERE {c} *
       (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
-    > 1.5 * (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+    > 1.5 * (SELECT SUM({c})
              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+_SQL_CORRELATED = _correlated_sql(lambda c: f"CAST({c} AS DECIMAL(18,2))")
+_SQL_CORRELATED_SPARK = _correlated_sql(dec_sql)
 
 # ---------------------------------------------------------------------------
 # registry
@@ -1893,21 +1907,31 @@ ORACLE["sql_disjunctive_revenue"] = _Q19_SQL
 # Exact per-group percentiles (the histogram sketch's exact twin)
 # ---------------------------------------------------------------------------
 
-_PCTL_SQL = """
+def _pctl_sql(guard) -> str:
+    """One template, two finite-guard dialects (r12 measure sweep):
+    with a NaN measure Spark's percentile_disc ranks it GREATEST while
+    DuckDB's skips it — silently different quantiles on what used to be
+    shared text. Both arms now abort on non-finite input."""
+    g = guard("o_totalprice")
+    return f"""
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
-       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice)
+       CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY {g})
             AS DOUBLE) AS p25,
-       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY o_totalprice)
+       CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY {g})
             AS DOUBLE) AS p50,
-       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice)
+       CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY {g})
             AS DOUBLE) AS p75,
-       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY o_totalprice)
+       CAST(percentile_disc(0.95) WITHIN GROUP (ORDER BY {g})
             AS DOUBLE) AS p95
 FROM orders
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority
 """
+
+
+_PCTL_SQL = _pctl_sql(sql_finite)
+_PCTL_SQL_SPARK = _pctl_sql(finite_expr)
 
 
 def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1928,7 +1952,7 @@ def percentile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports. That trade is the reason both queries exist.
     """
     register_views(spark, sf_dir, "orders")
-    return spark.sql(_PCTL_SQL)
+    return spark.sql(_PCTL_SQL_SPARK)
 
 
 QUERIES["percentile_rollup"] = percentile_rollup
@@ -1977,8 +2001,16 @@ _PCTL_APPROX_CENTS = """
   FROM orders
 """
 
+# Spark arm of the cents CTE: the oracle's bare decimal cast aborts on
+# non-finite input natively; Spark's silently NULLs (r12 measure sweep)
+_PCTL_APPROX_CENTS_SPARK = f"""
+  SELECT o_orderpriority,
+         CAST({dec_sql('o_totalprice')} * 100 AS BIGINT) AS cents
+  FROM orders
+"""
+
 _PCTL_APPROX_SPARK = f"""
-WITH c AS ({_PCTL_APPROX_CENTS})
+WITH c AS ({_PCTL_APPROX_CENTS_SPARK})
 SELECT o_orderpriority,
        CAST(COUNT(*) AS BIGINT) AS n_orders,
        CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
@@ -2963,7 +2995,7 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "p_partkey",
         F.expr(
-            "cast(floor(cast(p_retailprice as decimal(18,2)) * 100)"
+            f"cast(floor({dec_sql('p_retailprice')} * 100)"
             " as bigint)"
         ).alias("price_cents"),
         F.col("p_size").cast("long").alias("size"),

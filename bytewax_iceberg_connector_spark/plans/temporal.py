@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dec, dsum, sql_dsum
+from ..functions.numeric import dec, dec_sql, dsum, sql_dsum
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -918,7 +918,7 @@ def seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents")
         )
@@ -1059,7 +1059,7 @@ def cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", F.to_date("o_orderdate").alias("day"))
         .agg(
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents")
         )
@@ -1179,7 +1179,7 @@ def rolling_median_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents")
         )
@@ -1370,7 +1370,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.to_date("o_orderdate").alias("day"))
         .agg(
             F.expr(
-                "cast(floor(sum(cast(o_totalprice as decimal(18,2))) * 100)"
+                f"cast(floor(sum({dec_sql('o_totalprice')}) * 100)"
                 " as bigint)"
             ).alias("cents")
         )

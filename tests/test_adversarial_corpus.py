@@ -1301,3 +1301,133 @@ def test_relational_queries_survive_extreme_dates(
     _sweep_match_or_both_abort(
         spark, adv_extreme_tpch_dir, targets, min_matches=60
     )
+
+
+@pytest.fixture(scope="module")
+def nonfinite_tpch_dir(tmp_path_factory):
+    """sf0.001 TPC-H with NaN/±Inf poisoned into every measure column
+    (l_quantity/l_extendedprice/l_discount, o_totalprice, c_acctbal,
+    p_retailprice) — the r12 sweep that found order_reconciliation and
+    five siblings casting measures with bare `cast(x as decimal)` in
+    expr text (Spark silently NULLed poisoned value mass where DuckDB's
+    CAST aborts) and percentile_rollup's shared text silently shifting
+    quantiles (Spark ranks NaN greatest, DuckDB skips it)."""
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("nonfinite_tpch")
+    _copy_other_tables(d, None)
+    con = duckdb.connect()
+    con.execute(f"""
+    COPY (SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+       CASE WHEN l_orderkey % 60 = 7 THEN 'NaN'::DOUBLE
+            ELSE l_quantity END AS l_quantity,
+       CASE WHEN l_orderkey % 60 = 23 THEN 'Infinity'::DOUBLE
+            WHEN l_orderkey % 60 = 41 THEN '-Infinity'::DOUBLE
+            ELSE l_extendedprice END AS l_extendedprice,
+       CASE WHEN l_orderkey % 60 = 53 THEN 'NaN'::DOUBLE
+            ELSE l_discount END AS l_discount,
+       l_tax, l_returnflag, l_linestatus, l_shipdate
+     FROM read_parquet('{src}/lineitem.parquet'))
+    TO '{d}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT o_orderkey, o_custkey, o_orderstatus,
+       CASE WHEN o_orderkey % 70 = 11 THEN 'NaN'::DOUBLE
+            WHEN o_orderkey % 70 = 37 THEN 'Infinity'::DOUBLE
+            ELSE o_totalprice END AS o_totalprice,
+       o_orderdate, o_orderpriority
+     FROM read_parquet('{src}/orders.parquet'))
+    TO '{d}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT c_custkey, c_name, c_nationkey,
+       CASE WHEN c_custkey % 50 = 13 THEN 'NaN'::DOUBLE
+            ELSE c_acctbal END AS c_acctbal,
+       c_mktsegment
+     FROM read_parquet('{src}/customer.parquet'))
+    TO '{d}/customer.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+       CASE WHEN p_partkey % 40 = 17 THEN '-Infinity'::DOUBLE
+            ELSE p_retailprice END AS p_retailprice
+     FROM read_parquet('{src}/part.parquet'))
+    TO '{d}/part.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return d
+
+
+def _tpch_measure_targets():
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    oracles = registry.all_oracles()
+    return sorted(
+        n
+        for n, sql in oracles.items()
+        if any(t in sql for t in ("lineitem", "orders", "customer",
+                                  "p_retailprice"))
+    )
+
+
+@pytest.mark.deep
+def test_python_built_tpch_queries_on_nonfinite_measures_match_or_both_abort(
+    spark, nonfinite_tpch_dir
+):
+    """Every python-built plan must match the oracle or abort on BOTH
+    engines with poisoned measures — the dec()/dec_sql/finite/
+    measure_domain discipline extended from events.value (r09) to every
+    TPC-H measure (r12)."""
+    targets = [n for n in _tpch_measure_targets()
+               if not n.startswith("sql_")]
+    assert len(targets) >= 40, targets
+    _sweep_match_or_both_abort(
+        spark, nonfinite_tpch_dir, targets, min_matches=15, min_aborts=10
+    )
+
+
+@pytest.mark.deep
+def test_sql_battery_on_nonfinite_measures_is_the_documented_boundary(
+    spark, nonfinite_tpch_dir
+):
+    """The shared-text sql_* battery (one SQL string runs verbatim on
+    both engines — TPC-H parity is the point) CANNOT abort on Spark
+    without forking the text (Spark spells abort raise_error(), DuckDB
+    error()); the documented posture (functions/numeric.py shared-SQL
+    boundary note) is that the ORACLE arm enforces the finite-input
+    contract. Pin that shape: each battery query either matches, or the
+    oracle aborts while Spark returns — a SPARK-side abort or a silent
+    value divergence is a contract change that must fail here."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from bytewax_iceberg_connector_spark.plans import registry
+
+    qs = registry.all_queries()
+    oracles = registry.all_oracles()
+    targets = [n for n in _tpch_measure_targets() if n.startswith("sql_")]
+    assert len(targets) >= 10, targets
+    d = nonfinite_tpch_dir
+
+    def one(name):
+        sp = sp_err = op_err = None
+        try:
+            sp = qs[name](spark, str(d)).toPandas()
+        except Exception as e:  # noqa: BLE001
+            sp_err = f"{type(e).__name__}: {str(e)[:120]}"
+        try:
+            op = duck_oracle(Path(str(d)), oracles[name])
+        except Exception as e:  # noqa: BLE001
+            op_err = f"{type(e).__name__}"
+            op = None
+        if sp_err:
+            return f"{name}: SPARK-SIDE ABORT (boundary changed): {sp_err}"
+        if op_err:
+            return "boundary"  # oracle enforces; spark returned a value
+        try:
+            assert_df_match(sp, op)
+            return "match"
+        except AssertionError as e:
+            return f"{name}: SILENT VALUE DIVERGENCE: {str(e)[:150]}"
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(one, targets))
+    failures = [r for r in results if r not in ("match", "boundary")]
+    assert not failures, "\n".join(failures)
+    assert sum(1 for r in results if r == "boundary") >= 8, results
