@@ -1431,3 +1431,51 @@ def test_sql_battery_on_nonfinite_measures_is_the_documented_boundary(
     failures = [r for r in results if r not in ("match", "boundary")]
     assert not failures, "\n".join(failures)
     assert sum(1 for r in results if r == "boundary") >= 8, results
+
+
+@pytest.fixture(scope="module")
+def huge_magnitude_emb_dir(tmp_path_factory):
+    """Embeddings with float32-extreme magnitudes: a 1e38 vector (norm²
+    8e76, finite in f64), a subnormal 1e-30 vector (norm² underflow
+    territory), and a near-f32-max component — probing the cosine
+    family's overflow discipline (r12 family #22)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("huge_emb")
+    dim = 8
+    base = [[float(i + 1 + j) for j in range(dim)] for i in range(20)]
+    vecs = base + [[1e38] * dim, [1e-30] * dim,
+                   [3.4e38, 1.0] + [0.0] * 6]
+    ids = list(range(20)) + [100, 101, 102]
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([i % 3 for i in ids], pa.int32()),
+        }),
+        d / "embeddings.parquet",
+    )
+    return d
+
+
+@pytest.mark.deep
+def test_embeddings_queries_on_huge_magnitudes_match_or_both_abort(
+    spark, huge_magnitude_emb_dir
+):
+    """The cosine family (topk/MMR/IVF/PQ/LSH...) must agree with DuckDB
+    even with 1e38 and subnormal vectors in the corpus (norms stay
+    finite in f64, ROUND(·,6) keeps parity), while the magnitude-derived
+    integer stats (centroids/norm_stats/quantize/nested) must abort on
+    BOTH engines when norm² overflows their bigint/decimal domains —
+    never silently saturate. First pinned r12: 7 matches + 4 dual
+    aborts."""
+    targets = _single_table_targets("embeddings")
+    assert len(targets) >= 10, targets
+    _sweep_match_or_both_abort(
+        spark, huge_magnitude_emb_dir, targets,
+        min_matches=6, min_aborts=4,
+    )
