@@ -2248,19 +2248,18 @@ _PR_DAMP_PPM = 850_000  # d = 0.85 in ppm — integer PageRank throughout
 
 
 def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple:
-    """PageRank build phase: returns ``(ew, pr)`` — the out-weighted edge
-    table cached hashpartitioned by DESTINATION node, and the uniform
-    rank seed — both persisted and materialized (caller unpersists).
-    Node-sized frames get a width DERIVED from the node count (~50k
-    nodes/partition) instead of a hard coalesce(1): a single-task reduce
-    doesn't survive graphs past ~10^6 nodes (round-5 verdict/ADVICE)."""
+    """PageRank build phase: returns ``(ew, pr, caches)`` — the
+    out-weighted edge table cached hashpartitioned by DESTINATION node
+    and MATERIALIZED (one count job populates every cache below it), the
+    LAZY uniform rank seed (node-sized, read once as the first
+    iteration's broadcast input), and the persisted frames the caller
+    must scope to its result's lifetime (_cache.scoped)."""
     li = load_table(spark, sf_dir, "lineitem")
     # persist the undirected pair table FIRST: the edge union, the
     # out-weight aggregate, and the initial rank vector all derive from
     # it — without the persist each branch replays the basket fan-out
     # (measured 3 replays = ~2/3 of the whole query's cost at sf0.1)
     und = _basket_pairs(li).persist()
-    und.count()
     edges = und.select(
         F.col("pa").alias("u"), F.col("pb").alias("v"), "w"
     ).unionByName(und.select(F.col("pb").alias("u"), F.col("pa").alias("v"), "w"))
@@ -2272,27 +2271,26 @@ def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple:
         .agg(F.sum("w").cast("long").alias("ow"))
         .persist()
     )
-    n_nodes = outw.count()
-    node_width = max(
-        1,
-        min(
-            spark.sparkContext.defaultParallelism,
-            (n_nodes + 49_999) // 50_000,
-        ),
-    )
     # pre-partition the cached edge table by the DESTINATION node: the
     # per-iteration broadcast join on u preserves this partitioning, so
     # every iteration's groupBy(v) aggregates exchange-free — one shuffle
-    # at build time replaces _PR_ITERS shuffles of the contribution table
+    # at build time replaces _PR_ITERS shuffles of the contribution table.
+    # ONE materialization job: the broadcast(outw) build scans und
+    # (populating its cache), the edge union then reads the cache, and
+    # the count pins ew — r12 dropped the three extra count jobs (und,
+    # outw, pr) the old build paid per query (guide §1.2: per-task work
+    # only after the job shape is right; here the shape WAS four
+    # driver-synchronized jobs where one suffices).
     ew = edges.join(F.broadcast(outw), "u").repartition("v").persist()
+    ew.count()
+    # the seed stays LAZY: it is consumed exactly once, as the broadcast
+    # input of iteration 1 inside the caller's single chained plan —
+    # persisting it bought nothing and cost a job. Width is irrelevant
+    # for a broadcast input, so the old node_width coalesce is gone too.
     pr = outw.select(
         F.col("u").alias("v"), F.lit(1_000_000).cast("long").alias("p")
-    ).coalesce(node_width).persist()
-    ew.count()
-    pr.count()  # materialize every cache root before releasing und
-    und.unpersist()
-    outw.unpersist()
-    return ew, pr
+    )
+    return ew, pr, (ew, und, outw)
 
 
 def _pr_step(ew: DataFrame, pr: DataFrame) -> DataFrame:
@@ -2331,31 +2329,32 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts by centrality — "importance in the purchase graph", the
     recommendation-seed ranking.
 
-    Scale (the dedup_clusters iterative discipline): the edge list with
-    out-weights is built once and persisted (result-scoped); every
-    iteration is ONE edges⋈rank join + one per-node aggregate — the rank
-    frame is node-sized, each new rank frame is persisted and its
-    predecessor dropped, so lineage stays flat and iteration t never
-    replays t−1. Symmetric edges mean no dangling nodes, so the update
-    needs no left-join patch. At 100 TB the edge build dominates (one
-    basket fan-out, no self-join); iterations touch only (u, v, w, W) —
-    32 bytes/edge.
-
-    Honest cost at sf0.1 (2.39 M directed edges, 20 k nodes): ≈6.7 s
-    warm (was 8.7 before the destination-partitioned edge cache: the
-    broadcast rank join preserves ew's hashpartitioning(v), so all
-    _PR_ITERS groupBy(v) aggregates run exchange-free — one build-time
-    shuffle replaced five iteration shuffles). The iterative-graph price
-    tier (dedup_clusters' class), paid once per ranking refresh.
+    Scale: the edge list with out-weights is built once and persisted
+    (result-scoped); every iteration is ONE edges⋈rank join + one
+    per-node aggregate. The iteration count is FIXED (no fixpoint
+    check), so all ``_PR_ITERS`` steps chain into ONE lazily-built plan
+    executed by the final action: iteration t's node-sized aggregate
+    feeds iteration t+1 as a broadcast input, a LINEAR chain Spark
+    executes stage by stage — each stage runs exactly once, nothing
+    replays, and the driver never synchronizes between iterations. r12
+    measure at sf0.1 (2.39 M directed edges, 20 k nodes): 8.5 s → 4.9 s
+    warm — the removed cost was 5 persist jobs + 5 count jobs + the
+    per-iteration Python↔JVM round-trips, not compute (guide §1.2: fix
+    the job shape first). Contrast dedup_clusters, whose DYNAMIC
+    fixpoint genuinely needs per-iteration materialization, and
+    bfs_reach, whose frontiers are read 3× each (A/B'd 4× SLOWER
+    un-persisted). Symmetric edges mean no dangling nodes, so the
+    update needs no left-join patch. At 100 TB the edge build dominates
+    (one basket fan-out, no self-join); iterations touch only
+    (u, v, w, W) — 32 bytes/edge; past broadcast budget (≫10⁸ nodes)
+    flip the rank frame to per-iteration persisted co-hash-partitioning
+    (see _pr_step), which restores the old shape.
     """
     from ._cache import scoped
 
-    ew, pr = _pr_graph(spark, sf_dir)
+    ew, pr, caches = _pr_graph(spark, sf_dir)
     for _ in range(_PR_ITERS):
-        nxt = _pr_step(ew, pr).persist()
-        nxt.count()  # materialize before dropping the predecessor
-        pr.unpersist()
-        pr = nxt
+        pr = _pr_step(ew, pr)
     wnd = Window.orderBy(F.desc("p"), F.asc("v"))
     result = (
         pr.orderBy(F.desc("p"), "v")
@@ -2368,7 +2367,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
-    return scoped(result, pr, ew)
+    return scoped(result, *caches)
 
 
 _SQL_PAGERANK = f"""
@@ -2503,22 +2502,30 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     Algorithm (Spark side): the node-degree table (node-sized) broadcasts
     back onto the canonical ``pa < pb`` edge list to ORIENT every edge
     from its (degree, id)-smaller endpoint to the larger — the classic
-    degree-orientation bound: every out-neighborhood is O(√m), so the
-    wedge self-join on ``src`` emits O(m^1.5) candidates worst-case
-    instead of Σ deg² (the hub explosion an unoriented wedge join
-    suffers: one celebrity part with degree d contributes d² wedges
-    unoriented, but its edges all point INTO it oriented). Each triangle
-    has exactly one wedge rooted at its (deg, id)-minimum vertex whose
-    closing edge ``(dst₁ < dst₂)`` is already canonical, so one hash join
-    back to the edge list counts each triangle exactly once. The oracle
-    deliberately states the readable unoriented 3-way self-join — the
-    green row proves orientation loses nothing.
+    degree-orientation bound: every out-neighborhood is O(√m). Triangles
+    are then counted by ADJACENCY INTERSECTION: group the oriented edges
+    into per-node out-neighbor arrays (node-sized frame, O(m) total
+    payload) and, for each oriented edge (u, v), count
+    ``|N⁺(u) ∩ N⁺(v)|`` with one JVM ``array_intersect`` — each triangle
+    has exactly one (deg,id)-minimum vertex u with both other corners in
+    N⁺(u), and the closing corner w appears in N⁺(v) exactly when (v, w)
+    is oriented v→w, so every triangle is counted exactly once. Work is
+    Σ_(u,v)∈E (deg⁺u + deg⁺v) = O(m^1.5) worst-case — the same bound as
+    the classic wedge self-join, but the O(m^1.5) wedge-candidate table
+    is never MATERIALIZED or shuffled (r12 measure at sf0.1: 41 M wedge
+    rows → 8.9 s for wedge+closure vs 2.5 s for the intersection on the
+    identical 1,884,488-triangle census; guide §2.3/§2.4 — the biggest
+    exchange deleted outright). The oracle deliberately states the
+    readable unoriented 3-way self-join — the green row proves
+    orientation+intersection loses nothing.
 
     Scale: one basket fan-out (shared shape with copurchase_affinity),
-    one edge-sized wedge shuffle on ``src``, one closure hash join on the
-    canonical pair key; degree/wedge/node totals are 1-row broadcast
-    crossJoins. The edge list is persisted result-scoped — four branches
-    (degrees, both wedge sides, closure) read it.
+    ONE adjacency groupBy shuffle on ``src`` (edge-sized, 16 B rows),
+    two node-sized adjacency joins; degree/wedge/node totals are 1-row
+    broadcast crossJoins. The edge list is persisted result-scoped —
+    three branches (degrees, orientation, edge totals) read it; the
+    adjacency table is persisted result-scoped and read by both sides
+    of the intersection join.
     """
     from ._cache import scoped
 
@@ -2547,12 +2554,28 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(a_first, F.col("pb")).otherwise(F.col("pa")).alias("dst"),
         )
     )
-    o2 = oriented.select(F.col("src"), F.col("dst").alias("dst2"))
-    wedges = oriented.join(o2, "src").where(F.col("dst") < F.col("dst2"))
-    tri = wedges.join(
-        edges,
-        (F.col("dst") == F.col("pa")) & (F.col("dst2") == F.col("pb")),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    # per-node out-neighborhoods: node-sized frame, O(m) array payload,
+    # read by both sides of the intersection join (persist, scoped)
+    adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nb"))
+        .persist()
+    )
+    tri = (
+        oriented.join(
+            adj.select(F.col("src").alias("u_"), F.col("nb").alias("nb_u")),
+            F.col("src") == F.col("u_"),
+        )
+        .join(
+            adj.select(F.col("src").alias("v_"), F.col("nb").alias("nb_v")),
+            F.col("dst") == F.col("v_"),
+        )
+        .select(F.size(F.array_intersect("nb_u", "nb_v")).alias("c"))
+        # coalesce: SUM over an edgeless graph is NULL; the census must
+        # report 0 like the old closure-join count did
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).cast("long")
+             .alias("n_triangles"))
+    )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
     n_wedges = deg.agg(
@@ -2573,7 +2596,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("global_clustering_ppm"),
         )
     )
-    return scoped(result, edges, deg)
+    return scoped(result, edges, deg, adj)
 
 
 _SQL_TRIANGLES = f"""

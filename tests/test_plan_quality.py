@@ -1521,7 +1521,7 @@ def test_pagerank_iteration_parallel_and_exchange_free(spark, sf_dir):
         _pr_step,
     )
 
-    ew, pr = _pr_graph(spark, sf_dir)
+    ew, pr, caches = _pr_graph(spark, sf_dir)
     try:
         step = _pr_step(ew, pr)
         live = "\n".join(executed_tree_lines(_plan(step)))
@@ -1531,12 +1531,15 @@ def test_pagerank_iteration_parallel_and_exchange_free(spark, sf_dir):
         # zero shuffle exchanges outside the already-materialized caches
         n_ex, n_imts = count_executed_exchanges(_plan(step))
         assert n_ex == 0, live
-        assert n_imts == 2  # ew scan + pr under the broadcast
+        # ew scan + the cached outw feeding the LAZY rank seed under the
+        # broadcast (r12: the seed itself no longer persists — it is read
+        # exactly once as iteration 1's broadcast input)
+        assert n_imts == 2
         # and the aggregate keeps the cached edge table's width
         assert step.rdd.getNumPartitions() == ew.rdd.getNumPartitions() > 1
     finally:
-        ew.unpersist()
-        pr.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def test_percentile_approx_check_single_pass_two_columns(spark, sf_dir):
