@@ -156,13 +156,22 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (first start contributes ``k``) — exact overlap accounting with ONE
     window over only the duplicated rows, no per-token explode.
 
-    Scale: grams shuffle as 8-byte xxhash64 keys to build the corpus
-    occurrence table (hashing changes the join key only, ~1e-9 collision
-    odds at this cardinality — same argument as ``dup_ngram_fraction``,
-    whose oracle also builds string grams); the join-back is the
-    corpus-sized expensive tier, which is why this metric runs AFTER
-    cheap gates. The coverage window partitions by doc_id (skew-free) and
-    sees only duplicated starts.
+    Scale: grams shuffle as 8-byte xxhash64 keys (hashing changes the
+    grouping key only, ~1e-9 collision odds at this cardinality — same
+    argument as ``dup_ngram_fraction``, whose oracle also builds string
+    grams). r12: the occurrence count rides a COUNT window over the one
+    gram-hash exchange instead of a groupBy + join-back — the old form
+    built the gram table twice (both join sides re-evaluated the
+    posexplode) and shuffled it twice (once into the count aggregate,
+    once into the join); the window form evaluates the gram expression
+    ONCE and ships the span rows across exactly one (h) exchange
+    (measured 5.5 → 3.4 s warm at sf0.1, identical output; guide §2.3
+    "shuffle fewer bytes" / §2.4 "two operations keyed the same way can
+    share one exchange"). A hot gram concentrates its occurrences in one
+    window partition exactly as it concentrated join fan-out before —
+    no new skew surface. This metric remains the corpus-sized expensive
+    tier and runs AFTER cheap gates. The coverage window partitions by
+    doc_id (skew-free) and sees only duplicated starts.
     """
     k = _SPAN_K
     docs = load_table(spark, sf_dir, "documents")
@@ -179,8 +188,10 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(_pos_grams(F.col("text"), k)).alias("pos0", "gram"),
     ).select("doc_id", "source", (F.col("pos0") + 1).alias("pos"),
              F.xxhash64("gram").alias("h"))
-    occ = spans.groupBy("h").agg(F.count("*").alias("occ"))
-    dup = spans.join(occ, "h").where(F.col("occ") > 1)
+    wh = Window.partitionBy("h")
+    dup = spans.withColumn("occ", F.count("*").over(wh)).where(
+        F.col("occ") > 1
+    )
     wd = Window.partitionBy("doc_id").orderBy("pos")
     covered = (
         dup.withColumn("prev", F.lag("pos").over(wd))

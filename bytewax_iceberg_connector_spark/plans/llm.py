@@ -127,16 +127,43 @@ def _shingle_pairs(
     ships 8-byte keys instead of ~20-byte text (the 100 TB-relevant choice);
     |distinct hashes| = |distinct shingles| up to a ~1e-9 xxhash collision
     probability at this cardinality, so Jaccard values are unchanged.
+
+    LENGTH-BAND prune (r12, the PPJoin/AllPairs length filter, guide
+    §3.2's prune-before-the-exchange): jaccard(A, B) ≥ τ forces
+    max(|A|,|B|) ≤ min(|A|,|B|)/τ (i = |A∩B| ≤ min and i ≥ τ(|A|+|B|−i)
+    ⇒ min ≥ τ·max), so matched rows whose doc sizes fall outside the
+    τ = 0.8 band (max·4 > min·5, exact in integers) are dropped INSIDE
+    the self-join, before the candidate-count aggregation ships them.
+    Every consumer thresholds at _JACCARD_THRESHOLD, so the pruned pairs
+    could never appear in any output — pair values are unchanged, only
+    never-surviving candidates die earlier. At 100 TB this is the filter
+    that keeps a boilerplate-vs-long-doc hot shingle from aggregating
+    candidate pairs that can't pass; at sf0.1 it is a modest ~6% win
+    (sizes cluster). Callers that ever need sub-0.8 pairs must widen the
+    band with the threshold they use.
     """
     if sha is None:
         sha = _shingle_array(spark, sf_dir)
     # persisted: consumed by the self-join (twice) AND the sizes aggregate —
-    # one shingle-kernel pass instead of three
-    sh = sha.select("doc_id", F.explode("sha").alias("s")).persist()
+    # one shingle-kernel pass instead of three. sz rides the exploded rows
+    # (one long per row) so the band prune can run inside the join.
+    sh = sha.select(
+        "doc_id", F.size("sha").alias("sz"), F.explode("sha").alias("s")
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
+    # τ = 0.8 = 4/5: max·4 ≤ min·5 exactly (no float boundary)
+    band = (
+        F.greatest(F.col("a.sz"), F.col("b.sz")) * 4
+        <= F.least(F.col("a.sz"), F.col("b.sz")) * 5
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & band,
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )

@@ -75,6 +75,27 @@ _TUNING_CONF = {
     "spark.sql.streaming.stateStore.providerClass":
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
+    # AQE partition-coalescing floor (r12 optimization round): with
+    # parallelismFirst (default on) AQE already prefers parallelism over
+    # advisoryPartitionSizeInBytes, but it never coalesces below
+    # minPartitionSize = 1 MB — so a 2-5 MB shuffle (collect_list'd
+    # embedding blocks feeding the GEMM tile kernels, shingle tables
+    # feeding the minhash/simhash signature kernels) lands on 1-5 tasks
+    # and the CPU-heavy Arrow kernel behind it runs nearly serial while
+    # 32 cores idle. 1 MB of collect_list rows is SECONDS of Python
+    # kernel compute — the bytes-per-task heuristic is wrong by orders
+    # of magnitude for that tier. A 64 KB floor restores kernel
+    # parallelism at bench scale and is scale-neutral by construction:
+    # it only changes shuffles whose total size is under ~parallelism
+    # x 1 MB, which at 100 TB is final-aggregate noise (measured: the
+    # GEMM-tier queries 2-3x faster at sf0.1, large-shuffle plans
+    # unchanged). 256 KB — not lower — because the narrow-JVM-shuffle
+    # tier (gram counts, small aggregates) regresses on per-task
+    # overhead when fragmented all the way to 64 KB (A/B'd: 64k/256k/1m
+    # battery totals 42.8/39.2/42.5 s). Parameterized for cluster
+    # tuning.
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize":
+        os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
 }
 
 _TUNING_SENTINEL = "spark.bytewax_iceberg.tuningApplied"
