@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..sources.tables import load_table
+from ..sources.tables import load_table, widen_for_kernel
 
 #: DuckDB mirror of X.tokens — the repo-standard tokenizer SQL.
 _SQL_TOKS = r"list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')"
@@ -390,7 +390,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     per_gram = (
-        docs.select(
+        widen_for_kernel(docs.select("source", "text")).select(
             "source", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("h")
         )
         .groupBy("h")
@@ -1429,7 +1429,7 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical re-ingested rows (duplicate rows must not change
     # per-doc novelty, and min(doc_id) is insensitive to them anyway)
     sh = (
-        docs.select(
+        widen_for_kernel(docs.select("doc_id", "source", "text")).select(
             "doc_id", "source",
             F.explode(X.shingle_hashes_np(_NOVELTY_N)(F.col("text")))
             .alias("s"),

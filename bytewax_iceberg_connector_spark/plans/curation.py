@@ -24,6 +24,7 @@ from ..sources.tables import (
     SQL_VALID_EMB,
     load_table,
     load_vectors,
+    widen_for_kernel,
 )
 
 # ---------------------------------------------------------------------------
@@ -204,7 +205,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-hash scan, not a self-join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
+    sh = widen_for_kernel(docs.select("doc_id", "text")).select(
         "doc_id", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s")
     )
     bench = sh.where(F.col("doc_id") % _BENCH_STRIDE == 0).select(
@@ -1090,7 +1091,9 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persisted: the frame feeds BOTH the df build and the join-back —
     # without it the Arrow shingle kernel (the query's most expensive
     # stage) runs twice over the corpus
-    sh = docs.select(
+    sh = widen_for_kernel(
+        docs.select("doc_id", "lang", "source", "text")
+    ).select(
         "doc_id", "lang", "source",
         F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s"),
     ).persist()

@@ -34,6 +34,7 @@ from ..sources.tables import (
     SQL_VALID_EMB,
     load_table,
     load_vectors,
+    widen_for_kernel,
 )
 from ._cache import scoped
 
@@ -106,7 +107,10 @@ def _shingle_array(
     """
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    per_row = docs.select(
+    # widen the narrow (doc_id, text) projection before the kernel: a
+    # single-row-group scan is ONE task and would run the md5 shingle
+    # kernel serial (see sources/tables.widen_for_kernel; no-op at scale)
+    per_row = widen_for_kernel(docs.select("doc_id", "text")).select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
     )
     return per_row.groupBy("doc_id").agg(
@@ -571,7 +575,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double its intersection/size counts in the pair join (r08
     # duplicate-rows sweep). The frame is reps-only, so the union
     # aggregate is small.
-    sha = rep_docs.select(
+    sha = widen_for_kernel(rep_docs.select("doc_id", "text")).select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
     ).groupBy("doc_id").agg(
         F.array_distinct(F.flatten(F.collect_list("sha"))).alias("sha")

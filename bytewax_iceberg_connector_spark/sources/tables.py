@@ -43,6 +43,31 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def widen_for_kernel(df: DataFrame) -> DataFrame:
+    """Round-robin a NARROW frame up to the session's core count before a
+    CPU-heavy Arrow kernel (r12 optimization round, guide §2.5/§4).
+
+    A single-row-group parquet file scans as ONE task no matter what
+    ``maxPartitionBytes``/``minPartitionNum`` say (splits beyond row-group
+    boundaries come back empty), so a per-row kernel applied directly to
+    the scan runs serial while every other core idles — the
+    bytes-per-task heuristic undercounts vectorized-Python stage cost by
+    orders of magnitude (same rationale as the AQE minPartitionSize
+    floor in session.py, which covers only POST-SHUFFLE stages). The
+    repartition is guarded: a frame already at/above the default
+    parallelism (any real at-scale scan, or a pending 32-partition
+    shuffle) passes through untouched, so this is a no-op on a cluster
+    and an exchange of a few hundred KB locally. Call it on the NARROW
+    projection (the columns the kernel needs) so scan-level column
+    pruning is preserved.
+    """
+    spark = df.sparkSession
+    dp = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < dp:
+        return df.repartition(dp)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table; normalizes types to engine conventions.
 
