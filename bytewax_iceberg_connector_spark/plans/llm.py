@@ -1334,6 +1334,18 @@ def _ann_audit(
     by THREE branches (per-query stats, the recall semi-join's both sides'
     denominator) and is |Q|·k rows — persisting it saves a full exact
     block-GEMM replay (measured 2.81 → 2.47 s at sf0.1); callers scope it.
+
+    The ``ann`` frame is ALSO consumed twice (recall semi-join +
+    score-bound max) but is deliberately NOT persisted: a full-query
+    cold-process A/B (r13, 2 reps each) showed persisting it REGRESSES
+    every caller (similarity_ann_lsh warm 2.52/2.63 → 3.63/2.94 s,
+    similarity_ivf 2.67/2.89 → 3.13/3.03 s, ivf_pq a wash) — the two
+    replayed candidate/score/refine subtrees above the persisted index
+    run CONCURRENTLY inside the one audit job on otherwise-idle cores,
+    while a persist serializes branch B behind the cache fill. The
+    duplicated work is index-scale, not corpus-scale (the expensive
+    index/assignment below it is already persisted per variant), so the
+    replay stays affordable at any data scale.
     """
     from pyspark.sql import Window
 
@@ -3341,13 +3353,51 @@ def _semantic_census(emb: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from ..functions.clustering import kmeans_assign, kmeans_fit
+    from ..functions.clustering import kmeans_fit
 
-    vecs = emb.select("vec_id", "embedding").persist()
+    # The persisted slice feeds the EAGER kmeans driver loop (seed job +
+    # one scan per Lloyd iteration — 6 jobs at build time read this cache
+    # instead of re-running the scan + dropDuplicates exchange each
+    # round). r13: the r12 form then built `assigned` as
+    # kmeans_assign(vecs).join(vecs) — a second action-time read of the
+    # slice joined back onto the first. Worse, the join-back never even
+    # hit the cache: the scoped finalizer fired when the census frame's
+    # Python ref died inside the outer query builder, so the ACTION
+    # replayed scan+dedup twice (the r12 plans show zero
+    # InMemoryTableScan). The fused kernel below assigns the cluster and
+    # carries (embedding, label) through in the SAME Arrow pass — one
+    # slice read at action time, no join, nothing for the finalizer to
+    # strand (guide §2.4 remove-the-shuffle / §4 pass-only-needed-cols).
+    # Cold A/B at sf0.1 is a WASH (join-back 2.80/2.82 s → fused
+    # 2.94/2.75 s warm — the replaced join broadcast ~1e3 slice rows and
+    # the duplicate read recomputed on idle cores), but at corpus scale
+    # the fused pass deletes a corpus-wide second read + shuffle join.
+    vecs = emb.select("vec_id", "embedding", "label").persist()
     cents, _ = kmeans_fit(vecs, k=_SEM_K, iters=_SEM_ITERS)
-    assigned = (
-        kmeans_assign(vecs, cents)
-        .join(emb.select("vec_id", "embedding", "label"), "vec_id")
+    _c = cents
+
+    def _assign_carry(batches) -> "pd.DataFrame":
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            # same argmin as functions/clustering.kmeans_assign — the
+            # cell ids must be bit-identical to the unfused form
+            d2 = (
+                (x * x).sum(axis=1, keepdims=True)
+                - 2.0 * (x @ _c.T)
+                + (_c * _c).sum(axis=1)[None, :]
+            )
+            out = pdf.copy()
+            out["cluster"] = d2.argmin(axis=1).astype("int32")
+            yield out
+
+    assigned = vecs.mapInPandas(
+        _assign_carry,
+        schema="vec_id bigint, embedding array<float>, label int, "
+        "cluster int",
     )
 
     def _prune_cell(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -3475,7 +3525,14 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("vec_b").cast("long").alias("n_dup_reach"))
     )
     nvec = emb.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-    return (
+    # r13 dead-cache fix: `cells` carries (via its own scoped finalizer)
+    # the persisted kmeans slice its plan reads from. Without tying it to
+    # THIS result, the local dies at function exit, the finalizer
+    # unpersists the slice before the action runs, and the census branch
+    # silently re-scans + re-dedups the corpus (the r12 plan showed no
+    # InMemoryTableScan at all). scoped() holds a strong ref to `cells`
+    # until the result is GC'd; `cells` then releases the slice.
+    out = (
         nvec.crossJoin(reach)
         .crossJoin(stats)
         .select(
@@ -3508,6 +3565,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("cells_ok"),
         )
     )
+    return scoped(out, cells)
 
 
 _SQL_SEMANTIC_AUDIT = f"""

@@ -126,3 +126,62 @@ def test_ns_loader_pre_epoch_truncation_matches_duckdb(spark, tmp_path):
     finally:
         con.close()
     assert got == want
+
+
+def test_widen_for_kernel_width_tracks_kernel_work(spark, sf_dir):
+    """r13 calibration contract: the kernel fan-out is sized to the ROW
+    COUNT (ceil(rows / _KERNEL_ROWS_PER_TASK), capped at
+    defaultParallelism), never blindly to the core count — the r12
+    unconditional fan-out made 35 ms tasks whose fixed cost dominated.
+    The bytes guard must refuse to round-robin a payload heavier than
+    128 MB per target partition, and a frame already at/above the target
+    width must pass through unchanged."""
+    from bytewax_iceberg_connector_spark.sources.tables import (
+        _KERNEL_ROWS_PER_TASK,
+        table_stats,
+        widen_for_kernel,
+    )
+
+    dp = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_rows, n_bytes = table_stats(sf_dir, "documents")
+    assert n_rows > 0 and n_bytes > 0
+
+    want = min(dp, max(1, -(-n_rows // _KERNEL_ROWS_PER_TASK)))
+    widened = widen_for_kernel(docs, n_rows, n_bytes)
+    if want > 1:
+        assert widened.rdd.getNumPartitions() == want
+    # bytes guard: a payload that would exceed 128 MB per target
+    # partition must NOT be shuffled
+    assert (
+        widen_for_kernel(docs, n_rows, want * 129 * 1024 * 1024)
+        is docs
+    )
+    # rows-derived width of 1 is a no-op
+    assert widen_for_kernel(docs, 1, 10) is docs
+    # already-wide frames pass through (the at-scale no-op guard)
+    wide = docs.repartition(dp)
+    assert widen_for_kernel(wide, n_rows, n_bytes) is wide
+
+
+def test_table_stats_footer_only_and_stamp_tracked(spark, tmp_path):
+    """table_stats must read parquet FOOTER metadata (rows, bytes) and
+    re-read when the file changes (stamp-keyed memo, the modal-dim
+    precedent)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bytewax_iceberg_connector_spark.sources.tables import table_stats
+
+    pq.write_table(
+        pa.table({"doc_id": list(range(7)), "text": ["x"] * 7}),
+        tmp_path / "documents.parquet",
+    )
+    rows, nbytes = table_stats(str(tmp_path), "documents")
+    assert rows == 7 and nbytes > 0
+    pq.write_table(
+        pa.table({"doc_id": list(range(11)), "text": ["y"] * 11}),
+        tmp_path / "documents.parquet",
+    )
+    rows2, _ = table_stats(str(tmp_path), "documents")
+    assert rows2 == 11

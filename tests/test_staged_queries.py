@@ -58,8 +58,10 @@ def test_staged_run_length_segments_matches_oracle(spark):
 def test_r11_staged_queries_are_registered_r12():
     """Stage-then-register cadence, r12 half: the three r11-staged
     queries are now LIVE (moved into QUERIES/ORACLE at the start of
-    r12, entering the gate window at the never-checked tier — the
-    r11 verdict's item 2) and each carries an oracle."""
+    r12) and each carries an oracle. They lead the gate window only
+    WHILE never driver-checked; once a CORRECTNESS artifact records
+    them green (the r12 drop did), they rotate by staleness like every
+    other green query — assert the tier they are actually in."""
     from bytewax_iceberg_connector_spark.plans import registry
 
     registered = {"similarity_mmr", "run_length_segments",
@@ -68,10 +70,18 @@ def test_r11_staged_queries_are_registered_r12():
     oracles = registry.all_oracles()
     assert registered <= set(live)
     assert registered <= set(oracles)
-    # they must lead the gate window (never driver-checked => rank
-    # right after any reds; there are no reds in the artifacts)
+    records = registry._driver_records()
     window = list(live)[:50]
-    assert registered <= set(window[:3]), window[:5]
+    unchecked = registered - set(records)
+    # never-driver-checked staged queries must lead the window (rank
+    # right after any reds; there are no reds in the artifacts)
+    assert unchecked <= set(window[: max(len(unchecked), 1) + 2]), (
+        window[:5]
+    )
+    for name in registered & set(records):
+        # driver-checked: the record must be GREEN (a red would re-lead
+        # the window and mean the staged query regressed)
+        assert records[name][1], (name, records[name])
 
 
 @pytest.mark.skipif(not Path(_SF).exists(), reason="driver testdata absent")
