@@ -1652,6 +1652,24 @@ def test_semantic_audit_narrow_scans_no_row_udf(spark, sf_dir):
         cols = {c.split(":")[0] for c in mm.group(1).split(",") if c}
         assert cols <= {"vec_id", "embedding", "label"}, cols
     assert f"< {_EMB_SAMPLE_PPM})" in plan, "audit-slice admission missing"
+    # r13 dead-cache pin: the kmeans slice persist must SURVIVE to the
+    # final plan (the r12 form's scoped finalizer fired when the census
+    # frame's Python ref died inside the outer builder, so the action
+    # re-scanned + re-deduped the corpus with zero InMemoryTableScan),
+    # and the fused _assign_carry kernel must carry (embedding, label)
+    # through its one Arrow pass instead of join-backing the slice onto
+    # the narrow assignment — the census branch plans NO join between
+    # the kernel and the per-cell applyInPandas.
+    assert "InMemoryTableScan" in plan, "kmeans slice cache stranded"
+    fmg = plan.find("FlatMapGroupsInPandas")
+    assert fmg != -1
+    # tree text renders the census subtree contiguously below the node;
+    # the first MapInPandas after it is the fused assignment kernel
+    between = plan[fmg:].split("MapInPandas", 1)[0]
+    assert "Join" not in between, (
+        "label/embedding join-back reappeared between the assignment "
+        "kernel and the cell prune"
+    )
 
 
 def test_cosine_audit_admission_filter_precedes_pair_fanout(spark, sf_dir):
